@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Dev-only local oracle check, mimicking the driver's gate:
+run Verify's parquet dumps against the oracle SQL in DuckDB and compare
+(columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            exp = con.sql(sql).df()
+            g, e = canon(got), canon(exp)
+            if list(g.columns) != list(e.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} != "
+                      f"{list(e.columns)}")
+                continue
+            if len(g) != len(e):
+                print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+                continue
+            # exact compare, incl. dtype-insensitive value equality
+            diff_cols = []
+            for c in g.columns:
+                a, b = g[c], e[c]
+                if not a.equals(b):
+                    try:
+                        same = (a.astype("float64").fillna(-1e308)
+                                == b.astype("float64").fillna(-1e308)).all()
+                    except (ValueError, TypeError):
+                        same = (a.astype(str) == b.astype(str)).all()
+                    if not same:
+                        diff_cols.append(c)
+            if diff_cols:
+                print(f"FAIL {name}: value mismatch in {diff_cols}")
+                for c in diff_cols[:2]:
+                    mask = g[c].astype(str) != e[c].astype(str)
+                    print(g[mask].head(3))
+                    print(e[mask].head(3))
+            else:
+                print(f"OK   {name} ({len(g)} rows)")
+                n_ok += 1
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+    print(f"{n_ok}/{len(oracle)} queries match")
+    return 0 if n_ok == len(oracle) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
