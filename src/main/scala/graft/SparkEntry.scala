@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.StopDetect
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, HomeWork, Intervals, Similarity, StopClusters, StopDetect}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,6 +27,25 @@ object SparkEntry {
   private val stopParams = StopDetect.Params(
     rC = 100.0, minSize = 3L, minStayingTime = 3600L,
     maxStayingTime = 7 * 86400L, metric = "haversine")
+
+  private val clusterParams = StopClusters.Params(
+    eps = 100.0, minSamples = 2, metric = "haversine")
+
+  // Production-config home/work params (reference
+  // get_stops_and_clusters.py:118-128), Mexico City tz (fixed UTC-6 since
+  // 2022 — the oracle uses offset arithmetic).
+  private val hwParams = HomeWork.Params(
+    startHourDay = 7, endHourDay = 21,
+    startWorkingHour = 8, endWorkingHour = 18,
+    minPeriodsHome = 0.08, spanPeriodHome = 0.08,
+    minPeriodsWork = 0.05, spanPeriodWork = 0.05,
+    totalDays = Some(30L), convertTz = true, tz = "America/Mexico_City")
+
+  private def stopClusters(s: SparkSession, d: String): DataFrame =
+    StopClusters.cluster(
+      StopDetect.eventMedians(
+        StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
+      clusterParams)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2/P1/P4: pruned scan + filter + projection
@@ -155,7 +175,97 @@ object SparkEntry {
       Tables.documents(s, d)
         .groupBy("text")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select("keep_id", "n_copies"))
+        .select("keep_id", "n_copies")),
+
+    // M3: per-user DBSCAN (flatMapGroups union-find) + cluster stats
+    "q16_stop_clusters" -> ((s, d) =>
+      stopClusters(s, d)
+        .select("uid", "stop_events", "stop_locations", "cluster_counts",
+          "cluster_latitude", "cluster_longitude")),
+
+    // EP2: full home/work inference (P5, A4, J4, J5)
+    "q17_home_work" -> ((s, d) =>
+      HomeWork.label(stopClusters(s, d), hwParams)
+        .select("uid", "stop_events", "stop_locations", "year", "month",
+          "day", "hour", "weekday", "date", "duration", "location_type",
+          "home_label", "work_label")),
+
+    // R4/W9: wide H/W export, one row per uid
+    "q18_hw_wide" -> ((s, d) =>
+      HomeWork.wideExport(HomeWork.label(stopClusters(s, d), hwParams))),
+
+    // W10: run-length interval coalescing with max-gap split
+    "q19_intervals" -> ((s, d) =>
+      Intervals.coalesceRuns(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("event_id"), expr("ts div 1000").as("ts_us")),
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        3600L * 1000000L)
+        .select(col("key").as("user_id"), col("interval_id"),
+          col("label").as("event_type"), col("t_start"), col("t_end"),
+          col("n_rows"))),
+
+    // R1/R5/R6: explode embedding vectors with position
+    "q20_explode" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("val"))),
+
+    // Text analysis: exact per-doc token statistics
+    "q21_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).cast("long")
+          .as("n_distinct"),
+        col("n_chars"),
+        TextFunctions.stopwordCount(col("text")).as("n_stop"))),
+
+    // Text analysis: marker-vote language id
+    "q22_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // Near-dup: word-bigram Jaccard on a bounded anchor pair set
+    "q23_neardup_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(
+        col("doc_id").as("id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), 2))
+          .as("shingles"))
+      val pairs = sh.filter(col("id") % 100 === 0).select(col("id").as("id_a"))
+        .join(sh.select(col("id").as("id_b")), col("id_a") < col("id_b"))
+      Dedup.jaccardPairs(pairs, sh)
+        .filter(col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // Similarity search: brute-force cosine top-k
+    "q24_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(queries, emb, 10)
+    }),
+
+    // Fingerprint: md5 digest per document
+    "q25_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // W6: rolling 7-day range-frame aggregates per user
+    "q26_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("cnt_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d", sum("cents").over(w))
+        .select("user_id", "event_id", "cnt_7d", "sum_7d")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -251,8 +361,277 @@ object SparkEntry {
 
     "q15_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q16_stop_clusters" -> (clusterCtes +
+      """SELECT uid, stop_events, stop_locations, cluster_counts,
+        |  cluster_latitude, cluster_longitude
+        |FROM clustered""".stripMargin),
+
+    "q17_home_work" -> (clusterCtes + ",\n" + hwCtes +
+      """SELECT uid, stop_events, stop_locations, year, month, day, hour,
+        |  weekday, "date", duration, location_type, home_label, work_label
+        |FROM hw_final""".stripMargin),
+
+    "q18_hw_wide" -> (clusterCtes + ",\n" + hwCtes + ",\n" +
+      """picked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY uid, location_type
+        |    ORDER BY cluster_counts DESC, stop_locations ASC) AS rn
+        |  FROM hw_final WHERE location_type IN ('H', 'W')
+        |)
+        |SELECT uid,
+        |  max(CASE WHEN location_type = 'H' THEN cluster_latitude END) AS h_lat,
+        |  max(CASE WHEN location_type = 'H' THEN cluster_longitude END) AS h_lon,
+        |  max(CASE WHEN location_type = 'W' THEN cluster_latitude END) AS w_lat,
+        |  max(CASE WHEN location_type = 'W' THEN cluster_longitude END) AS w_lon
+        |FROM picked WHERE rn = 1 GROUP BY uid""".stripMargin),
+
+    "q19_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w != event_type
+        |    OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |iv AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS interval_id
+        |  FROM fl)
+        |SELECT user_id, interval_id, min(event_type) AS event_type,
+        |  min(ts_us) AS t_start, max(ts_us) AS t_end, count(*) AS n_rows
+        |FROM iv GROUP BY user_id, interval_id""".stripMargin,
+
+    "q20_explode" ->
+      """SELECT vec_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.val AS DOUBLE) AS val
+        |FROM (SELECT vec_id,
+        |  unnest(list_transform(embedding, (x, i) -> {'pos': i - 1, 'val': x})) AS u
+        |  FROM embeddings)""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  n_chars,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+        |  + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3
+        |    AS n_stop
+        |FROM documents""".stripMargin,
+
+    "q22_langid" -> (langVotesSql +
+      """SELECT doc_id, lang,
+        |  CASE WHEN v_en = best AND v_en > 0 THEN 'en'
+        |       WHEN v_es = best AND v_es > 0 THEN 'es'
+        |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
+        |       WHEN v_de = best AND v_de > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM votes""".stripMargin),
+
+    "q23_neardup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+        |  )) AS bg FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |    / len(list_distinct(a.bg || b.bg)) AS jaccard
+        |FROM (SELECT * FROM sh WHERE id % 100 = 0) a
+        |JOIN sh b ON a.id < b.id
+        |WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |    / len(list_distinct(a.bg || b.bg)) >= 0.05""".stripMargin,
+
+    "q24_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_emb,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents""".stripMargin,
+
+    "q26_rolling" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  count(*) OVER w AS cnt_7d,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS sum_7d
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
+
+  /** Oracle CTE chain: pings -> stop_events -> medians -> per-user
+    * connected-components clustering (min_samples=2 DBSCAN degenerate
+    * case) -> cluster stats. Mirrors stopClusters(...) above.
+    */
+  private def clusterCtes: String =
+    s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
+      s"""
+         |medians AS (
+         |  SELECT uid, stop_events, median(latitude) AS latitude,
+         |    median(longitude) AS longitude,
+         |    min("timestamp") AS start_timestamp,
+         |    max("timestamp") AS end_timestamp
+         |  FROM stop_events WHERE stop_events != -1
+         |  GROUP BY uid, stop_events
+         |),
+         |idx AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY uid
+         |    ORDER BY stop_events) - 1 AS BIGINT) AS i
+         |  FROM medians
+         |),
+         |edges AS (
+         |  SELECT a.uid, a.i AS i, b.i AS j FROM idx a JOIN idx b
+         |  ON a.uid = b.uid AND a.i != b.i
+         |  AND 2 * 6371000.0 * asin(sqrt(
+         |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
+         |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
+         |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
+         |    )) <= ${clusterParams.eps}
+         |),
+         |reach AS (
+         |  SELECT uid, i, i AS r FROM (SELECT DISTINCT uid, i FROM edges)
+         |  UNION
+         |  SELECT e.uid, e.i, reach.r FROM edges e
+         |  JOIN reach ON e.uid = reach.uid AND e.j = reach.i
+         |),
+         |comp AS (SELECT uid, i, min(r) AS root FROM reach GROUP BY uid, i),
+         |labeled AS (
+         |  SELECT idx.uid, idx.stop_events, idx.latitude, idx.longitude,
+         |    idx.start_timestamp, idx.end_timestamp,
+         |    CASE WHEN comp.root IS NULL THEN -1
+         |      ELSE CAST(dense_rank() OVER (PARTITION BY idx.uid
+         |        ORDER BY coalesce(comp.root, 9223372036854775807)) AS BIGINT) - 1
+         |    END AS stop_locations
+         |  FROM idx LEFT JOIN comp ON idx.uid = comp.uid AND idx.i = comp.i
+         |),
+         |clustered AS (
+         |  SELECT uid, stop_events, latitude, longitude, start_timestamp,
+         |    end_timestamp, stop_locations,
+         |    CAST(CASE WHEN stop_locations = -1 THEN 1
+         |      ELSE count(*) OVER c END AS BIGINT) AS cluster_counts,
+         |    CASE WHEN stop_locations = -1 THEN latitude
+         |      ELSE median(latitude) OVER c END AS cluster_latitude,
+         |    CASE WHEN stop_locations = -1 THEN longitude
+         |      ELSE median(longitude) OVER c END AS cluster_longitude
+         |  FROM labeled
+         |  WINDOW c AS (PARTITION BY uid, stop_locations)
+         |)
+         |""".stripMargin
+
+  /** Oracle CTEs for home/work labeling over `clustered`. Local wall clock
+    * is fixed UTC-6 integer arithmetic (America/Mexico_City, DST-free
+    * since 2022; data is 2024) so no session-timezone dependence.
+    */
+  private def hwCtes: String =
+    s"""prep0 AS (
+       |  SELECT *, start_timestamp - 21600 AS ls,
+       |    end_timestamp - start_timestamp AS duration
+       |  FROM clustered
+       |),
+       |prep1 AS (
+       |  SELECT *, DATE '1970-01-01' + CAST(ls // 86400 AS INT) AS "date",
+       |    CAST((ls % 86400) // 3600 AS INT) AS hour,
+       |    CAST(((ls // 86400) + 3) % 7 + 1 AS INT) AS weekday
+       |  FROM prep0
+       |),
+       |prep AS (
+       |  SELECT *, CAST(year("date") AS INT) AS year,
+       |    CAST(month("date") AS INT) AS month,
+       |    CAST(day("date") AS INT) AS day
+       |  FROM prep1
+       |),
+       |home_cand AS (
+       |  SELECT * FROM prep
+       |  WHERE (hour >= ${hwParams.endHourDay} OR hour <= ${hwParams.startHourDay}
+       |    OR weekday BETWEEN 6 AND 7) AND stop_locations != -1
+       |),
+       |home_counts AS (
+       |  SELECT uid, stop_locations, count(DISTINCT "date") AS cluster_dates
+       |  FROM home_cand GROUP BY uid, stop_locations
+       |),
+       |home_tot AS (
+       |  SELECT uid, count(DISTINCT "date") AS total_dates
+       |  FROM home_cand GROUP BY uid
+       |),
+       |home_lab AS (
+       |  SELECT hc.uid, hc.stop_locations FROM home_counts hc
+       |  JOIN home_tot ht ON hc.uid = ht.uid
+       |  WHERE hc.cluster_dates / ht.total_dates >= ${hwParams.minPeriodsHome}
+       |    AND hc.cluster_dates / ${hwParams.totalDays.get} >= ${hwParams.spanPeriodHome}
+       |),
+       |homed AS (
+       |  SELECT p.*,
+       |    CASE WHEN hl.uid IS NOT NULL THEN 'H' ELSE 'O' END AS location_type,
+       |    CASE WHEN hl.uid IS NOT NULL THEN CAST(${hwParams.minPeriodsHome} AS DOUBLE)
+       |      ELSE CAST(-1.0 AS DOUBLE) END AS home_label
+       |  FROM prep p LEFT JOIN home_lab hl
+       |  ON p.uid = hl.uid AND p.stop_locations = hl.stop_locations
+       |),
+       |work_cand AS (
+       |  SELECT * FROM homed
+       |  WHERE hour BETWEEN ${hwParams.startWorkingHour} AND ${hwParams.endWorkingHour}
+       |    AND weekday BETWEEN 1 AND 5
+       |    AND location_type != 'H' AND stop_locations != -1
+       |),
+       |work_counts AS (
+       |  SELECT uid, stop_locations, count(DISTINCT "date") AS cluster_dates
+       |  FROM work_cand GROUP BY uid, stop_locations
+       |),
+       |work_tot AS (
+       |  SELECT uid, count(DISTINCT "date") AS total_dates
+       |  FROM work_cand GROUP BY uid
+       |),
+       |work_lab AS (
+       |  SELECT wc.uid, wc.stop_locations FROM work_counts wc
+       |  JOIN work_tot wt ON wc.uid = wt.uid
+       |  WHERE wc.cluster_dates / wt.total_dates >= ${hwParams.minPeriodsWork}
+       |    AND wc.cluster_dates / ${hwParams.totalDays.get} >= ${hwParams.spanPeriodWork}
+       |),
+       |hw_final AS (
+       |  SELECT h.* EXCLUDE (location_type, ls),
+       |    CASE WHEN wl.uid IS NOT NULL THEN 'W' ELSE h.location_type END
+       |      AS location_type,
+       |    CASE WHEN wl.uid IS NOT NULL THEN CAST(${hwParams.minPeriodsWork} AS DOUBLE)
+       |      ELSE CAST(-1.0 AS DOUBLE) END AS work_label
+       |  FROM homed h LEFT JOIN work_lab wl
+       |  ON h.uid = wl.uid AND h.stop_locations = wl.stop_locations
+       |)
+       |""".stripMargin
+
+  /** Oracle CTE computing per-language marker votes for q22. */
+  private def langVotesSql: String = {
+    def cnt(m: String) =
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) // ${m.length + 2}"
+    val votes = TextFunctions.langMarkers.map { case (lang, ms) =>
+      ms.map(cnt).mkString(" + ") + s" AS v_$lang"
+    }.mkString(",\n    ")
+    s"""WITH votes AS (
+       |  SELECT doc_id, lang,
+       |    $votes,
+       |    greatest(${TextFunctions.langMarkers.map("v_" + _._1).mkString(", ")}) AS best
+       |  FROM documents
+       |)
+       |""".stripMargin
+  }
 
   /** DuckDB CTEs replicating StopDetect.stopEvents over the pings CTE —
     * shared by the mobility oracle queries. Mirrors stopParams above.

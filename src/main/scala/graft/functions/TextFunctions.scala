@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data-pipeline operators
+  * (beyond the reference's surface — SURVEY §7 step 8). All are
+  * compositions of codegen'd built-ins; definitions are chosen to be
+  * reproducible in ANSI-ish SQL for the DuckDB oracle (1-based element_at,
+  * single-space tokenization).
+  */
+object TextFunctions {
+
+  /** Tokens on single spaces (corpus is space-normalized). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles, preserving order, 1-based positions so the SQL
+    * twin (element_at / list indexing) matches exactly.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+  }
+
+  /** Count of occurrences of a literal substring. */
+  def occurrences(text: Column, sub: String): Column =
+    ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)
+      .cast("long")
+
+  /** Quality-signal counts (exact integers; ratios are for the caller). */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column =
+    stopwords
+      .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
+      .reduce(_ + _)
+
+  /** Language-ID heuristic: marker-token votes, argmax with deterministic
+    * tie-break on language order. Markers are per-language function words.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "die", "und"))
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) =>
+      (lang, ms.map(m => occurrences(concat(lit(" "), text, lit(" ")), s" $m "))
+        .reduce(_ + _))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 hex of the text (stable across engines). A
+    * rolling-hash variant can be added as a custom Expression if profiling
+    * demands.
+    */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text pipelines (beyond the
+  * reference's surface — first-class per the build brief).
+  *
+  * Scale notes: exact dedup is a hash aggregate on the key (one shuffle).
+  * MinHash-LSH replaces the quadratic all-pairs comparison with a
+  * band-bucket shuffle: docs sharing any band bucket meet in one reducer;
+  * candidate pairs are verified with true Jaccard. No driver collects, no
+  * unbounded per-group state (bucket fan-in is capped by banding).
+  */
+object Dedup {
+
+  /** Keep one canonical row per exact key; deterministic keeper = min id. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Deterministic MinHash signatures over word-shingle sets.
+    *
+    * Each of the k hash functions is `(a_i * h + b_i) mod p` over a base
+    * 32-bit murmur hash of the shingle (Spark's `hash`), the standard
+    * universal-hash construction.
+    */
+  def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
+                       k: Int): org.apache.spark.sql.Column = {
+    val p = 2147483647L // 2^31 - 1
+    val shingles = array_distinct(TextFunctions.wordShingles(text, shingleN))
+    val base = transform(shingles, s => hash(s).cast("long"))
+    val sig = (0 until k).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 12582917L * (i + 1)
+      array_min(transform(base, h => pmod(h * a + b, lit(p))))
+    }
+    array(sig: _*)
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding of minhash signatures.
+    *
+    * @param bands number of bands; rows per band = k / bands. Docs agreeing
+    *              on all rows of any band become a candidate pair.
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows))
+          .as("key")))))
+      .select(col("id"), col("col.band"), hash(col("col.key")).as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for a candidate pair set (the
+    * verification stage after LSH, or standalone on a bounded pair set).
+    * Expects docs(id, shingles array).
+    */
+  def jaccardPairs(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** SimHash: 64-bit signed fingerprint; near-dups differ in few bits.
+    * Bit j of the hash of each shingle votes +1/-1; sign of the tally sets
+    * bit j of the signature. Hamming distance <= threshold => candidate.
+    */
+  def simhash(text: org.apache.spark.sql.Column, shingleN: Int = 3)
+  : org.apache.spark.sql.Column = {
+    val shingles = TextFunctions.wordShingles(text, shingleN)
+    val hashes = transform(shingles, s => xxhash64(s))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Population count of xor — Hamming distance between simhashes. */
+  def hammingDistance(a: org.apache.spark.sql.Column,
+                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Cosine near-duplicate pairs over an embedding column, brute force on a
+    * bounded anchor subset (scale path: LSH buckets in Similarity).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

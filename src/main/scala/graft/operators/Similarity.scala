@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query vectors, scan
+  * the corpus once — embarrassingly parallel, no shuffle until the final
+  * per-query top-k, which is a window over partitionBy(query)).
+  *
+  * Scale path: random-hyperplane LSH — b signed projections bucket the
+  * corpus; queries probe only their own bucket. The projection vectors are
+  * derived deterministically from a seed via a splitmix-style integer mix,
+  * so signatures are reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Top-k corpus rows per query row, by cosine similarity.
+    * queries(query_id, embedding), corpus(vec_id, embedding).
+    * Similarity is rounded to 6 decimals before ranking so ordering is
+    * reproducible; ties break on vec_id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random double in [-1, 1] for (seed, bit, dim):
+    * xxhash64 of the coordinates, scaled. ANSI-safe (no raw multiply
+    * overflow) and codegen'd.
+    */
+  private def mixedUnit(seed: Long, bit: Int,
+                        dim: org.apache.spark.sql.Column) =
+    xxhash64(lit(seed), lit(bit), dim).cast("double") /
+      lit(Long.MaxValue.toDouble)
+
+  /** b-bit signed-projection LSH bucket id for each row's embedding —
+    * pure per-row expression work (two-arg transform gives the element
+    * index), no shuffle.
+    */
+  def lshBuckets(df: DataFrame, embCol: String, bits: Int,
+                 seed: Long = 42L): DataFrame = {
+    val bucket = (0 until bits).map { i =>
+      val proj = aggregate(
+        transform(col(embCol), (x, pos) =>
+          x.cast("double") * mixedUnit(seed, i, pos)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Bucketed ANN: join queries to corpus within matching buckets only,
+    * then exact cosine + top-k. Trades recall for a ~2^bits reduction in
+    * compared pairs.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val qb = lshBuckets(queries, "embedding", bits, seed)
+      .select(col("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val cb = lshBuckets(corpus, "embedding", bits, seed)
+    val scored = cb.join(qb, "bucket")
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Intervals, Similarity}
+import org.apache.spark.sql.functions._
+
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coalesces same-label runs and splits on gap") {
+    val df = Seq(
+      ("u", "a", 1L, 0L), ("u", "a", 2L, 100L), ("u", "b", 3L, 200L),
+      ("u", "b", 4L, 5000L), // same label but gap 4800 >= 1000 -> split
+      ("v", "a", 5L, 0L))
+      .toDF("k", "label", "id", "ts")
+    val got = Intervals.coalesceRuns(df, col("k"), col("label"), col("ts"),
+      col("id"), 1000L)
+      .orderBy("key", "interval_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      ("u", 1L, "a", 0L, 100L, 2L),
+      ("u", 2L, "b", 200L, 200L, 1L),
+      ("u", 3L, "b", 5000L, 5000L, 1L),
+      ("v", 1L, "a", 0L, 0L, 1L)))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a sleepy dog"), // near dup
+    (4L, "completely different words entirely here now"))
+    .toDF("id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(docs, "text", "id")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got === Array((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash: identical texts have identical signatures") {
+    val sig = docs.select(col("id"),
+      Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("minhash LSH candidates include the exact dup pair") {
+    val cands = Dedup.minhashCandidates(docs, "text", "id", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 4L)))
+  }
+
+  test("jaccard pairs: exact similarity on shingle sets") {
+    val sh = docs.select(col("id"),
+      array_distinct(TextFunctions.wordShingles(col("text"), 1))
+        .as("shingles"))
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardPairs(pairs, sh)
+      .orderBy("id_b").collect().map(_.getAs[Double]("jaccard"))
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+  }
+
+  test("simhash: identical => distance 0; different => large distance") {
+    val hw = docs.select(col("id"), Dedup.simhash(col("text"), 2).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d12 = Seq(1).toDF("x")
+      .select(Dedup.hammingDistance(lit(hw(1L)), lit(hw(2L))).as("d"))
+      .collect().head.getInt(0)
+    assert(d12 === 0)
+    val d14 = java.lang.Long.bitCount(hw(1L) ^ hw(4L))
+    val d13 = java.lang.Long.bitCount(hw(1L) ^ hw(3L))
+    assert(d13 < d14)
+  }
+
+  test("embedding near-dups at threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute force top-k: self first, antipode last") {
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.bruteForceTopK(queries, corpus, 4)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("vec_id") === 0L)
+    assert(got.head.getAs[Double]("sim") === 1.0)
+    assert(got.last.getAs[Long]("vec_id") === 3L)
+    assert(got.last.getAs[Double]("sim") === -1.0)
+  }
+
+  test("lsh buckets: identical vectors share a bucket; top-k finds self") {
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.lshTopK(queries, corpus, 2, bits = 4)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[Long]("vec_id") === 0L)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and occurrence counts") {
+    val df = Seq("the cat and the hat").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.distinctTokenCount(col("text")).as("d"),
+      TextFunctions.stopwordCount(col("text")).as("s"),
+      TextFunctions.occurrences(col("text"), "the").as("o")).collect().head
+    assert(r.getAs[Int]("n") === 5)
+    assert(r.getAs[Int]("d") === 4)
+    assert(r.getAs[Long]("s") === 2L) // ' the ' x2 (padded), no ' a '
+    assert(r.getAs[Long]("o") === 2L)
+  }
+
+  test("word shingles preserve order") {
+    val got = Seq("a b c d").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 2).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq("a b", "b c", "c d"))
+  }
+
+  test("langId votes with deterministic tie-break") {
+    val got = Seq(
+      "the cat and the dog of it",
+      "el gato y la casa de algo",
+      "xyzzy plugh")
+      .toDF("text")
+      .select(TextFunctions.langId(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en", "es", "und"))
+  }
+}
