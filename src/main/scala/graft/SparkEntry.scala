@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, HomeWork, Intervals, Similarity, StopClusters, StopDetect}
+import graft.operators.{Dedup, HomeWork, Intervals, Multimodal, Similarity, StopClusters, StopDetect}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -265,7 +265,83 @@ object SparkEntry {
         .withColumn("cnt_7d", count(lit(1)).over(w))
         .withColumn("sum_7d", sum("cents").over(w))
         .select("user_id", "event_id", "cnt_7d", "sum_7d")
-    })
+    }),
+
+    // F12: sha-based uid anonymization (60-bit)
+    "q27_uid_hash" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          graft.sources.Ingest.uidHash(col("c_name")).as("uid_hash"))),
+
+    // Set op: union of two scans (the multi-day file-glob analog)
+    "q28_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .unionByName(o.filter(col("o_totalprice") > 400000))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // MinHash-LSH candidate pairs (not SQL-expressible: rows-only check)
+    "q29_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(
+        Tables.documents(s, d), "text", "doc_id", 3, 32, 8)),
+
+    // SimHash fingerprints (xxhash64-based: rows-only check)
+    "q30_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text"), 3).as("sh"))),
+
+    // Multimodal plumbing: binary payloads -> batch feature extraction
+    // (decode is a documented stub: rows-only check)
+    "q31_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromStrings(Tables.documents(s, d), "doc_id", "text",
+          "text/plain"), 16)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("checksum"))),
+
+    // LSH-bucketed ANN top-k (xxhash64 buckets: rows-only check)
+    "q32_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 10, bits = 4)
+    }),
+
+    // P12: pre-flight validation as data (bounds + per-user ts ordering)
+    "q33_validate" -> ((s, d) => {
+      val p = Tables.pings(s, d)
+      p.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("latitude") <= -90 || col("latitude") >= 90, 1L)
+          .otherwise(0L)).as("bad_lat"),
+        sum(when(col("longitude") <= -180 || col("longitude") >= 180, 1L)
+          .otherwise(0L)).as("bad_lon"),
+        sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("null_ts"))
+    }),
+
+    // F4: grid snap + cell counts
+    "q34_grid_cells" -> ((s, d) =>
+      Tables.pings(s, d)
+        .select(
+          graft.functions.GeoFunctions.gridSnap(col("latitude"), 0.01)
+            .as("cell_lat"),
+          graft.functions.GeoFunctions.gridSnap(col("longitude"), 0.01)
+            .as("cell_lon"))
+        .groupBy("cell_lat", "cell_lon")
+        .agg(count(lit(1)).as("n"))),
+
+    // F8/F10: calendar part extraction on a timestamp column
+    "q35_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          (weekday(col("o_orderdate")) + lit(1)).as("iso_dow"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,7 +551,41 @@ object SparkEntry {
         |  count(*) OVER w AS cnt_7d,
         |  CAST(sum(cents) OVER w AS BIGINT) AS sum_7d
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q27_uid_hash" ->
+      """SELECT c_custkey,
+        |  CAST(('0x' || substr(sha256(c_name), 50, 15)) AS BIGINT) AS uid_hash
+        |FROM customer""".stripMargin,
+
+    "q28_union" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // q29-q32: engine-hash-dependent / stubbed ops -> rows-only check
+
+    "q33_validate" -> (s"WITH ${Tables.pingsSql}\n" +
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN latitude <= -90 OR latitude >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS bad_lat,
+        |  CAST(sum(CASE WHEN longitude <= -180 OR longitude >= 180 THEN 1 ELSE 0 END) AS BIGINT) AS bad_lon,
+        |  CAST(sum(CASE WHEN "timestamp" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts
+        |FROM pings""".stripMargin),
+
+    "q34_grid_cells" -> (s"WITH ${Tables.pingsSql}\n" +
+      """SELECT round(latitude / 0.01, 0) * 0.01 AS cell_lat,
+        |  round(longitude / 0.01, 0) * 0.01 AS cell_lon,
+        |  count(*) AS n
+        |FROM pings GROUP BY 1, 2""".stripMargin),
+
+    "q35_date_parts" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ds
+        |FROM orders""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference has no event-time streaming — its "streaming" is Polars'
+  * out-of-core batch engine plus a per-day driver loop
+  * (get_stops_and_clusters.py:30-71). We expose the true streaming analogs:
+  *  - the per-day micro-batch loop -> file-source stream with
+  *    Trigger.AvailableNow (processes what exists, then stops);
+  *  - the session-gap logic (max_time_between) -> session_window with a
+  *    watermark.
+  */
+object StreamSessions {
+
+  /** File-source stream over a parquet directory. */
+  def readParquetStream(spark: SparkSession, dir: String,
+                        schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Event-time sessionization: per (user, session_window(gap)) counts.
+    * Input needs columns (user_id, ts: timestamp-compatible).
+    * The batch twin is Intervals.coalesceRuns / q11_sessions.
+    */
+  def sessionCounts(events: DataFrame, gap: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming frame to completion over existing files into an
+    * in-memory table (AvailableNow = the reference's batch day-loop).
+    */
+  def runAvailableNow(df: DataFrame, queryName: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.Ingest
+import graft.streaming.StreamSessions
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uidHash: deterministic 60-bit non-negative long") {
+    val got = Seq("alice", "alice", "bob").toDF("uid")
+      .select(Ingest.uidHash(col("uid")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2))
+    assert(got.forall(_ >= 0L))
+  }
+
+  test("localize: wall-clock shift and date partition column") {
+    // 2024-01-15 03:30 UTC = 2024-01-14 21:30 in Mexico City (UTC-6)
+    val ts = 1705289400L
+    val r = Seq(("u", ts)).toDF("uid", "timestamp")
+      .transform(Ingest.localize(_, "timestamp", "America/Mexico_City"))
+      .collect().head
+    assert(r.getAs[String]("date_trunc") === "2024-01-14")
+  }
+
+  test("partitioned write round-trip with partition pruning") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val df = Seq(
+      ("u", 19.0, -99.0, 1705289400L, 5.0),
+      ("v", 19.1, -99.1, 1705375800L, 8.0))
+      .toDF("uid", "latitude", "longitude", "timestamp", "error")
+      .transform(Ingest.localize(_, "timestamp", "America/Mexico_City"))
+    Ingest.writePartitioned(df, s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 2)
+    val pruned = back.filter(col("date_trunc") === "2024-01-14")
+    assert(pruned.count() === 1)
+    assert(pruned.collect().head.getAs[String]("uid") === "u")
+  }
+
+  test("filterActiveDays keeps only multi-day users") {
+    val df = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-03"),
+      ("b", "2024-01-01"))
+      .toDF("uid", "date_trunc")
+    val got = Ingest.filterActiveDays(df, 2)
+      .select("uid").distinct().collect().map(_.getString(0))
+    assert(got.toSeq === Seq("a"))
+  }
+
+  test("accuracy filter and raw rename") {
+    val raw = Seq(("u1", 1.0, 2.0, 10L, 25.0), ("u2", 1.0, 2.0, 10L, 5.0))
+      .toDF("_c0", "_c2", "_c3", "_c5", "_c4")
+    val renamed = Ingest.renameRaw(raw, Map(
+      "_c0" -> "uid", "_c2" -> "latitude", "_c3" -> "longitude",
+      "_c5" -> "timestamp", "_c4" -> "error"))
+    val got = Ingest.filterAccuracy(renamed, 20.0).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("uid") === "u2")
+  }
+}
+
+class StreamSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session counts over a file stream match the batch equivalent") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    // the 23:00 sentinel advances the watermark so all earlier sessions
+    // finalize; its own session stays open (append-mode semantics)
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3.0), // gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 4.0),
+      (99L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 0.0))
+      .toDF("user_id", "ts", "value")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamSessions.readParquetStream(spark, dir, events.schema)
+    val q = StreamSessions.runAvailableNow(
+      StreamSessions.sessionCounts(stream, "30 minutes", "0 seconds"),
+      "graft_sessions")
+    try {
+      val got = spark.table("graft_sessions")
+        .orderBy("user_id", "session_start").collect()
+      assert(got.length === 3) // u1 x2 sessions, u2 x1
+      assert(got(0).getAs[Long]("n_events") === 2L)
+      assert(got(0).getAs[Double]("sum_value") === 3.0)
+      assert(got(1).getAs[Long]("n_events") === 1L)
+      assert(got(2).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction: deterministic histogram features") {
+    val media = Multimodal.fromStrings(
+      Seq((1L, "abcabc"), (2L, "zzzz")).toDF("id", "s"), "id", "s", "img")
+    val got = Multimodal.extractFeatures(media, 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).n_bytes === 6L)
+    assert(got(1L).features.length === 8)
+    assert(math.abs(got(1L).features.sum - 1f) < 1e-6)
+    // identical payloads hash identically
+    val again = Multimodal.extractFeatures(media, 8).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    assert(again(1L) === got(1L).checksum)
+  }
+
+  test("chunk sampling keeps every k-th chunk") {
+    val media = Multimodal.fromStrings(
+      Seq((1L, "aaaabbbbccccdddd")).toDF("id", "s"), "id", "s", "video")
+    val got = Multimodal.sampleChunks(media, 4, 2)
+      .orderBy("chunk_idx").collect()
+    assert(got.map(_.getAs[Int]("chunk_idx")).toSeq === Seq(0, 2))
+  }
+}

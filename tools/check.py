@@ -28,6 +28,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if os.path.isdir(d) and name not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                print(f"ROWS {name}: {n} rows (no oracle declared)")
+            except Exception as ex:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only read failed: {ex}")
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(
