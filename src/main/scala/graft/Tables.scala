@@ -50,12 +50,20 @@ object Tables {
     * All coordinate math is integer-derived so DuckDB reproduces it exactly.
     */
   def pings(spark: SparkSession, sfDir: String): DataFrame = {
+    // Materialize the STRING uid before the ordinal window and partition
+    // by that attribute: downstream stop-detection windows partition by
+    // the same uid attribute, so Catalyst reuses ONE exchange for the
+    // whole pings -> stop_events -> medians pipeline (verified in
+    // explain()).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .partitionBy(col("uid")).orderBy(col("ts"), col("event_id"))
     events(spark, sfDir)
-      .withColumn("rn", row_number().over(w).cast("long") - lit(1L))
       .select(
         col("user_id").cast("string").as("uid"),
+        col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long") - lit(1L))
+      .select(
+        col("uid"),
         // ts is a nanosecond Long (see tune()); ns -> s truncation matches
         // the oracle's epoch_us(ts) // 1000000.
         expr("ts div 1000000000").as("timestamp"),

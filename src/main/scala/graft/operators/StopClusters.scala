@@ -44,6 +44,12 @@ object StopClusters {
       uid: String, stop_events: Long, latitude: Double, longitude: Double,
       start_timestamp: Long, end_timestamp: Long, stop_locations: Long)
 
+  final case class ClusteredRow(
+      uid: String, stop_events: Long, latitude: Double, longitude: Double,
+      start_timestamp: Long, end_timestamp: Long, stop_locations: Long,
+      cluster_counts: Long, cluster_latitude: Double,
+      cluster_longitude: Double)
+
   private def dist(p: Params)(aLat: Double, aLon: Double,
                               bLat: Double, bLon: Double): Double =
     p.metric match {
@@ -69,80 +75,93 @@ object StopClusters {
       .withColumn("longitude",
         GeoFunctions.gridSnap(col("longitude"), resolution))
 
+  /** Per-group DBSCAN: returns canonical 0-based labels (-1 = noise) for
+    * rows sorted by stop_events.
+    */
+  private def labelGroup(rows: Array[MedianRow], p: Params): Array[Long] = {
+    val d = dist(p) _
+    val n = rows.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // neighbor counts (self included, as in sklearn)
+    val degree = Array.fill(n)(1)
+    val neighbors = Array.fill(n)(List.empty[Int])
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (d(rows(i).latitude, rows(i).longitude,
+          rows(j).latitude, rows(j).longitude) <= p.eps) {
+          degree(i) += 1; degree(j) += 1
+          neighbors(i) ::= j; neighbors(j) ::= i
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val core = degree.map(_ >= p.minSamples)
+    // core-core edges define components
+    i = 0
+    while (i < n) {
+      if (core(i)) neighbors(i).foreach(j => if (core(j)) union(i, j))
+      i += 1
+    }
+    // border points: first (lowest-index) core neighbor's component
+    val owner = Array.fill(n)(-1)
+    i = 0
+    while (i < n) {
+      if (core(i)) owner(i) = find(i)
+      else neighbors(i).sorted.find(core(_)) match {
+        case Some(c) => owner(i) = find(c)
+        case None    => // noise
+      }
+      i += 1
+    }
+    // canonical labels: 0-based by first appearance (row order = sorted
+    // stop_events)
+    val labelOf = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    i = 0
+    while (i < n) {
+      if (owner(i) >= 0 && !labelOf.contains(owner(i)))
+        labelOf(owner(i)) = labelOf.size.toLong
+      i += 1
+    }
+    Array.tabulate(n)(k => if (owner(k) >= 0) labelOf(owner(k)) else -1L)
+  }
+
+  private def exactMedian(xs: Array[Double]): Double = {
+    java.util.Arrays.sort(xs)
+    val n = xs.length
+    if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2
+  }
+
   /** event_medians(uid, stop_events, latitude, longitude, start_timestamp,
     * end_timestamp) -> + stop_locations (−1 = noise).
     */
   def assignLocations(medians: DataFrame, p: Params): DataFrame = {
     val spark = medians.sparkSession
     import spark.implicits._
-    val d = dist(p) _
     medians
       .select("uid", "stop_events", "latitude", "longitude",
         "start_timestamp", "end_timestamp")
       .as[MedianRow]
       .groupByKey(_.uid)
-      .flatMapGroups { (uid: String, it: Iterator[MedianRow]) =>
+      .flatMapGroups { (_: String, it: Iterator[MedianRow]) =>
         val rows = it.toArray.sortBy(_.stop_events)
-        val n = rows.length
-        val parent = Array.tabulate(n)(identity)
-        def find(x: Int): Int = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        def union(a: Int, b: Int): Unit = {
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        // neighbor counts (self included, as in sklearn)
-        val degree = Array.fill(n)(1)
-        val neighbors = Array.fill(n)(List.empty[Int])
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            if (d(rows(i).latitude, rows(i).longitude,
-              rows(j).latitude, rows(j).longitude) <= p.eps) {
-              degree(i) += 1; degree(j) += 1
-              neighbors(i) ::= j; neighbors(j) ::= i
-            }
-            j += 1
-          }
-          i += 1
-        }
-        val core = degree.map(_ >= p.minSamples)
-        // core-core edges define components
-        i = 0
-        while (i < n) {
-          if (core(i)) neighbors(i).foreach(j => if (core(j)) union(i, j))
-          i += 1
-        }
-        // border points: first (lowest-index) core neighbor's component
-        val owner = Array.fill(n)(-1)
-        i = 0
-        while (i < n) {
-          if (core(i)) owner(i) = find(i)
-          else neighbors(i).sorted.find(core(_)) match {
-            case Some(c) => owner(i) = find(c)
-            case None    => // noise
-          }
-          i += 1
-        }
-        // canonical labels: 0-based by first appearance (row order = sorted
-        // stop_events)
-        val labelOf = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
-        i = 0
-        while (i < n) {
-          if (owner(i) >= 0 && !labelOf.contains(owner(i)))
-            labelOf(owner(i)) = labelOf.size.toLong
-          i += 1
-        }
+        val labels = labelGroup(rows, p)
         rows.iterator.zipWithIndex.map { case (r, k) =>
           LabeledRow(r.uid, r.stop_events, r.latitude, r.longitude,
-            r.start_timestamp, r.end_timestamp,
-            if (owner(k) >= 0) labelOf(owner(k)) else -1L)
+            r.start_timestamp, r.end_timestamp, labels(k))
         }
       }
       .toDF()
@@ -168,8 +187,38 @@ object StopClusters {
           .otherwise(median(col("longitude")).over(byCluster)))
   }
 
-  /** Full stage: downsample -> per-user clustering -> cluster stats. */
-  def cluster(medians: DataFrame, p: Params): DataFrame =
-    withClusterStats(
-      assignLocations(downsample(medians, p.minSpatialResolution), p))
+  /** Full stage: downsample -> per-user clustering -> cluster stats, with
+    * the stats computed INSIDE the kernel (the group is already
+    * materialized there) — saves the post-kernel exchange+window that
+    * [[withClusterStats]] would need, since flatMapGroups output has
+    * unknown partitioning. One shuffle total on the (already tiny) median
+    * table.
+    */
+  def cluster(medians: DataFrame, p: Params): DataFrame = {
+    val spark = medians.sparkSession
+    import spark.implicits._
+    downsample(medians, p.minSpatialResolution)
+      .select("uid", "stop_events", "latitude", "longitude",
+        "start_timestamp", "end_timestamp")
+      .as[MedianRow]
+      .groupByKey(_.uid)
+      .flatMapGroups { (_: String, it: Iterator[MedianRow]) =>
+        val rows = it.toArray.sortBy(_.stop_events)
+        val labels = labelGroup(rows, p)
+        val byLabel = rows.indices.groupBy(labels(_))
+        val stats = byLabel.collect { case (lbl, idxs) if lbl >= 0 =>
+          lbl -> ((idxs.size.toLong,
+            exactMedian(idxs.map(rows(_).latitude).toArray),
+            exactMedian(idxs.map(rows(_).longitude).toArray)))
+        }
+        rows.iterator.zipWithIndex.map { case (r, k) =>
+          val lbl = labels(k)
+          val (cnt, cLat, cLon) =
+            if (lbl >= 0) stats(lbl) else (1L, r.latitude, r.longitude)
+          ClusteredRow(r.uid, r.stop_events, r.latitude, r.longitude,
+            r.start_timestamp, r.end_timestamp, lbl, cnt, cLat, cLon)
+        }
+      }
+      .toDF()
+  }
 }
