@@ -342,8 +342,41 @@ object SparkEntry {
           year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"),
           (weekday(col("o_orderdate")) + lit(1)).as("iso_dow"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds")))
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))),
+
+    // P8: scalable global row index (range partition + offsets, no
+    // single-partition window)
+    "q36_global_index" -> ((s, d) =>
+      graft.operators.Indexing.globalRowIndex(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        "idx", col("o_orderkey"))),
+
+    // M1/M2: weighted radius graph + label propagation (Infomap stand-in;
+    // rows-only check, semantics documented as divergent from Infomap)
+    "q37_communities" -> ((s, d) =>
+      graft.operators.Communities.assignLocations(
+        StopDetect.eventMedians(
+          StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
+        graft.operators.Communities.Params(r2 = 100.0))),
+
+    // M5/M6: per-cluster convex hull + max pairwise distance (rows-only)
+    "q38_cluster_hulls" -> ((s, d) =>
+      graft.operators.Geometry.clusterHulls(
+        stopClusters(s, d).filter(col("stop_locations") =!= -1L))
+        .select(col("uid"), col("stop_locations"),
+          size(col("hull_lats")).as("hull_size"),
+          round(col("max_pair_dist"), 3).as("max_pair_dist"))),
+
+    // SQL surface: the same ANSI text runs on Spark SQL and the oracle
+    "q39_sql" -> ((s, d) =>
+      Graft.sql(s, d, sqlQ39))
   )
+
+  private val sqlQ39: String =
+    """SELECT n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -586,7 +619,14 @@ object SparkEntry {
         |  CAST(month(o_orderdate) AS INT) AS m,
         |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
         |  strftime(o_orderdate, '%Y-%m-%d') AS ds
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q36_global_index" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |FROM orders""".stripMargin,
+
+    "q39_sql" -> sqlQ39
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

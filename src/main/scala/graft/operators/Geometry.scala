@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-cluster geometry utilities (M5/M6: max pairwise distance
+  * src/polaroam/utils.py:136-149 and convex hull utils.py:151-165 — the
+  * reference's Qhull call with a degenerate-case square fallback; utility
+  * surface, not on the main pipelines).
+  */
+object Geometry {
+
+  final case class PointRow(uid: String, stop_locations: Long,
+                            latitude: Double, longitude: Double)
+
+  final case class HullRow(uid: String, stop_locations: Long,
+                           hull_lats: Array[Double],
+                           hull_lons: Array[Double],
+                           max_pair_dist: Double)
+
+  /** Andrew monotone chain; collinear/degenerate inputs return the point
+    * set's bounding segment/point (simpler than the reference's square
+    * fallback; documented divergence).
+    */
+  private def convexHull(pts: Array[(Double, Double)])
+  : Array[(Double, Double)] = {
+    val sorted = pts.distinct.sortBy(identity)
+    if (sorted.length <= 2) return sorted
+    def cross(o: (Double, Double), a: (Double, Double),
+              b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val hull = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    for (p <- sorted) {
+      while (hull.length >= 2 &&
+        cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    val lower = hull.length + 1
+    for (p <- sorted.reverseIterator) {
+      while (hull.length >= lower &&
+        cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+      hull += p
+    }
+    hull.remove(hull.length - 1)
+    hull.toArray
+  }
+
+  private def haversineM(aLat: Double, aLon: Double,
+                         bLat: Double, bLon: Double): Double = {
+    val la1 = math.toRadians(aLat); val la2 = math.toRadians(bLat)
+    val dLat = la2 - la1
+    val dLon = math.toRadians(bLon) - math.toRadians(aLon)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(la1) * math.cos(la2) * math.pow(math.sin(dLon / 2), 2)
+    2 * 6371000.0 * math.asin(math.sqrt(a))
+  }
+
+  /** points(uid, stop_locations, latitude, longitude) -> per (uid,
+    * cluster): hull vertices + max pairwise haversine distance (meters).
+    */
+  def clusterHulls(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select("uid", "stop_locations", "latitude", "longitude")
+      .as[PointRow]
+      .groupByKey(r => (r.uid, r.stop_locations))
+      .mapGroups { (key: (String, Long), it: Iterator[PointRow]) =>
+        val (uid, loc) = key
+        val pts = it.map(r => (r.latitude, r.longitude)).toArray
+        val hull = convexHull(pts)
+        var maxD = 0.0
+        var i = 0
+        while (i < hull.length) {
+          var j = i + 1
+          while (j < hull.length) {
+            val d = haversineM(hull(i)._1, hull(i)._2, hull(j)._1, hull(j)._2)
+            if (d > maxD) maxD = d
+            j += 1
+          }
+          i += 1
+        }
+        HullRow(uid, loc, hull.map(_._1), hull.map(_._2), maxD)
+      }
+      .toDF()
+  }
+}
