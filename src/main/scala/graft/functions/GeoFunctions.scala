@@ -17,10 +17,19 @@ object GeoFunctions {
   val EarthRadiusMeters: Double = 6371000.0
 
   /** Great-circle distance in meters between (lat1,lon1) and (lat2,lon2),
-    * inputs in degrees.
+    * inputs in degrees. Delegates to the native codegen'd Catalyst
+    * expression (graft.plans.Haversine) — bit-identical to
+    * [[haversineMetersComposed]], which stays as the parity reference.
     */
   def haversineMeters(lat1: Column, lon1: Column,
-                      lat2: Column, lon2: Column): Column = {
+                      lat2: Column, lon2: Column): Column =
+    graft.plans.Haversine.distanceMeters(lat1, lon1, lat2, lon2)
+
+  /** Composed-builtin form (radians/sin/cos/asin/sqrt/pow), kept for
+    * equivalence testing against the native expression.
+    */
+  def haversineMetersComposed(lat1: Column, lon1: Column,
+                              lat2: Column, lon2: Column): Column = {
     val la1 = radians(lat1)
     val la2 = radians(lat2)
     val dLat = la2 - la1

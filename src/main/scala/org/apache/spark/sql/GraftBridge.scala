@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the private[sql] Column <-> Expression converters —
+  * the supported path for third-party Catalyst expressions that want a
+  * Column-builder API (the registry + call_function route needs a live
+  * session; this one is static like functions._).
+  */
+object GraftBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
