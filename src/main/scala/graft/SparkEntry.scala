@@ -369,7 +369,17 @@ object SparkEntry {
 
     // SQL surface: the same ANSI text runs on Spark SQL and the oracle
     "q39_sql" -> ((s, d) =>
-      Graft.sql(s, d, sqlQ39))
+      Graft.sql(s, d, sqlQ39)),
+
+    // IVF ANN: k-means coarse quantizer + probed-cell exact rerank
+    // (k-means init is engine-specific: rows-only check)
+    "q40_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 10, nlist = 16, nprobe = 3)
+    })
   )
 
   private val sqlQ39: String =

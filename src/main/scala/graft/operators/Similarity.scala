@@ -61,6 +61,52 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into nlist cells; each query probes only the nprobe nearest
+    * cells, then exact cosine + top-k inside them. The classic
+    * scale path: compared pairs shrink ~nlist/nprobe-fold, the
+    * centroid table broadcasts, and the cell join is a hash join on the
+    * cell id.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.vector_to_array
+    val toVec = org.apache.spark.ml.functions.array_to_vector(
+      transform(col("embedding"), x => x.cast("double")))
+    val corpusVec = corpus.withColumn("features", toVec)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+    // centroid table, tiny -> crossJoin+rank to find each query's cells
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val qCells = queries.select(col("query_id"),
+        col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        VectorFunctions.cosine(col("q_emb"),
+          transform(col("centroid"), x => x.cast("float"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc,
+          col("cell").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    val scored = assigned.join(qCells, "cell")
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Bucketed ANN: join queries to corpus within matching buckets only,
     * then exact cosine + top-k. Trades recall for a ~2^bits reduction in
     * compared pairs.

@@ -37,6 +37,17 @@ object StreamSessions {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence per key within the watermark
+    * horizon survives (the streaming twin of Dedup.exact — state is
+    * bounded by the watermark, the scale requirement for an unbounded
+    * source).
+    */
+  def dedupStream(docs: DataFrame, keyCol: String,
+                  watermark: String): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Run a streaming frame to completion over existing files into an
     * in-memory table (AvailableNow = the reference's batch day-loop).
     */
