@@ -255,7 +255,8 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
-    // W6: rolling 7-day range-frame aggregates per user
+    // W6: rolling 7-day range-frame aggregates per user, with the
+    // reference's min_periods null-out (rolling_sum_by semantics)
     "q26_rolling" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us")
         .rangeBetween(-7L * 86400L * 1000000L, 0L)
@@ -264,7 +265,8 @@ object SparkEntry {
           expr("ts div 1000").as("ts_us"),
           round(col("value") * 100, 0).cast("long").as("cents"))
         .withColumn("cnt_7d", count(lit(1)).over(w))
-        .withColumn("sum_7d", sum("cents").over(w))
+        .withColumn("sum_7d",
+          when(col("cnt_7d") >= 3, sum("cents").over(w)))
         .select("user_id", "event_id", "cnt_7d", "sum_7d")
     }),
 
@@ -379,6 +381,31 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding")),
         emb, 10, nlist = 16, nprobe = 3)
+    }),
+
+    // A6/R5: collect-to-list aggregate (order-canonicalized, serialized
+    // to a string so the compare is representation-stable)
+    "q41_collect_list" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list(
+            col("l_linenumber").cast("string")))).as("lines"),
+          size(collect_list(col("l_quantity"))).cast("long").as("n_vals"))),
+
+    // Embedding near-dup pairs vs bounded anchors, with exact oracle
+    "q42_embedding_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      val b = emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("e_b"))
+      b.join(broadcast(a), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6)
+            .as("sim"))
+        .filter(col("sim") >= 0.15)
     })
   )
 
@@ -593,7 +620,8 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_id,
         |  count(*) OVER w AS cnt_7d,
-        |  CAST(sum(cents) OVER w AS BIGINT) AS sum_7d
+        |  CASE WHEN count(*) OVER w >= 3
+        |    THEN CAST(sum(cents) OVER w AS BIGINT) END AS sum_7d
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
@@ -636,7 +664,32 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders""".stripMargin,
 
-    "q39_sql" -> sqlQ39
+    "q39_sql" -> sqlQ39,
+
+    "q41_collect_list" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines,
+        |  CAST(len(list(l_quantity)) AS BIGINT) AS n_vals
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q42_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) >= 0.15""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

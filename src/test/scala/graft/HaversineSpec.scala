@@ -50,3 +50,13 @@ class HaversineSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, s"no codegen'd haversine in:\n$plan")
   }
 }
+
+class GraftExtensionsSpec extends SparkSpec {
+  test("haversine_m available from SQL after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT haversine_m(19.0D, -99.0D, 19.1D, -99.0D) AS d")
+      .collect().head.getDouble(0)
+    assert(r > 11000 && r < 11200) // ~11.1 km per 0.1 deg latitude
+  }
+}
