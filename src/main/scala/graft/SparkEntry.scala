@@ -394,6 +394,31 @@ object SparkEntry {
             col("l_linenumber").cast("string")))).as("lines"),
           size(collect_list(col("l_quantity"))).cast("long").as("n_vals"))),
 
+    // J1: left join as filter+mark (join a qualifying set, coalesce the
+    // miss to a sentinel — the reference's event-invalidation idiom)
+    "q43_left_mark" -> ((s, d) => {
+      val bigCust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("spend") > 300000)
+        .select(col("o_custkey").as("c_custkey"), lit(1L).as("is_big"))
+      Tables.customer(s, d)
+        .join(broadcast(bigCust), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("is_big"), lit(-1L)).as("big_flag"))
+    }),
+
+    // R2/J2: distinct-on-subset + semi join
+    "q44_distinct_semi" -> ((s, d) => {
+      val purchasers = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id")
+      Tables.events(s, d)
+        .join(purchasers, Seq("user_id"), "left_semi")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+    }),
+
     // Embedding near-dup pairs vs bounded anchors, with exact oracle
     "q42_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -673,6 +698,20 @@ object SparkEntry {
         |  CAST(len(list(l_quantity)) AS BIGINT) AS n_vals
         |FROM lineitem WHERE l_orderkey < 1000
         |GROUP BY l_orderkey""".stripMargin,
+
+    "q43_left_mark" ->
+      """SELECT c_custkey, coalesce(is_big, -1) AS big_flag
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey AS k, CAST(1 AS BIGINT) AS is_big
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING round(sum(o_totalprice), 2) > 300000
+        |) ON c_custkey = k""".stripMargin,
+
+    "q44_distinct_semi" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE EXISTS (SELECT 1 FROM events e2
+        |  WHERE e2.user_id = events.user_id
+        |    AND e2.event_type = 'purchase')""".stripMargin,
 
     "q42_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -87,3 +87,27 @@ class HomeWorkSpec extends SparkSpec {
     assert(wide.head.getAs[Double]("w_lon") === -99.0)
   }
 }
+
+class HomeWorkTotalDaysSpec extends SparkSpec {
+  import graft.operators.HomeWork
+  import spark.implicits._
+
+  test("totalDays=None computes the span from the candidate frame (J5)") {
+    def day(d: Int, h: Int): Long = d.toLong * 86400L + h * 3600L
+    // nights on days 1..3 -> computed span = floor((d3-d1)/1d)+1 = 3;
+    // cluster_dates/3 = 1.0 clears any threshold
+    val df = Seq(
+      ("u", 1L, 0L, day(1, 23), day(1, 23) + 600),
+      ("u", 2L, 0L, day(2, 23), day(2, 23) + 600),
+      ("u", 3L, 0L, day(3, 23), day(3, 23) + 600))
+      .toSeq.map { case (u, e, l, s, t) =>
+        (u, e, 19.0, -99.0, s, t, l, 2L, 19.0, -99.0)
+      }.toDF("uid", "stop_events", "latitude", "longitude",
+        "start_timestamp", "end_timestamp", "stop_locations",
+        "cluster_counts", "cluster_latitude", "cluster_longitude")
+    val p = HomeWork.Params(startHourDay = 7, endHourDay = 21,
+      minPeriodsHome = 0.9, spanPeriodHome = 0.9, totalDays = None)
+    val got = HomeWork.detectHome(HomeWork.prepare(df, p), p).collect()
+    assert(got.forall(_.getAs[String]("location_type") == "H"))
+  }
+}

@@ -121,3 +121,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("chunk_idx")).toSeq === Seq(0, 2))
   }
 }
+
+class CsvRoundTripSpec extends SparkSpec {
+  import graft.sources.{Export, Ingest}
+
+  test("csv sink + headerless csv scan round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq(("u1", 19.5, -99.25), ("u2", 20.0, -98.5))
+      .toDF("uid", "lat", "lon")
+    Export.csvSingle(df, s"$dir/out")
+    val withHeader = spark.read.option("header", "true")
+      .csv(s"$dir/out")
+    assert(withHeader.count() === 2)
+    assert(withHeader.columns.toSeq === Seq("uid", "lat", "lon"))
+    // headerless scan names columns _c0.. like the reference's raw drops
+    val raw = Ingest.readCsv(spark, s"$dir/out/*.csv")
+    assert(raw.columns.head === "_c0")
+    assert(raw.count() === 3) // header row becomes data in headerless mode
+  }
+}

@@ -78,3 +78,24 @@ class StopDetectSpec extends SparkSpec {
     assert(r.getAs[Long]("end_timestamp") === 400L)
   }
 }
+
+class EuclideanMetricSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("euclidean metric: degrees-space radius") {
+    // two points 0.003 deg apart: euclidean r_C=0.005 keeps the first
+    // stationary (forward-looking), the 0.1 deg jump breaks the run;
+    // minSize=1 so the single-row event survives
+    val p = graft.operators.StopDetect.Params(
+      rC = 0.005, minSize = 1L, minStayingTime = 100L,
+      maxStayingTime = 3600L, metric = "euclidean")
+    val got = graft.operators.StopDetect.stopEvents(Seq(
+      ("u", 19.000, -99.0, 0L),
+      ("u", 19.003, -99.0, 200L),
+      ("u", 19.103, -99.0, 400L))
+      .toDF("uid", "latitude", "longitude", "timestamp"), p)
+      .orderBy("timestamp").collect()
+      .map(_.getAs[Long]("stop_events"))
+    assert(got.toSeq === Seq(1L, -1L, -1L))
+  }
+}
