@@ -419,6 +419,21 @@ object SparkEntry {
         .dropDuplicates("user_id", "event_type")
     }),
 
+    // As-of join: each event enriched with the user's latest purchase at
+    // or before it (union + last-value window; single key shuffle)
+    "q45_asof_join" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("ts_us").as("purchase_ts"), col("value").as("purchase_value"))
+      graft.operators.AsofJoin.lastValue(
+        base.drop("value"), purchases, Seq("user_id"), "ts_us",
+        Seq("purchase_ts", "purchase_value"))
+        .select("user_id", "event_id", "purchase_ts", "purchase_value")
+    }),
+
     // Embedding near-dup pairs vs bounded anchors, with exact oracle
     "q42_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -712,6 +727,16 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM events e2
         |  WHERE e2.user_id = events.user_id
         |    AND e2.event_type = 'purchase')""".stripMargin,
+
+    "q45_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type, value FROM events),
+        |p AS (SELECT user_id AS p_uid, ts_us AS pts, value AS pval
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT e.user_id, e.event_id, p.pts AS purchase_ts,
+        |  p.pval AS purchase_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.p_uid AND e.ts_us >= p.pts""".stripMargin,
 
     "q42_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -157,3 +157,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("en", "es", "und"))
   }
 }
+
+class AsofJoinSpec extends SparkSpec {
+  import graft.operators.AsofJoin
+  import spark.implicits._
+
+  test("matches latest right row at-or-before, null when none") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 200L), ("u", 3L, 50L),
+      ("v", 4L, 500L))
+      .toDF("k", "id", "ts")
+    val right = Seq(("u", 100L, "a"), ("u", 150L, "b"))
+      .toDF("k", "ts", "tag")
+      .select(col("k"), col("ts"), col("tag"),
+        col("ts").as("matched_ts"))
+    val got = AsofJoin.lastValue(left, right, Seq("k"), "ts",
+      Seq("tag", "matched_ts"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(1), Option(r.getAs[String]("tag")),
+        Option(r.get(r.fieldIndex("matched_ts")))))
+    assert(got(0) === ((1L, Some("a"), Some(100L)))) // equal ts matches
+    assert(got(1) === ((2L, Some("b"), Some(150L)))) // latest <= 200
+    assert(got(2) === ((3L, None, None)))            // before any right
+    assert(got(3) === ((4L, None, None)))            // other key
+  }
+}
