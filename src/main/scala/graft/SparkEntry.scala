@@ -229,14 +229,19 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
     // Near-dup: word-bigram Jaccard of the corpus against a bounded
-    // anchor subset (broadcast nested-loop, arrays never shuffled)
+    // anchor subset (broadcast nested-loop, arrays never shuffled).
+    // Shingles are xxhash64'd to longs before the set ops: same jaccard
+    // value (64-bit collision odds ~1e-15/pair) at a fraction of the
+    // intersect/serialize cost of 76-string arrays.
     "q23_neardup_jaccard" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
-        .select(col("id"), array_distinct(transform(
+        .select(col("id"), transform(
           sequence(lit(1), size(col("toks")) - lit(1)),
           i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("shingles"))
+            element_at(col("toks"), i + 1))).as("raw_shingles"))
+        .select(col("id"), array_distinct(
+          transform(col("raw_shingles"), s0 => xxhash64(s0))).as("shingles"))
       Dedup.jaccardToAnchors(sh, sh.filter(col("id") % 100 === 0))
         .filter(col("jaccard") >= 0.05)
         .select("id_a", "id_b", "jaccard")
