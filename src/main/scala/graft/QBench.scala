@@ -16,8 +16,8 @@ object QBench {
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val h = Bench.force(SparkEntry.queries(name)(spark, sfDir))
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (hash $h)")
     }
     spark.stop()
   }

@@ -295,10 +295,10 @@ object SparkEntry {
       Dedup.minhashCandidates(
         Tables.documents(s, d), "text", "doc_id", 3, 32, 8)),
 
-    // SimHash fingerprints (xxhash64-based: rows-only check)
+    // SimHash fingerprints, relational bit-vote plan (xxhash64-based:
+    // rows-only check)
     "q30_simhash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(col("text"), 3).as("sh"))),
+      Dedup.simhashDocs(Tables.documents(s, d), "text", "doc_id", 3)),
 
     // Multimodal plumbing: binary payloads -> batch feature extraction
     // (decode is a documented stub: rows-only check)

@@ -1,12 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query runs under a per-query wall-clock budget in its own job
+  * group; on timeout the group is cancelled and Verify moves on, so one
+  * pathological query can never starve the results of every query after
+  * it in iteration order (round-1 failure mode: q30 hang => empty
+  * CORRECTNESS json).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "150").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,11 +25,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Single worker: queries still run serially, but from a thread we can
+    // abandon on timeout. Job-group tagging happens on the submitting
+    // thread (it is thread-local), i.e. inside the task body.
+    val pool = Executors.newCachedThreadPool { r =>
+      val t = new Thread(r); t.setDaemon(true); t
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try fut.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          System.err.println(s"[verify] $name timed out after $timeoutSec s")
+        case e: Throwable =>
+          val cause = Option(e.getCause).getOrElse(e)
+          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

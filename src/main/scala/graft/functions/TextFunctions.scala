@@ -18,13 +18,28 @@ object TextFunctions {
 
   /** Word n-gram shingles, preserving order, 1-based positions so the SQL
     * twin (element_at / list indexing) matches exactly.
+    *
+    * NOTE: when `text` is an expression (not a plain attribute), the
+    * tokenization is embedded in every element_at of the transform lambda
+    * and HOF lambdas are interpreted without CSE — stage `split` through a
+    * materialized column and use [[shinglesFromTokens]] on the hot path.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    transform(
-      sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-tokenized array column. Pass a materialized
+    * attribute (a `.select(split(...).as("toks"))` stage) so each lambda
+    * evaluation is an O(1) array access, not a re-tokenization.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    // guard the short-doc case: Spark's sequence(1, len-n+1) counts DOWN
+    // when len < n (DuckDB's range is empty there) and would index 0
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Count of occurrences of a literal substring. */
   def occurrences(text: Column, sub: String): Column =

@@ -114,11 +114,19 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** SimHash: 64-bit signed fingerprint; near-dups differ in few bits.
-    * Bit j of the hash of each shingle votes +1/-1; sign of the tally sets
-    * bit j of the signature. Hamming distance <= threshold => candidate.
+  /** SimHash semantics (reference form, for specs and tiny frames ONLY):
+    * bit j of the xxhash64 of each shingle votes +1/-1; the sign of the
+    * tally sets bit j of the 64-bit signature. Hamming distance <=
+    * threshold => near-dup candidate.
+    *
+    * DO NOT use this Column on real data: higher-order functions are never
+    * codegen'd and Catalyst does not CSE across their lambdas, so the 64
+    * `aggregate` passes re-evaluate the whole shingle pipeline — measured
+    * ~1.3 s/doc. [[simhashDocs]] is the engine operator; this form exists
+    * as the executable definition the SimHashSpec parity test checks it
+    * against.
     */
-  def simhash(text: org.apache.spark.sql.Column, shingleN: Int = 3)
+  def simhashReference(text: org.apache.spark.sql.Column, shingleN: Int = 3)
   : org.apache.spark.sql.Column = {
     val shingles = TextFunctions.wordShingles(text, shingleN)
     val hashes = transform(shingles, s => xxhash64(s))
@@ -129,6 +137,42 @@ object Dedup {
       when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash as a relational plan: one signature row per document.
+    *
+    * Shape: stage tokens and shingles through materialized columns (no
+    * cross-lambda recompute), explode to one row per shingle occurrence,
+    * xxhash64 each (codegen'd), then ONE hash aggregate per doc computing
+    * the 64 bit tallies as `sum(+1/-1)` columns, packed back into a long.
+    * Everything is whole-stage-codegen except the exchange; cost is
+    * O(total shingles) with map-side partial aggregation, so one shuffle
+    * of 65 longs per doc regardless of document length — the 100 TB shape.
+    *
+    * Docs with no shingles (< shingleN tokens, or null text) keep the
+    * all-zero-tally signature 0L via the explode_outer null row.
+    */
+  def simhashDocs(docs: DataFrame, textCol: String, idCol: String,
+                  shingleN: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+      .select(col("doc_id"),
+        when(col("shingle").isNotNull, xxhash64(col("shingle"))).as("h"))
+    val tallies = (0 until 64).map { j =>
+      sum(when(col("h").isNull, 0L)
+        .when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val packed = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded
+      .groupBy("doc_id")
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), packed.as("sh"))
   }
 
   /** Population count of xor — Hamming distance between simhashes. */

@@ -71,7 +71,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical => distance 0; different => large distance") {
-    val hw = docs.select(col("id"), Dedup.simhash(col("text"), 2).as("h"))
+    val hw = Dedup.simhashDocs(docs, "text", "id", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val d12 = Seq(1).toDF("x")
       .select(Dedup.hammingDistance(lit(hw(1L)), lit(hw(2L))).as("d"))
@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     val d14 = java.lang.Long.bitCount(hw(1L) ^ hw(4L))
     val d13 = java.lang.Long.bitCount(hw(1L) ^ hw(3L))
     assert(d13 < d14)
+  }
+
+  test("simhashDocs matches the reference Column form bit-for-bit") {
+    val expected = docs
+      .select(col("id"), Dedup.simhashReference(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simhashDocs(docs, "text", "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("simhashDocs: shorter-than-n docs get the empty signature 0") {
+    val tiny = Seq((1L, "one"), (2L, "a b c d")).toDF("id", "text")
+    val got = Dedup.simhashDocs(tiny, "text", "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 0L)
+    assert(got(2L) !== 0L)
+    assert(got.size === 2)
   }
 
   test("embedding near-dups at threshold") {
