@@ -21,11 +21,16 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Deterministic MinHash signatures over word-shingle sets.
+  /** Deterministic MinHash signature as a single Column (spec/tiny-frame
+    * twin of [[minhashSignatures]] — the parity test pins the two forms to
+    * identical values).
     *
     * Each of the k hash functions is `(a_i * h + b_i) mod p` over a base
     * 32-bit murmur hash of the shingle (Spark's `hash`), the standard
     * universal-hash construction.
+    *
+    * DO NOT use on real data: the k array_min(transform(...)) passes are
+    * interpreted HOFs re-walking the shingle array per permutation.
     */
   def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
                        k: Int): org.apache.spark.sql.Column = {
@@ -40,48 +45,67 @@ object Dedup {
     array(sig: _*)
   }
 
+  /** MinHash signatures as a relational plan: one row per doc with columns
+    * m0..m{k-1} (the per-permutation minima).
+    *
+    * Shape: explode shingle occurrences (duplicates are harmless — min over
+    * a multiset equals min over its support, so no array_distinct pass),
+    * murmur-hash each (codegen'd), then ONE hash aggregate per doc with k
+    * `min` buffers. Map-side partial aggregation means the shuffle carries
+    * k+1 longs per doc regardless of document length; every stage is
+    * whole-stage-codegen — no interpreted higher-order functions. Docs with
+    * fewer than shingleN tokens produce no shingle rows and drop out (they
+    * have no set to hash).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val p = 2147483647L
+    val exploded = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"),
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("shingles"))
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), hash(col("shingle")).cast("long").as("h"))
+    val mins = (0 until k).map { i =>
+      val a = 1L + 2L * i
+      val b = 12582917L * (i + 1)
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
   /** Candidate near-duplicate pairs via LSH banding of minhash signatures.
     *
-    * The signature pipeline is staged through materialized columns
-    * (tokens -> shingles -> base hashes -> per-permutation minima):
-    * Catalyst does NOT common-subexpression-eliminate across nested
-    * higher-order-function lambdas, so the single-expression form
-    * recomputes the O(tokens) shingle step inside all k array_min calls —
-    * measured 60x slower at sf0.1.
+    * Banding: rows per band = k / bands; docs agreeing on all rows of any
+    * band land in the same (band, bucket) and become a candidate pair.
     *
-    * @param bands number of bands; rows per band = k / bands. Docs agreeing
-    *              on all rows of any band become a candidate pair.
+    * Pair generation is ONE aggregate, not a self-join: bucket members are
+    * collected with [[graft.plans.CollectCappedLongs]] (state hard-bounded
+    * at maxBucket+1 longs per bucket) and pairs are unrolled locally from
+    * each capped array. Buckets holding more than `maxBucket` docs are
+    * dropped — boilerplate/degenerate near-identical content is
+    * exact-dedup territory, and one hot bucket of B docs would otherwise
+    * emit B²/2 pairs. The whole plan touches the signature pipeline once
+    * (the banded self-join form scans+aggregates it four times) and every
+    * per-bucket cost is bounded at maxBucket².
     */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 32,
-                        bands: Int = 8): DataFrame = {
+                        bands: Int = 8, maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
-    val p = 2147483647L
-    val sig = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
-      .select(col("id"), transform(
-        sequence(lit(1), size(col("toks")) - lit(shingleN - 1)),
-        i => concat_ws(" ",
-          (0 until shingleN).map(kk => element_at(col("toks"), i + lit(kk))): _*))
-        .as("shingles"))
-      .select(col("id"),
-        transform(array_distinct(col("shingles")), s => hash(s).cast("long"))
-          .as("base"))
-      .select(col("id"), array((0 until k).map { i =>
-        val a = 1L + 2L * i
-        val b = 12582917L * (i + 1)
-        array_min(transform(col("base"), h => pmod(h * a + b, lit(p))))
-      }: _*).as("sig"))
+    val sig = minhashSignatures(docs, textCol, idCol, shingleN, k)
     val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows))
-          .as("key")))))
-      .select(col("id"), col("col.band"), hash(col("col.key")).as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      posexplode(array((0 until bands).map { b =>
+        array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+      }: _*)))
+      .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    banded.groupBy("band", "bucket")
+      .agg(graft.plans.CollectCappedLongs(col("id"), maxBucket + 1).as("ids"))
+      .filter(size(col("ids")) <= maxBucket) // length maxBucket+1 = overflow
+      .select(sort_array(col("ids")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), y => y > col("id_a"))).as("id_b"))
       .distinct()
   }
 

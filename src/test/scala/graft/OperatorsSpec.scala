@@ -59,6 +59,63 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((1L, 4L)))
   }
 
+  test("minhashSignatures matches the reference Column form value-for-value") {
+    val expected = docs.select(col("id"),
+      Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val sigDf = Dedup.minhashSignatures(docs, "text", "id", 3, 16)
+    val got = sigDf.collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    assert(got === expected)
+  }
+
+  test("minhash recall: planted near-dups are candidate pairs") {
+    // 20 distinct base docs + a near-dup of each (one word changed):
+    // every planted pair must survive banding as a candidate.
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // 24 tokens, one changed => shingle Jaccard ~ 19/25; with 16 bands of
+    // 2 rows the per-pair miss probability is ~(1 - 0.76^2)^16 < 1e-5.
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 24).map(j => words((i * 7 + j * 3) % 10) + (i + j)).mkString(" "))
+    }
+    val dups = base.map { case (i, t) =>
+      (i + 100L, t.split(" ").updated(5, "changed").mkString(" "))
+    }
+    val corpus = (base ++ dups).toDF("id", "text")
+    val cands = Dedup.minhashCandidates(corpus, "text", "id", 3, 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, i + 100L)).toSet
+    val recall = (planted & cands).size.toDouble / planted.size
+    assert(recall >= 0.95, s"recall $recall; missing: ${planted -- cands}")
+  }
+
+  test("minhash hot-bucket cap drops degenerate buckets") {
+    // 30 identical docs all collide into one bucket per band; with
+    // maxBucket=8 the cap drops those buckets => no candidate pairs.
+    val clones = (0 until 30)
+      .map(i => (i.toLong, "same words in every single one of these docs"))
+      .toDF("id", "text")
+    val capped = Dedup.minhashCandidates(clones, "text", "id", 3, 16, 4,
+      maxBucket = 8)
+    assert(capped.count() === 0L)
+    val uncapped = Dedup.minhashCandidates(clones, "text", "id", 3, 16, 4,
+      maxBucket = 1000)
+    assert(uncapped.count() === 30L * 29 / 2)
+  }
+
+  test("collect_capped_longs bounds state and flags overflow via length") {
+    import graft.plans.CollectCappedLongs
+    // 100 values across 8 partitions for key a; 3 values for key b
+    val df = spark.range(0, 100).repartition(8)
+      .selectExpr("'a' as k", "id as v")
+      .union(Seq(("b", 200L), ("b", 201L), ("b", 202L)).toDF("k", "v"))
+    val got = df.groupBy("k").agg(CollectCappedLongs(col("v"), 11).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a").length === 11) // capped at 11, not 100
+    assert(got("b").sorted === Seq(200L, 201L, 202L)) // under cap: complete
+  }
+
   test("jaccard pairs: exact similarity on shingle sets") {
     val sh = docs.select(col("id"),
       array_distinct(TextFunctions.wordShingles(col("text"), 1))
