@@ -242,7 +242,10 @@ object SparkEntry {
             element_at(col("toks"), i + 1))).as("raw_shingles"))
         .select(col("id"), array_distinct(
           transform(col("raw_shingles"), s0 => xxhash64(s0))).as("shingles"))
-      Dedup.jaccardToAnchors(sh, sh.filter(col("id") % 100 === 0))
+      // Fixed-size anchor set (first 50 ids), NOT a modulus filter: the
+      // anchor count stays constant as the corpus grows, so the BNLJ is
+      // O(50·N) at any scale instead of O(N²/100).
+      Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
         .filter(col("jaccard") >= 0.05)
         .select("id_a", "id_b", "jaccard")
     }),
@@ -439,10 +442,12 @@ object SparkEntry {
         .select("user_id", "event_id", "purchase_ts", "purchase_value")
     }),
 
-    // Embedding near-dup pairs vs bounded anchors, with exact oracle
+    // Embedding near-dup pairs vs a fixed-size anchor set (first 50 ids;
+    // a modulus filter would grow the anchor count with the corpus and
+    // silently turn the broadcast BNLJ quadratic), with exact oracle
     "q42_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val a = emb.filter(col("vec_id") % 50 === 0)
+      val a = emb.orderBy("vec_id").limit(50)
         .select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
       val b = emb.select(col("vec_id").as("id_b"),
         col("embedding").as("e_b"))
@@ -631,7 +636,7 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
         |    / len(list_distinct(a.bg || b.bg)) AS jaccard
-        |FROM (SELECT * FROM sh WHERE id % 100 = 0) a
+        |FROM (SELECT * FROM sh ORDER BY id LIMIT 50) a
         |JOIN sh b ON a.id < b.id
         |WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
         |    / len(list_distinct(a.bg || b.bg)) >= 0.05""".stripMargin,
@@ -751,8 +756,8 @@ object SparkEntry {
         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding,
         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
+        |FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 50) a
+        |JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding,
