@@ -137,9 +137,21 @@ object HomeWork {
     applyLabel(homed, labels, "W", "work_label", p.minPeriodsWork)
   }
 
-  /** Full phase: prepare -> home -> work. */
-  def label(clusters: DataFrame, p: Params): DataFrame =
-    detectWork(detectHome(prepare(clusters, p), p), p)
+  /** Full phase: prepare -> home -> work.
+    *
+    * `prepared` is persisted: detectHome reads it twice (candidates, label
+    * base) and detectWork reads detectHome's output twice more, so without
+    * a cache the whole upstream stop pipeline (3 windows + per-user DBSCAN
+    * kernel) executes ~4x inside one plan. With it, the pipeline runs once
+    * and the three re-reads are cache scans + broadcast label joins. At
+    * cluster scale the same role is played by checkpointing the prepared
+    * frame to storage; MEMORY_AND_DISK spills rather than OOMs either way.
+    */
+  def label(clusters: DataFrame, p: Params): DataFrame = {
+    val prepared = prepare(clusters, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    detectWork(detectHome(prepared, p), p)
+  }
 
   /** Wide export: one row per uid with home/work coordinates
     * (get_stops_and_clusters.py:157-185). Deterministic pick per
