@@ -80,7 +80,10 @@ object PolaRoam {
     */
   def computeInfomap(medians: DataFrame, c: Config): DataFrame =
     Communities.assignLocations(medians, Communities.Params(
-      c.r2, c.weight_exponent, 20, c.distance_metric, c.label_singleton))
+      r2 = c.r2, weighted = c.weighted,
+      weightExponent = c.weight_exponent,
+      minSpacialResolution = c.min_spacial_resolution,
+      metric = c.distance_metric, labelSingletons = c.label_singleton))
 
   /** HW parameter set, mirroring HWEstimate.__init__ defaults. */
   def hwParams(
@@ -120,9 +123,7 @@ object PolaRoam {
     */
   def fullPipeline(pings: DataFrame, c: Config,
                    hw: HomeWork.Params): DataFrame =
-    HomeWork.detectWork(
-      HomeWork.detectHome(
-        HomeWork.prepare(
-          computeDbscan(
-            computeLabelMedians(fitPredictFlat(pings, c)), c), hw), hw), hw)
+    HomeWork.label(
+      computeDbscan(
+        computeLabelMedians(fitPredictFlat(pings, c)), c), hw)
 }

@@ -5,12 +5,24 @@ import org.apache.spark.sql.DataFrame
 /** Community-based stop-location clustering — the engine's stand-in for
   * the reference's Infomap mode (compute_infomap,
   * src/polaroam/models.py:179-204; graph construction
-  * src/polaroam/utils.py:32-134: BallTree radius query M1 + Infomap
-  * two-level partition M2, edge weight = max(count_i, count_j) * d^(-q)).
+  * src/polaroam/utils.py:32-134).
+  *
+  * Fidelity points carried over exactly:
+  *  - the downsample collapse (models.py:60-87): stops are snapped to a
+  *    grid of `minSpacialResolution` (0 = no snap) and collapsed to one
+  *    NODE per unique (uid, lat, lon), carrying `count` = stops collapsed;
+  *  - edge weight = max(count_i, count_j) * d^(-q) in weighted mode, and
+  *    just max(count_i, count_j) unweighted (add_edges, utils.py:101-122);
+  *  - self-links are excluded, so a unique coordinate with NO distinct
+  *    neighbor inside r2 is a singleton and labels -1 even if many stops
+  *    collapsed onto it (query_radius returns the node itself; add_edges
+  *    iterates neighbors > node only);
+  *  - node order is first appearance in stop_events order (the reference's
+  *    group_by(maintain_order=True) over timestamp-sorted stops).
   *
   * True Infomap minimizes the map equation with a C++ library and is not
   * bit-reproducible without it (SURVEY §7 trap 7); the reference's own
-  * production scripts use the DBSCAN path. We ship synchronous weighted
+  * production scripts use the DBSCAN path. We ship asynchronous weighted
   * label propagation on the same radius graph: deterministic (max-weight
   * neighbor label, ties to the smaller label; fixed iteration cap),
   * per-user inside the same flatMapGroups kernel shape as DBSCAN. The
@@ -20,14 +32,18 @@ object Communities {
 
   final case class Params(
       r2: Double = 20.0,
+      weighted: Boolean = true,
       weightExponent: Double = 1.0,
+      minSpacialResolution: Double = 0.0,
       maxIterations: Int = 20,
       metric: String = "haversine",
-      labelSingletons: Boolean = false)
+      labelSingletons: Boolean = false,
+      maxGroupSize: Int = 20000)
 
   /** medians(uid, stop_events, latitude, longitude, ...) ->
     * + stop_locations: community id per stop (first-appearance
-    * canonicalized, -1 for unlabeled singletons).
+    * canonicalized, -1 for unlabeled singletons). Stops collapsing onto
+    * the same (snapped) coordinate share that node's label.
     */
   def assignLocations(medians: DataFrame, p: Params): DataFrame = {
     val spark = medians.sparkSession
@@ -39,7 +55,7 @@ object Communities {
       .groupByKey(_.uid)
       .flatMapGroups { (_: String, it: Iterator[StopClusters.MedianRow]) =>
         val rows = it.toArray.sortBy(_.stop_events)
-        val labels = labelGroup(rows, p)
+        val labels = labelStops(rows, p)
         rows.iterator.zipWithIndex.map { case (r, k) =>
           StopClusters.LabeledRow(r.uid, r.stop_events, r.latitude,
             r.longitude, r.start_timestamp, r.end_timestamp, labels(k))
@@ -48,22 +64,62 @@ object Communities {
       .toDF()
   }
 
-  private def labelGroup(rows: Array[StopClusters.MedianRow],
-                         p: Params): Array[Long] = {
-    val n = rows.length
+  /** Collapse a user's stops to unique snapped coordinates (downsample),
+    * label the unique-coordinate graph, and fan labels back to stops.
+    * Returns one label per input row (input must be stop_events-sorted).
+    */
+  private[operators] def labelStops(rows: Array[StopClusters.MedianRow],
+                                    p: Params): Array[Long] = {
+    def snap(v: Double): Double =
+      if (p.minSpacialResolution > 0)
+        math.round(v / p.minSpacialResolution) * p.minSpacialResolution
+      else v
+    // first-appearance-ordered unique coords + per-coord stop counts
+    val nodeOf = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
+    val rowNode = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val key = (snap(rows(i).latitude), snap(rows(i).longitude))
+      rowNode(i) = nodeOf.getOrElseUpdate(key, nodeOf.size)
+      i += 1
+    }
+    val allCoords = nodeOf.keysIterator.toArray
+    val allCounts = new Array[Long](allCoords.length)
+    i = 0
+    while (i < rows.length) { allCounts(rowNode(i)) += 1L; i += 1 }
+    // whale-user guard: the radius graph is O(nodes²); nodes beyond
+    // maxGroupSize (first-appearance order) label -1 rather than pinning
+    // a task for hours — the enforced form of the reference's
+    // min_spacial_resolution mitigation
+    val n = math.min(allCoords.length, p.maxGroupSize)
+    if (n < allCoords.length)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"uid ${rows.head.uid}: ${allCoords.length} unique coords exceed " +
+          s"maxGroupSize=${p.maxGroupSize}; labeling overflow as -1")
+    val nodeLabels = labelGroup(allCoords.take(n), allCounts.take(n), p) ++
+      Array.fill(allCoords.length - n)(-1L)
+    Array.tabulate(rows.length)(k => nodeLabels(rowNode(k)))
+  }
+
+  private def labelGroup(coords: Array[(Double, Double)],
+                         counts: Array[Long], p: Params): Array[Long] = {
+    val n = coords.length
     // radius graph with reference edge weights (utils.py:101-122):
-    // count_i = stop visits collapse to 1 per median row here, so weight
-    // reduces to d^(-q); zero-distance pairs get a large finite weight.
+    // max(count_i, count_j) * d^(-q) weighted, max(count_i, count_j)
+    // unweighted; zero-distance pairs get a large finite weight.
     val adj = Array.fill(n)(List.empty[(Int, Double)])
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        val d = dist(p)(rows(i).latitude, rows(i).longitude,
-          rows(j).latitude, rows(j).longitude)
+        val d = dist(p)(coords(i)._1, coords(i)._2,
+          coords(j)._1, coords(j)._2)
         if (d <= p.r2) {
-          val w = if (d <= 1e-9) 1e18
-            else math.pow(d, -p.weightExponent)
+          val cMax = math.max(counts(i), counts(j)).toDouble
+          val w =
+            if (!p.weighted) cMax
+            else if (d <= 1e-9) cMax * 1e18
+            else cMax * math.pow(d, -p.weightExponent)
           adj(i) ::= (j, w); adj(j) ::= (i, w)
         }
         j += 1
