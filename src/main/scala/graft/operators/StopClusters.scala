@@ -32,7 +32,8 @@ object StopClusters {
       eps: Double = 20.0,
       minSamples: Int = 2,
       metric: String = "haversine",
-      minSpatialResolution: Double = 0.0)
+      minSpatialResolution: Double = 0.0,
+      maxGroupSize: Int = 20000)
 
   // top-level visibility: Catalyst's generated (de)serializers cannot
   // access private nested classes
@@ -139,6 +140,24 @@ object StopClusters {
     Array.tabulate(n)(k => if (owner(k) >= 0) labelOf(owner(k)) else -1L)
   }
 
+  /** Whale-user guard: the kernel is O(n²) in group size, so one uid with
+    * millions of medians would pin a task for hours at cluster scale. Rows
+    * beyond `maxGroupSize` (in stop_events order) are excluded from
+    * clustering and label as noise (−1) — the same degradation the
+    * reference reaches via its min_spacial_resolution downsample, but
+    * enforced rather than hoped for. Returns the rows to cluster.
+    */
+  private def cappedPrefix(rows: Array[MedianRow],
+                           p: Params): Array[MedianRow] =
+    if (rows.length <= p.maxGroupSize) rows
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"uid ${rows.head.uid}: ${rows.length} medians exceed " +
+          s"maxGroupSize=${p.maxGroupSize}; clustering the first " +
+          s"${p.maxGroupSize} by stop_events, labeling the rest noise")
+      rows.take(p.maxGroupSize)
+    }
+
   private def exactMedian(xs: Array[Double]): Double = {
     java.util.Arrays.sort(xs)
     val n = xs.length
@@ -158,7 +177,9 @@ object StopClusters {
       .groupByKey(_.uid)
       .flatMapGroups { (_: String, it: Iterator[MedianRow]) =>
         val rows = it.toArray.sortBy(_.stop_events)
-        val labels = labelGroup(rows, p)
+        val capped = cappedPrefix(rows, p)
+        val labels = labelGroup(capped, p) ++
+          Array.fill(rows.length - capped.length)(-1L)
         rows.iterator.zipWithIndex.map { case (r, k) =>
           LabeledRow(r.uid, r.stop_events, r.latitude, r.longitude,
             r.start_timestamp, r.end_timestamp, labels(k))
@@ -204,7 +225,9 @@ object StopClusters {
       .groupByKey(_.uid)
       .flatMapGroups { (_: String, it: Iterator[MedianRow]) =>
         val rows = it.toArray.sortBy(_.stop_events)
-        val labels = labelGroup(rows, p)
+        val capped = cappedPrefix(rows, p)
+        val labels = labelGroup(capped, p) ++
+          Array.fill(rows.length - capped.length)(-1L)
         val byLabel = rows.indices.groupBy(labels(_))
         val stats = byLabel.collect { case (lbl, idxs) if lbl >= 0 =>
           lbl -> ((idxs.size.toLong,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Communities, Geometry, Indexing}
+import graft.operators.{Communities, Geometry, Indexing, StopClusters}
 import org.apache.spark.sql.functions._
 
 class CommunitiesSpec extends SparkSpec {
@@ -25,6 +25,59 @@ class CommunitiesSpec extends SparkSpec {
     assert(got(2)._2 === -1L)
   }
 
+  test("downsample counts weight edges and flip a bridge node's community") {
+    // Line graph in euclidean degree-space (lon = 0):
+    //   A1(0) - A2(1) --- B(4) -- C1(6) - C2(7.6)
+    // r2 = 3.5 keeps edges A1-A2(d1), A2-B(d3), B-C1(d2), C1-C2(d1.6).
+    // With unit counts, w(B,C1) = 1/2 > w(A2,B) = 1/3 and B settles with
+    // the C side. Giving A2 three collapsed stops makes w(A2,B) =
+    // max(3,1)/3 = 1 > 1/2 and B flips to the A side. Both partitions
+    // hand-traced through the fixed-order async LPA.
+    def run(a2Stops: Int): Map[Long, Long] = {
+      val a2 = (0 until a2Stops).map(k => ("u", 2L + k, 1.0, 0.0))
+      val rows = Seq(("u", 1L, 0.0, 0.0)) ++ a2 ++ Seq(
+        ("u", 10L, 4.0, 0.0), ("u", 11L, 6.0, 0.0), ("u", 12L, 7.6, 0.0))
+      Communities.assignLocations(medians(rows: _*),
+        Communities.Params(r2 = 3.5, metric = "euclidean"))
+        .collect().map(r => r.getAs[Long]("stop_events") ->
+          r.getAs[Long]("stop_locations")).toMap
+    }
+    val unit = run(1)
+    assert(unit(1L) === 0L && unit(2L) === 0L) // A side
+    assert(unit(10L) === 1L && unit(11L) === 1L && unit(12L) === 1L) // B with C
+    val counted = run(3)
+    assert(counted(1L) === 0L && counted(2L) === 0L && counted(3L) === 0L &&
+      counted(4L) === 0L)
+    assert(counted(10L) === 0L, "count-weighted edge must pull B to A side")
+    assert(counted(11L) === 1L && counted(12L) === 1L)
+  }
+
+  test("stops collapsing to one coordinate form a singleton (-1), not a pair") {
+    // Reference semantics: the downsample collapses identical coords into
+    // ONE node with count 2; self-links are excluded, so with no distinct
+    // neighbor in range the node is a singleton.
+    val got = Communities.assignLocations(medians(
+      ("u", 1L, 19.0, -99.0),
+      ("u", 2L, 19.0, -99.0)),
+      Communities.Params(r2 = 100.0))
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(got.toSeq === Seq(-1L, -1L))
+  }
+
+  test("grid snap collapses near-identical coords into one node") {
+    // 19.00004 and 19.00006 snap to 19.0 and 19.0001 at resolution 1e-4 —
+    // distinct nodes ~11 m apart, joined within r2=100. A third stop far
+    // away stays -1.
+    val got = Communities.assignLocations(medians(
+      ("u", 1L, 19.00004, -99.0),
+      ("u", 2L, 19.00006, -99.0),
+      ("u", 3L, 21.0, -99.0)),
+      Communities.Params(r2 = 100.0, minSpacialResolution = 1e-4))
+      .orderBy("stop_events")
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(got.toSeq === Seq(0L, 0L, -1L))
+  }
+
   test("labelSingletons keeps isolated stops as own communities") {
     val got = Communities.assignLocations(medians(
       ("u", 1L, 19.0, -99.0),
@@ -47,6 +100,64 @@ class IndexingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((10L, 0L), (20L, 1L), (30L, 2L),
       (40L, 3L), (50L, 4L)))
+  }
+
+  test("global row index is dense over a larger multi-partition frame") {
+    val df = spark.range(0, 1000).selectExpr("(id * 37) % 1000 as k")
+      .repartition(7)
+    val got = Indexing.globalRowIndex(df, "idx", col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 1000)
+    // k values are a permutation of 0..999, so idx must equal k
+    assert(got.forall { case (k, idx) => k === idx })
+  }
+
+  test("global row index plan stays columnar (no RDD scan)") {
+    val df = Seq(3L, 1L, 2L).toDF("k")
+    val plan = Indexing.globalRowIndex(df, "idx", col("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"plan fell back to an RDD round-trip:\n$plan")
+  }
+
+  test("empty input yields an empty indexed frame") {
+    val df = Seq.empty[Long].toDF("k")
+    assert(Indexing.globalRowIndex(df, "idx", col("k")).count() === 0L)
+  }
+}
+
+class WhaleGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DBSCAN kernel caps whale groups; overflow rows become noise") {
+    // 50 stops in one tight blob; cap at 10 => first 10 cluster, rest -1
+    val rows = (0 until 50).map { i =>
+      ("whale", i.toLong, 19.0 + i * 1e-6, -99.0, i * 1000L, i * 1000L + 100L)
+    }.toDF("uid", "stop_events", "latitude", "longitude",
+      "start_timestamp", "end_timestamp")
+    val got = StopClusters.cluster(rows,
+      StopClusters.Params(eps = 50.0, maxGroupSize = 10))
+      .orderBy("stop_events")
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(got.take(10).forall(_ === 0L))
+    assert(got.drop(10).forall(_ === -1L))
+    // uncapped control: everything clusters
+    val full = StopClusters.cluster(rows, StopClusters.Params(eps = 50.0))
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(full.forall(_ === 0L))
+  }
+
+  test("community kernel caps whale groups at the unique-node level") {
+    val rows = (0 until 30).map { i =>
+      ("whale", i.toLong, 19.0 + i * 1e-6, -99.0, 0L, 100L)
+    }.toDF("uid", "stop_events", "latitude", "longitude",
+      "start_timestamp", "end_timestamp")
+    val got = Communities.assignLocations(rows,
+      Communities.Params(r2 = 50.0, maxGroupSize = 5))
+      .orderBy("stop_events")
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(got.take(5).forall(_ === 0L))
+    assert(got.drop(5).forall(_ === -1L))
   }
 }
 
