@@ -88,4 +88,81 @@ object Ingest {
     val cleaned = filterAccuracy(renamed, maxError)
     writePartitioned(localize(cleaned, "timestamp", tz), outPath)
   }
+
+  /** Full gz-CSV sample pipeline (read_localize_write.py:50-107): headerless
+    * gz CSV -> positional rename (Polars column_1/3/4/5/6 = Spark
+    * _c0/_c2/_c3/_c4/_c5) -> error filter -> uid anonymization -> ms->s ->
+    * tz-localize -> optional active-days filter -> hive-partitioned write.
+    * Codec is inferred from the .gz extension by the CSV source; every step
+    * before the optional active-days semi join is a narrow map over the
+    * scan.
+    */
+  def localizeCsv(spark: SparkSession, inPath: String, outPath: String,
+                  tz: String, maxError: Double = 30.0,
+                  minActiveDays: Option[Int] = Some(6)): Unit = {
+    val raw = readCsv(spark, inPath)
+    val renamed = renameRaw(raw, Map(
+      "_c0" -> "uid", "_c2" -> "latitude", "_c3" -> "longitude",
+      "_c5" -> "timestamp", "_c4" -> "error"))
+      .select("uid", "latitude", "longitude", "timestamp", "error")
+      .withColumn("latitude", col("latitude").cast("double"))
+      .withColumn("longitude", col("longitude").cast("double"))
+      .withColumn("error", col("error").cast("double"))
+    val cleaned = filterAccuracy(renamed, maxError)
+      .withColumn("uid", uidHash(col("uid")))
+      .withColumn("timestamp", col("timestamp").cast("double") / 1000.0)
+    val localized = localize(cleaned, "timestamp", tz)
+    val kept = minActiveDays.fold(localized)(filterActiveDays(localized, _))
+    writePartitioned(kept, outPath)
+  }
+
+  /** Fail-fast pre-flight validation — the raise-on-bad behavior of the
+    * reference's _data_assertions (models.py:24-47), distributed: all
+    * violation counts come from ONE aggregation job over the frame, plus a
+    * window pass when an ordering column is supplied. Throws
+    * IllegalArgumentException naming each failed check and its row count;
+    * returns normally on clean data.
+    *
+    * @param seqCol if set, timestamps must be non-decreasing per uid along
+    *               this column's order (the reference asserts its input
+    *               files arrive time-sorted per user; a distributed engine
+    *               needs the intended order named explicitly).
+    * @param checkRanges lat/lon range checks apply to the haversine metric
+    *                    (reference skips them for euclidean).
+    */
+  def validatePings(df: DataFrame, checkRanges: Boolean = true,
+                    seqCol: Option[String] = None): Unit = {
+    val required = Seq("latitude", "longitude")
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"Missing columns: ${missing.mkString(", ")}")
+
+    val checks = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    if (checkRanges) {
+      checks += ("Latitude must be between -90 and 90" ->
+        (col("latitude") <= -90.0 || col("latitude") >= 90.0 ||
+          col("latitude").isNull))
+      checks += ("Longitude must be between -180 and 180" ->
+        (col("longitude") <= -180.0 || col("longitude") >= 180.0 ||
+          col("longitude").isNull))
+    }
+    val base = seqCol match {
+      case Some(sc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("uid").orderBy(col(sc))
+        checks += ("Timestamps must be ordered" ->
+          (col("timestamp") < col("__prev")))
+        df.withColumn("__prev", lag(col("timestamp"), 1).over(w))
+      case None => df
+    }
+    if (checks.isEmpty) return
+    val aggs = checks.toSeq.zipWithIndex.map { case ((_, c), i) =>
+      count(when(c, 1)).as(s"c$i")
+    }
+    val counts = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val failed = checks.zipWithIndex.collect {
+      case ((msg, _), i) if counts.getLong(i) > 0 =>
+        s"$msg (${counts.getLong(i)} rows)"
+    }
+    require(failed.isEmpty, failed.mkString("; "))
+  }
 }

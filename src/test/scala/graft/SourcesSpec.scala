@@ -52,6 +52,58 @@ class IngestSpec extends SparkSpec {
     assert(got.toSeq === Seq("a"))
   }
 
+  test("localizeCsv: gz csv fixture -> hive-partitioned localized parquet") {
+    val dir = Files.createTempDirectory("graft_gzcsv").toString
+    // headerless gz csv, reference column order: uid,_,lat,lon,error,ts(ms)
+    val lines = Seq(
+      "alice,x,19.0,-99.0,5.0,1705289400000",  // 2024-01-14 MX wall clock
+      "alice,x,19.1,-99.1,8.0,1705375800000",  // 2024-01-15
+      "bob,x,20.0,-98.0,50.0,1705289400000")   // error 50 >= 30: dropped
+    val gz = new java.io.File(s"$dir/part.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+
+    Ingest.localizeCsv(spark, gz.toString, s"$dir/out",
+      "America/Mexico_City", maxError = 30.0, minActiveDays = None)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 2) // bob dropped by accuracy filter
+    assert(back.select("uid").distinct().count() === 1)
+    val u = back.select("uid").collect().head.getLong(0)
+    assert(u >= 0L) // anonymized to a non-negative long
+    // partition values come back type-inferred as DateType
+    assert(back.select(col("date_trunc").cast("string")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("2024-01-14", "2024-01-15"))
+  }
+
+  test("validatePings: clean data passes, bad ranges and disorder throw") {
+    val good = Seq(("u", 19.0, -99.0, 100L, 1L), ("u", 19.1, -99.1, 200L, 2L))
+      .toDF("uid", "latitude", "longitude", "timestamp", "seq")
+    Ingest.validatePings(good, seqCol = Some("seq")) // must not throw
+
+    val badLat = Seq(("u", 91.0, -99.0, 100L, 1L))
+      .toDF("uid", "latitude", "longitude", "timestamp", "seq")
+    val e1 = intercept[IllegalArgumentException] {
+      Ingest.validatePings(badLat)
+    }
+    assert(e1.getMessage.contains("Latitude"))
+
+    val disordered = Seq(
+      ("u", 19.0, -99.0, 200L, 1L), ("u", 19.1, -99.1, 100L, 2L))
+      .toDF("uid", "latitude", "longitude", "timestamp", "seq")
+    val e2 = intercept[IllegalArgumentException] {
+      Ingest.validatePings(disordered, seqCol = Some("seq"))
+    }
+    assert(e2.getMessage.contains("ordered"))
+    Ingest.validatePings(disordered) // no seqCol: ordering not checked
+
+    val missing = Seq(("u", 1L)).toDF("uid", "timestamp")
+    val e3 = intercept[IllegalArgumentException] {
+      Ingest.validatePings(missing)
+    }
+    assert(e3.getMessage.contains("Missing columns"))
+  }
+
   test("accuracy filter and raw rename") {
     val raw = Seq(("u1", 1.0, 2.0, 10L, 25.0), ("u2", 1.0, 2.0, 10L, 5.0))
       .toDF("_c0", "_c2", "_c3", "_c5", "_c4")
@@ -61,6 +113,45 @@ class IngestSpec extends SparkSpec {
     val got = Ingest.filterAccuracy(renamed, 20.0).collect()
     assert(got.length === 1)
     assert(got.head.getAs[String]("uid") === "u2")
+  }
+}
+
+class DailyBatchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.DailyBatch
+
+  test("discovers date partitions and runs the pipeline once per day") {
+    val dir = Files.createTempDirectory("graft_daily").toString
+    Seq(("u", 1.0, "2024-01-01"), ("v", 2.0, "2024-01-01"),
+      ("u", 3.0, "2024-01-02"))
+      .toDF("uid", "x", "date_trunc")
+      .write.partitionBy("date_trunc").parquet(s"$dir/in")
+
+    assert(DailyBatch.partitionDates(spark, s"$dir/in") ===
+      Seq("2024-01-01", "2024-01-02"))
+
+    val errors = DailyBatch.forEachDay(spark, s"$dir/in", s"$dir/out") {
+      (day, _) => day.groupBy("uid").agg(sum("x").as("sx"))
+    }
+    assert(errors.isEmpty)
+    val d1 = spark.read.parquet(s"$dir/out/date_trunc=2024-01-01")
+    assert(d1.count() === 2)
+    val d2 = spark.read.parquet(s"$dir/out/date_trunc=2024-01-02")
+    assert(d2.collect().head.getAs[Double]("sx") === 3.0)
+  }
+
+  test("a failing day is reported, not fatal") {
+    val dir = Files.createTempDirectory("graft_daily2").toString
+    Seq(("u", 1.0, "2024-01-01"), ("u", 2.0, "2024-01-02"))
+      .toDF("uid", "x", "date_trunc")
+      .write.partitionBy("date_trunc").parquet(s"$dir/in")
+    val errors = DailyBatch.forEachDay(spark, s"$dir/in", s"$dir/out") {
+      (day, d) =>
+        if (d == "2024-01-01") throw new RuntimeException("boom")
+        else day.select("uid", "x")
+    }
+    assert(errors.keySet === Set("2024-01-01"))
+    assert(spark.read.parquet(s"$dir/out/date_trunc=2024-01-02").count() === 1)
   }
 }
 
