@@ -31,17 +31,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // This VM suffers bursty CPU steal (identical queries measured 10-30x
+    // apart back-to-back); min-of-2 per query keeps one burst from
+    // poisoning a recorded timing. Both runs materialize fully.
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            errors += name -> msg.takeWhile(_ != '\n').take(120)
-            System.err.println(s"[bench] $name FAILED: $msg")
+        val times = (1 to runsPerQuery).map { _ =>
+          val t0 = System.nanoTime()
+          try { force(fn(spark, sfDir)) } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              errors += name -> msg.takeWhile(_ != '\n').take(120)
+              System.err.println(s"[bench] $name FAILED: $msg")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> times.min
     }.toMap
     def jstr(s: String) =
       "\"" + s.flatMap {

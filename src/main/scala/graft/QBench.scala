@@ -14,10 +14,16 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     args.tail.foreach { name =>
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val g0 = gcMs
       val h = Bench.force(SparkEntry.queries(name)(spark, sfDir))
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (hash $h)")
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(gc ${gcMs - g0} ms, hash $h)")
     }
     spark.stop()
   }
