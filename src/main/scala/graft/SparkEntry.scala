@@ -456,7 +456,19 @@ object SparkEntry {
           round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6)
             .as("sim"))
         .filter(col("sim") >= 0.15)
-    })
+    }),
+
+    // Grouping sets: rollup subtotals + grand total in one pass (partial
+    // aggregation handles all levels map-side; one shuffle)
+    "q46_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total")))
   )
 
   private val sqlQ39: String =
@@ -763,7 +775,14 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(a.embedding,
         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding,
-        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) >= 0.15""".stripMargin
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) >= 0.15""".stripMargin,
+
+    "q46_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

@@ -196,6 +196,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.head.getAs[Long]("vec_id") === 0L)
   }
+
+  test("multi-probe never returns duplicate (query, vec) pairs") {
+    val queries = corpus.select(col("vec_id").as("query_id"),
+      col("embedding"))
+    val got = Similarity.lshTopK(queries, corpus, 4, bits = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length)
+  }
+
+  test("ANN recall vs brute force on the sf0.001 embeddings") {
+    // Deterministic fixture + seeds => these are fixed values, asserted
+    // with margin below the measured recall@10 over 10 queries:
+    // brute=1.0 by definition; IVF nprobe=2 measured 0.46; LSH 8-bit
+    // single-probe measured 0.11, radius-1 multi-probe 0.21.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, 10))
+    assert(brute.size === 100)
+    val single = pairs(Similarity.lshTopK(q, emb, 10, 8, probeRadius = 0))
+    val multi = pairs(Similarity.lshTopK(q, emb, 10, 8, probeRadius = 1))
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    assert(recall(multi) > recall(single),
+      s"multi-probe ${recall(multi)} should beat single ${recall(single)}")
+    assert(recall(multi) >= 0.15)
+    val ivf = pairs(Similarity.ivfTopK(q, emb, 10, nlist = 16, nprobe = 2))
+    assert(recall(ivf) >= 0.35, s"ivf recall ${recall(ivf)}")
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
