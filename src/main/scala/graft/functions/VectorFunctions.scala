@@ -26,5 +26,16 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Definitional composed form (spec parity twin of [[cosine]]): three
+    * interpreted HOF array walks. Bit-identical result; do not use on hot
+    * paths.
+    */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native fused single-pass codegen Expression
+    * (graft.plans.CosineSimilarity), bit-identical to [[cosineComposed]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
 }

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over embedding arrays — the
+  * custom-Expression form of graft.functions.VectorFunctions.cosine.
+  *
+  * Bit-identical to the composed higher-order-function version: elements
+  * widen to double BEFORE multiplying (24-bit mantissas fit exactly in
+  * 53), and all three accumulations (dot, |a|², |b|²) fold sequentially
+  * left-to-right like `aggregate`. The payoff is the execution model:
+  * HOF lambdas are interpreted per element (three array walks with
+  * closure dispatch per step), while this is one fused primitive loop
+  * inside whole-stage codegen — no lambda dispatch, no boxing, one pass.
+  *
+  * Null semantics match the composed form: null array, null element, or
+  * length mismatch (zip_with pads with null) => null result.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], elemIsFloat(left), elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val bad = ctx.freshName("bad")
+      val getX =
+        if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getY =
+        if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  final double $x = $getX;
+         |  final double $y = $getY;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb)); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSimilarity {
+  /** Shared by interpreted eval and tests: fold order identical to the
+    * generated loop and to the composed HOF form.
+    */
+  def compute(a: ArrayData, b: ArrayData,
+              aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Column builder over the native expression. */
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(new CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

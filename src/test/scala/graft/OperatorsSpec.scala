@@ -197,6 +197,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getAs[Long]("vec_id") === 0L)
   }
 
+  test("native cosine Expression matches the composed HOF form bitwise") {
+    val pairs = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.25f, 2.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.7f)),
+      (Array.fill(64)(0.37f), Array.fill(64)(-0.11f)))
+      .toDF("a", "b")
+    val got = pairs.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null semantics: length mismatch and null array => null, like zip_with
+    val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(edge.select(VectorFunctions.cosine(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    assert(edge.select(VectorFunctions.cosine(lit(null).cast("array<float>"),
+      col("b"))).collect().head.isNullAt(0))
+  }
+
   test("multi-probe never returns duplicate (query, vec) pairs") {
     val queries = corpus.select(col("vec_id").as("query_id"),
       col("embedding"))
