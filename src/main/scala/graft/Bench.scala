@@ -32,24 +32,34 @@ object Bench {
     // JIT/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // This VM suffers bursty CPU steal (identical queries measured 10-30x
-    // apart back-to-back); min-of-2 per query keeps one burst from
-    // poisoning a recorded timing. Both runs materialize fully.
+    // apart back-to-back); min-over-passes keeps one burst from poisoning
+    // a recorded timing. Passes are INTERLEAVED (all queries pass 1, then
+    // all pass 2): back-to-back runs of the same query sit inside the same
+    // burst window, so min-of-2 recorded a 111 s q18 whose clean time was
+    // ~5 s. With interleaving, a burst hits different queries each pass.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val times = (1 to runsPerQuery).map { _ =>
-          val t0 = System.nanoTime()
-          try { force(fn(spark, sfDir)) } catch {
-            case e: Throwable =>
-              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              errors += name -> msg.takeWhile(_ != '\n').take(120)
-              System.err.println(s"[bench] $name FAILED: $msg")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
-    }.toMap
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to runsPerQuery; (name, fn) <- named) {
+      // Each run pays the full query cost: queries that persist() internally
+      // would otherwise serve later passes from cache.
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        force(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors(name) = msg.takeWhile(_ != '\n').take(120)
+          System.err.println(s"[bench] $name FAILED: $msg")
+      }
+    }
+    // A query with no successful run is omitted from timings (it lives in
+    // errors) — a failed attempt's wall time is not a measurement.
+    val results = best.toMap
     def jstr(s: String) =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"

@@ -50,6 +50,9 @@ object Verify {
           val cause = Option(e.getCause).getOrElse(e)
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
+      // Queries that persist() internally (HomeWork.label, globalRowIndex)
+      // would otherwise accumulate cache entries for the app lifetime.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -99,8 +99,11 @@ object Dedup {
         array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
       }: _*)))
       .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    // CollectCappedLongs requires bigint input (enforced at analysis time);
+    // the explicit cast keeps the operator usable with int-typed ids.
     banded.groupBy("band", "bucket")
-      .agg(graft.plans.CollectCappedLongs(col("id"), maxBucket + 1).as("ids"))
+      .agg(graft.plans.CollectCappedLongs(col("id").cast("long"),
+        maxBucket + 1).as("ids"))
       .filter(size(col("ids")) <= maxBucket) // length maxBucket+1 = overflow
       .select(sort_array(col("ids")).as("ids"))
       .select(explode(col("ids")).as("id_a"), col("ids"))

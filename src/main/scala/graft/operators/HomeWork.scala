@@ -146,6 +146,11 @@ object HomeWork {
     * and the three re-reads are cache scans + broadcast label joins. At
     * cluster scale the same role is played by checkpointing the prepared
     * frame to storage; MEMORY_AND_DISK spills rather than OOMs either way.
+    *
+    * Cache lifecycle: the returned frame is lazy and reads the cached
+    * `prepared` four times, so unpersisting here would reintroduce the 4x
+    * recompute. The caller owns cleanup — `spark.catalog.clearCache()`
+    * after materializing (Verify/Bench do this between queries).
     */
   def label(clusters: DataFrame, p: Params): DataFrame = {
     val prepared = prepare(clusters, p)

@@ -18,7 +18,14 @@ import org.apache.spark.storage.StorageLevel
   * of codegen and re-encodes all rows.
   *
   * The sorted frame is persisted so the count pass and the indexed output
-  * observe the identical partitioning (and the sort runs once).
+  * observe the identical partitioning (and the sort runs once). The cache
+  * CANNOT be dropped before the caller materializes the result: a
+  * recompute re-runs range-partitioner sampling on a fresh RDD id, which
+  * may draw different boundaries than the counts pass observed and corrupt
+  * the offsets. The caller therefore owns the cache lifecycle — call
+  * `spark.catalog.clearCache()` (or unpersist via the catalog) once the
+  * indexed output is materialized; Verify and Bench do exactly that
+  * between queries.
   */
 object Indexing {
 

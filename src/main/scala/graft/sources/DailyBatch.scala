@@ -54,7 +54,9 @@ object DailyBatch {
         pipeline(day, d).write.mode("overwrite")
           .parquet(s"$outPath/$partitionCol=$d")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError / VM error must propagate —
+        // continuing to drive jobs on a broken JVM corrupts the backfill.
+        case scala.util.control.NonFatal(e) =>
           errors += d -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
