@@ -47,6 +47,20 @@ object SparkEntry {
         StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
       clusterParams)
 
+  /** doc_id + distinct word-bigram shingles, xxhash64'd to longs: same
+    * jaccard value (64-bit collision odds ~1e-15/pair) at a fraction of
+    * the intersect/serialize cost of string arrays. Shared by q23/q47.
+    */
+  private def bigramHashShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      .select(col("id"), transform(
+        sequence(lit(1), size(col("toks")) - lit(1)),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))).as("raw_shingles"))
+      .select(col("id"), array_distinct(
+        transform(col("raw_shingles"), s0 => xxhash64(s0))).as("shingles"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2/P1/P4: pruned scan + filter + projection
     "q01_scan_filter" -> ((s, d) =>
@@ -230,21 +244,11 @@ object SparkEntry {
 
     // Near-dup: word-bigram Jaccard of the corpus against a bounded
     // anchor subset (broadcast nested-loop, arrays never shuffled).
-    // Shingles are xxhash64'd to longs before the set ops: same jaccard
-    // value (64-bit collision odds ~1e-15/pair) at a fraction of the
-    // intersect/serialize cost of 76-string arrays.
+    // Fixed-size anchor set (first 50 ids), NOT a modulus filter: the
+    // anchor count stays constant as the corpus grows, so the BNLJ is
+    // O(50·N) at any scale instead of O(N²/100).
     "q23_neardup_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
-        .select(col("id"), transform(
-          sequence(lit(1), size(col("toks")) - lit(1)),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1))).as("raw_shingles"))
-        .select(col("id"), array_distinct(
-          transform(col("raw_shingles"), s0 => xxhash64(s0))).as("shingles"))
-      // Fixed-size anchor set (first 50 ids), NOT a modulus filter: the
-      // anchor count stays constant as the corpus grows, so the BNLJ is
-      // O(50·N) at any scale instead of O(N²/100).
+      val sh = bigramHashShingles(s, d)
       Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
         .filter(col("jaccard") >= 0.05)
         .select("id_a", "id_b", "jaccard")
@@ -468,7 +472,83 @@ object SparkEntry {
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("total")))
+          col("n"), col("total"))),
+
+    // Distributed connected components over the near-dup pair graph: the
+    // grouping stage of dedup (pairs -> keep-groups). Min-label
+    // propagation, one shuffle per round; oracle = recursive CTE closure.
+    "q47_connected_components" -> ((s, d) => {
+      val sh = bigramHashShingles(s, d)
+      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
+        .filter(col("jaccard") >= 0.05)
+        .select("id_a", "id_b")
+      graft.operators.Graphs.connectedComponents(pairs, "id_a", "id_b",
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+    }),
+
+    // Binned point-in-interval range join: points equi-join intervals on
+    // (key, time bin) instead of a quadratic BNLJ range predicate
+    "q48_range_join" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      val iv = Intervals.coalesceRuns(base, col("user_id"),
+          col("event_type"), col("ts_us"), col("event_id"),
+          3600L * 1000000L)
+        .select(col("key").as("user_id"), col("interval_id"),
+          col("label").as("event_type"), col("t_start"), col("t_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        base.select("user_id", "ts_us"), iv, Seq("user_id"), "ts_us",
+        "t_start", "t_end", 3600L * 1000000L)
+        .groupBy("user_id", "interval_id", "event_type")
+        .agg(count(lit(1)).as("n_in_range"))
+    }),
+
+    // Exact heavy hitters: top-20 corpus tokens, deterministic tie-break
+    "q49_heavy_hitters" -> ((s, d) =>
+      graft.operators.Frequency.topK(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), 20)),
+
+    // TF/DF term statistics: one explode pass, df rides a window over the
+    // tf aggregate (never a second corpus scan)
+    "q50_term_stats" -> ((s, d) =>
+      graft.operators.Frequency.termDocStats(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Per-cluster diameter class via within-cluster self-join; haversine
+    // stays in a comparison so the oracle hash-matches (M5, upgraded from
+    // the rows-only hull check)
+    "q51_cluster_diameter" -> ((s, d) =>
+      graft.operators.Geometry.clusterDiameters(
+        stopClusters(s, d).filter(col("stop_locations") =!= -1L), 150.0)),
+
+    // Deterministic hash train/test split: stateless per-row filter,
+    // engine-neutral (MD5 of the key) so the split is auditable outside
+    // Spark — oracle checks it bit-for-bit in DuckDB
+    "q52_hash_split" -> ((s, d) =>
+      graft.operators.Sampling.hashSplit(
+        Tables.documents(s, d).select("doc_id"), "doc_id", 64)),
+
+    // Deterministic stratified sample: stable "random" 5 docs per
+    // (lang, source) stratum via hash rank
+    "q53_stratified_take" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedTake(
+        Tables.documents(s, d).select("doc_id", "lang", "source"),
+        Seq("lang", "source"), "doc_id", 5)),
+
+    // Equal-frequency quantile binning WITHOUT a global window: range
+    // exchange + distributed index + ntile closed form
+    "q54_quantile_bins" -> ((s, d) =>
+      graft.operators.Sampling.quantileBins(
+        Tables.events(s, d).select("event_id", "value"),
+        "value", "event_id", 8)),
+
+    // Deterministic ~10% corpus sample (26/256 hash buckets): pure
+    // filter, no shuffle, scan-prunable
+    "q55_hash_sample" -> ((s, d) =>
+      graft.operators.Sampling.hashSample(
+        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", 26))
   )
 
   private val sqlQ39: String =
@@ -782,7 +862,113 @@ object SparkEntry {
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // NB: sh/pairs must be MATERIALIZED — DuckDB inlines CTEs by default,
+    // and `pairs` is referenced twice (56 s inlined vs 1.4 s materialized
+    // at sf0.01, identical result)
+    "q47_connected_components" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+        |  )) AS bg FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM (SELECT * FROM sh ORDER BY id LIMIT 50) a
+        |  JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |      / len(list_distinct(a.bg || b.bg)) >= 0.05),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, reach.r AS r
+        |  FROM e JOIN reach ON e.src = reach.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q48_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w != event_type
+        |    OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ivr AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS interval_id
+        |  FROM fl),
+        |iv AS (
+        |  SELECT user_id, interval_id, min(event_type) AS event_type,
+        |    min(ts_us) AS t_start, max(ts_us) AS t_end
+        |  FROM ivr GROUP BY user_id, interval_id)
+        |SELECT iv.user_id, iv.interval_id, iv.event_type,
+        |  count(*) AS n_in_range
+        |FROM e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.ts_us BETWEEN iv.t_start AND iv.t_end
+        |GROUP BY iv.user_id, iv.interval_id, iv.event_type""".stripMargin,
+
+    "q49_heavy_hitters" ->
+      """SELECT value, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS value FROM documents)
+        |GROUP BY value ORDER BY n DESC, value ASC LIMIT 20""".stripMargin,
+
+    "q50_term_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
+        |SELECT doc_id, token, tf,
+        |  count(*) OVER (PARTITION BY token) AS df
+        |FROM tf""".stripMargin,
+
+    "q51_cluster_diameter" -> (clusterCtes + ",\n" +
+      """pts AS (
+        |  SELECT uid, stop_locations, latitude, longitude FROM clustered
+        |  WHERE stop_locations != -1),
+        |diam AS (
+        |  SELECT a.uid, a.stop_locations,
+        |    max(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
+        |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
+        |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
+        |    ))) AS d
+        |  FROM pts a JOIN pts b
+        |    ON a.uid = b.uid AND a.stop_locations = b.stop_locations
+        |  GROUP BY a.uid, a.stop_locations),
+        |np AS (
+        |  SELECT uid, stop_locations, count(*) AS n_points FROM pts
+        |  GROUP BY uid, stop_locations)
+        |SELECT np.uid, np.stop_locations, np.n_points,
+        |  CAST(diam.d > 150.0 AS BIGINT) AS wide
+        |FROM diam JOIN np
+        |  ON diam.uid = np.uid AND diam.stop_locations = np.stop_locations""".stripMargin),
+
+    "q52_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "q53_stratified_take" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
+
+    "q54_quantile_bins" ->
+      """SELECT event_id, value,
+        |  CAST(ntile(8) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
+        |FROM events""".stripMargin,
+
+    "q55_hash_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

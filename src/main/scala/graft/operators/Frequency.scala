@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus frequency operators for training-data curation (beyond the
+  * reference's surface — first-class per the build brief): exact heavy
+  * hitters and TF/DF term statistics.
+  *
+  * Scale shapes:
+  *  - topK: hash aggregate (map-side partial combine, one shuffle on the
+  *    value) then a distributed TakeOrdered — each partition keeps its own
+  *    top k and the driver merges k·P rows, never the full frequency
+  *    table. A total order (count desc, value asc) makes the cut
+  *    deterministic under ties.
+  *  - termDocStats: ONE explode pass; tf = hash aggregate on
+  *    (doc, term); df rides a window over the tf rows (tf is already
+  *    distinct per (doc, term), so `count(*) over (partition by term)` IS
+  *    the document frequency) — two shuffles total and the token corpus is
+  *    never scanned twice, vs. the textbook tf-join-df plan that re-reads
+  *    and re-explodes the corpus for each side.
+  */
+object Frequency {
+
+  /** Exact top-k values by frequency with deterministic tie-break. */
+  def topK(df: DataFrame, valueCol: Column, k: Int): DataFrame =
+    df.select(valueCol.as("value"))
+      .groupBy("value")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(k)
+
+  /** Per-(doc, term) term frequency + per-term document frequency over a
+    * space-tokenized corpus. Output: (doc_id, token, tf, df) — exact
+    * integers; downstream tf-idf weighting is one expression away and is
+    * left to the caller so float policy stays theirs.
+    */
+  def termDocStats(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+  }
+}

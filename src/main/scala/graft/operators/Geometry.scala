@@ -84,4 +84,37 @@ object Geometry {
       }
       .toDF()
   }
+
+  /** Relational per-cluster diameter: max pairwise haversine distance via
+    * a within-cluster self-join — pure codegen, no kernel, and (unlike
+    * [[clusterHulls]]) oracle-checkable because the distance stays in a
+    * COMPARISON (diameter > threshold), never an emitted float (JVM and
+    * other engines' libm can differ in the last ulp on trig).
+    *
+    * The self-join and the n_points window share one hash exchange on
+    * (uid, stop_locations), co-locating each cluster in a single task.
+    * Per-cluster cost is quadratic in cluster size — bounded by the
+    * upstream whale guard (StopClusters maxGroupSize), the same contract
+    * as the DBSCAN kernel itself. Self-pairs contribute distance 0, so
+    * singletons get diameter 0.
+    */
+  def clusterDiameters(points: DataFrame, wideThresholdM: Double)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withN = points
+      .select("uid", "stop_locations", "latitude", "longitude")
+      .withColumn("n_points",
+        count(lit(1)).over(Window.partitionBy("uid", "stop_locations")))
+    val other = points.select(col("uid"), col("stop_locations"),
+      col("latitude").as("lat_b"), col("longitude").as("lon_b"))
+    withN.join(other, Seq("uid", "stop_locations"))
+      .groupBy("uid", "stop_locations")
+      .agg(
+        first(col("n_points")).as("n_points"),
+        max(graft.functions.GeoFunctions.haversineMeters(
+          col("latitude"), col("longitude"),
+          col("lat_b"), col("lon_b"))).as("diameter"))
+      .select(col("uid"), col("stop_locations"), col("n_points"),
+        (col("diameter") > wideThresholdM).cast("long").as("wide"))
+  }
 }

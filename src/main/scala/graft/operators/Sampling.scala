@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data curation
+  * (beyond the reference's surface — first-class per the build brief).
+  *
+  * Everything here is HASH-derived, never RNG-derived: `rand()` draws a
+  * per-task stream, so a retried/recomputed partition samples DIFFERENT
+  * rows — silent non-determinism under fault recovery, the cardinal sin of
+  * a train/test split (test-set leakage on re-run). An MD5 over the row's
+  * own key gives every row a stable pseudo-random rank that survives
+  * retries, repartitioning, engine version bumps, and even engine SWAPS
+  * (MD5-of-UTF-8 is engine-neutral — these ops are oracle-checked
+  * bit-for-bit against DuckDB, so a user can split in Spark and audit the
+  * split in any other engine).
+  *
+  * Scale shapes: split/sample are stateless per-row filters (no shuffle,
+  * full codegen, pushdown-friendly). stratifiedTake is one hash exchange
+  * on the strata + in-partition rank — the canonical per-group top-N; the
+  * hash rank makes the "random" N per group reproducible.
+  */
+object Sampling {
+
+  /** Stable hex rank in [00..ff] from the key's MD5 — uniform over 256
+    * buckets, deterministic across engines.
+    */
+  private def hexBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Deterministic train/test split: rows whose key-hash falls below the
+    * threshold go to "test", the rest to "train". testBuckets of 256 ≈ the
+    * test fraction (e.g. 64 → 25%). Adding rows to the table never moves
+    * an EXISTING row across the split — the property that keeps a frozen
+    * eval set frozen as the corpus grows.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, testBuckets: Int)
+  : DataFrame = {
+    require(testBuckets > 0 && testBuckets < 256,
+      s"testBuckets must be in (0, 256), got $testBuckets")
+    val threshold = f"$testBuckets%02x"
+    df.withColumn("split",
+      when(hexBucket(col(keyCol)) < lit(threshold), lit("test"))
+        .otherwise(lit("train")))
+  }
+
+  /** Deterministic ~fraction sample: keep rows in the first `buckets` of
+    * 256 hash buckets. A pure filter — at 100 TB this prunes at scan time
+    * (the predicate is pushed into the parquet reader's row-group stats
+    * evaluation where possible) and never shuffles.
+    */
+  def hashSample(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && buckets <= 256,
+      s"buckets must be in (0, 256], got $buckets")
+    val threshold = f"$buckets%02x"
+    df.filter(hexBucket(col(keyCol)) < lit(threshold))
+  }
+
+  /** Deterministic stratified take: exactly min(n, |stratum|) rows per
+    * stratum, chosen by hash rank (stable "random" rows), ties broken by
+    * the key itself so the result is a function of the data alone.
+    */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Equal-frequency quantile binning of a numeric column — ntile
+    * semantics (bucket sizes differ by ≤1, larger buckets first),
+    * deterministic under a total order (value, then key). The standard
+    * feature-binning / difficulty-bucketing primitive for curriculum
+    * sampling.
+    *
+    * NOT implemented as `ntile(k) over (order by ...)`: a global window
+    * collapses every row into ONE partition — the same driver-sized
+    * bottleneck P8 exists to avoid. Instead the rows get a distributed
+    * global index (range partition + per-partition offsets,
+    * [[Indexing.globalRowIndex]]) and the bucket comes from ntile's
+    * closed form over (index, n, k): with q = n div k and r = n mod k,
+    * buckets 1..r hold q+1 rows, buckets r+1..k hold q. Scales as a
+    * range exchange + a stateless per-row expression.
+    *
+    * Persists internally (via globalRowIndex); caller owns the cache
+    * lifecycle — clear after materializing, as Verify/Bench do.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, keyCol: String, k: Int)
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val indexed =
+      Indexing.globalRowIndex(df, "__idx", col(valueCol), col(keyCol))
+    val n = indexed.count() // served from globalRowIndex's cache
+    val q = n / k
+    val r = n % k
+    val bin =
+      if (q == 0) col("__idx") + 1L // n < k: row i alone in bucket i+1
+      else
+        when(col("__idx") < lit(r * (q + 1)),
+          expr(s"__idx DIV ${q + 1}") + 1L)
+          .otherwise(expr(s"(__idx - ${r * (q + 1)}) DIV $q") + lit(r + 1))
+    indexed.withColumn("bin", bin.cast("long")).drop("__idx")
+  }
+}

@@ -75,8 +75,21 @@ object Similarity {
     val toVec = org.apache.spark.ml.functions.array_to_vector(
       transform(col("embedding"), x => x.cast("double")))
     val corpusVec = corpus.withColumn("features", toVec)
+    // Fit the coarse quantizer on a bounded, deterministic sample — the
+    // standard IVF training contract (a quantizer needs a representative
+    // subset, on the order of 100s of points per cell, not the corpus):
+    // at 100 TB a full-corpus k-means is 10 Lloyd passes over everything,
+    // while the sample fit is constant-cost and only `transform` (one
+    // stateless pass) touches all rows. Hash-ordered top-N keeps the
+    // sample a pure function of the data, not of partitioning.
+    val trainCap = math.max(512 * nlist, 4096)
+    val train = corpusVec
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(trainCap)
+      .cache()
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(corpusVec)
+      .fit(train)
+    train.unpersist()
     val assigned = model.transform(corpusVec)
       .withColumnRenamed("prediction", "cell")
       .drop("features")

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Frequency, Graphs, RangeJoin}
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, clique, isolated node") {
+    // Components: {1,2,3,4} (chain), {10,11,12} (triangle), {99} isolated.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val got = Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (99L, 99L)))
+    spark.catalog.clearCache()
+  }
+
+  test("connected components: long chain needs diameter rounds") {
+    // Path 0-1-2-...-9: min label must travel 9 hops.
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L to 9L).toDF("id")
+    val got = Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === 10)
+    spark.catalog.clearCache()
+  }
+
+  test("componentKeepers: one keeper per component with size") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "component")
+    val got = Graphs.componentKeepers(comps).orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array((1L, 3L), (9L, 1L)))
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned point-in-interval matches the naive range join") {
+    val points = Seq(("u", 5L), ("u", 10L), ("u", 25L), ("u", 99L),
+      ("v", 10L)).toDF("k", "ts")
+    // Interval spanning several bins, an adjacent one, another key.
+    val ivs = Seq(("u", 1L, 0L, 30L), ("u", 2L, 31L, 40L),
+      ("v", 3L, 10L, 10L)).toDF("k", "iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, Seq("k"), "ts",
+        "lo", "hi", binSize = 7L)
+      .select("k", "ts", "iv_id").orderBy("k", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      ("u", 5L, 1L), ("u", 10L, 1L), ("u", 25L, 1L), ("v", 10L, 3L)))
+  }
+
+  test("plan is an equi-join, not a broadcast nested loop") {
+    val points = (1L to 100L).map(i => ("u", i)).toDF("k", "ts")
+    val ivs = Seq(("u", 1L, 10L, 20L)).toDF("k", "iv_id", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, ivs, Seq("k"), "ts",
+        "lo", "hi", binSize = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "binned range join must plan as an equi-join")
+  }
+
+  test("inclusive bounds and no-key variant") {
+    val points = Seq(Tuple1(0L), Tuple1(30L), Tuple1(31L)).toDF("ts")
+    val ivs = Seq((1L, 0L, 30L)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, Nil, "ts",
+        "lo", "hi", binSize = 100L)
+      .select("ts").orderBy("ts").as[Long].collect()
+    assert(got === Array(0L, 30L))
+  }
+}
+
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topK: deterministic tie-break (count desc, value asc)") {
+    val df = Seq("b", "b", "c", "c", "a", "d").toDF("v")
+    val got = Frequency.topK(df, col("v"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // b and c tie at 2 (b first), a and d tie at 1 (a first).
+    assert(got === Array(("b", 2L), ("c", 2L), ("a", 1L)))
+  }
+
+  test("termDocStats: tf per (doc, token), df per token") {
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val got = Frequency.termDocStats(docs, "doc_id", "text")
+      .orderBy("doc_id", "token")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got === Array(
+      (1L, "x", 2L, 2L), (1L, "y", 1L, 1L), (2L, "x", 1L, 2L),
+      (2L, "z", 1L, 1L)))
+  }
+}
+
+class ClusterDiameterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wide flag from max pairwise haversine; singleton diameter 0") {
+    // Cluster 0: two points ~222 m apart (0.002 deg lat) -> wide at 150.
+    // Cluster 1: two points ~11 m apart -> not wide.
+    // Cluster 2: singleton -> diameter 0, not wide.
+    val pts = Seq(
+      ("u", 0L, 10.000, 20.0), ("u", 0L, 10.002, 20.0),
+      ("u", 1L, 11.000, 20.0), ("u", 1L, 11.0001, 20.0),
+      ("v", 0L, 12.000, 20.0))
+      .toDF("uid", "stop_locations", "latitude", "longitude")
+    val got = graft.operators.Geometry.clusterDiameters(pts, 150.0)
+      .orderBy("uid", "stop_locations")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got === Array(
+      ("u", 0L, 2L, 1L), ("u", 1L, 2L, 0L), ("v", 0L, 1L, 0L)))
+  }
+}

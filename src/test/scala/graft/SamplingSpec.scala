@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, stable under corpus growth") {
+    val small = (1L to 200L).toDF("id")
+    val grown = (1L to 400L).toDF("id")
+    val s1 = Sampling.hashSplit(small, "id", 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.hashSplit(grown, "id", 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Existing rows never move across the split when rows are added.
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // 64/256 = 25% expected; loose bound just guards against degenerate
+    // all-one-side behavior.
+    val frac = s1.values.count(_ == "test").toDouble / s1.size
+    assert(frac > 0.10 && frac < 0.45, s"test fraction $frac")
+    // Rerun identical (no RNG anywhere).
+    val s1b = Sampling.hashSplit(small, "id", 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s1b)
+  }
+
+  test("hashSample is the test-side filter of the same bucketing") {
+    val df = (1L to 300L).toDF("id")
+    val sampled = Sampling.hashSample(df, "id", 64).as[Long].collect().toSet
+    val split = Sampling.hashSplit(df, "id", 64)
+      .filter(col("split") === "test").select("id").as[Long].collect().toSet
+    assert(sampled === split)
+  }
+
+  test("stratifiedTake: exactly min(n, |stratum|) per stratum, stable") {
+    val df = (Seq.tabulate(30)(i => (if (i < 20) "a" else "b", i.toLong))
+      :+ ("c", 99L)).toDF("g", "id")
+    val taken = Sampling.stratifiedTake(df, Seq("g"), "id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySize = taken.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySize === Map("a" -> 5, "b" -> 5, "c" -> 1))
+    val again = Sampling.stratifiedTake(df, Seq("g"), "id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(taken.sorted === again.sorted)
+  }
+
+  test("quantileBins matches ntile semantics incl. uneven remainder") {
+    // 10 rows into 4 bins: sizes 3,3,2,2 (larger buckets first).
+    val df = (1L to 10L).map(i => (i * 10.0, i)).toDF("v", "id")
+    val got = Sampling.quantileBins(df, "v", "id", 4)
+      .orderBy("v").select("id", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2) ===
+      Array(1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 4L, 4L))
+    spark.catalog.clearCache()
+  }
+
+  test("quantileBins: n < k gives one row per leading bin") {
+    val df = Seq((5.0, 1L), (1.0, 2L), (3.0, 3L)).toDF("v", "id")
+    val got = Sampling.quantileBins(df, "v", "id", 10)
+      .orderBy("v").select("id", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array((2L, 1L), (3L, 2L), (1L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("quantileBins plan stays distributed (no single-partition window)") {
+    val df = (1L to 100L).map(i => (i * 1.0, i)).toDF("v", "id")
+    val plan = Sampling.quantileBins(df, "v", "id", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "global window would single-partition")
+    spark.catalog.clearCache()
+  }
+}
