@@ -548,8 +548,58 @@ object SparkEntry {
     // filter, no shuffle, scan-prunable
     "q55_hash_sample" -> ((s, d) =>
       graft.operators.Sampling.hashSample(
-        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", 26))
+        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", 26)),
+
+    // End-to-end dedup keep-policy: near-dup pairs -> connected
+    // components -> keep the best doc (longest, then smallest id) per
+    // component. The full "dedup a corpus" flow as one query.
+    "q56_dedup_keep" -> ((s, d) => {
+      val sh = bigramHashShingles(s, d)
+      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
+        .filter(col("jaccard") >= 0.05)
+        .select("id_a", "id_b")
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val comps = graft.operators.Graphs.connectedComponents(
+        pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      comps.join(docs, comps("id") === docs("doc_id"))
+        .select(col("doc_id"), col("component"), col("n_chars"))
+        .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+        .select("doc_id", "component", "keep")
+    }),
+
+    // SimHash banded near-dup pairs with exact Hamming verification;
+    // rows-only (DuckDB has no xxhash64), recall pinned by SimHashSpec
+    "q57_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashCandidates(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, bands = 4, maxHamming = 8))
   )
+
+  /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
+    * recursive reachability closure. sh/pairs must be MATERIALIZED —
+    * DuckDB inlines CTEs by default, and `pairs` is referenced twice
+    * (56 s inlined vs 1.4 s materialized at sf0.01, identical result).
+    */
+  private val ccReachCtes: String =
+    """WITH RECURSIVE sh AS MATERIALIZED (
+      |  SELECT doc_id AS id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+      |  )) AS bg FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM (SELECT * FROM sh ORDER BY id LIMIT 50) a
+      |  JOIN sh b ON a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+      |      / len(list_distinct(a.bg || b.bg)) >= 0.05),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, reach.r AS r
+      |  FROM e JOIN reach ON e.src = reach.id)""".stripMargin
 
   private val sqlQ39: String =
     """SELECT n_name, count(*) AS n_customers,
@@ -864,29 +914,8 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
-    // NB: sh/pairs must be MATERIALIZED — DuckDB inlines CTEs by default,
-    // and `pairs` is referenced twice (56 s inlined vs 1.4 s materialized
-    // at sf0.01, identical result)
     "q47_connected_components" ->
-      """WITH RECURSIVE sh AS MATERIALIZED (
-        |  SELECT doc_id AS id, list_distinct(list_transform(
-        |    range(1, len(string_split(text, ' '))),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
-        |  )) AS bg FROM documents),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM (SELECT * FROM sh ORDER BY id LIMIT 50) a
-        |  JOIN sh b ON a.id < b.id
-        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        |      / len(list_distinct(a.bg || b.bg)) >= 0.05),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.dst AS id, reach.r AS r
-        |  FROM e JOIN reach ON e.src = reach.id)
-        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+      (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id"),
 
     "q48_range_join" ->
       """WITH e AS (
@@ -968,7 +997,14 @@ object SparkEntry {
 
     "q55_hash_sample" ->
       """SELECT doc_id, n_chars FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin,
+
+    "q56_dedup_keep" -> (ccReachCtes + ",\n" +
+      """comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, c.component,
+        |  CAST(row_number() OVER (PARTITION BY c.component
+        |    ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS BIGINT) AS keep
+        |FROM documents d JOIN comp c ON d.doc_id = c.id""".stripMargin)
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

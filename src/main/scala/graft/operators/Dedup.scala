@@ -112,6 +112,54 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup candidate pairs, verified exactly. The 64-bit
+    * [[simhashDocs]] fingerprint is sliced into `bands` equal bit-slices;
+    * docs sharing any slice value are candidates (LSH banding on Hamming
+    * space: a pair at distance d collides on some band unless all d
+    * flipped bits straddle every band). Candidates are then verified with
+    * the exact distance — bit_count(sh_a XOR sh_b) <= maxHamming — so the
+    * banding only costs recall, never precision.
+    *
+    * Scale shape: signatures are persisted (three consumers: banding +
+    * both verification sides — recomputing the shingle aggregate 3x is
+    * the q17-style recompute trap); bucket collection uses the same
+    * bounded-state CollectCappedLongs as [[minhashCandidates]], so one
+    * boilerplate band value can never go quadratic past maxBucket.
+    * Caller owns the cache lifecycle (clear after materializing), same
+    * contract as HomeWork.label.
+    */
+  def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, bands: Int = 4,
+                        maxHamming: Int = 3, maxBucket: Int = 64)
+  : DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2, got $bands")
+    val width = 64 / bands
+    val sig = simhashDocs(docs, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("sh"), b * width).bitwiseAND((1L << width) - 1)
+      }: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val pairs = banded.groupBy("band", "bucket")
+      .agg(graft.plans.CollectCappedLongs(col("doc_id").cast("long"),
+        maxBucket + 1).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(sort_array(col("ids")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), y => y > col("id_a"))).as("id_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate pair set (the
     * verification stage after LSH, or standalone on a bounded pair set).
     * Expects docs(id, shingles array).

@@ -49,9 +49,14 @@ object Graphs {
                           maxIter: Int = 25): DataFrame = {
     val src = col(srcCol).cast("long")
     val dst = col(dstCol).cast("long")
-    // Symmetrize once: min must flow both ways along every edge.
+    // Symmetrize once: min must flow both ways along every edge. MUST be
+    // materialized: the loop joins against `sym` every round, and an
+    // un-checkpointed edge plan re-runs the whole upstream pair
+    // computation (e.g. a jaccard nested-loop join) TWICE per iteration —
+    // measured minutes instead of seconds on the near-dup graph at sf0.1.
     val sym = edges.select(src.as("src"), dst.as("dst"))
       .union(edges.select(dst.as("src"), src.as("dst")))
+      .localCheckpoint(true)
     var cached = nodes.select(col(nodeCol).cast("long").as("id"))
       .distinct()
       .withColumn("component", col("id"))

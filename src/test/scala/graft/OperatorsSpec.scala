@@ -139,6 +139,27 @@ class DedupSpec extends SparkSpec {
     assert(d13 < d14)
   }
 
+  test("simhashCandidates: planted dup pair found, verified exactly") {
+    val got = Dedup.simhashCandidates(docs, "text", "id",
+        shingleN = 2, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // The identical pair (1,2) must surface with hamming 0; the unrelated
+    // doc 4 must never pair with anything at hamming <= 3.
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+    spark.catalog.clearCache()
+  }
+
+  test("simhashCandidates: hot band bucket is capped, not quadratic") {
+    val clones = Seq.tabulate(30)(i =>
+      (i.toLong, "identical boilerplate text repeated again and again"))
+      .toDF("id", "text")
+    val capped = Dedup.simhashCandidates(clones, "text", "id",
+      shingleN = 3, bands = 4, maxHamming = 0, maxBucket = 8)
+    assert(capped.count() === 0L) // every bucket overflows the cap
+    spark.catalog.clearCache()
+  }
+
   test("simhashDocs matches the reference Column form bit-for-bit") {
     val expected = docs
       .select(col("id"), Dedup.simhashReference(col("text"), 2).as("sh"))
