@@ -38,10 +38,14 @@ object Bench {
     // burst window, so min-of-2 recorded a 111 s q18 whose clean time was
     // ~5 s. With interleaving, a burst hits different queries each pass.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Dev bisection hook: comma-separated name prefixes to run (default all)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq(""))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.exists(n.startsWith) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to runsPerQuery; (name, fn) <- named) {
+    for (pass <- 1 to runsPerQuery; (name, fn) <- named) {
       // Each run pays the full query cost: queries that persist() internally
       // would otherwise serve later passes from cache.
       spark.catalog.clearCache()
@@ -49,6 +53,9 @@ object Bench {
       try {
         force(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
+        // progress to stderr: which query a stall is in, and per-pass
+        // timings (min-of-passes hides a steal burst; the log keeps it)
+        System.err.println(f"[bench] pass $pass $name $dt%.2f s")
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
         case scala.util.control.NonFatal(e) =>
