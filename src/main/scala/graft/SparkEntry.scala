@@ -573,7 +573,52 @@ object SparkEntry {
     // rows-only (DuckDB has no xxhash64), recall pinned by SimHashSpec
     "q57_simhash_pairs" -> ((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 3, bands = 4, maxHamming = 8))
+        shingleN = 3, bands = 4, maxHamming = 8)),
+
+    // TF-IDF weighting: tf/df ride the termDocStats shuffles, N arrives
+    // via a broadcast one-row aggregate (never a global window)
+    "q58_tfidf" -> ((s, d) =>
+      graft.operators.Frequency.tfidf(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Bloom-pruned semi join: dim keys -> 2^20-bit filter built by a
+    // bit_or aggregation, fact side pre-filtered by a pure-expression
+    // membership test before its shuffle; exact via the follow-up semi
+    // join, so the oracle is the plain IN-subquery
+    "q59_bloom_semi" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey")
+      graft.operators.BloomPrune.semiJoin(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_returnflag"),
+        dim, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    // Skew-safe two-stage aggregation: 3 hot keys spread over 16 salted
+    // sub-keys each; result exactly equals the unsalted plan
+    "q60_salted_stats" -> ((s, d) =>
+      graft.operators.Salting.saltedStats(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), 16)),
+
+    // Sketch accuracy report: HLL distinct + KLL-style quantile vs their
+    // exact twins, per group. Rows-only (sketch values are
+    // implementation-defined); error bounds pinned by SketchSpec.
+    "q61_sketch_stats" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_d"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_d"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_med"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("approx_med"))
+        .withColumn("d_rel_err",
+          round(abs(col("approx_d") - col("exact_d")) /
+            col("exact_d"), 4)))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1004,7 +1049,35 @@ object SparkEntry {
         |SELECT d.doc_id, c.component,
         |  CAST(row_number() OVER (PARTITION BY c.component
         |    ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS BIGINT) AS keep
-        |FROM documents d JOIN comp c ON d.doc_id = c.id""".stripMargin)
+        |FROM documents d JOIN comp c ON d.doc_id = c.id""".stripMargin),
+
+    "q58_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM tf GROUP BY doc_id, token),
+        |withdf AS (
+        |  SELECT doc_id, token, tf,
+        |    count(*) OVER (PARTITION BY token) AS df
+        |  FROM stats)
+        |SELECT doc_id, token, tf, df,
+        |  round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |FROM withdf""".stripMargin,
+
+    "q59_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q60_salted_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total,
+        |  round(sum(l_extendedprice) / count(*), 6) AS avg
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

@@ -45,4 +45,21 @@ object Frequency {
       .agg(count(lit(1)).as("tf"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
   }
+
+  /** TF-IDF weights on top of termDocStats: tfidf = tf · ln(N / df),
+    * rounded to 6 decimals so cross-engine float comparison is exact.
+    *
+    * N (the corpus document count) arrives via a broadcast cross join of a
+    * one-row aggregate — never a `count(*) over ()` window, which would
+    * funnel every row through a single partition at scale. Everything else
+    * rides the termDocStats shuffles; no extra pass over the corpus.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    termDocStats(docs, idCol, textCol)
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .drop("n_docs")
+  }
 }

@@ -48,4 +48,49 @@ class StreamingStopDetectSpec extends SparkSpec {
       assert(streamed.toSeq === batchAll.toSeq.dropRight(1))
     } finally q.stop()
   }
+
+  test("unordered arrival matches batch once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ping]
+    // lateness must cover batch A's span: A's max event time is 1600, so
+    // a smaller delay (e.g. 1000) puts the watermark at 600 and Spark
+    // correctly DROPS the ts=0 back-fill as too late.
+    val q = StreamingStopDetect
+      .stopEventsUnordered(mem.toDS(), p, latenessSeconds = 2000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sstops_ooo").start()
+    try {
+      // +10000: a ping at event time == the initial watermark (0) falls
+      // on Spark's drop-late boundary; real timelines don't start at
+      // epoch 0, so shift instead of special-casing the operator.
+      val all = (batch1 ++ batch2).map(pg =>
+        pg.copy(timestamp = pg.timestamp + 10000L))
+      // Deliver shuffled WITHIN the lateness window: batch A holds the
+      // middle of the timeline, batch B back-fills the earliest pings.
+      val a = Seq(all(3), all(1), all(4)) // ts 11200, 10400, 11600
+      val b = Seq(all(0), all(2), all(5), all(6)) // 10000,10800,12400,12500
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      // Flush: another user's far-future ping drives the watermark past
+      // every "u" ping; "u" itself is quiet, so only the event-time
+      // timeout can drain its buffer.
+      mem.addData(Ping("z", 0.0, 0.0, 100000L)); q.processAllAvailable()
+      // One more batch: watermark advances at batch BOUNDARIES, so the
+      // timeout registered while processing z's batch fires here.
+      mem.addData(Ping("z", 0.0, 0.0, 100001L)); q.processAllAvailable()
+
+      val streamed = spark.table("sstops_ooo")
+        .filter($"uid" === "u")
+        .orderBy("timestamp")
+        .collect().map(r => (r.getAs[Long]("stop_events"),
+          r.getAs[Long]("timestamp")))
+      val batchAll = StopDetect.stopEvents(
+        all.toDF("uid", "latitude", "longitude", "timestamp"), p)
+        .orderBy("timestamp")
+        .collect().map(r => (r.getAs[Long]("stop_events"),
+          r.getAs[Long]("timestamp")))
+      // the user's latest ping still pends (forward-looking stationarity)
+      assert(streamed.toSeq === batchAll.toSeq.dropRight(1))
+    } finally q.stop()
+  }
 }
