@@ -607,18 +607,54 @@ object SparkEntry {
     // Sketch accuracy report: HLL distinct + KLL-style quantile vs their
     // exact twins, per group. Rows-only (sketch values are
     // implementation-defined); error bounds pinned by SketchSpec.
-    "q61_sketch_stats" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderpriority")
+    //
+    // The exact count-distinct runs in its OWN aggregate: mixing it with
+    // the sketch aggs makes Catalyst's one-distinct rewrite evaluate the
+    // percentile/HLL buffers per (group, custkey) — ~100k heavyweight
+    // buffers (an rsd-0.01 HLL is ~16 KiB) built and merged instead of
+    // one per group (measured 21 s vs 1.4 s at sf0.1). The 5-row join is
+    // free; at 100 TB the same split keeps sketch state O(groups).
+    "q61_sketch_stats" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val exact = orders.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_d"))
+      val sketch = orders.groupBy("o_orderpriority")
         .agg(
-          countDistinct(col("o_custkey")).as("exact_d"),
           approx_count_distinct(col("o_custkey"), 0.01).as("approx_d"),
           expr("percentile(o_totalprice, 0.5)").as("exact_med"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
             .as("approx_med"))
+      exact.join(sketch, "o_orderpriority")
         .withColumn("d_rel_err",
           round(abs(col("approx_d") - col("exact_d")) /
-            col("exact_d"), 4)))
+            col("exact_d"), 4))
+    }),
+
+    // Repetition quality signals (Gopher-style): duplicate-word and
+    // duplicate-trigram ratios per document — the standard "boilerplate /
+    // degenerate text" filter feature in corpus curation
+    "q62_repetition" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tri = TextFunctions.shinglesFromTokens(col("toks"), 3)
+      staged.select(col("doc_id"),
+        round(lit(1.0) -
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("dup_word_ratio"),
+        when(size(tri) > 0,
+          round(lit(1.0) -
+            size(array_distinct(tri)).cast("double") / size(tri), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+    }),
+
+    // Z-order (Morton) layout key per ping over the MX-quadrant bounding
+    // box — the spatial-layout sort key (LayoutSpec pins the
+    // partition-tightness property; here the key is oracle-checked
+    // bit-for-bit against a 16-round interleave in SQL)
+    "q63_zorder" -> ((s, d) =>
+      Tables.pings(s, d).select(col("uid"), col("event_id"),
+        graft.sources.Layout.zValue(col("latitude"), col("longitude"),
+          19.0, 0.05, -99.0, 0.05, 16).as("z")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1077,7 +1113,38 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS total,
         |  round(sum(l_extendedprice) / count(*), 6) AS avg
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q62_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(
+        |      range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS tri
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |    AS dup_word_ratio,
+        |  CASE WHEN len(tri) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+        |  ELSE 0.0 END AS dup_trigram_ratio
+        |FROM s""".stripMargin,
+
+    "q63_zorder" -> {
+      val terms = (0 until 16).map(k =>
+        s"((((qx >> $k) & 1) << ${2 * k}) | (((qy >> $k) & 1) << ${2 * k + 1}))")
+        .mkString(" | ")
+      s"WITH ${Tables.pingsSql},\n" +
+        s"""q AS (
+           |  SELECT uid, event_id,
+           |    CAST(least(greatest(floor((latitude - 19.0) / 0.05 * 65536.0), 0.0), 65535.0) AS BIGINT) AS qx,
+           |    CAST(least(greatest(floor((longitude - (-99.0)) / 0.05 * 65536.0), 0.0), 65535.0) AS BIGINT) AS qy
+           |  FROM pings)
+           |SELECT uid, event_id, $terms AS z FROM q""".stripMargin
+    }
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

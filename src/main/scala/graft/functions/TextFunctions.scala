@@ -41,6 +41,37 @@ object TextFunctions {
           (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** One row per word-n-gram shingle OCCURRENCE, built without
+    * higher-order functions: posexplode the token array and assemble each
+    * shingle from element_at lookups. Identical strings to
+    * `explode(shinglesFromTokens(...))`, but every expression is
+    * codegen'd — the interpreted transform lambda is the whole cost of
+    * the shingle pipelines (measured 5x at sf0.1: 7 s -> 1.4 s for the
+    * same 260k shingles).
+    *
+    * Docs with fewer than n tokens emit no rows; `keepEmptyDocs = true`
+    * emits one null-shingle row for them instead (the explode_outer
+    * analog, for aggregates that must keep every doc).
+    */
+  def explodedShingles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int,
+                       keepEmptyDocs: Boolean = false)
+  : org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), col("toks"), posexplode(col("toks")))
+    val toks = col("toks")
+    val pos = col("pos") // 0-based
+    val isShingle = pos <= size(toks) - n
+    val shingle = concat_ws(" ",
+      (1 to n).map(k => element_at(toks, pos + k)): _*)
+    if (keepEmptyDocs)
+      base.filter(isShingle || (size(toks) < n && pos === 0))
+        .select(col("id"), when(isShingle, shingle).as("shingle"))
+    else
+      base.filter(isShingle).select(col("id"), shingle.as("shingle"))
+  }
+
   /** Count of occurrences of a literal substring. */
   def occurrences(text: Column, sub: String): Column =
     ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)

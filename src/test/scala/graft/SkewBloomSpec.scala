@@ -120,6 +120,31 @@ class TfidfSpec extends SparkSpec {
   }
 }
 
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicate word/trigram ratios, hand-computed") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // words: 6 total 2 distinct; trigrams: 4 total 2 distinct
+      (2L, "x y z"),       // no repetition: 3/3 words, 1/1 trigram
+      (3L, "q r")          // shorter than a trigram -> ratio 0
+    ).toDF("doc_id", "text")
+    val staged = docs.select($"doc_id", split($"text", " ").as("toks"))
+    val tri = graft.functions.TextFunctions.shinglesFromTokens($"toks", 3)
+    val got = staged.select($"doc_id",
+        round(lit(1.0) - size(array_distinct($"toks")).cast("double") /
+          size($"toks"), 6).as("w"),
+        when(size(tri) > 0, round(lit(1.0) -
+          size(array_distinct(tri)).cast("double") / size(tri), 6))
+          .otherwise(lit(0.0)).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L) === ((0.666667, 0.5))) // round(1 - 2/6, 6), round(1 - 2/4, 6)
+    assert(got(2L) === ((0.0, 0.0)))
+    assert(got(3L) === ((0.0, 0.0)))
+  }
+}
+
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
