@@ -654,7 +654,21 @@ object SparkEntry {
     "q63_zorder" -> ((s, d) =>
       Tables.pings(s, d).select(col("uid"), col("event_id"),
         graft.sources.Layout.zValue(col("latitude"), col("longitude"),
-          19.0, 0.05, -99.0, 0.05, 16).as("z")))
+          19.0, 0.05, -99.0, 0.05, 16).as("z"))),
+
+    // Spark's native session_window in BATCH mode (the same operator the
+    // streaming path uses — one engine artifact for both), 30-min gap;
+    // oracle = the classic gap-islands rewrite
+    "q64_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+        .groupBy(col("user_id"),
+          session_window(timestamp_seconds(col("tsec")), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          unix_timestamp(col("session_window.end")).as("s_end"),
+          col("n_events")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1144,7 +1158,25 @@ object SparkEntry {
            |    CAST(least(greatest(floor((longitude - (-99.0)) / 0.05 * 65536.0), 0.0), 65535.0) AS BIGINT) AS qy
            |  FROM pings)
            |SELECT uid, event_id, $terms AS z FROM q""".stripMargin
-    }
+    },
+
+    "q64_session_window" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+        |x AS (
+        |  SELECT user_id, tsec,
+        |    CASE WHEN lag(tsec) OVER w IS NULL
+        |      OR tsec - lag(tsec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+        |y AS (
+        |  SELECT user_id, tsec,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, min(tsec) AS s_start, max(tsec) + 1800 AS s_end,
+        |  count(*) AS n_events
+        |FROM y GROUP BY user_id, sid""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user
