@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineDescriptor)
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
   }
 }
 
@@ -25,14 +26,29 @@ object GraftExtensions {
     Haversine(args(0), args(1), args(2), args(3))
   }
 
+  private def buildCosine(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"cosine_sim expects 2 array arguments, got ${args.length}")
+    CosineSimilarity(args(0), args(1))
+  }
+
   val haversineDescriptor
   : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[Haversine].getName, "haversine_m"),
       build)
 
+  val cosineDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      buildCosine)
+
   /** Imperative registration on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", buildCosine, "scala_udf")
+  }
 }

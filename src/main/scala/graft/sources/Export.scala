@@ -1,11 +1,34 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Export layer (K1/K3 + the CSV dumps of
-  * src/polaroam/get_stops_and_clusters.py:157-185).
+  * src/polaroam/get_stops_and_clusters.py:157-185), plus JSONL — the
+  * lingua franca of LLM corpus interchange (beyond the reference's
+  * surface).
   */
 object Export {
+
+  /** JSONL sink: one JSON document per line, gzip by default (corpus
+    * dumps ship compressed; Spark writes one .json.gz per partition, so
+    * file count — and downstream read parallelism — follows the frame's
+    * partitioning).
+    */
+  def jsonl(df: DataFrame, path: String, compress: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSONL source with an EXPLICIT schema: inference scans the data an
+    * extra time and samples nondeterministically — at 100 TB the schema
+    * is a contract, not a discovery. Corrupt lines land in
+    * `_corrupt_record` (PERMISSIVE) instead of failing the job; callers
+    * that want fail-fast pass mode=FAILFAST.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema).option("mode", mode).json(path)
 
   /** Single-file CSV with header (K3). coalesce(1) is an explicit
     * small-result convenience, as in the reference's collected write — do

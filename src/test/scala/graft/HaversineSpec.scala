@@ -59,4 +59,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r > 11000 && r < 11200) // ~11.1 km per 0.1 deg latitude
   }
+
+  test("cosine_sim available from SQL after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val o = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
 }
