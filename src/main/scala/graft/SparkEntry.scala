@@ -668,7 +668,16 @@ object SparkEntry {
         .select(col("user_id"),
           unix_timestamp(col("session_window.start")).as("s_start"),
           unix_timestamp(col("session_window.end")).as("s_end"),
-          col("n_events")))
+          col("n_events"))),
+
+    // Count-min-sketch estimates vs exact counts for the top-20 corpus
+    // tokens. Rows-only (the sketch artifact is engine-specific);
+    // never-undercount + eps*N bound pinned by FrequencySpec.
+    "q65_cms_estimates" -> ((s, d) =>
+      graft.operators.Frequency.cmsTopK(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), 20))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the

@@ -62,4 +62,30 @@ object Frequency {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .drop("n_docs")
   }
+
+  /** Count-min-sketch frequency estimates for the exact top-k values:
+    * one distributed sketch pass (Spark's CountMinSketch aggregate —
+    * counter-matrix merge is commutative addition, so the result is
+    * deterministic under any partitioning) plus the exact [[topK]], then
+    * the k point queries answer driver-side from the ~(2/eps)·d-counter
+    * sketch. The sketch never undercounts; overshoot is ≤ eps·N with
+    * probability 1−(1−confidence). At 100 TB the sketch is the only
+    * whole-corpus frequency artifact that fits in memory — `topK`
+    * verifies its accuracy on the heaviest (worst-case-collision) keys.
+    *
+    * Output: (value, n_exact, n_est).
+    */
+  def cmsTopK(df: DataFrame, valueCol: Column, k: Int,
+              eps: Double = 1e-4, confidence: Double = 0.99,
+              seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(valueCol.cast("string").as("value"))
+    val sketch = values.stat.countMinSketch(
+      col("value"), eps, confidence, seed)
+    topK(values, col("value"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        sketch.estimateCount(r.getString(0))))
+      .toSeq.toDF("value", "n_exact", "n_est")
+  }
 }

@@ -99,6 +99,25 @@ class FrequencySpec extends SparkSpec {
       (1L, "x", 2L, 2L), (1L, "y", 1L, 1L), (2L, "x", 1L, 2L),
       (2L, "z", 1L, 1L)))
   }
+
+  test("cmsTopK: estimates never undercount and stay within eps*N") {
+    val n = 5000
+    val df = spark.range(n.toLong)
+      .select(concat(lit("t"), (col("id") % 50)).as("v"))
+    val eps = 0.01
+    val got = Frequency.cmsTopK(df, col("v"), 10, eps = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 10)
+    got.foreach { case (v, exact, est) =>
+      assert(est >= exact, s"CMS undercounted $v: $est < $exact")
+      assert(est - exact <= (eps * n).toLong,
+        s"CMS overshoot for $v: $est vs $exact")
+    }
+    // deterministic across reruns (fixed seed, commutative merge)
+    val again = Frequency.cmsTopK(df, col("v"), 10, eps = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+  }
 }
 
 class ClusterDiameterSpec extends SparkSpec {
