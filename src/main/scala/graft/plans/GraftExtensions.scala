@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineDescriptor)
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    // radius-search filters gain sargable coordinate bands (GeoPruneRule)
+    ext.injectOptimizerRule(_ => GeoPruneRule)
   }
 }
 
