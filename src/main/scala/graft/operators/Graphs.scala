@@ -57,8 +57,14 @@ object Graphs {
     val sym = edges.select(src.as("src"), dst.as("dst"))
       .union(edges.select(dst.as("src"), src.as("dst")))
       .localCheckpoint(true)
-    var cached = nodes.select(col(nodeCol).cast("long").as("id"))
-      .distinct()
+    val all = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
+    // Iterate ONLY over edge-touched nodes: isolated nodes (in a dedup
+    // graph, most of the corpus) can never change label, so carrying
+    // them through every round's join + checkpoint just multiplies the
+    // per-round cost; they rejoin with component = id at the end.
+    var cached = all
+      .join(sym.select(col("src").as("id")).distinct(), Seq("id"),
+        "left_semi")
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var changed = 1L
@@ -70,12 +76,12 @@ object Graphs {
       // Eager localCheckpoint: materializes this round AND truncates the
       // plan (see scaladoc — an un-truncated plan doubles per round); the
       // convergence count below is then a cheap scan of the checkpoint.
-      val next = cached.join(neigh, Seq("id"), "left")
+      // Every member node has >= 1 neighbor, so the join is inner (the
+      // left + coalesce fallback was only for isolated nodes).
+      val next = cached.join(neigh, Seq("id"))
         .select(col("id"),
-          least(col("component"), coalesce(col("neigh_min"), col("component")))
-            .as("component"),
-          (coalesce(col("neigh_min"), col("component")) < col("component"))
-            .as("__chg"))
+          least(col("component"), col("neigh_min")).as("component"),
+          (col("neigh_min") < col("component")).as("__chg"))
         .localCheckpoint(true)
       changed = next.filter(col("__chg")).count()
       cached = next // old rounds' blocks are freed by the ContextCleaner
@@ -86,7 +92,10 @@ object Graphs {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the bound; raise maxIter or switch to " +
           "large-star/small-star")
-    cached.select("id", "component")
+    val isolated = all
+      .join(cached.select("id"), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    cached.select("id", "component").union(isolated)
   }
 
   /** Dedup keep-policy over a component assignment: one keeper per
