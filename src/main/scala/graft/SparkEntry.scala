@@ -677,7 +677,38 @@ object SparkEntry {
       graft.operators.Frequency.cmsTopK(
         Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("tok")),
-        col("tok"), 20))
+        col("tok"), 20)),
+
+    // Salted skew join as a full query: the hot fact keys spread over 8
+    // sub-keys, the dim side replicated 8x; result exactly equals the
+    // plain join, which is the oracle
+    "q66_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fact = ev.select(col("user_id"), col("event_id"), col("value"))
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("label",
+          substring(md5(col("user_id").cast("string")), 1, 4))
+      graft.operators.Salting
+        .saltedJoin(fact, dim, "user_id", col("event_id"), 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    }),
+
+    // End-to-end multimodal similarity: binary payloads -> batch feature
+    // extraction (mapPartitions, stub codec) -> cosine top-k over the
+    // extracted vectors. Rows-only (stub features); the composition is
+    // the point — decode output feeds the ANN path unchanged.
+    "q67_media_ann" -> ((s, d) => {
+      val media = graft.operators.Multimodal.fromStrings(
+        Tables.documents(s, d), "doc_id", "text", "text")
+      val feats = graft.operators.Multimodal.extractFeatures(media, 16)
+        .toDF()
+        .select(col("media_id").as("vec_id"),
+          col("features").as("embedding"))
+      val qs = feats.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(qs, feats, 10)
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1185,7 +1216,16 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, min(tsec) AS s_start, max(tsec) + 1800 AS s_end,
         |  count(*) AS n_events
-        |FROM y GROUP BY user_id, sid""".stripMargin
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q66_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS label
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT d.label, count(*) AS n, round(sum(e.value), 2) AS total
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY d.label""".stripMargin
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user
