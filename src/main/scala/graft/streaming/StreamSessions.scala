@@ -37,6 +37,23 @@ object StreamSessions {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Tumbling event-time windowed aggregation with a watermark — the
+    * canonical streaming agg: per (user, fixed window) counts/sums;
+    * a window finalizes (and its state frees) once the watermark passes
+    * its end, and rows later than the watermark are dropped. The batch
+    * twin is a groupBy on date_trunc buckets.
+    */
+  def windowedCounts(events: DataFrame, width: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: first occurrence per key within the watermark
     * horizon survives (the streaming twin of Dedup.exact — state is
     * bounded by the watermark, the scale requirement for an unbounded

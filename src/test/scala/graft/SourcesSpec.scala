@@ -185,6 +185,35 @@ class StreamSessionsSpec extends SparkSpec {
       assert(got(2).getAs[Long]("n_events") === 1L)
     } finally q.stop()
   }
+
+  test("tumbling windowed counts finalize behind the watermark") {
+    val dir = Files.createTempDirectory("graft_stream_w").toString
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:09:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:11:00"), 4.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 8.0),
+      (99L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 0.0))
+      .toDF("user_id", "ts", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = StreamSessions.readParquetStream(spark, dir, events.schema)
+    val q = StreamSessions.runAvailableNow(
+      StreamSessions.windowedCounts(stream, "10 minutes", "0 seconds"),
+      "graft_windows")
+    try {
+      val got = spark.table("graft_windows")
+        .orderBy("user_id", "w_start").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("w_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      // u1: 2 events in [10:00,10:10), 1 in [10:10,10:20); u2: 1 event;
+      // the 23:00 sentinel's own window stays open under append mode
+      assert(got.toSeq === Seq(
+        (1L, "2024-01-01 10:00:00.0", 2L, 3.0),
+        (1L, "2024-01-01 10:10:00.0", 1L, 4.0),
+        (2L, "2024-01-01 10:00:00.0", 1L, 8.0)))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
