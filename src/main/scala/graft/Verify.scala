@@ -31,7 +31,10 @@ object Verify {
     val pool = Executors.newCachedThreadPool { r =>
       val t = new Thread(r); t.setDaemon(true); t
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Sorted: deterministic run order makes driver logs comparable
+    // across rounds and a stall attributable by the last "ok" line.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -40,8 +43,11 @@ object Verify {
           finally spark.sparkContext.clearJobGroup()
         }
       })
-      try fut.get(timeoutSec, TimeUnit.SECONDS)
-      catch {
+      try {
+        fut.get(timeoutSec, TimeUnit.SECONDS)
+        System.err.println(
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           fut.cancel(true)
