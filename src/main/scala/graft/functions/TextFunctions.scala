@@ -72,6 +72,28 @@ object TextFunctions {
       base.filter(isShingle).select(col("id"), shingle.as("shingle"))
   }
 
+  /** Pattern redaction for PII scrubbing — each regex match replaced by
+    * its tag, applied in deterministic (sorted-tag) order so overlapping
+    * patterns resolve identically on every run. Pure codegen'd
+    * regexp_replace chain; patterns use the conservative common subset
+    * (no lookarounds) so they behave the same under RE2-style engines if
+    * a downstream system re-applies them.
+    */
+  def redact(text: Column,
+             patterns: Map[String, String] = defaultPiiPatterns): Column =
+    patterns.toSeq.sortBy(_._2).foldLeft(text) {
+      case (c, (regex, tag)) => regexp_replace(c, regex, tag)
+    }
+
+  /** Email, phone-ish digit runs, and IPv4 literals. Deliberately
+    * conservative: favors precision (a training corpus survives a missed
+    * phone number; aggressive patterns eat code and dates).
+    */
+  val defaultPiiPatterns: Map[String, String] = Map(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d\\s().-]{7,}\\d" -> "<PHONE>")
+
   /** Count of occurrences of a literal substring. */
   def occurrences(text: Column, sub: String): Column =
     ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)

@@ -276,6 +276,19 @@ class SimilaritySpec extends SparkSpec {
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redact: email/IP/phone replaced, ordinary text untouched") {
+    val docs = Seq(
+      "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now",
+      "server at 192.168.1.10 port 8080",
+      "plain text with numbers 42 and v1.2 stays intact").toDF("text")
+    val got = docs.select(
+      graft.functions.TextFunctions.redact($"text").as("r"))
+      .as[String].collect()
+    assert(got(0) === "contact <EMAIL> or call <PHONE> now")
+    assert(got(1) === "server at <IP> port 8080")
+    assert(got(2) === "plain text with numbers 42 and v1.2 stays intact")
+  }
+
   test("token and occurrence counts") {
     val df = Seq("the cat and the hat").toDF("text")
     val r = df.select(
