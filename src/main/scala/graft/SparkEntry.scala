@@ -694,6 +694,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
     }),
 
+    // Global cross-user radius self-join over stop medians: grid-bucketed
+    // equi-join (SURVEY M1's "geohash-bucketed self-join" scale form) with
+    // exact haversine verification, aggregated to per-point neighbor
+    // degree (the density statistic; the raw pair set is quadratic on
+    // co-located sites). Oracle = brute-force theta join.
+    "q68_radius_pairs" -> ((s, d) => {
+      val medians = StopDetect.eventMedians(
+        StopDetect.stopEvents(Tables.pings(s, d), stopParams))
+        .select(concat(col("uid"), lit("#"),
+          col("stop_events").cast("string")).as("id"),
+          col("latitude"), col("longitude"))
+        // deterministic ~10% hash sample (q55's trick): every user shares
+        // the same 16 synthetic dwell sites, so the full all-pairs set is
+        // quadratic in co-located points — the sample bounds it while the
+        // bucketed join is exercised identically
+        .filter(substring(md5(col("id").cast("binary")), 1, 2) < "1a")
+      val pairs = graft.operators.SpatialJoin.radiusPairs(
+        medians, "id", "latitude", "longitude", 150.0)
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_neighbors"))
+    }),
+
     // End-to-end multimodal similarity: binary payloads -> batch feature
     // extraction (mapPartitions, stub codec) -> cosine top-k over the
     // extracted vectors. Rows-only (stub features); the composition is
@@ -1225,7 +1249,31 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT user_id FROM events))
         |SELECT d.label, count(*) AS n, round(sum(e.value), 2) AS total
         |FROM events e JOIN dim d ON e.user_id = d.user_id
-        |GROUP BY d.label""".stripMargin
+        |GROUP BY d.label""".stripMargin,
+
+    "q68_radius_pairs" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
+      "," + """
+        |m AS (
+        |  SELECT uid, stop_events, median(latitude) AS lat,
+        |    median(longitude) AS lon
+        |  FROM stop_events WHERE stop_events != -1
+        |  GROUP BY uid, stop_events),
+        |p AS (
+        |  SELECT uid || '#' || CAST(stop_events AS VARCHAR) AS id, lat, lon
+        |  FROM m
+        |  WHERE substr(md5(uid || '#' || CAST(stop_events AS VARCHAR)), 1, 2) < '1a'),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.id < b.id
+        |  AND 2 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+        |      + cos(radians(a.lat)) * cos(radians(b.lat))
+        |        * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2)
+        |    )) <= 150.0)
+        |SELECT id, count(*) AS n_neighbors FROM (
+        |  SELECT id_a AS id FROM pairs
+        |  UNION ALL SELECT id_b AS id FROM pairs)
+        |GROUP BY id""".stripMargin)
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

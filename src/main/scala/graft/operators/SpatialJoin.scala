@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.plans.Haversine
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global (cross-user) spatial self-join: all point pairs within a
+  * haversine radius, as a grid-bucketed EQUI-join — the scale form of
+  * the per-user radius kernel (StopClusters). SURVEY §2.8 M1 names this
+  * shape: "cross-user global variant = geohash-bucketed self-join".
+  *
+  * Shape: snap each point to a lat/lon grid cell at least one radius
+  * wide, explode ONE side to its 3x3 cell neighborhood, hash-join on the
+  * cell id, verify with the exact distance. Any pair within the radius
+  * differs by at most one cell index per axis (cell width >= radius
+  * extent), so the neighborhood join finds it; the exact filter removes
+  * false candidates, and id_a < id_b keeps each pair once (the pair
+  * meets exactly once per orientation — a point has ONE home cell, and
+  * the partner's 9 exploded cells are distinct).
+  *
+  * Cost: one shuffle of 10 rows per point (1 + 9 neighborhood copies)
+  * on the cell key, candidates bounded by local density x 9 cells — vs
+  * the O(n^2) cross join. Density skew (a city-center cell) maps to the
+  * usual skew levers: AQE skew-join or Salting on the cell key.
+  *
+  * `latAbsMax` bounds |latitude| for the DATASET (default 85 deg): the
+  * longitude cell width is fixed from it (cos shrinks degree width
+  * toward the poles), so cells near the equator are wider than strictly
+  * needed — more candidates, never a missed pair. Poles (|lat| >
+  * latAbsMax) are out of contract.
+  */
+object SpatialJoin {
+
+  private val MetersPerDegLatMin = 110574.0
+
+  /** All (id_a, id_b, dist_m) pairs with dist <= radiusM, id_a < id_b.
+    * The id column must be orderable; dist_m is rounded to 3 decimals
+    * (millimeters) for cross-engine comparability.
+    */
+  def radiusPairs(pts: DataFrame, idCol: String, latCol: String,
+                  lonCol: String, radiusM: Double,
+                  latAbsMax: Double = 85.0): DataFrame = {
+    require(radiusM > 0, s"radius must be positive: $radiusM")
+    val latCell = radiusM / MetersPerDegLatMin
+    val lonCell = radiusM /
+      (MetersPerDegLatMin * math.cos(math.toRadians(latAbsMax)))
+    def cellOf(lat: Column, lon: Column, dy: Int, dx: Int): Column =
+      concat_ws(":",
+        (floor(lat / latCell) + dy).cast("long"),
+        (floor(lon / lonCell) + dx).cast("long"))
+
+    val a = pts.select(col(idCol).as("id_a"), col(latCol).as("lat_a"),
+      col(lonCol).as("lon_a"),
+      cellOf(col(latCol), col(lonCol), 0, 0).as("cell"))
+    val nbrs = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield cellOf(col(latCol), col(lonCol), dy, dx)): _*)
+    val b = pts.select(col(idCol).as("id_b"), col(latCol).as("lat_b"),
+      col(lonCol).as("lon_b"), explode(nbrs).as("cell"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__d", Haversine.distanceMeters(
+        col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")))
+      // filter on the UNROUNDED distance (an external SQL twin filters
+      // the exact value; rounding first would flip boundary pairs),
+      // round only the emitted column
+      .filter(col("__d") <= radiusM)
+      .select(col("id_a"), col("id_b"), round(col("__d"), 3).as("dist_m"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.SpatialJoin
+import graft.plans.Haversine
+import org.apache.spark.sql.functions._
+
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted pairs: cross-cell neighbors found, out-of-radius dropped") {
+    // ~111 m per 0.001 deg lat at the equator band used here
+    val pts = Seq(
+      (1L, 19.0000, -99.0000),
+      (2L, 19.0008, -99.0000), // ~88 m from 1: pair, straddles cells
+      (3L, 19.0020, -99.0000), // ~133 m from 2, ~221 m from 1
+      (4L, 40.0000, 10.0000)   // isolated
+    ).toDF("id", "lat", "lon")
+    val got = SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 150.0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("bucketed result equals brute force on random clouds") {
+    val rnd = new scala.util.Random(31)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, 19.0 + rnd.nextDouble() * 0.01 - 0.005,
+        -99.0 + rnd.nextDouble() * 0.01 - 0.005))
+      .toDF("id", "lat", "lon")
+    val got = SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 120.0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pts.select($"id".as("ia"), $"lat".as("la"), $"lon".as("lo"))
+    val b = pts.select($"id".as("ib"), $"lat".as("lb"), $"lon".as("lb2"))
+    val brute = a.join(b, $"ia" < $"ib")
+      .filter(Haversine.distanceMeters($"la", $"lo", $"lb", $"lb2") <= 120.0)
+      .select("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("plan is an equi-join on the cell key, not a cross join") {
+    val pts = Seq((1L, 19.0, -99.0)).toDF("id", "lat", "lon")
+    val plan = SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"expected hash equi-join:\n$plan")
+  }
+}
