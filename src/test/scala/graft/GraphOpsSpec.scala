@@ -41,6 +41,49 @@ class GraphsSpec extends SparkSpec {
   }
 }
 
+class LogNComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byLabelProp(edges: org.apache.spark.sql.DataFrame,
+                          nodes: org.apache.spark.sql.DataFrame) =
+    Graphs.connectedComponents(edges, "a", "b", nodes, "id", maxIter = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def byLogN(edges: org.apache.spark.sql.DataFrame,
+                     nodes: org.apache.spark.sql.DataFrame) =
+    Graphs.connectedComponentsLogN(edges, "a", "b", nodes, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (caseNo <- 1 to 4) {
+      val n = 40 + rnd.nextInt(40)
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).toDF("a", "b")
+      assert(byLogN(edges, nodes) === byLabelProp(edges, nodes),
+        s"case $caseNo (n=$n)")
+    }
+  }
+
+  test("long chain: converges in far fewer rounds than the diameter") {
+    // path of 64 nodes: label propagation needs ~diameter rounds;
+    // star-contraction collapses it in O(log n)
+    val nodes = (0L until 64L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = byLogN(edges, nodes)
+    assert(got === (0L until 64L).map(_ -> 0L).toSet)
+  }
+
+  test("isolated nodes and self-loop edges") {
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 3L)).toDF("a", "b")
+    assert(byLogN(edges, nodes) ===
+      Set(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
