@@ -62,4 +62,54 @@ object DailyBatch {
     }
     errors.toMap
   }
+
+  /** Upsert-by-key into versioned snapshots: merge `updates` into the
+    * latest snapshot under `stateRoot` (rows whose key appears in
+    * `updates` are replaced, others carried forward) and write the
+    * result as snapshot `v{n+1}`. Returns the new snapshot path; the
+    * previous snapshot is never touched, so readers keep a consistent
+    * view and a failed write leaves no partial state visible (the new
+    * version only "exists" once its _SUCCESS marker is written —
+    * [[latestSnapshot]] ignores unfinished directories). This is the
+    * plain-parquet MERGE pattern for the daily flow: each day's stop
+    * medians/labels replace that user-day's prior rows. Old versions are
+    * the caller's retention policy.
+    */
+  def upsertSnapshot(spark: SparkSession, stateRoot: String,
+                     updates: DataFrame, keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val next = latestSnapshot(spark, stateRoot) match {
+      case None => updates
+      case Some(prev) =>
+        val carried = spark.read.parquet(prev)
+          .join(updates.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+        carried.unionByName(updates)
+    }
+    val version = latestVersion(spark, stateRoot) + 1
+    val path = s"$stateRoot/v$version"
+    next.write.mode("errorifexists").parquet(path)
+    path
+  }
+
+  /** Latest complete (_SUCCESS-marked) snapshot directory, if any. */
+  def latestSnapshot(spark: SparkSession, stateRoot: String)
+  : Option[String] = {
+    val v = latestVersion(spark, stateRoot)
+    if (v < 0) None else Some(s"$stateRoot/v$v")
+  }
+
+  private def latestVersion(spark: SparkSession, stateRoot: String): Int = {
+    val p = new Path(stateRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+      .map(_.getName)
+      .filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toInt)
+      .sorted.lastOption.getOrElse(-1)
+  }
 }

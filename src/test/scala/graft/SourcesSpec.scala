@@ -153,6 +153,32 @@ class DailyBatchSpec extends SparkSpec {
     assert(errors.keySet === Set("2024-01-01"))
     assert(spark.read.parquet(s"$dir/out/date_trunc=2024-01-02").count() === 1)
   }
+
+  test("upsertSnapshot: keyed merge into versioned state, old intact") {
+    val root = Files.createTempDirectory("graft_state").toString
+    // day 1: initial state
+    val v0 = DailyBatch.upsertSnapshot(spark, root,
+      Seq(("u", 1L, 10.0), ("v", 1L, 20.0)).toDF("uid", "loc", "score"),
+      Seq("uid", "loc"))
+    assert(v0.endsWith("/v0"))
+    // day 2: replace (u,1), add (w,2)
+    val v1 = DailyBatch.upsertSnapshot(spark, root,
+      Seq(("u", 1L, 11.0), ("w", 2L, 30.0)).toDF("uid", "loc", "score"),
+      Seq("uid", "loc"))
+    assert(v1.endsWith("/v1"))
+    val got = spark.read.parquet(v1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("u", 1L) -> 11.0, ("v", 1L) -> 20.0,
+      ("w", 2L) -> 30.0))
+    // previous snapshot untouched
+    val old = spark.read.parquet(v0).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(old === Map(("u", 1L) -> 10.0, ("v", 1L) -> 20.0))
+    assert(DailyBatch.latestSnapshot(spark, root) === Some(v1))
+    // an unfinished directory (no _SUCCESS) is not "latest"
+    new java.io.File(s"$root/v2/part-junk.parquet").getParentFile.mkdirs()
+    assert(DailyBatch.latestSnapshot(spark, root) === Some(v1))
+  }
 }
 
 class StreamSessionsSpec extends SparkSpec {
