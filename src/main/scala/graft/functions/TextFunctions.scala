@@ -51,14 +51,17 @@ object TextFunctions {
     *
     * Docs with fewer than n tokens emit no rows; `keepEmptyDocs = true`
     * emits one null-shingle row for them instead (the explode_outer
-    * analog, for aggregates that must keep every doc).
+    * analog, for aggregates that must keep every doc). Null text counts
+    * as an empty token array — split(null) is null and posexplode would
+    * silently drop the doc, so the split is coalesced to array().
     */
   def explodedShingles(docs: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String, n: Int,
                        keepEmptyDocs: Boolean = false)
   : org.apache.spark.sql.DataFrame = {
     val base = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col(idCol).as("id"),
+        coalesce(split(col(textCol), " "), array(lit(""))).as("toks"))
       .select(col("id"), col("toks"), posexplode(col("toks")))
     val toks = col("toks")
     val pos = col("pos") // 0-based

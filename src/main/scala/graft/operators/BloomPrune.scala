@@ -71,9 +71,25 @@ object BloomPrune {
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                dimKey: String, numBits: Int = 1 << 20,
                numHashes: Int = 7): DataFrame = {
-    val bits = buildBits(dim.select(col(dimKey)), col(dimKey),
+    // xxhash64 hashes int and long inputs differently, so joinable keys of
+    // different integral widths would make every probe a false negative —
+    // violating the false-positives-only contract. Hash both sides through
+    // a common type: widen integrals to long, otherwise demand equality.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    val (buildKey, probeKey) =
+      if (ft == dt) (col(dimKey), col(factKey))
+      else if (integral(ft) && integral(dt))
+        (col(dimKey).cast("long"), col(factKey).cast("long"))
+      else throw new IllegalArgumentException(
+        s"bloom semiJoin key types differ and are not both integral: " +
+          s"$factKey is $ft, $dimKey is $dt")
+    val bits = buildBits(dim.select(buildKey.as(dimKey)), col(dimKey),
       numBits, numHashes)
-    fact.filter(mightContain(bits, numHashes, col(factKey)))
+    fact.filter(mightContain(bits, numHashes, probeKey))
       .join(dim.select(col(dimKey)).distinct(),
         col(factKey) === col(dimKey), "left_semi")
   }

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * toward the poles), so cells near the equator are wider than strictly
   * needed — more candidates, never a missed pair. Poles (|lat| >
   * latAbsMax) are out of contract.
+  *
+  * The +/-180 seam IS in contract: points within two cells of the
+  * antimeridian additionally explode the neighborhood of their
+  * 360-degree-shifted longitude, so a pair straddling the seam meets in
+  * the partner's wrapped cell set (disjoint from the base set — no
+  * double-count) and the exact haversine filter, periodic in delta-lon,
+  * keeps it.
   */
 object SpatialJoin {
 
@@ -54,8 +61,21 @@ object SpatialJoin {
       cellOf(col(latCol), col(lonCol), 0, 0).as("cell"))
     val nbrs = array((for (dy <- -1 to 1; dx <- -1 to 1)
       yield cellOf(col(latCol), col(lonCol), dy, dx)): _*)
+    // Antimeridian wrap: a partner across the seam sits within one cell
+    // of THIS point's longitude shifted by 360, so for seam-adjacent
+    // points also explode the neighborhood of the shifted coordinate.
+    // Base and wrapped cell indices are ~360/lonCell apart — disjoint
+    // sets, so each pair still meets at most once per orientation.
+    val wrappedLon = when(col(lonCol) >= lit(180.0 - 2 * lonCell),
+        col(lonCol) - 360.0)
+      .when(col(lonCol) <= lit(-180.0 + 2 * lonCell), col(lonCol) + 360.0)
+    val nbrsWrap = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield cellOf(col(latCol), wrappedLon, dy, dx)): _*)
+    val allNbrs = concat(nbrs,
+      when(wrappedLon.isNotNull, nbrsWrap)
+        .otherwise(array().cast("array<string>")))
     val b = pts.select(col(idCol).as("id_b"), col(latCol).as("lat_b"),
-      col(lonCol).as("lon_b"), explode(nbrs).as("cell"))
+      col(lonCol).as("lon_b"), explode(allNbrs).as("cell"))
     a.join(b, "cell")
       .filter(col("id_a") < col("id_b"))
       .withColumn("__d", Haversine.distanceMeters(

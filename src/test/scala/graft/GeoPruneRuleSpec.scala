@@ -58,6 +58,28 @@ class GeoPruneRuleSpec extends SparkSpec {
     }
   }
 
+  test("antimeridian center keeps wrapped matches (lon band skipped)") {
+    // center at lon 179.9: the 50 km ball wraps to lon -179.9 side.
+    // haversine is periodic in delta-lon so (0.0, -179.9) is ~22 km away;
+    // a naive [179.45, 180.35] lon band would exclude it.
+    val pts = Seq((0.0, 179.95, 1L), (0.0, -179.9, 2L), (0.0, 179.0, 3L),
+      (0.0, 170.0, 4L)).toDF("lat", "lon", "id")
+    def kept = pts.filter(
+      Haversine.distanceMeters($"lat", $"lon", lit(0.0), lit(179.9))
+        <= lit(50000.0)).select("id").as[Long].collect().toSet
+    val without = kept
+    assert(without === Set(1L, 2L))
+    withRule {
+      assert(kept === without)
+      // lat band still synthesized; lon band must be absent
+      val cond = pts.filter(
+        Haversine.distanceMeters($"lat", $"lon", lit(0.0), lit(179.9))
+          <= lit(50000.0)).queryExecution.optimizedPlan.toString
+      assert(!"""lon#\d+ >=""".r.findFirstIn(cond).isDefined,
+        s"unexpected lon band in:\n$cond")
+    }
+  }
+
   test("bands are conservative near the radius edge (boundary kept)") {
     // 0.0044 deg lat = 489.3 m (within); 0.0045 deg = 500.4 m (outside
     // the exact ball but INSIDE the conservative band, r/110574 = 0.00452

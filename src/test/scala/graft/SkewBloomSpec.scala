@@ -29,6 +29,30 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept >= 50 && kept < 250, s"bloom kept $kept of 10000")
   }
 
+  test("mixed int/long key types still find every match") {
+    // xxhash64 over IntegerType vs LongType differs; without the common
+    // cast every probe is a false negative and the semi join returns 0.
+    val fact = (1 to 2000).map(i => (i % 500, i)).toDF("k", "payload") // int
+    val dim = (0L to 499L by 7L).toDF("dk") // long
+    val got = BloomPrune.semiJoin(fact, dim, "k", "dk",
+        numBits = 1 << 12, numHashes = 5)
+      .select("k", "payload").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSet
+    val want = fact.join(dim, $"k" === $"dk", "left_semi")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("non-integral mismatched key types are rejected up front") {
+    val fact = Seq(("1", 1)).toDF("k", "payload")
+    val dim = Seq(1L).toDF("dk")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoin(fact, dim, "k", "dk")
+    }
+    assert(e.getMessage.contains("not both integral"))
+  }
+
   test("membership expression stays codegen (no UDF in plan)") {
     val dim = (1L to 10L).toDF("dk")
     val bits = BloomPrune.buildBits(dim.select($"dk"), $"dk", 1 << 10, 5)

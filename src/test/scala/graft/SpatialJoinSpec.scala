@@ -40,6 +40,39 @@ class SpatialJoinSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("pairs straddling the antimeridian are found") {
+    val pts = Seq(
+      (1L, 0.0, 179.9995),  // ~111 m across the seam from 2
+      (2L, 0.0, -179.9995),
+      (3L, 0.0, 179.9980),  // ~167 m from 1 (same side), ~278 m from 2
+      (4L, 0.0, 170.0)      // isolated
+    ).toDF("id", "lat", "lon")
+    val got = SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 200.0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("seam wrap matches brute force on a cloud spanning +/-180") {
+    val rnd = new scala.util.Random(47)
+    val pts = Seq.tabulate(300) { i =>
+      val lon = 179.995 + rnd.nextDouble() * 0.01 // [179.995, 180.005)
+      (i.toLong, 10.0 + rnd.nextDouble() * 0.01 - 0.005,
+        if (lon >= 180.0) lon - 360.0 else lon)
+    }.toDF("id", "lat", "lon")
+    val got = SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 120.0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pts.select($"id".as("ia"), $"lat".as("la"), $"lon".as("lo"))
+    val b = pts.select($"id".as("ib"), $"lat".as("lb"), $"lon".as("lb2"))
+    val brute = a.join(b, $"ia" < $"ib")
+      .filter(Haversine.distanceMeters($"la", $"lo", $"lb", $"lb2") <= 120.0)
+      .select("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("plan is an equi-join on the cell key, not a cross join") {
     val pts = Seq((1L, 19.0, -99.0)).toDF("id", "lat", "lon")
     val plan = SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 100.0)
