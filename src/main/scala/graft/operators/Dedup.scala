@@ -268,15 +268,35 @@ object Dedup {
                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Cosine near-duplicate pairs over an embedding column, brute force on a
-    * bounded anchor subset (scale path: LSH buckets in Similarity).
+  /** Cosine near-duplicate pairs: every corpus row against a BOUNDED
+    * anchor set (mirrors [[jaccardToAnchors]] — the scale path for the
+    * full corpus-vs-corpus problem is LSH/IVF bucketing in Similarity).
+    *
+    * The anchor side is counted and broadcast up front: a corpus-vs-corpus
+    * theta-join (`id_a < id_b`) is a BroadcastNestedLoopJoin that goes
+    * quadratic the moment the "anchors" are the whole table, so the bound
+    * is enforced here rather than trusted to the caller's scaladoc
+    * reading. Cost: one corpus scan x |anchors| cosine evaluations.
+    * Self-pairs and double-counted pairs are excluded with `id_a < id_b`
+    * when both sides carry the same id space.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDups(corpus: DataFrame, anchors: DataFrame,
+                        threshold: Double,
+                        maxAnchors: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6))
+    // Cheap bound probe: limit(max+1).count() stops scanning after max+1
+    // rows, so proving the bound never pays a full-table count.
+    val n = anchors.limit(maxAnchors + 1).count()
+    require(n <= maxAnchors,
+      s"embeddingNearDups: anchor side has > $maxAnchors rows; " +
+        "pass a bounded anchor subset (scale path: Similarity LSH/IVF)")
+    val a = anchors.select(col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = corpus.select(col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    b.join(broadcast(a), col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

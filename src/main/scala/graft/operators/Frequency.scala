@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus frequency operators for training-data curation (beyond the
@@ -15,11 +14,17 @@ import org.apache.spark.sql.functions._
   *    table. A total order (count desc, value asc) makes the cut
   *    deterministic under ties.
   *  - termDocStats: ONE explode pass; tf = hash aggregate on
-  *    (doc, term); df rides a window over the tf rows (tf is already
-  *    distinct per (doc, term), so `count(*) over (partition by term)` IS
-  *    the document frequency) — two shuffles total and the token corpus is
-  *    never scanned twice, vs. the textbook tf-join-df plan that re-reads
-  *    and re-explodes the corpus for each side.
+  *    (doc, term); df = hash aggregate of the tf rows on term (tf is
+  *    already distinct per (doc, term), so `count(*)` per term IS the
+  *    document frequency), joined back on term. Both df branches hang off
+  *    the SAME tf exchange (ReuseExchange dedups it), so the token corpus
+  *    is still scanned and exploded exactly once. The join-back beats the
+  *    tempting `count(*) over (partition by term)` window: a window
+  *    partitions the FULL tf table by raw term with no partial
+  *    aggregation, so the hottest term ("the", in ~every doc) funnels
+  *    ~n_docs rows into one reducer at 100 TB; the aggregate combines
+  *    map-side and ships one row per (partition, term), and AQE handles
+  *    any residual join skew.
   */
 object Frequency {
 
@@ -43,7 +48,8 @@ object Frequency {
         explode(split(col(textCol), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token").select("doc_id", "token", "tf", "df")
   }
 
   /** TF-IDF weights on top of termDocStats: tfidf = tf · ln(N / df),

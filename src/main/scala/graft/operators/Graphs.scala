@@ -69,22 +69,39 @@ object Graphs {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
+    val spark = edges.sparkSession
     while (changed > 0 && iter < maxIter) {
       val neigh = sym.join(cached.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("neigh_min"))
-      // Eager localCheckpoint: materializes this round AND truncates the
-      // plan (see scaladoc — an un-truncated plan doubles per round); the
-      // convergence count below is then a cheap scan of the checkpoint.
       // Every member node has >= 1 neighbor, so the join is inner (the
       // left + coalesce fallback was only for isolated nodes).
-      val next = cached.join(neigh, Seq("id"))
+      val round = cached.join(neigh, Seq("id"))
         .select(col("id"),
           least(col("component"), col("neigh_min")).as("component"),
           (col("neigh_min") < col("component")).as("__chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("__chg")).count()
-      cached = next // old rounds' blocks are freed by the ContextCleaner
+      // ONE job per round: materialize the round with lineage truncated
+      // (an un-truncated plan doubles per round — see scaladoc) AND tally
+      // the convergence count in the same pass via accumulator, instead
+      // of a second count() job over the checkpoint. Halving the
+      // driver-synchronized jobs matters because the loop is latency-
+      // bound on job turnaround, not data volume (a steal burst once
+      // stretched q47 from 7 s to 129 s on job-scheduling stalls alone).
+      // Task retries can only inflate a non-zero tally, never make a
+      // true non-zero read as zero, so the termination test is safe.
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val schema = round.schema
+      val rdd = round.queryExecution.toRdd.mapPartitions { it =>
+        // UnsafeRow buffers are reused by the scan — copy before caching
+        it.map { row => if (row.getBoolean(2)) acc.add(1L); row.copy() }
+      }
+      rdd.localCheckpoint()
+      rdd.count()
+      changed = acc.value
+      // old rounds' blocks are freed by the ContextCleaner
+      cached = org.apache.spark.sql.GraftBridge
+        .internalDataFrame(spark, rdd, schema)
+        .select("id", "component")
       iter += 1
     }
     if (changed > 0)

@@ -46,20 +46,30 @@ object Similarity {
       lit(Long.MaxValue.toDouble)
 
   /** b-bit signed-projection LSH bucket id for each row's embedding —
-    * pure per-row expression work (two-arg transform gives the element
-    * index), no shuffle.
+    * pure per-row expression work, no shuffle. One fused codegen loop
+    * ([[graft.plans.LshBucket]]): the composed `aggregate(transform(...))`
+    * form walks the array through interpreted lambda dispatch once per
+    * bit, a 10-50x constant factor on the ANN hot path; the Expression is
+    * bit-identical to it (parity spec: LshBucketParitySpec).
     */
   def lshBuckets(df: DataFrame, embCol: String, bits: Int,
-                 seed: Long = 42L): DataFrame = {
-    val bucket = (0 until bits).map { i =>
+                 seed: Long = 42L): DataFrame =
+    df.withColumn("bucket",
+      graft.plans.LshBucket(col(embCol), bits, seed))
+
+  /** The original composed-HOF bucket column — kept ONLY as the
+    * spec oracle for the fused expression (like
+    * Dedup.simhashReference / VectorFunctions.cosineComposed).
+    */
+  def lshBucketReference(emb: org.apache.spark.sql.Column, bits: Int,
+                         seed: Long): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
       val proj = aggregate(
-        transform(col(embCol), (x, pos) =>
+        transform(emb, (x, pos) =>
           x.cast("double") * mixedUnit(seed, i, pos)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("bucket", bucket)
-  }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     * corpus into nlist cells; each query probes only the nprobe nearest

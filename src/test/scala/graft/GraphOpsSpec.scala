@@ -32,6 +32,39 @@ class GraphsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("one driver-synchronized job per propagation round") {
+    // The convergence tally rides the checkpoint-materialization job via
+    // accumulator; a separate count() per round would double the job
+    // count (and the loop is latency-bound on job turnaround). Path
+    // 0-..-5 converges in 6 rounds (5 to propagate + 1 to detect
+    // stability): jobs = sym checkpoint + init labels + 6 rounds = 8,
+    // plus AQE sub-jobs inside rounds. The old two-jobs-per-round shape
+    // measured 14+; pin the budget between the two.
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("id")
+    val group = "cc-job-count"
+    // AQE materializes shuffle stages as their own jobs, which would
+    // drown the signal; with it off, one action == one job exactly.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, group)
+    val got =
+      try Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+        .collect()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    assert(got.length === 6 && got.forall(_.getLong(1) === 0L))
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // Path 0-..-5 runs 6 rounds. Measured: 17 jobs = sym checkpoint +
+    // init labels + per-round (broadcast-build jobs + the one
+    // materialization action) + final collect. The old shape — a
+    // separate count() action per round — adds exactly one more job per
+    // round (23 total); the cap sits between the two shapes.
+    assert(jobs <= 18, s"expected tally folded into the round job, got $jobs")
+    spark.catalog.clearCache()
+  }
+
   test("componentKeepers: one keeper per component with size") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("id", "component")
@@ -141,6 +174,25 @@ class FrequencySpec extends SparkSpec {
     assert(got === Array(
       (1L, "x", 2L, 2L), (1L, "y", 1L, 1L), (2L, "x", 1L, 2L),
       (2L, "z", 1L, 1L)))
+  }
+
+  test("termDocStats: hot token (in every doc) uses partial agg, no window") {
+    // A token present in every document is the 100 TB killer for a
+    // `count(*) over (partition by token)` df: the window has no map-side
+    // combine, so one reducer receives ~n_docs rows. The aggregate+join
+    // plan must show partial aggregation on the token key and no Window.
+    val docs = spark.range(500L)
+      .select(col("id").as("doc_id"),
+        concat(lit("the unique"), col("id")).as("text"))
+    val q = Frequency.termDocStats(docs, "doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"expected map-side partial aggregation in:\n$plan")
+    val hot = q.filter(col("token") === "the").collect()
+    assert(hot.length === 500 && hot.forall(_.getLong(3) === 500L))
+    val unique = q.filter(col("token") === "unique7").collect()
+    assert(unique.length === 1 && unique.head.getLong(3) === 1L)
   }
 
   test("cmsTopK: estimates never undercount and stay within eps*N") {

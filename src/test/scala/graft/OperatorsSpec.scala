@@ -178,15 +178,37 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 2)
   }
 
-  test("embedding near-dups at threshold") {
+  test("simhashDocs: null-text docs keep the zero signature (not dropped)") {
+    // split(null) is null; without the coalesce in explodedShingles the
+    // posexplode emits zero rows and the doc vanishes from the signature
+    // set entirely.
+    val docs = Seq((1L, null: String), (2L, "a b c d")).toDF("id", "text")
+    val got = Dedup.simhashDocs(docs, "text", "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 2)
+    assert(got(1L) === 0L)
+    assert(got(2L) !== 0L)
+  }
+
+  test("embedding near-dups at threshold (anchors vs corpus)") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
       (2L, Array(0.99f, 0.01f, 0.0f)),
       (3L, Array(0.0f, 1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val got = Dedup.embeddingNearDups(emb, 0.95)
+    val got = Dedup.embeddingNearDups(emb, emb, 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
+  }
+
+  test("embedding near-dups rejects an unbounded anchor side") {
+    val big = spark.range(200L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(big, big, 0.9, maxAnchors = 100)
+    }
+    assert(e.getMessage.contains("anchor side"))
   }
 }
 
@@ -238,6 +260,47 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.isNullAt(0))
     assert(edge.select(VectorFunctions.cosine(lit(null).cast("array<float>"),
       col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("fused lsh_bucket matches the composed HOF form bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2f - 1f))) :+
+      (200L, Array.empty[Float]) :+
+      (201L, null.asInstanceOf[Array[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+    for (bits <- Seq(1, 8, 16); seed <- Seq(42L, 7L)) {
+      val got = df.select(col("vec_id"),
+          graft.plans.LshBucket(col("embedding"), bits, seed).as("fused"),
+          Similarity.lshBucketReference(col("embedding"), bits, seed)
+            .as("composed"))
+        .collect()
+      got.foreach { r =>
+        val composed = if (r.isNullAt(2)) 0L else r.getLong(2)
+        assert(r.getLong(1) === composed,
+          s"bucket mismatch for vec ${r.getLong(0)} bits=$bits seed=$seed")
+      }
+    }
+    // buckets spread: 200 random 32-dim vectors should hit many 8-bit
+    // buckets (sanity that projections are not degenerate)
+    val distinct = Similarity.lshBuckets(df, "embedding", 8)
+      .select("bucket").distinct().count()
+    assert(distinct > 20, s"only $distinct distinct buckets")
+  }
+
+  test("lsh_bucket stays inside whole-stage codegen") {
+    // spark.range (not a local Seq, which constant-folds to
+    // LocalTableScan) so a real codegen stage hosts the expression
+    val df = spark.range(100L)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(-0.5f)).as("embedding"))
+    val q = Similarity.lshBuckets(df, "embedding", 8)
+    // the `*(n)` prefix is the WholeStageCodegen marker; the Project
+    // hosting lsh_bucket must carry it (a codegen fallback would not)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*lsh_bucket""".r.findFirstIn(plan).isDefined,
+      s"expected lsh_bucket inside a codegen'd Project:\n$plan")
+    assert(q.select(countDistinct("bucket")).as[Long].collect().head > 1)
   }
 
   test("multi-probe never returns duplicate (query, vec) pairs") {
