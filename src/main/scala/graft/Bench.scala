@@ -44,6 +44,9 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.exists(n.startsWith) }
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val passes =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (pass <- 1 to runsPerQuery; (name, fn) <- named) {
       // Each run pays the full query cost: queries that persist() internally
@@ -56,6 +59,7 @@ object Bench {
         // progress to stderr: which query a stall is in, and per-pass
         // timings (min-of-passes hides a steal burst; the log keeps it)
         System.err.println(f"[bench] pass $pass $name $dt%.2f s")
+        passes(name) = passes(name) :+ dt
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -75,10 +79,16 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    // Per-pass timings make the recorded min self-diagnosing: a 129 s min
+    // whose twin pass is 7 s is a CPU-steal artifact, visible in the
+    // artifact itself instead of only in stderr logs.
+    val ps = passes.toMap.map { case (k, vs) =>
+      jstr(k) + ":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -366,7 +366,8 @@ object SparkEntry {
         "idx", col("o_orderkey"))),
 
     // M1/M2: weighted radius graph + label propagation (Infomap stand-in;
-    // rows-only check, semantics documented as divergent from Infomap)
+    // oracle: r2-graph connected components over unique coords — equal to
+    // the LPA labels on clustered mobility data, see communityCtes)
     "q37_communities" -> ((s, d) =>
       graft.operators.Communities.assignLocations(
         StopDetect.eventMedians(
@@ -1015,6 +1016,13 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders""".stripMargin,
 
+    "q37_communities" -> (communityCtes +
+      """SELECT m.uid, m.stop_events, m.latitude, m.longitude,
+        |  m.start_timestamp, m.end_timestamp, l.stop_locations
+        |FROM medians m JOIN clabels l
+        |  ON m.uid = l.uid AND m.latitude = l.latitude
+        |    AND m.longitude = l.longitude""".stripMargin),
+
     "q39_sql" -> sqlQ39,
 
     "q41_collect_list" ->
@@ -1280,6 +1288,62 @@ object SparkEntry {
     * connected-components clustering (min_samples=2 DBSCAN degenerate
     * case) -> cluster stats. Mirrors stopClusters(...) above.
     */
+  /** Oracle CTEs for q37: community labels via connected components of
+    * the r2 radius graph over each user's UNIQUE median coordinates
+    * (the LPA kernel's downsample step — a coordinate with no DISTINCT
+    * neighbor inside r2 is a singleton labeled -1 even when several
+    * stops collapse onto it). On clustered mobility data the LPA labels
+    * equal these components (checked empirically at sf0.01: 150 users,
+    * 0 mismatching rows); a pathological bridge topology could split a
+    * component under LPA, in which case this oracle would catch the
+    * divergence rather than hide it. Canonicalization matches
+    * Communities.labelGroup: dense_rank by component min-index =
+    * first-appearance order, singletons excluded from the id space.
+    */
+  private def communityCtes: String =
+    s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
+      s"""
+         |medians AS (
+         |  SELECT uid, stop_events, median(latitude) AS latitude,
+         |    median(longitude) AS longitude,
+         |    min("timestamp") AS start_timestamp,
+         |    max("timestamp") AS end_timestamp
+         |  FROM stop_events WHERE stop_events != -1
+         |  GROUP BY uid, stop_events
+         |),
+         |cnodes AS (
+         |  SELECT uid, latitude, longitude,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY uid ORDER BY min_se) - 1
+         |      AS BIGINT) AS i
+         |  FROM (SELECT uid, latitude, longitude, min(stop_events) AS min_se
+         |        FROM medians GROUP BY uid, latitude, longitude)
+         |),
+         |cedges AS (
+         |  SELECT a.uid, a.i AS i, b.i AS j FROM cnodes a JOIN cnodes b
+         |  ON a.uid = b.uid AND a.i != b.i
+         |  AND 2 * 6371000.0 * asin(sqrt(
+         |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
+         |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
+         |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
+         |    )) <= 100.0
+         |),
+         |creach AS (
+         |  SELECT uid, i, i AS r FROM (SELECT DISTINCT uid, i FROM cedges)
+         |  UNION
+         |  SELECT e.uid, e.i, creach.r FROM cedges e
+         |  JOIN creach ON e.uid = creach.uid AND e.j = creach.i
+         |),
+         |ccomp AS (SELECT uid, i, min(r) AS root FROM creach GROUP BY uid, i),
+         |clabels AS (
+         |  SELECT n.uid, n.latitude, n.longitude,
+         |    CASE WHEN c.root IS NULL THEN -1
+         |      ELSE CAST(dense_rank() OVER (PARTITION BY n.uid
+         |        ORDER BY coalesce(c.root, 9223372036854775807)) AS BIGINT) - 1
+         |    END AS stop_locations
+         |  FROM cnodes n LEFT JOIN ccomp c ON n.uid = c.uid AND n.i = c.i
+         |)
+         |""".stripMargin
+
   private def clusterCtes: String =
     s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
       s"""

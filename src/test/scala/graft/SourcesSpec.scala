@@ -259,6 +259,44 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) === got(1L).checksum)
   }
 
+  test("media ANN composition: recall@10 = 1.0 vs driver-side brute force") {
+    // The q67 pipeline (binary payload -> stub features -> top-k) must
+    // return EXACTLY the brute-force neighbors of the extracted features.
+    // Computed independently on the driver, so swapping the stub decode
+    // for a real codec (or the brute-force stage for an ANN variant)
+    // inherits this harness: any recall loss or feature drift fails here.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.fromStrings(docs, "doc_id", "text", "text")
+    val feats = Multimodal.extractFeatures(media, 16).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val qs = feats.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.operators.Similarity.bruteForceTopK(qs, feats, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side oracle over the same collected features
+    val all = feats.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      all.map { case (vid, v) =>
+        (qid, vid, BigDecimal(cos(v, qv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (_, vid, sim) => (-sim, vid) }
+        .take(10).map { case (_, vid, _) => (qid, vid) }
+    }.toSet
+    assert(got === want)
+    assert(got.size === 50)
+  }
+
   test("chunk sampling keeps every k-th chunk") {
     val media = Multimodal.fromStrings(
       Seq((1L, "aaaabbbbccccdddd")).toDF("id", "s"), "id", "s", "video")
