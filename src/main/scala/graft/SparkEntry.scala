@@ -49,17 +49,16 @@ object SparkEntry {
 
   /** doc_id + distinct word-bigram shingles, xxhash64'd to longs: same
     * jaccard value (64-bit collision odds ~1e-15/pair) at a fraction of
-    * the intersect/serialize cost of string arrays. Shared by q23/q47.
+    * the intersect/serialize cost of string arrays. Shared by q23/q47/
+    * q56/q69. Fused single-pass expression — the composed
+    * transform/array_distinct column walks the array through interpreted
+    * lambdas twice per row (parity spec: WordShingleHashesSpec).
     */
   private def bigramHashShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
-      .select(col("id"), transform(
-        sequence(lit(1), size(col("toks")) - lit(1)),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1))).as("raw_shingles"))
-      .select(col("id"), array_distinct(
-        transform(col("raw_shingles"), s0 => xxhash64(s0))).as("shingles"))
+      .select(col("doc_id").as("id"),
+        graft.plans.WordShingleHashes(split(col("text"), " "), 2)
+          .as("shingles"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2/P1/P4: pruned scan + filter + projection
@@ -511,8 +510,9 @@ object SparkEntry {
           .select(explode(split(col("text"), " ")).as("tok")),
         col("tok"), 20)),
 
-    // TF/DF term statistics: one explode pass, df rides a window over the
-    // tf aggregate (never a second corpus scan)
+    // TF/DF term statistics: one explode pass, df = partial-agg groupBy
+    // on the tf rows joined back (never a second corpus scan, and no
+    // raw-token window that would funnel a hot token into one reducer)
     "q50_term_stats" -> ((s, d) =>
       graft.operators.Frequency.termDocStats(
         Tables.documents(s, d), "doc_id", "text")),
@@ -733,6 +733,20 @@ object SparkEntry {
       val qs = feats.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.bruteForceTopK(qs, feats, 10)
+    }),
+
+    // Connected components in O(log n) rounds (large-star/small-star) on
+    // the same near-dup pair graph as q47 — same result, same oracle, so
+    // the high-diameter upgrade path is gate-checked, not just
+    // spec-checked. Use this form when the similarity graph chains
+    // (transitive near-dups) instead of clustering.
+    "q69_cc_logn" -> ((s, d) => {
+      val sh = bigramHashShingles(s, d)
+      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
+        .filter(col("jaccard") >= 0.05)
+        .select("id_a", "id_b")
+      graft.operators.Graphs.connectedComponentsLogN(pairs, "id_a", "id_b",
+        Tables.documents(s, d).select("doc_id"), "doc_id")
     })
   )
 
@@ -1281,7 +1295,12 @@ object SparkEntry {
         |SELECT id, count(*) AS n_neighbors FROM (
         |  SELECT id_a AS id FROM pairs
         |  UNION ALL SELECT id_b AS id FROM pairs)
-        |GROUP BY id""".stripMargin)
+        |GROUP BY id""".stripMargin),
+
+    // same graph, same canonical min-id components as q47 — the oracle is
+    // shared by construction
+    "q69_cc_logn" ->
+      (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id")
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

@@ -48,7 +48,14 @@ object Frequency {
         explode(split(col(textCol), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // The tautological `tf > 0` (a group count is always >= 1) pins the tf
+    // column in this branch: without it Catalyst prunes the count out of
+    // the df-side aggregate, the two subtrees stop being identical, and
+    // ReuseExchange no longer dedups them — the corpus would be scanned
+    // and exploded TWICE. With it, both branches read the same shuffle
+    // stage (verified: final AQE plan has one FileScan).
+    val df = tf.where(col("tf") > 0)
+      .groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df, "token").select("doc_id", "token", "tf", "df")
   }
 

@@ -18,31 +18,64 @@ object Geometry {
                            hull_lons: Array[Double],
                            max_pair_dist: Double)
 
-  /** Andrew monotone chain; collinear/degenerate inputs return the point
-    * set's bounding segment/point (simpler than the reference's square
-    * fallback; documented divergence).
+  /** Andrew monotone chain; degenerate inputs (where Qhull would raise —
+    * fewer than 3 distinct points, or all collinear) fall back to the
+    * reference's centroid square (utils.py:151-165): side = max pairwise
+    * euclidean distance in degree space (5e-5 for a single input point),
+    * vertices in bottom-left, bottom-right, top-right, top-left order.
     */
   private def convexHull(pts: Array[(Double, Double)])
   : Array[(Double, Double)] = {
     val sorted = pts.distinct.sortBy(identity)
-    if (sorted.length <= 2) return sorted
-    def cross(o: (Double, Double), a: (Double, Double),
-              b: (Double, Double)): Double =
-      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
-    val hull = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    for (p <- sorted) {
-      while (hull.length >= 2 &&
-        cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
-      hull += p
+    val chain: Array[(Double, Double)] =
+      if (sorted.length <= 2) sorted
+      else {
+        def cross(o: (Double, Double), a: (Double, Double),
+                  b: (Double, Double)): Double =
+          (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+        val hull = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        for (p <- sorted) {
+          while (hull.length >= 2 &&
+            cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+          hull += p
+        }
+        val lower = hull.length + 1
+        for (p <- sorted.reverseIterator) {
+          while (hull.length >= lower &&
+            cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+          hull += p
+        }
+        hull.remove(hull.length - 1)
+        hull.toArray
+      }
+    if (chain.length >= 3) chain else degenerateSquare(pts)
+  }
+
+  /** The reference's QhullError fallback: a square centered on the mean
+    * of ALL input rows (duplicates included, like points.mean(0)).
+    */
+  private def degenerateSquare(pts: Array[(Double, Double)])
+  : Array[(Double, Double)] = {
+    val cLat = pts.map(_._1).sum / pts.length
+    val cLon = pts.map(_._2).sum / pts.length
+    var l = 5e-5
+    if (pts.length > 1) {
+      l = 0.0
+      var i = 0
+      while (i < pts.length) {
+        var j = i + 1
+        while (j < pts.length) {
+          val dLat = pts(j)._1 - pts(i)._1
+          val dLon = pts(j)._2 - pts(i)._2
+          val d = math.sqrt(dLat * dLat + dLon * dLon)
+          if (d > l) l = d
+          j += 1
+        }
+        i += 1
+      }
     }
-    val lower = hull.length + 1
-    for (p <- sorted.reverseIterator) {
-      while (hull.length >= lower &&
-        cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
-      hull += p
-    }
-    hull.remove(hull.length - 1)
-    hull.toArray
+    Array((cLat - l / 2, cLon - l / 2), (cLat + l / 2, cLon - l / 2),
+      (cLat + l / 2, cLon + l / 2), (cLat - l / 2, cLon + l / 2))
   }
 
   private def haversineM(aLat: Double, aLon: Double,
@@ -69,12 +102,17 @@ object Geometry {
         val (uid, loc) = key
         val pts = it.map(r => (r.latitude, r.longitude)).toArray
         val hull = convexHull(pts)
+        // distance over the DISTINCT REAL points, not hull vertices: for
+        // a non-degenerate hull they agree (the diameter is attained at
+        // vertices), and for the degenerate-square fallback the synthetic
+        // vertices would inflate the diameter by sqrt(2)
+        val dpts = pts.distinct
         var maxD = 0.0
         var i = 0
-        while (i < hull.length) {
+        while (i < dpts.length) {
           var j = i + 1
-          while (j < hull.length) {
-            val d = haversineM(hull(i)._1, hull(i)._2, hull(j)._1, hull(j)._2)
+          while (j < dpts.length) {
+            val d = haversineM(dpts(i)._1, dpts(i)._2, dpts(j)._1, dpts(j)._2)
             if (d > maxD) maxD = d
             j += 1
           }

@@ -135,20 +135,26 @@ object Similarity {
     * probeRadius) reduction in compared pairs.
     *
     * Multi-probe: each query also probes every bucket within Hamming
-    * distance `probeRadius` of its own (radius 1 = flip each single bit) —
-    * the standard recall lever that avoids building multiple hash tables.
-    * Only the query side fans out (x (1 + bits) at radius 1); the corpus
-    * is bucketed once, and the probe join stays a hash equi-join on the
-    * bucket id. Measured on the sf0.001 embeddings, radius 1 takes
-    * recall@10 from 0.11 to ~0.4+ while probing ~3.5% of the corpus.
+    * distance `probeRadius` of its own (radius 1 = flip each single bit,
+    * radius 2 adds every two-bit flip) — the standard recall lever that
+    * avoids building multiple hash tables. Only the query side fans out
+    * (x (1 + b) at radius 1, x (1 + b + b(b-1)/2) at radius 2); the
+    * corpus is bucketed once, and the probe join stays a hash equi-join
+    * on the bucket id. Measured on the sf0.001 embeddings, radius 1
+    * takes recall@10 from 0.11 to ~0.2+, radius 2 to ~0.4, probing a few
+    * percent of the corpus.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8, seed: Long = 42L,
               probeRadius: Int = 1): DataFrame = {
-    require(probeRadius <= 1, "probeRadius > 1 not implemented")
+    require(probeRadius <= 2, "probeRadius > 2 not implemented")
     val masks = lit(0L) +:
-      (if (probeRadius >= 1) (0 until bits).map(i => lit(1L << i))
-       else Seq.empty)
+      ((if (probeRadius >= 1) (0 until bits).map(i => lit(1L << i))
+        else Seq.empty) ++
+        (if (probeRadius >= 2)
+          for (i <- 0 until bits; j <- i + 1 until bits)
+            yield lit((1L << i) | (1L << j))
+         else Seq.empty))
     val qb = lshBuckets(queries, "embedding", bits, seed)
       .select(col("query_id"), col("embedding").as("q_emb"),
         explode(array(masks.map(col("bucket").bitwiseXOR(_)): _*))

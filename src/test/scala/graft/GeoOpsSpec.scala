@@ -177,15 +177,31 @@ class GeometrySpec extends SparkSpec {
     assert(d > 156 && d < 158)
   }
 
-  test("degenerate inputs: single point and collinear points") {
+  test("degenerate inputs get the reference's centroid-square fallback") {
+    // reference utils.py:151-165: QhullError -> square around the mean
+    // with side = max pairwise euclidean distance in DEGREES (5e-5 for a
+    // single point), vertices BL, BR, TR, TL
     val pts = Seq(
       ("u", 0L, 1.0, 1.0),
       ("v", 0L, 0.0, 0.0), ("v", 0L, 0.0, 0.001), ("v", 0L, 0.0, 0.002))
       .toDF("uid", "stop_locations", "latitude", "longitude")
     val got = Geometry.clusterHulls(pts).collect()
       .map(r => r.getAs[String]("uid") ->
-        r.getAs[Seq[Double]]("hull_lats").length).toMap
-    assert(got("u") === 1)
-    assert(got("v") === 2) // collinear -> bounding segment
+        (r.getAs[scala.collection.Seq[Double]]("hull_lats").toSeq,
+          r.getAs[scala.collection.Seq[Double]]("hull_lons").toSeq,
+          r.getAs[Double]("max_pair_dist"))).toMap
+    // single point: square of side 5e-5 around it
+    val (uLats, uLons, uDist) = got("u")
+    assert(uLats === Seq(1.0 - 2.5e-5, 1.0 + 2.5e-5, 1.0 + 2.5e-5, 1.0 - 2.5e-5))
+    assert(uLons === Seq(1.0 - 2.5e-5, 1.0 - 2.5e-5, 1.0 + 2.5e-5, 1.0 + 2.5e-5))
+    assert(uDist === 0.0)
+    // collinear: square of side 0.002 deg centered on (0, 0.001); the
+    // diameter stays the REAL point-set diameter (~222 m), not the
+    // synthetic square diagonal
+    val (vLats, vLons, vDist) = got("v")
+    assert(vLats === Seq(-0.001, 0.001, 0.001, -0.001))
+    assert(vLons.map(v => math.rint(v * 1e9) / 1e9) ===
+      Seq(0.0, 0.0, 0.002, 0.002))
+    assert(vDist > 221 && vDist < 224)
   }
 }

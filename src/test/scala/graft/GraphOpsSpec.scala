@@ -195,6 +195,26 @@ class FrequencySpec extends SparkSpec {
     assert(unique.length === 1 && unique.head.getLong(3) === 1L)
   }
 
+  test("termDocStats scans the corpus once (tf exchange reused by df)") {
+    // Over a parquet source, both the tf branch and the df branch must
+    // read the SAME shuffle stage — if Catalyst prunes them apart, the
+    // final AQE plan shows two FileScans and the corpus pays a second
+    // scan+explode at 100 TB.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tds")
+      .toFile.getAbsolutePath
+    spark.range(200L)
+      .select(col("id").as("doc_id"),
+        concat(lit("the quick token"), col("id")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val q = Frequency.termDocStats(
+      spark.read.parquet(s"$dir/docs"), "doc_id", "text")
+    q.collect() // finalize AQE
+    val finalPlan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n$finalPlan")
+  }
+
   test("cmsTopK: estimates never undercount and stay within eps*N") {
     val n = 5000
     val df = spark.range(n.toLong)

@@ -212,6 +212,50 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class WordShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.plans.WordShingleHashes
+
+  test("fused shingle hashes match the composed HOF column exactly") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(
+        words(rnd.nextInt(words.length))).mkString(" "))) :+
+      (100L, "single") :+ (101L, "") :+
+      (102L, null.asInstanceOf[String])).toDF("id", "text")
+    // The composed HOF column is only well-defined for >= 2 tokens (its
+    // descending sequence(1, 0) would index out of bounds under ANSI for
+    // shorter docs) — exactly why the fused form guards len < n.
+    val composed = docs
+      .select(col("id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), transform(
+        sequence(lit(1), size(col("toks")) - lit(1)),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))).as("raw"))
+      .select(col("id"),
+        array_distinct(transform(col("raw"), s0 => xxhash64(s0))).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fused = docs
+      .select(col("id"),
+        WordShingleHashes(split(col("text"), " "), 2).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq)).toMap
+    assert(composed.nonEmpty)
+    composed.foreach { case (id, want) =>
+      assert(fused(id) === want, s"doc $id")
+    }
+    // null text => null array; single-token doc => no bigram (where the
+    // composed form would have errored)
+    assert(fused(102L) === null)
+    assert(fused(100L) === Seq.empty)
+    assert(fused(101L) === Seq.empty)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
@@ -327,10 +371,14 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.size === 100)
     val single = pairs(Similarity.lshTopK(q, emb, 10, 8, probeRadius = 0))
     val multi = pairs(Similarity.lshTopK(q, emb, 10, 8, probeRadius = 1))
+    val multi2 = pairs(Similarity.lshTopK(q, emb, 10, 8, probeRadius = 2))
     def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
     assert(recall(multi) > recall(single),
       s"multi-probe ${recall(multi)} should beat single ${recall(single)}")
     assert(recall(multi) >= 0.15)
+    assert(recall(multi2) > recall(multi),
+      s"radius 2 ${recall(multi2)} should beat radius 1 ${recall(multi)}")
+    assert(recall(multi2) >= 0.3)
     val ivf = pairs(Similarity.ivfTopK(q, emb, 10, nlist = 16, nprobe = 2))
     assert(recall(ivf) >= 0.35, s"ivf recall ${recall(ivf)}")
   }
