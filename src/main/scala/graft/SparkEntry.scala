@@ -747,6 +747,35 @@ object SparkEntry {
         .select("id_a", "id_b")
       graft.operators.Graphs.connectedComponentsLogN(pairs, "id_a", "id_b",
         Tables.documents(s, d).select("doc_id"), "doc_id")
+    }),
+
+    // Training-sequence packing: concat-then-chunk under a token budget.
+    // The global token offset is a range-partitioned cumsum (one
+    // per-partition-totals job), never a single-partition window.
+    "q70_pack_chunks" -> ((s, d) =>
+      graft.operators.Packing.packChunks(
+        Tables.documents(s, d).select("doc_id", "text"),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        2048L, col("doc_id"))
+        .select("doc_id", "n_tokens", "pack_id", "offset_in_pack",
+          "n_packs_spanned")),
+
+    // Normalized exact dedup: case/punctuation variants collapse to one
+    // md5 key; one hash-agg shuffle, text never shuffles
+    "q71_norm_dedup" -> ((s, d) =>
+      Dedup.normalizedExactDups(Tables.documents(s, d), "doc_id", "text")),
+
+    // Quality-filter manifest: length band + language-ID agreement ->
+    // keep/drop per doc, all per-row codegen'd expressions
+    "q72_quality_filter" -> ((s, d) => {
+      val t = graft.functions.TextFunctions
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          t.tokenCount(col("text")).cast("long").as("n_tokens"),
+          t.langId(col("text")).as("lang_pred"))
+        .withColumn("keep",
+          (col("n_tokens").between(20, 1000) &&
+            col("lang_pred") === col("lang")).cast("long"))
     })
   )
 
@@ -1300,7 +1329,45 @@ object SparkEntry {
     // same graph, same canonical min-id components as q47 — the oracle is
     // shared by construction
     "q69_cc_logn" ->
-      (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id")
+      (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id"),
+
+    "q70_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+        |  FROM t)
+        |SELECT doc_id, n_tokens, st // 2048 AS pack_id,
+        |  st % 2048 AS offset_in_pack,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (st % 2048 + n_tokens - 1) // 2048 + 1
+        |    ELSE 1 END AS n_packs_spanned
+        |FROM c""".stripMargin,
+
+    "q71_norm_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_key,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q72_quality_filter" -> (langVotesSql.stripSuffix("\n") +
+      """SELECT v.doc_id, v.lang,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN v_en = best AND v_en > 0 THEN 'en'
+        |       WHEN v_es = best AND v_es > 0 THEN 'es'
+        |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
+        |       WHEN v_de = best AND v_de > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred,
+        |  CAST(CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
+        |    AND (CASE WHEN v_en = best AND v_en > 0 THEN 'en'
+        |       WHEN v_es = best AND v_es > 0 THEN 'es'
+        |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
+        |       WHEN v_de = best AND v_de > 0 THEN 'de'
+        |       ELSE 'und' END) = v.lang THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM votes v JOIN documents d USING (doc_id)""".stripMargin)
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

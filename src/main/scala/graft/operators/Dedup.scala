@@ -268,6 +268,24 @@ object Dedup {
                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Exact dedup after text normalization — lowercase, strip everything
+    * outside [a-z0-9 ], collapse space runs, trim — catching case and
+    * punctuation variants of the same document, the standard first pass
+    * before fuzzy dedup. One hash-agg shuffle keyed on the md5 of the
+    * normalized text (the wide text column itself never shuffles). The
+    * regex subset (character class, ' +') behaves identically under Java
+    * regex and RE2-style engines, so the key is oracle-reproducible.
+    */
+  def normalizedExactDups(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    docs
+      .select(col(idCol).as("doc_id"), md5(norm.cast("binary")).as("norm_key"))
+      .groupBy("norm_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Cosine near-duplicate pairs: every corpus row against a BOUNDED
     * anchor set (mirrors [[jaccardToAnchors]] — the scale path for the
     * full corpus-vs-corpus problem is LSH/IVF bucketing in Similarity).

@@ -77,18 +77,27 @@ object GeoPruneRule extends Rule[LogicalPlan] {
       GreaterThanOrEqual(lat, Literal(la0 - dLat)),
       LessThanOrEqual(lat, Literal(la0 + dLat)))
     // lon degree width shrinks by cos(lat); bound it at the band edge
-    // nearest a pole. Skip near the poles where cos -> 0, and skip when
-    // the band would cross the antimeridian: haversine is periodic in
-    // delta-lon, so a center at 179.9 matches points at -179.9 that a
-    // plain [lo0-dLon, lo0+dLon] literal band would exclude.
+    // nearest a pole. Skip near the poles where cos -> 0. When the band
+    // crosses the antimeridian the plain interval is WRONG (haversine is
+    // periodic in delta-lon: a center at 179.9 matches points at -179.9),
+    // so emit the wrapped disjunction instead — parquet min/max skipping
+    // handles OR-of-ranges, keeping seam-adjacent queries prunable.
     val edgeLat = math.min(89.0, math.abs(la0) + dLat)
     if (edgeLat < 89.0) {
       val dLon = r / (MetersPerDegLatMin * math.cos(math.toRadians(edgeLat)))
-      if (dLon < 180.0 && lo0 - dLon >= -180.0 && lo0 + dLon <= 180.0)
+      if (dLon >= 180.0) latBand
+      else if (lo0 + dLon > 180.0)
+        latBand :+ Or(
+          GreaterThanOrEqual(lon, Literal(lo0 - dLon)),
+          LessThanOrEqual(lon, Literal(lo0 + dLon - 360.0)))
+      else if (lo0 - dLon < -180.0)
+        latBand :+ Or(
+          LessThanOrEqual(lon, Literal(lo0 + dLon)),
+          GreaterThanOrEqual(lon, Literal(lo0 - dLon + 360.0)))
+      else
         latBand ++ Seq(
           GreaterThanOrEqual(lon, Literal(lo0 - dLon)),
           LessThanOrEqual(lon, Literal(lo0 + dLon)))
-      else latBand
     } else latBand
   }
 

@@ -126,6 +126,52 @@ class IndexingSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Packing
+
+  test("globalCumSum equals the single-window prefix sum") {
+    val df = spark.range(0, 500)
+      .selectExpr("(id * 37) % 500 as k", "(id % 7) + 1 as v")
+      .repartition(5)
+    val got = Packing.globalCumSum(df, "cum", col("v"), col("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // oracle: driver-side exclusive prefix sum in k order
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    rows.foreach { case (k, v) =>
+      assert(got(k) === acc, s"k=$k"); acc += v
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("packChunks: hand-computed packs, straddle, zero-token doc") {
+    val docs = Seq(
+      (1L, 600L), (2L, 500L), (3L, 0L), (4L, 1000L), (5L, 64L))
+      .toDF("doc_id", "toks")
+    val got = Packing.packChunks(docs, col("toks"), 1024L, col("doc_id"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("offset_in_pack"), r.getAs[Long]("n_packs_spanned")))
+    // starts: 0, 600, 1100, 1100, 2100
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 1L),     // fits pack 0
+      (2L, 0L, 600L, 2L),   // straddles into pack 1
+      (3L, 1L, 76L, 1L),    // zero tokens
+      (4L, 1L, 76L, 2L),    // 1000 tokens from offset 76: ends at 1076
+      (5L, 2L, 52L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("empty input packs to an empty frame") {
+    val docs = Seq.empty[(Long, Long)].toDF("doc_id", "toks")
+    assert(Packing.packChunks(docs, col("toks"), 64L, col("doc_id"))
+      .count() === 0L)
+    spark.catalog.clearCache()
+  }
+}
+
 class WhaleGuardSpec extends SparkSpec {
   import spark.implicits._
 

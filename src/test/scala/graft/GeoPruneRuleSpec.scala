@@ -58,12 +58,19 @@ class GeoPruneRuleSpec extends SparkSpec {
     }
   }
 
-  test("antimeridian center keeps wrapped matches (lon band skipped)") {
+  test("antimeridian center keeps wrapped matches (OR-band synthesized)") {
     // center at lon 179.9: the 50 km ball wraps to lon -179.9 side.
     // haversine is periodic in delta-lon so (0.0, -179.9) is ~22 km away;
-    // a naive [179.45, 180.35] lon band would exclude it.
-    val pts = Seq((0.0, 179.95, 1L), (0.0, -179.9, 2L), (0.0, 179.0, 3L),
-      (0.0, 170.0, 4L)).toDF("lat", "lon", "id")
+    // a naive [179.45, 180.35] lon band would exclude it. The rule must
+    // emit the wrapped disjunction (lon >= lo OR lon <= hi-360) instead.
+    // parquet-backed so the optimizer can't fold the whole query into a
+    // LocalRelation before the plan assertion
+    val dir = java.nio.file.Files.createTempDirectory("graft_geo_seam")
+      .toFile.getAbsolutePath
+    Seq((0.0, 179.95, 1L), (0.0, -179.9, 2L), (0.0, 179.0, 3L),
+      (0.0, 170.0, 4L), (0.0, -179.2, 5L)).toDF("lat", "lon", "id")
+      .write.mode("overwrite").parquet(s"$dir/pts")
+    val pts = spark.read.parquet(s"$dir/pts")
     def kept = pts.filter(
       Haversine.distanceMeters($"lat", $"lon", lit(0.0), lit(179.9))
         <= lit(50000.0)).select("id").as[Long].collect().toSet
@@ -71,13 +78,25 @@ class GeoPruneRuleSpec extends SparkSpec {
     assert(without === Set(1L, 2L))
     withRule {
       assert(kept === without)
-      // lat band still synthesized; lon band must be absent
+      // the wrapped OR-band is present (both sides of the seam bounded)
       val cond = pts.filter(
         Haversine.distanceMeters($"lat", $"lon", lit(0.0), lit(179.9))
           <= lit(50000.0)).queryExecution.optimizedPlan.toString
-      assert(!"""lon#\d+ >=""".r.findFirstIn(cond).isDefined,
-        s"unexpected lon band in:\n$cond")
+      assert("""lon#\d+ >= 179\.""".r.findFirstIn(cond).isDefined &&
+        """lon#\d+ <= -179\.""".r.findFirstIn(cond).isDefined,
+        s"expected wrapped lon disjunction in:\n$cond")
     }
+  }
+
+  test("antimeridian center on the -180 side gets the mirrored OR-band") {
+    val pts = Seq((0.0, -179.95, 1L), (0.0, 179.9, 2L), (0.0, -179.0, 3L),
+      (0.0, -170.0, 4L)).toDF("lat", "lon", "id")
+    def kept = pts.filter(
+      Haversine.distanceMeters($"lat", $"lon", lit(0.0), lit(-179.9))
+        <= lit(50000.0)).select("id").as[Long].collect().toSet
+    val without = kept
+    assert(without === Set(1L, 2L))
+    withRule { assert(kept === without) }
   }
 
   test("bands are conservative near the radius edge (boundary kept)") {

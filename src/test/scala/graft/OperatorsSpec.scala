@@ -190,6 +190,17 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) !== 0L)
   }
 
+  test("normalized exact dedup collapses case/punct/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "different text"), (5L, "!!!"), (6L, "   ")) // 5,6 both -> ""
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedExactDups(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(got === Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("embedding near-dups at threshold (anchors vs corpus)") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
