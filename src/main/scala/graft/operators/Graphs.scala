@@ -171,15 +171,22 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var curCount = cur.count()
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       // fixpoint when the (deduped) edge set stops changing: equal
-      // cardinality + one-sided difference empty => set equality
-      stable = next.count() == cur.count() &&
-        next.except(cur).isEmpty
+      // cardinality + one-sided difference empty => set equality. The
+      // cardinality is carried across rounds (never recomputed for cur)
+      // and the anti-join diff job only runs when the counts agree — on
+      // contracting rounds the count drops and the diff is skipped, so
+      // the steady cost is two jobs per round (materialize + count), the
+      // diff firing once at convergence.
+      val nextCount = next.count()
+      stable = nextCount == curCount && next.except(cur).isEmpty
       cur = next
+      curCount = nextCount
       iter += 1
     }
     if (!stable)
