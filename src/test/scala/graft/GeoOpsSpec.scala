@@ -170,6 +170,26 @@ class PackingSpec extends SparkSpec {
       .count() === 0L)
     spark.catalog.clearCache()
   }
+
+  test("packChunks equals the single-window oracle on random inputs") {
+    val rnd = new scala.util.Random(97)
+    val rows = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(300).toLong))
+    val docs = rows.toDF("doc_id", "toks").repartition(6)
+    val budget = 256L
+    val got = Packing.packChunks(docs, col("toks"), budget, col("doc_id"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("offset_in_pack"),
+          r.getAs[Long]("n_packs_spanned"))).toMap
+    var start = 0L
+    rows.sortBy(_._1).foreach { case (id, toks) =>
+      val want = (start / budget, start % budget,
+        if (toks > 0) (start % budget + toks - 1) / budget + 1 else 1L)
+      assert(got(id) === want, s"doc $id (start $start, toks $toks)")
+      start += toks
+    }
+    spark.catalog.clearCache()
+  }
 }
 
 class WhaleGuardSpec extends SparkSpec {
