@@ -17,10 +17,10 @@ import org.apache.spark.storage.StorageLevel
   * `sum(...) over (order by ...)` window — that collapses to a single
   * partition at 100 TB. Instead [[globalCumSum]] range-partitions by the
   * order key, takes one tiny per-partition-totals job (one row per
-  * partition to the driver), and adds each partition's starting offset to
-  * a per-partition running sum (a window PARTITIONED by the physical
-  * partition id — parallel, never global). Same mechanics as
-  * Indexing.globalRowIndex, generalized from count to sum.
+  * partition to the driver), and adds each partition's starting offset
+  * to an imperative per-partition running sum — no further shuffle, no
+  * window. Same mechanics as Indexing.globalRowIndex, generalized from
+  * count to sum.
   *
   * Cache contract matches globalRowIndex: the range-partitioned frame is
   * persisted so the totals pass and the output observe identical
@@ -30,37 +30,58 @@ object Packing {
 
   /** Adds `cumCol` = exclusive prefix sum of `valueCol` in `orderCols`
     * order (the value of the FIRST row is 0). Values must be non-negative
-    * longs.
+    * longs, and `orderCols` must be a TOTAL order (e.g. include a unique
+    * id): ties would make the prefix sums of the tied rows
+    * recompute-order-dependent.
+    *
+    * ZERO shuffles beyond the range exchange: the obvious per-partition
+    * window (`partitionBy(spark_partition_id())`) would re-shuffle the
+    * whole frame by pid — Catalyst cannot know the rows are already
+    * partition-aligned — so the running sum is instead an imperative
+    * per-partition pass over `toRdd` (one JoinedRow append per row,
+    * partition index = the same physical partition the totals pass
+    * observed through the persisted frame).
     */
   def globalCumSum(df: DataFrame, cumCol: String, valueCol: Column,
                    orderCols: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val sorted = df
       .withColumn("__v", valueCol.cast("long"))
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = sorted.groupBy("__pid").agg(sum("__v").as("t")).collect()
+    // one tiny job: per-partition totals (one row per partition)
+    val totals = sorted
+      .select(spark_partition_id().as("p"), col("__v"))
+      .groupBy("p").agg(sum("__v").as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (totals.isEmpty)
-      return sorted.withColumn(cumCol, lit(0L)).drop("__v", "__pid")
+      return sorted.withColumn(cumCol, lit(0L)).drop("__v")
         .filter(lit(false))
-    val offsets = new Array[Long](totals.keys.max + 1)
+    val inner = sorted.queryExecution.toRdd
+    val offsets = new Array[Long](inner.getNumPartitions)
     var acc = 0L
     offsets.indices.foreach { p =>
       offsets(p) = acc; acc += totals.getOrElse(p, 0L)
     }
-    val partOffset =
-      element_at(array(offsets.map(lit): _*), col("__pid") + 1)
-    // per-PARTITION running sum: parallel across partitions by
-    // construction (the window key is the partition id, so no partition
-    // of the window exceeds one task's rows)
-    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted
-      .withColumn(cumCol, partOffset + sum(col("__v")).over(w) - col("__v"))
-      .drop("__v", "__pid")
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex("__v")
+    val outSchema = schema.add(cumCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = inner.mapPartitionsWithIndex { (pid, it) =>
+      var running = offsets(pid)
+      it.map[org.apache.spark.sql.catalyst.InternalRow] { row =>
+        val v = row.getLong(vIdx)
+        val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          row.copy(), // scan buffers are reused; the copy is ours
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](running)))
+        running += v
+        out
+      }
+    }
+    org.apache.spark.sql.GraftBridge.internalDataFrame(spark, rdd, outSchema)
+      .drop("__v")
   }
 
   /** docs + (pack_id, offset_in_pack, n_packs_spanned) under

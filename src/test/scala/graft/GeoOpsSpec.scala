@@ -171,6 +171,18 @@ class PackingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("packChunks output plan has no window and no post-cumsum shuffle") {
+    // the running sum is an imperative per-partition pass: a
+    // partitionBy(pid) window would re-shuffle the whole frame by pid
+    val docs = spark.range(100L)
+      .select(col("id").as("doc_id"), (col("id") % 50 + 1).as("toks"))
+    val plan = Packing.packChunks(docs, col("toks"), 64L, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"post-cumsum shuffle in plan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("packChunks equals the single-window oracle on random inputs") {
     val rnd = new scala.util.Random(97)
     val rows = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(300).toLong))
