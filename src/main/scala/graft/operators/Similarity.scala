@@ -82,8 +82,10 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.vector_to_array
+    // array<float> -> array<double> via the native Cast (codegen'd), not
+    // an interpreted per-element transform lambda
     val toVec = org.apache.spark.ml.functions.array_to_vector(
-      transform(col("embedding"), x => x.cast("double")))
+      col("embedding").cast("array<double>"))
     val corpusVec = corpus.withColumn("features", toVec)
     // Fit the coarse quantizer on a bounded, deterministic sample — the
     // standard IVF training contract (a quantizer needs a representative
@@ -114,7 +116,7 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("cdist",
         VectorFunctions.cosine(col("q_emb"),
-          transform(col("centroid"), x => x.cast("float"))))
+          col("centroid").cast("array<float>")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist").desc,
           col("cell").asc)))
