@@ -82,8 +82,11 @@ object Bench {
     // Per-pass timings make the recorded min self-diagnosing: a 129 s min
     // whose twin pass is 7 s is a CPU-steal artifact, visible in the
     // artifact itself instead of only in stderr logs.
+    // Locale.ROOT: comma-decimal default locales would emit invalid JSON
     val ps = passes.toMap.map { case (k, vs) =>
-      jstr(k) + ":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      jstr(k) + ":" + vs
+        .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")

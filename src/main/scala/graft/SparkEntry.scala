@@ -751,12 +751,16 @@ object SparkEntry {
 
     // Training-sequence packing: concat-then-chunk under a token budget.
     // The global token offset is a range-partitioned cumsum (one
-    // per-partition-totals job), never a single-partition window.
+    // per-partition-totals job), never a single-partition window. Token
+    // counts are computed BEFORE packChunks so only (doc_id, n_tokens) —
+    // two longs per row, not the document text — rides the range
+    // exchange and the persist.
     "q70_pack_chunks" -> ((s, d) =>
       graft.operators.Packing.packChunks(
-        Tables.documents(s, d).select("doc_id", "text"),
-        graft.functions.TextFunctions.tokenCount(col("text")),
-        2048L, col("doc_id"))
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")),
+        col("n_tokens"), 2048L, col("doc_id"))
         .select("doc_id", "n_tokens", "pack_id", "offset_in_pack",
           "n_packs_spanned")),
 

@@ -39,6 +39,17 @@ object Verify {
     }
     val status =
       scala.collection.mutable.LinkedHashMap.empty[String, (String, Double)]
+    // Guards both the status map and the scratch->final swap: a cancelled
+    // attempt's thread is only interrupted cooperatively, so a zombie
+    // stuck in driver-side work can complete LATER, concurrently with the
+    // end-of-run retry. Each attempt writes to its own scratch dir and
+    // swaps into place only if no attempt has already delivered — two
+    // committers never race on the final directory.
+    val swapLock = new Object
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
 
     def runOne(name: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -48,24 +59,33 @@ object Verify {
       val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally spark.sparkContext.clearJobGroup()
+          val scratch = s"$outDir/.attempt_${attempt}_$name"
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(scratch)
+            swapLock.synchronized {
+              if (!status.get(name).exists(_._1 == "ok")) {
+                val dest = new java.io.File(s"$outDir/$name")
+                if (dest.exists()) deleteRec(dest)
+                new java.io.File(scratch).renameTo(dest): Unit
+              } else deleteRec(new java.io.File(scratch))
+            }
+          } finally spark.sparkContext.clearJobGroup()
         }
       })
       try {
         fut.get(timeoutSec, TimeUnit.SECONDS)
-        status(name) = ("ok", secs)
+        swapLock.synchronized { status(name) = ("ok", secs) }
         System.err.println(f"[verify] $name ok $secs%.1f s (attempt $attempt)")
       } catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           fut.cancel(true)
-          status(name) = ("timeout", secs)
+          swapLock.synchronized { status(name) = ("timeout", secs) }
           System.err.println(s"[verify] $name timed out after $timeoutSec s")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
-          status(name) = ("fail", secs)
+          swapLock.synchronized { status(name) = ("fail", secs) }
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
       // Queries that persist() internally (HomeWork.label, globalRowIndex)
@@ -99,9 +119,19 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val statusJson = status
       .map { case (k, (st, s)) =>
-        s"${q(k)}: {${q("status")}: ${q(st)}, ${q("seconds")}: ${f"$s%.1f"}}" }
+        // Locale.ROOT: a comma-decimal default locale would emit "12,3"
+        // and break the driver's json.load
+        val secs = String.format(java.util.Locale.ROOT, "%.1f",
+          Double.box(s))
+        s"${q(k)}: {${q("status")}: ${q(st)}, ${q("seconds")}: $secs}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
     spark.stop()
+    // after stop no zombie write can complete — sweep any scratch dirs a
+    // never-finished attempt left behind so the driver's dir listing only
+    // sees delivered query outputs
+    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(".attempt_")) deleteRec(f)
+    })
   }
 }

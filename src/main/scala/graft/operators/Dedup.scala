@@ -295,8 +295,12 @@ object Dedup {
     * quadratic the moment the "anchors" are the whole table, so the bound
     * is enforced here rather than trusted to the caller's scaladoc
     * reading. Cost: one corpus scan x |anchors| cosine evaluations.
-    * Self-pairs and double-counted pairs are excluded with `id_a < id_b`
-    * when both sides carry the same id space.
+    * Self-pairs are excluded; each unordered pair is emitted once as
+    * (id_a, id_b) = (min, max) — normalizing AFTER the threshold filter
+    * (on the small survivor set) rather than pruning with `id_a < id_b`
+    * in the join, which would silently drop every match whose anchor id
+    * is larger than the corpus id when the anchor set is not a low-id
+    * prefix.
     */
   def embeddingNearDups(corpus: DataFrame, anchors: DataFrame,
                         threshold: Double,
@@ -308,14 +312,18 @@ object Dedup {
     require(n <= maxAnchors,
       s"embeddingNearDups: anchor side has > $maxAnchors rows; " +
         "pass a bounded anchor subset (scale path: Similarity LSH/IVF)")
-    val a = anchors.select(col("vec_id").as("id_a"),
+    val a = anchors.select(col("vec_id").as("aid"),
       col("embedding").as("e_a"))
-    val b = corpus.select(col("vec_id").as("id_b"),
+    val b = corpus.select(col("vec_id").as("bid"),
       col("embedding").as("e_b"))
-    b.join(broadcast(a), col("id_a") < col("id_b"))
+    b.join(broadcast(a), col("aid") =!= col("bid"))
       .withColumn("sim",
         round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select(least(col("aid"), col("bid")).as("id_a"),
+        greatest(col("aid"), col("bid")).as("id_b"), col("sim"))
+      // anchor-anchor pairs meet in both orientations when anchors are
+      // drawn from the corpus; sim is identical so the dedup is safe
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -24,8 +24,16 @@ object Geometry {
     * euclidean distance in degree space (5e-5 for a single input point),
     * vertices in bottom-left, bottom-right, top-right, top-left order.
     */
-  private def convexHull(pts: Array[(Double, Double)])
-  : Array[(Double, Double)] = {
+  /** (hull, diameterCandidates): the hull as returned to the caller, and
+    * the point set whose pairwise max IS the true diameter — the chain
+    * vertices when the hull is real (the diameter of a convex polygon is
+    * attained at vertices), or the two lexicographic extremes when the
+    * input is degenerate (collinear points: the extremes are the segment
+    * endpoints, so the diameter is one distance, not an O(n^2) sweep; the
+    * synthetic square vertices would inflate it by sqrt 2).
+    */
+  private def hullAndDiameterPoints(pts: Array[(Double, Double)])
+  : (Array[(Double, Double)], Array[(Double, Double)]) = {
     val sorted = pts.distinct.sortBy(identity)
     val chain: Array[(Double, Double)] =
       if (sorted.length <= 2) sorted
@@ -48,32 +56,29 @@ object Geometry {
         hull.remove(hull.length - 1)
         hull.toArray
       }
-    if (chain.length >= 3) chain else degenerateSquare(pts)
+    if (chain.length >= 3) (chain, chain)
+    else (degenerateSquare(pts, sorted), Array(sorted.head, sorted.last))
   }
 
   /** The reference's QhullError fallback: a square centered on the mean
-    * of ALL input rows (duplicates included, like points.mean(0)).
+    * of ALL input rows (duplicates included, like points.mean(0)), side =
+    * max pairwise euclidean distance in degree space. The fallback only
+    * fires on degenerate (collinear) inputs, where that maximum is
+    * attained at the lexicographic extremes — one distance, not the
+    * reference's O(n^2) sweep, same value.
     */
-  private def degenerateSquare(pts: Array[(Double, Double)])
+  private def degenerateSquare(pts: Array[(Double, Double)],
+                               sortedDistinct: Array[(Double, Double)])
   : Array[(Double, Double)] = {
     val cLat = pts.map(_._1).sum / pts.length
     val cLon = pts.map(_._2).sum / pts.length
-    var l = 5e-5
-    if (pts.length > 1) {
-      l = 0.0
-      var i = 0
-      while (i < pts.length) {
-        var j = i + 1
-        while (j < pts.length) {
-          val dLat = pts(j)._1 - pts(i)._1
-          val dLon = pts(j)._2 - pts(i)._2
-          val d = math.sqrt(dLat * dLat + dLon * dLon)
-          if (d > l) l = d
-          j += 1
-        }
-        i += 1
+    val l =
+      if (pts.length == 1) 5e-5
+      else {
+        val dLat = sortedDistinct.last._1 - sortedDistinct.head._1
+        val dLon = sortedDistinct.last._2 - sortedDistinct.head._2
+        math.sqrt(dLat * dLat + dLon * dLon)
       }
-    }
     Array((cLat - l / 2, cLon - l / 2), (cLat + l / 2, cLon - l / 2),
       (cLat + l / 2, cLon + l / 2), (cLat - l / 2, cLon + l / 2))
   }
@@ -101,12 +106,7 @@ object Geometry {
       .mapGroups { (key: (String, Long), it: Iterator[PointRow]) =>
         val (uid, loc) = key
         val pts = it.map(r => (r.latitude, r.longitude)).toArray
-        val hull = convexHull(pts)
-        // distance over the DISTINCT REAL points, not hull vertices: for
-        // a non-degenerate hull they agree (the diameter is attained at
-        // vertices), and for the degenerate-square fallback the synthetic
-        // vertices would inflate the diameter by sqrt(2)
-        val dpts = pts.distinct
+        val (hull, dpts) = hullAndDiameterPoints(pts)
         var maxD = 0.0
         var i = 0
         while (i < dpts.length) {

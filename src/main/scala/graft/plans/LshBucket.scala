@@ -96,7 +96,10 @@ case class LshBucket(child: Expression, bits: Int, seed: Long)
          |  }
          |  if (!$bad) {
          |    for (int $i = 0; $i < $bits; $i++) {
-         |      if ($proj[$i] >= 0.0) $bucket |= (1L << $i);
+         |      // !(x < 0), not (x >= 0): Spark's >= orders NaN above all
+         |      // numbers, so a NaN projection sets its bit in the
+         |      // composed form and must here too
+         |      if (!($proj[$i] < 0.0)) $bucket |= (1L << $i);
          |    }
          |  }
          |}
@@ -133,7 +136,8 @@ object LshBucket {
     var bucket = 0L
     var i = 0
     while (i < bits) {
-      if (proj(i) >= 0.0) bucket |= (1L << i)
+      // !(x < 0) matches Spark's NaN-is-greatest `>=` in the composed form
+      if (!(proj(i) < 0.0)) bucket |= (1L << i)
       i += 1
     }
     bucket

@@ -212,6 +212,20 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("embedding near-dups finds matches when anchor ids are HIGHER") {
+    // regression: a join-side `id_a < id_b` prune silently dropped every
+    // match whose anchor id exceeded the corpus id
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val anchors = Seq((100L, Array(0.99f, 0.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(corpus, anchors, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L)))
+  }
+
   test("embedding near-dups rejects an unbounded anchor side") {
     val big = spark.range(200L)
       .select(col("id").as("vec_id"),
@@ -322,7 +336,9 @@ class SimilaritySpec extends SparkSpec {
     val rows = Seq.tabulate(200)(i =>
       (i.toLong, Array.fill(32)(rnd.nextFloat() * 2f - 1f))) :+
       (200L, Array.empty[Float]) :+
-      (201L, null.asInstanceOf[Array[Float]])
+      (201L, null.asInstanceOf[Array[Float]]) :+
+      (202L, Array(Float.NaN, 1.0f)) :+ // NaN projections: Spark's >=
+      (203L, Array(Float.PositiveInfinity, Float.NegativeInfinity))
     val df = rows.toDF("vec_id", "embedding")
     for (bits <- Seq(1, 8, 16); seed <- Seq(42L, 7L)) {
       val got = df.select(col("vec_id"),

@@ -31,6 +31,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     import os
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
+        if name.startswith("."):  # in-flight attempt scratch dirs
+            continue
         if os.path.isdir(d) and name not in oracle:
             try:
                 n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
