@@ -37,7 +37,11 @@ object Bench {
     // all pass 2): back-to-back runs of the same query sit inside the same
     // burst window, so min-of-2 recorded a 111 s q18 whose clean time was
     // ~5 s. With interleaving, a burst hits different queries each pass.
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // 3 passes default: with min-of-2, ONE burst overlapping both passes of
+    // a query poisons its min; a third interleaved pass makes that need two
+    // independent bursts to land on the same query (r4's record had exactly
+    // the two-burst overlap on q29/q30/q57).
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Dev bisection hook: comma-separated name prefixes to run (default all)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq).getOrElse(Seq(""))
@@ -90,8 +94,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // Median alongside min: the min answers "how fast is this query when the
+    // VM is quiet", the median answers "was this run's record trustworthy" —
+    // a median far above the min means steal contaminated most passes.
+    def median(vs: List[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val meds = passes.toMap.map { case (k, vs) =>
+      jstr(k) + ":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(median(vs)))
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: r4's artifact had parsed:null because the
+    // driver tails stdout and Spark's shutdown logs can truncate/interleave
+    // past the JSON line. The file is the durable record.
+    val out = new java.io.PrintWriter(
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")),
+      "UTF-8")
+    try out.println(json) finally out.close()
     spark.stop()
   }
 }

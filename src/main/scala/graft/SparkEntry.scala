@@ -296,13 +296,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
-    // MinHash-LSH candidate pairs (not SQL-expressible: rows-only check)
+    // MinHash-LSH candidate pairs — portable md5 base hash + band-value
+    // buckets make the pair set engine-independent, so the full pipeline
+    // is oracle-checked against DuckDB (sqlQ29Minhash)
     "q29_minhash_pairs" -> ((s, d) =>
       Dedup.minhashCandidates(
         Tables.documents(s, d), "text", "doc_id", 3, 32, 8)),
 
-    // SimHash fingerprints, relational bit-vote plan (xxhash64-based:
-    // rows-only check)
+    // SimHash fingerprints, relational bit-vote plan. Portable hash, but
+    // the OUTPUT is the packed signed-64 long, which DuckDB's
+    // overflow-checked BIGINT can't assemble: rows-only check here; the
+    // full pipeline is oracled downstream via q57's pairs+hamming.
     "q30_simhash" -> ((s, d) =>
       Dedup.simhashDocs(Tables.documents(s, d), "text", "doc_id", 3)),
 
@@ -570,8 +574,9 @@ object SparkEntry {
         .select("doc_id", "component", "keep")
     }),
 
-    // SimHash banded near-dup pairs with exact Hamming verification;
-    // rows-only (DuckDB has no xxhash64), recall pinned by SimHashSpec
+    // SimHash banded near-dup pairs with exact Hamming verification —
+    // portable md5 base hash makes pairs AND distances engine-exact:
+    // oracle-checked against DuckDB (sqlQ57Simhash)
     "q57_simhash_pairs" -> ((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "text", "doc_id",
         shingleN = 3, bands = 4, maxHamming = 8)),
@@ -808,6 +813,116 @@ object SparkEntry {
       |  SELECT e.dst AS id, reach.r AS r
       |  FROM e JOIN reach ON e.src = reach.id)""".stripMargin
 
+  /** q29 oracle: the minhash-LSH candidate pipeline re-expressed in DuckDB
+    * SQL. Cross-engine reproducible because (a) the base hash is the
+    * md5-derived [[graft.functions.TextFunctions.portableHash32]] and (b)
+    * band buckets key on the band VALUE tuple, not an engine-specific
+    * hash. Parameters mirror the q29 call exactly: 3-gram shingles, k=32
+    * permutations, 8 bands of 4 rows, bucket cap 64.
+    */
+  private val sqlQ29Minhash: String = {
+    val k = 32; val bands = 8; val rows = k / bands; val maxBucket = 64
+    val p = 2147483647L
+    val mins = (0 until k).map { i =>
+      val a = 1L + 2L * i
+      val b = 12582917L * (i + 1)
+      s"    min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"m${b * rows + r}")
+      if (b == 0)
+        "  SELECT doc_id, 0 AS band, " +
+          cols.zipWithIndex.map { case (c, j) => s"$c AS x$j" }
+            .mkString(", ") + " FROM sig"
+      else s"  UNION ALL SELECT doc_id, $b, " + cols.mkString(", ") + " FROM sig"
+    }.mkString("\n")
+    val xEq = (0 until rows).map(j => s"a.x$j = b.x$j").mkString(" AND ")
+    val sEq = (0 until rows).map(j => s"s.x$j = a.x$j").mkString(" AND ")
+    val xCols = (0 until rows).map(j => s"x$j").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS h
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh GROUP BY doc_id),
+       |banded AS MATERIALIZED (
+       |$bandSelects),
+       |sized AS (SELECT band, $xCols, count(*) AS n FROM banded GROUP BY ALL)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND $xEq AND a.doc_id < b.doc_id
+       |JOIN sized s ON s.band = a.band AND $sEq
+       |WHERE s.n <= $maxBucket""".stripMargin
+  }
+
+  /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
+    * portable 64-bit hash is handled as two 32-bit halves (hi = md5 hex
+    * 1-8, lo = 9-16) so every intermediate stays in non-negative BIGINT —
+    * DuckDB errors on signed overflow where the JVM wraps. Signature = 4
+    * 16-bit band values; Hamming over the full 64 bits = sum of band-wise
+    * bit_count(xor). Mirrors the q57 call: 3-gram shingles, 4 bands,
+    * maxHamming 8, bucket cap 64.
+    */
+  private val sqlQ57Simhash: String = {
+    val bands = 4; val width = 16; val maxBucket = 64; val maxHamming = 8
+    val tallies = (0 until 64).map { j =>
+      val half = if (j < 32) "lo" else "hi"
+      val shift = j % 32
+      s"    sum(CASE WHEN $half IS NULL THEN 0 WHEN (($half >> $shift) & 1) = 1" +
+        s" THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n")
+    val bandVals = (0 until bands).map { b =>
+      val terms = (0 until width).map { j =>
+        s"(CASE WHEN v${b * width + j} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"    $terms AS s$b"
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      if (b == 0) "  SELECT doc_id, 0 AS band, s0 AS x FROM sig"
+      else s"  UNION ALL SELECT doc_id, $b, s$b FROM sig"
+    }.mkString("\n")
+    val ham = (0 until bands).map(b => s"bit_count(xor(sa.s$b, sb.s$b))")
+      .mkString(" + ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS hi,
+       |    CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 9, 8) AS BIGINT) AS lo
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+       |  UNION ALL
+       |  SELECT doc_id, NULL, NULL FROM toks WHERE t IS NULL OR len(t) < 3),
+       |v AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$tallies
+       |  FROM sh GROUP BY doc_id),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$bandVals
+       |  FROM v),
+       |banded AS MATERIALIZED (
+       |$bandSelects),
+       |sized AS (SELECT band, x, count(*) AS n FROM banded GROUP BY ALL),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.x = b.x AND a.doc_id < b.doc_id
+       |  JOIN sized s ON s.band = a.band AND s.x = a.x
+       |  WHERE s.n <= $maxBucket)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT p.id_a, p.id_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.id_a
+       |  JOIN sig sb ON sb.doc_id = p.id_b)
+       |WHERE hamming <= $maxHamming""".stripMargin
+  }
+
   private val sqlQ39: String =
     """SELECT n_name, count(*) AS n_customers,
       |  round(sum(c_acctbal), 2) AS total_bal
@@ -1036,7 +1151,11 @@ object SparkEntry {
         |  SELECT * FROM orders WHERE o_totalprice > 400000)
         |GROUP BY o_orderstatus""".stripMargin,
 
-    // q29-q32: engine-hash-dependent / stubbed ops -> rows-only check
+    // q29/q57 oracle the full signature pipelines (portable md5 base
+    // hash); q30-q32 stay rows-only (q30's packed-long signature needs
+    // signed-64 wrap DuckDB doesn't do; q31 stub features; q32 projection
+    // buckets ride Spark's seeded xxhash64 chain)
+    "q29_minhash_pairs" -> sqlQ29Minhash,
 
     "q33_validate" -> (s"WITH ${Tables.pingsSql}\n" +
       """SELECT count(*) AS n_rows,
@@ -1220,6 +1339,8 @@ object SparkEntry {
         |    ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS BIGINT) AS keep
         |FROM documents d JOIN comp c ON d.doc_id = c.id""".stripMargin),
 
+    "q57_simhash_pairs" -> sqlQ57Simhash,
+
     "q58_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1341,8 +1462,9 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS st
         |  FROM t)
         |SELECT doc_id, n_tokens, st // 2048 AS pack_id,
         |  st % 2048 AS offset_in_pack,

@@ -136,4 +136,32 @@ object TextFunctions {
     * demands.
     */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** First 32 bits of md5 as a non-negative long — the portable base hash
+    * for the signature pipelines (minhash). md5 produces identical hex in
+    * every engine (Spark, DuckDB, Trino), so signatures built on it are
+    * bit-reproducible cross-engine: dedup decisions become auditable from
+    * any SQL engine, and the gate can oracle-check candidate PAIRS, not
+    * just row counts. murmur/xxhash64 are cheaper per byte but their
+    * seeds/variants differ across engines; the md5 premium is paid once
+    * per shingle inside a codegen'd stage and is invisible next to the
+    * shuffle in every measurement (see DedupSpec timings).
+    *
+    * Value range [0, 2^32): small enough that `a*h + b` for the universal-
+    * hash permutation family stays far from 64-bit overflow in engines
+    * that error on it (DuckDB) rather than wrap (JVM).
+    */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Portable 64-bit hash: first 16 md5 hex chars, packed hi<<32 | lo from
+    * two 32-bit halves. Packing uses bitwise shift/or (wraps into the sign
+    * bit, never errors); oracle SQL avoids the signed-overflow question
+    * entirely by working on the halves.
+    */
+  def portableHash64(c: Column): Column = {
+    val m = md5(c.cast("binary"))
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
 }

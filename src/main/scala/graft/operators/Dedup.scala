@@ -25,9 +25,11 @@ object Dedup {
     * twin of [[minhashSignatures]] — the parity test pins the two forms to
     * identical values).
     *
-    * Each of the k hash functions is `(a_i * h + b_i) mod p` over a base
-    * 32-bit murmur hash of the shingle (Spark's `hash`), the standard
-    * universal-hash construction.
+    * Each of the k hash functions is `(a_i * h + b_i) mod p` over the
+    * portable 32-bit md5-derived base hash of the shingle
+    * ([[TextFunctions.portableHash32]]), the standard universal-hash
+    * construction — md5-based so the whole signature pipeline is
+    * bit-reproducible in the DuckDB oracle.
     *
     * DO NOT use on real data: the k array_min(transform(...)) passes are
     * interpreted HOFs re-walking the shingle array per permutation.
@@ -36,7 +38,7 @@ object Dedup {
                        k: Int): org.apache.spark.sql.Column = {
     val p = 2147483647L // 2^31 - 1
     val shingles = array_distinct(TextFunctions.wordShingles(text, shingleN))
-    val base = transform(shingles, s => hash(s).cast("long"))
+    val base = transform(shingles, s => TextFunctions.portableHash32(s))
     val sig = (0 until k).map { i =>
       val a = 1L + 2L * i // odd multipliers
       val b = 12582917L * (i + 1)
@@ -50,7 +52,7 @@ object Dedup {
     *
     * Shape: explode shingle occurrences (duplicates are harmless — min over
     * a multiset equals min over its support, so no array_distinct pass),
-    * murmur-hash each (codegen'd), then ONE hash aggregate per doc with k
+    * portable-hash each (codegen'd md5 stage), then ONE hash aggregate per doc with k
     * `min` buffers. Map-side partial aggregation means the shuffle carries
     * k+1 longs per doc regardless of document length; every stage is
     * whole-stage-codegen — no interpreted higher-order functions. Docs with
@@ -62,7 +64,7 @@ object Dedup {
     val p = 2147483647L
     val exploded = TextFunctions
       .explodedShingles(docs, idCol, textCol, shingleN)
-      .select(col("id"), hash(col("shingle")).cast("long").as("h"))
+      .select(col("id"), TextFunctions.portableHash32(col("shingle")).as("h"))
     val mins = (0 until k).map { i =>
       val a = 1L + 2L * i
       val b = 12582917L * (i + 1)
@@ -95,7 +97,12 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
       }: _*)))
-      .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+      // The band value ARRAY is the bucket key (arrays group fine): hashing
+      // it to an int is 4 bytes narrower on the exchange but a murmur
+      // collision would merge two unrelated buckets into spurious candidate
+      // pairs — and it makes the pair set engine-specific, which blocks the
+      // DuckDB oracle. rows-per-band longs per row is still tiny.
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     // CollectCappedLongs requires bigint input (enforced at analysis time);
     // the explicit cast keeps the operator usable with int-typed ids.
     banded.groupBy("band", "bucket")
@@ -206,9 +213,9 @@ object Dedup {
   }
 
   /** SimHash semantics (reference form, for specs and tiny frames ONLY):
-    * bit j of the xxhash64 of each shingle votes +1/-1; the sign of the
-    * tally sets bit j of the 64-bit signature. Hamming distance <=
-    * threshold => near-dup candidate.
+    * bit j of the portable 64-bit hash of each shingle votes +1/-1; the
+    * sign of the tally sets bit j of the 64-bit signature. Hamming
+    * distance <= threshold => near-dup candidate.
     *
     * DO NOT use this Column on real data: higher-order functions are never
     * codegen'd and Catalyst does not CSE across their lambdas, so the 64
@@ -220,7 +227,7 @@ object Dedup {
   def simhashReference(text: org.apache.spark.sql.Column, shingleN: Int = 3)
   : org.apache.spark.sql.Column = {
     val shingles = TextFunctions.wordShingles(text, shingleN)
-    val hashes = transform(shingles, s => xxhash64(s))
+    val hashes = transform(shingles, s => TextFunctions.portableHash64(s))
     val bits = (0 until 64).map { j =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
@@ -234,7 +241,8 @@ object Dedup {
     *
     * Shape: stage tokens and shingles through materialized columns (no
     * cross-lambda recompute), explode to one row per shingle occurrence,
-    * xxhash64 each (codegen'd), then ONE hash aggregate per doc computing
+    * portable-hash each ([[TextFunctions.portableHash64]], a codegen'd md5
+    * stage — engine-reproducible, see there), then ONE hash aggregate per doc computing
     * the 64 bit tallies as `sum(+1/-1)` columns, packed back into a long.
     * Everything is whole-stage-codegen except the exchange; cost is
     * O(total shingles) with map-side partial aggregation, so one shuffle
@@ -248,7 +256,8 @@ object Dedup {
     val exploded = TextFunctions
       .explodedShingles(docs, idCol, textCol, shingleN, keepEmptyDocs = true)
       .select(col("id").as("doc_id"),
-        when(col("shingle").isNotNull, xxhash64(col("shingle"))).as("h"))
+        when(col("shingle").isNotNull,
+          TextFunctions.portableHash64(col("shingle"))).as("h"))
     val tallies = (0 until 64).map { j =>
       sum(when(col("h").isNull, 0L)
         .when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)

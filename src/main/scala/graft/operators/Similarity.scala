@@ -145,11 +145,26 @@ object Similarity {
     * on the bucket id. Measured on the sf0.001 embeddings, radius 1
     * takes recall@10 from 0.11 to ~0.2+, radius 2 to ~0.4, probing a few
     * percent of the corpus.
+    *
+    * Hot-bucket cap: a degenerate embedding distribution (e.g. a batch of
+    * zero/constant vectors from a failed upstream embed job) collapses
+    * into ONE bucket, and the probe join then emits |bucket| rows per
+    * probing query — the skew blowup every other bucketed operator here
+    * guards against (minhashCandidates, simhashCandidates). Corpus
+    * buckets larger than `maxBucket` are dropped before the join: the
+    * hot-bucket id list is tiny by construction (<= |corpus|/maxBucket
+    * entries), so the filter is a broadcast anti-join — no extra shuffle
+    * on the corpus side, just one partial-agg count pass. Queries whose
+    * home bucket is hot still get results from their other probes;
+    * near-duplicate mining inside a mega-cluster is exact-dedup/minhash
+    * territory, not ANN's.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8, seed: Long = 42L,
-              probeRadius: Int = 1): DataFrame = {
+              probeRadius: Int = 1,
+              maxBucket: Int = 1 << 20): DataFrame = {
     require(probeRadius <= 2, "probeRadius > 2 not implemented")
+    require(maxBucket > 0, "maxBucket must be positive")
     val masks = lit(0L) +:
       ((if (probeRadius >= 1) (0 until bits).map(i => lit(1L << i))
         else Seq.empty) ++
@@ -161,7 +176,11 @@ object Similarity {
       .select(col("query_id"), col("embedding").as("q_emb"),
         explode(array(masks.map(col("bucket").bitwiseXOR(_)): _*))
           .as("bucket"))
-    val cb = lshBuckets(corpus, "embedding", bits, seed)
+    val cbAll = lshBuckets(corpus, "embedding", bits, seed)
+    val hot = cbAll.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucket)
+      .select("bucket")
+    val cb = cbAll.join(broadcast(hot), Seq("bucket"), "left_anti")
     val scored = cb.join(qb, "bucket")
       .withColumn("sim",
         round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6))

@@ -409,6 +409,32 @@ class SimilaritySpec extends SparkSpec {
     val ivf = pairs(Similarity.ivfTopK(q, emb, 10, nlist = 16, nprobe = 2))
     assert(recall(ivf) >= 0.35, s"ivf recall ${recall(ivf)}")
   }
+
+  test("planted hot bucket is capped out of the probe join") {
+    // 30 clones of one vector collapse into a single bucket — the
+    // degenerate distribution (constant embeddings from a broken upstream
+    // job) that would emit |bucket| rows per probing query. With the cap
+    // below the clone count, the clone bucket is dropped: the query still
+    // gets answers, but none of them are clones. With the default cap the
+    // clones dominate top-k (sanity that the capped run differs for the
+    // claimed reason, not because the query missed the bucket entirely).
+    val clones = (100L until 130L).map(i => (i, Array(0.6f, 0.8f)))
+    val others = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.05f, 1.0f)),
+      (2L, Array(-1.0f, 0.1f)), (3L, Array(0.1f, -1.0f)))
+    val planted = (clones ++ others).toDF("vec_id", "embedding")
+    val q = Seq((999L, Array(0.6f, 0.8f))).toDF("query_id", "embedding")
+    val capped = Similarity
+      .lshTopK(q, planted, 10, bits = 4, probeRadius = 2, maxBucket = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val uncapped = Similarity
+      .lshTopK(q, planted, 10, bits = 4, probeRadius = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(uncapped.exists(_ >= 100L), "uncapped run should see clones")
+    assert(capped.nonEmpty, "capped query should still probe other buckets")
+    assert(!capped.exists(_ >= 100L),
+      s"clone bucket must be dropped under the cap, got $capped")
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
