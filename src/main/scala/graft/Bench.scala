@@ -54,8 +54,9 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (pass <- 1 to runsPerQuery; (name, fn) <- named) {
       // Each run pays the full query cost: queries that persist() internally
-      // would otherwise serve later passes from cache.
-      spark.catalog.clearCache()
+      // (tracked in CacheScope) would otherwise serve later passes from
+      // cache. Targeted release, not clearCache — see Verify.
+      CacheScope.releaseAll()
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))

@@ -785,7 +785,21 @@ object SparkEntry {
         .withColumn("keep",
           (col("n_tokens").between(20, 1000) &&
             col("lang_pred") === col("lang")).cast("long"))
-    })
+    }),
+
+    // Hull bounding box per cluster — the oracle-expressible projection of
+    // q38's hulls: a real hull's bbox equals its point set's bbox (the
+    // chain keeps every min/max-coordinate point), and the degenerate
+    // centroid-square's bbox is centroid +/- side/2, both computable in
+    // SQL. Complements q38's rows-only hull_size/diameter check.
+    "q73_hull_bbox" -> ((s, d) =>
+      graft.operators.Geometry.clusterHulls(
+        stopClusters(s, d).filter(col("stop_locations") =!= -1L))
+        .select(col("uid"), col("stop_locations"),
+          round(array_min(col("hull_lats")), 6).as("hull_lat_min"),
+          round(array_max(col("hull_lats")), 6).as("hull_lat_max"),
+          round(array_min(col("hull_lons")), 6).as("hull_lon_min"),
+          round(array_max(col("hull_lons")), 6).as("hull_lon_max")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1493,7 +1507,59 @@ object SparkEntry {
         |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
         |       WHEN v_de = best AND v_de > 0 THEN 'de'
         |       ELSE 'und' END) = v.lang THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM votes v JOIN documents d USING (doc_id)""".stripMargin)
+        |FROM votes v JOIN documents d USING (doc_id)""".stripMargin),
+
+    // Mirrors Geometry.hullAndDiameterPoints' two regimes: a real chain
+    // hull's bbox is the point-set bbox (the chain keeps every extreme-
+    // coordinate point); the degenerate fallback (fewer than 3 distinct
+    // points, or all collinear — max |cross| vs the lexicographic
+    // extremes is 0) is the centroid square, bbox = mean(all rows) +/-
+    // side/2 with side = distance between the extremes (5e-5 for a
+    // single row). Same double arithmetic order as the Scala kernel.
+    "q73_hull_bbox" -> (clusterCtes + ",\n" +
+      """pts AS (
+        |  SELECT uid, stop_locations, latitude, longitude FROM clustered
+        |  WHERE stop_locations != -1),
+        |dp AS (
+        |  SELECT DISTINCT uid, stop_locations, latitude, longitude FROM pts),
+        |ext AS (
+        |  SELECT uid, stop_locations, count(*) AS n_distinct,
+        |    min(struct_pack(la := latitude, lo := longitude)) AS mn,
+        |    max(struct_pack(la := latitude, lo := longitude)) AS mx
+        |  FROM dp GROUP BY uid, stop_locations),
+        |colin AS (
+        |  SELECT d.uid, d.stop_locations,
+        |    max(abs((e.mx.la - e.mn.la) * (d.longitude - e.mn.lo)
+        |          - (e.mx.lo - e.mn.lo) * (d.latitude - e.mn.la))) AS maxcross
+        |  FROM dp d JOIN ext e
+        |    ON d.uid = e.uid AND d.stop_locations = e.stop_locations
+        |  GROUP BY d.uid, d.stop_locations),
+        |agg AS (
+        |  SELECT uid, stop_locations, count(*) AS n_rows,
+        |    avg(latitude) AS c_lat, avg(longitude) AS c_lon,
+        |    min(latitude) AS lat_min, max(latitude) AS lat_max,
+        |    min(longitude) AS lon_min, max(longitude) AS lon_max
+        |  FROM pts GROUP BY uid, stop_locations),
+        |shaped AS (
+        |  SELECT a.uid, a.stop_locations,
+        |    (e.n_distinct <= 2 OR c.maxcross = 0) AS deg,
+        |    CASE WHEN a.n_rows = 1 THEN 5e-5
+        |      ELSE sqrt(pow(e.mx.la - e.mn.la, 2) + pow(e.mx.lo - e.mn.lo, 2))
+        |    END AS l,
+        |    a.c_lat, a.c_lon, a.lat_min, a.lat_max, a.lon_min, a.lon_max
+        |  FROM agg a
+        |  JOIN ext e ON a.uid = e.uid AND a.stop_locations = e.stop_locations
+        |  JOIN colin c ON a.uid = c.uid AND a.stop_locations = c.stop_locations)
+        |SELECT uid, stop_locations,
+        |  round(CASE WHEN deg THEN c_lat - l / 2 ELSE lat_min END, 6)
+        |    AS hull_lat_min,
+        |  round(CASE WHEN deg THEN c_lat + l / 2 ELSE lat_max END, 6)
+        |    AS hull_lat_max,
+        |  round(CASE WHEN deg THEN c_lon - l / 2 ELSE lon_min END, 6)
+        |    AS hull_lon_min,
+        |  round(CASE WHEN deg THEN c_lon + l / 2 ELSE lon_max END, 6)
+        |    AS hull_lon_max
+        |FROM shaped""".stripMargin)
   )
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user

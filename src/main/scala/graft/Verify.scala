@@ -46,6 +46,13 @@ object Verify {
     // swaps into place only if no attempt has already delivered — two
     // committers never race on the final directory.
     val swapLock = new Object
+    // Set (under swapLock) once the run's record is about to be written:
+    // from then on a late-delivering zombie attempt must not touch the
+    // final directories — without this, a zombie finishing between the
+    // status.json write and the scratch sweep could re-create the very
+    // ambiguity status.json removes (dir present, status says timeout),
+    // or worse, race the sweep into deleting a delivered result.
+    var closed = false
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete(): Unit
@@ -64,10 +71,19 @@ object Verify {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(scratch)
             swapLock.synchronized {
-              if (!status.get(name).exists(_._1 == "ok")) {
+              if (!closed && !status.get(name).exists(_._1.startsWith("ok"))) {
                 val dest = new java.io.File(s"$outDir/$name")
                 if (dest.exists()) deleteRec(dest)
-                new java.io.File(scratch).renameTo(dest): Unit
+                if (!new java.io.File(scratch).renameTo(dest))
+                  System.err.println(
+                    s"[verify] WARN $name: rename $scratch -> $dest failed")
+                // A zombie of a timed-out attempt delivering late: record
+                // it, so status.json and the directory listing can never
+                // disagree (the main thread overwrites with plain "ok"
+                // when this is a live attempt completing normally).
+                status.get(name).filter(_._1 == "timeout").foreach { case (_, s) =>
+                  status(name) = ("ok-late", s)
+                }
               } else deleteRec(new java.io.File(scratch))
             }
           } finally spark.sparkContext.clearJobGroup()
@@ -88,9 +104,11 @@ object Verify {
           swapLock.synchronized { status(name) = ("fail", secs) }
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
-      // Queries that persist() internally (HomeWork.label, globalRowIndex)
-      // would otherwise accumulate cache entries for the app lifetime.
-      spark.catalog.clearCache()
+      // Queries that persist() internally (HomeWork.label,
+      // simhashCandidates) register with CacheScope; release exactly those
+      // — a global clearCache would also evict caches owned by an
+      // embedding application in a shared session.
+      CacheScope.releaseAll()
     }
 
     // Sorted: deterministic run order makes driver logs comparable
@@ -114,6 +132,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // From here on the record is authoritative: no zombie may swap into
+    // the final directories (they delete their scratch instead).
+    swapLock.synchronized { closed = true }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -127,11 +148,14 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
     spark.stop()
-    // after stop no zombie write can complete — sweep any scratch dirs a
-    // never-finished attempt left behind so the driver's dir listing only
-    // sees delivered query outputs
-    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith(".attempt_")) deleteRec(f)
-    })
+    // After stop no zombie write can complete, and `closed` already stops
+    // any straggler from renaming into place — sweep leftover scratch dirs
+    // under the same lock the swap path takes, so the sweep can never
+    // interleave with a swap-in-progress.
+    swapLock.synchronized {
+      Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(".attempt_")) deleteRec(f)
+      })
+    }
   }
 }

@@ -102,6 +102,24 @@ object TextFunctions {
     ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length)
       .cast("long")
 
+  /** BPE-ish tokenization pattern: letter runs, SINGLE digits (byte-pair
+    * vocabularies split numbers), single punctuation marks. The three
+    * alternatives match DISJOINT first-character classes, so leftmost-
+    * first (Java regex) and RE2-family engines (DuckDB, Go) tokenize
+    * identically — alternation order can never matter. `\s` is the same
+    * set in Java and RE2 ([ \t\n\x0B\f\r]), so whitespace is skipped
+    * identically too.
+    */
+  val bpeTokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Approximate LLM-token count via [[bpeTokenPattern]] — the standard
+    * cheap stand-in for a real tokenizer when budgeting training tokens
+    * (whitespace counting undercounts code/punctuation-heavy text badly).
+    * Codegen'd regexp_extract_all; cross-engine reproducible.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
+
   /** Quality-signal counts (exact integers; ratios are for the caller). */
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))

@@ -129,7 +129,8 @@ object Dedup {
     * the q17-style recompute trap); bucket collection uses the same
     * bounded-state CollectCappedLongs as [[minhashCandidates]], so one
     * boilerplate band value can never go quadratic past maxBucket.
-    * Caller owns the cache lifecycle (clear after materializing), same
+    * The persisted signatures register with [[graft.CacheScope]]; callers
+    * release via `CacheScope.releaseAll()` after materializing, same
     * contract as HomeWork.label.
     */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
@@ -139,8 +140,8 @@ object Dedup {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must divide 64 and be >= 2, got $bands")
     val width = 64 / bands
-    val sig = simhashDocs(docs, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.CacheScope.track(simhashDocs(docs, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("sh"), b * width).bitwiseAND((1L << width) - 1)

@@ -28,10 +28,30 @@ import org.apache.spark.sql.functions._
   * doubles every iteration — by ~9 rounds the plan string alone OOMs the
   * driver. Truncation keeps the per-round plan constant-size, which is
   * the difference between O(diameter) and O(2^diameter) planning work.
-  * On a real cluster swap localCheckpoint for reliable checkpoint() (an
-  * executor loss invalidates local checkpoint blocks; same API shape).
+  *
+  * Checkpoint mode: local checkpoints live in executor block storage — an
+  * executor loss mid-loop invalidates them and fails the job. Fine for a
+  * single-JVM run; on a real cluster set
+  * `spark.graft.reliableCheckpoint=true` (plus
+  * `sparkContext.setCheckpointDir`) and every truncation point writes a
+  * reliable checkpoint instead, surviving executor loss. Same plan shape
+  * either way — the flag only changes where the materialized blocks live.
   */
 object Graphs {
+
+  /** Conf-driven truncation: reliable `checkpoint()` when
+    * `spark.graft.reliableCheckpoint=true`, else `localCheckpoint()`.
+    * A conf flag rather than a parameter so the choice composes through
+    * callers (dedupKeep, SparkEntry queries) without threading a flag
+    * down every signature.
+    */
+  private def reliableMode(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.reliableCheckpoint")
+      .exists(_.equalsIgnoreCase("true"))
+
+  private def truncate(df: DataFrame): DataFrame =
+    if (reliableMode(df.sparkSession)) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Connected components of the graph given by `edges` (undirected; each
     * pair listed once in either direction) over the node universe `nodes`
@@ -54,19 +74,17 @@ object Graphs {
     // un-checkpointed edge plan re-runs the whole upstream pair
     // computation (e.g. a jaccard nested-loop join) TWICE per iteration —
     // measured minutes instead of seconds on the near-dup graph at sf0.1.
-    val sym = edges.select(src.as("src"), dst.as("dst"))
-      .union(edges.select(dst.as("src"), src.as("dst")))
-      .localCheckpoint(true)
+    val sym = truncate(edges.select(src.as("src"), dst.as("dst"))
+      .union(edges.select(dst.as("src"), src.as("dst"))))
     val all = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
     // Iterate ONLY over edge-touched nodes: isolated nodes (in a dedup
     // graph, most of the corpus) can never change label, so carrying
     // them through every round's join + checkpoint just multiplies the
     // per-round cost; they rejoin with component = id at the end.
-    var cached = all
+    var cached = truncate(all
       .join(sym.select(col("src").as("id")).distinct(), Seq("id"),
         "left_semi")
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
     val spark = edges.sparkSession
@@ -95,7 +113,12 @@ object Graphs {
         // UnsafeRow buffers are reused by the scan — copy before caching
         it.map { row => if (row.getBoolean(2)) acc.add(1L); row.copy() }
       }
-      rdd.localCheckpoint()
+      if (reliableMode(spark)) {
+        // reliable RDD checkpoint re-reads the data to write it out;
+        // persist first so that pass reads cached blocks, not the lineage
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
       rdd.count()
       changed = acc.value
       // old rounds' blocks are freed by the ContextCleaner
@@ -166,16 +189,15 @@ object Graphs {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var cur = edges.select(col(srcCol).cast("long").as("u"),
+    var cur = truncate(edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var curCount = cur.count()
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = truncate(smallStar(largeStar(cur)))
       // fixpoint when the (deduped) edge set stops changing: equal
       // cardinality + one-sided difference empty => set equality. The
       // cardinality is carried across rounds (never recomputed for cur)

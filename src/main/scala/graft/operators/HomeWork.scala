@@ -149,12 +149,14 @@ object HomeWork {
     *
     * Cache lifecycle: the returned frame is lazy and reads the cached
     * `prepared` four times, so unpersisting here would reintroduce the 4x
-    * recompute. The caller owns cleanup — `spark.catalog.clearCache()`
-    * after materializing (Verify/Bench do this between queries).
+    * recompute. The frame is registered with [[graft.CacheScope]]; the
+    * caller materializes the result then calls `CacheScope.releaseAll()`
+    * (Verify/Bench do this between queries), which unpersists ONLY
+    * operator-created caches — no global clearCache.
     */
   def label(clusters: DataFrame, p: Params): DataFrame = {
-    val prepared = prepare(clusters, p)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepared = graft.CacheScope.track(prepare(clusters, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     detectWork(detectHome(prepared, p), p)
   }
 

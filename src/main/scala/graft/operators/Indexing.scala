@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Scalable global row index (P8: the reference's with_row_index,
   * src/polaroam/models.py:75, testing.py:210).
@@ -12,20 +11,23 @@ import org.apache.spark.storage.StorageLevel
   * partition by the sort key, sort within partitions, then add each
   * partition's starting offset. The per-partition ordinal comes from
   * `monotonically_increasing_id()` (pid << 33 | row-in-partition counter),
-  * and the offsets come from one tiny per-partition count job — the plan
-  * stays columnar and whole-stage-codegen throughout, unlike an
-  * RDD zipWithIndex round-trip, which drops every downstream operator out
-  * of codegen and re-encodes all rows.
+  * and the offsets come from one tiny per-partition count job. The
+  * checkpoint scan feeds whole-stage codegen directly as InternalRows —
+  * unlike an RDD zipWithIndex round-trip through `df.rdd`, which
+  * deserializes every row to objects and re-encodes on the way back.
   *
-  * The sorted frame is persisted so the count pass and the indexed output
-  * observe the identical partitioning (and the sort runs once). The cache
-  * CANNOT be dropped before the caller materializes the result: a
-  * recompute re-runs range-partitioner sampling on a fresh RDD id, which
-  * may draw different boundaries than the counts pass observed and corrupt
-  * the offsets. The caller therefore owns the cache lifecycle — call
-  * `spark.catalog.clearCache()` (or unpersist via the catalog) once the
-  * indexed output is materialized; Verify and Bench do exactly that
-  * between queries.
+  * The sorted frame is LOCAL-CHECKPOINTED (lazily — the counts pass is
+  * what materializes it) so the count pass and the indexed output observe
+  * the identical partitioning and the sort runs once. A plain persist()
+  * carried a correctness footgun: anything dropping the cache before the
+  * caller materialized (a stray clearCache, memory pressure + recompute)
+  * re-ran range-partitioner sampling on a fresh RDD id, which may draw
+  * DIFFERENT boundaries than the counts pass observed and silently corrupt
+  * the offsets. Checkpoint blocks cannot be unpersisted out from under the
+  * plan — they free via the ContextCleaner when the returned frame is
+  * unreferenced, so there is no caller-side lifecycle contract at all.
+  * (On a multi-executor cluster an executor loss fails the job loudly —
+  * acceptable, and strictly better than the silent-corruption mode.)
   */
 object Indexing {
 
@@ -33,7 +35,7 @@ object Indexing {
                      sortCols: Column*): DataFrame = {
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val counts = sorted.select(spark_partition_id().as("pid"))
       .groupBy("pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

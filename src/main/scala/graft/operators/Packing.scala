@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Training-sequence packing (beyond-reference, LLM-pipeline operator):
   * concatenate documents in a deterministic order and chunk the stream
@@ -23,8 +22,11 @@ import org.apache.spark.storage.StorageLevel
   * count to sum.
   *
   * Cache contract matches globalRowIndex: the range-partitioned frame is
-  * persisted so the totals pass and the output observe identical
-  * boundaries; the caller clears the cache after materializing.
+  * lazily local-checkpointed so the totals pass and the output observe
+  * identical boundaries; blocks free via the ContextCleaner — no
+  * caller-side cache lifecycle (see Indexing's scaladoc for why
+  * checkpoint beats persist here: an evicted-then-recomputed cache could
+  * resample different range boundaries and corrupt offsets).
   */
 object Packing {
 
@@ -49,7 +51,7 @@ object Packing {
       .withColumn("__v", valueCol.cast("long"))
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     // one tiny job: per-partition totals (one row per partition)
     val totals = sorted
       .select(spark_partition_id().as("p"), col("__v"))

@@ -51,6 +51,17 @@ object SpatialJoin {
     val latCell = radiusM / MetersPerDegLatMin
     val lonCell = radiusM /
       (MetersPerDegLatMin * math.cos(math.toRadians(latAbsMax)))
+    // The seam wrap's no-double-count argument needs the base and wrapped
+    // cell-index sets disjoint: indices sit ~360/lonCell apart, so once a
+    // cell spans more than ~a third of the globe (radius above ~1,100 km
+    // at the default latAbsMax) the neighborhoods overlap and
+    // seam-adjacent pairs would silently be emitted twice. Fail loudly —
+    // continent-scale radii don't want a grid join anyway.
+    require(360.0 / lonCell > 3.0,
+      f"radiusM=$radiusM%.0f makes lon cells $lonCell%.1f deg wide at " +
+        f"latAbsMax=$latAbsMax%.1f — the antimeridian wrap would " +
+        "double-count pairs; use a smaller radius (or a cross join at " +
+        "this scale)")
     def cellOf(lat: Column, lon: Column, dy: Int, dx: Int): Column =
       concat_ws(":",
         (floor(lat / latCell) + dy).cast("long"),

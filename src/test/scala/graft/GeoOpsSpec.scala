@@ -112,12 +112,20 @@ class IndexingSpec extends SparkSpec {
     assert(got.forall { case (k, idx) => k === idx })
   }
 
-  test("global row index plan stays columnar (no RDD scan)") {
+  test("global row index: no object round-trip; index math is codegen'd") {
+    // The checkpoint scan yields InternalRows straight into whole-stage
+    // codegen. The bad shape this pins against — an RDD zipWithIndex
+    // round-trip through df.rdd — deserializes rows to objects and
+    // re-encodes them, which shows as (De)SerializeFromObject boundaries
+    // and an un-codegen'd downstream.
     val df = Seq(3L, 1L, 2L).toDF("k")
-    val plan = Indexing.globalRowIndex(df, "idx", col("k"))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("ExistingRDD"),
-      s"plan fell back to an RDD round-trip:\n$plan")
+    val q = Indexing.globalRowIndex(df, "idx", col("k"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject"),
+      s"plan pays an object re-encode round-trip:\n$plan")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"index projection fell out of whole-stage codegen:\n$plan")
   }
 
   test("empty input yields an empty indexed frame") {
@@ -143,7 +151,6 @@ class PackingSpec extends SparkSpec {
     rows.foreach { case (k, v) =>
       assert(got(k) === acc, s"k=$k"); acc += v
     }
-    spark.catalog.clearCache()
   }
 
   test("packChunks: hand-computed packs, straddle, zero-token doc") {

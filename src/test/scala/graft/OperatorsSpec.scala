@@ -44,6 +44,27 @@ class DedupSpec extends SparkSpec {
     assert(got === Array((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("CacheScope: internal caches are tracked and released, not global") {
+    // Compare persistent-RDD ID SETS, not sizes: the ContextCleaner frees
+    // other suites' unreferenced checkpoint blocks asynchronously, so a
+    // global size comparison is racy. IDs only ever disappear, never
+    // reappear, so set-diff isolates exactly the cache this operator adds.
+    graft.CacheScope.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.simhashCandidates(docs, "text", "id",
+      shingleN = 2, bands = 4, maxHamming = 8)
+    got.collect()
+    assert(graft.CacheScope.trackedCount >= 1,
+      "simhashCandidates must register its persisted signatures")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "expected the signature cache to be persisted")
+    graft.CacheScope.releaseAll()
+    assert(graft.CacheScope.trackedCount === 0)
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet & added
+    assert(remaining.isEmpty,
+      s"releaseAll left operator caches persisted: $remaining")
+  }
+
   test("minhash: identical texts have identical signatures") {
     val sig = docs.select(col("id"),
       Dedup.minhashSignature(col("text"), 3, 16).as("sig"))

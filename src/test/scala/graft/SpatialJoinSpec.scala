@@ -81,4 +81,18 @@ class SpatialJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"expected hash equi-join:\n$plan")
   }
+
+  test("continent-scale radius fails loudly (seam wrap would double-count)") {
+    // Above ~1,100 km at latAbsMax=85 the lon cell exceeds 120 deg: base
+    // and wrapped neighborhoods overlap and seam pairs would be emitted
+    // twice. The operator must refuse, not silently duplicate.
+    val pts = Seq((1L, 0.0, 179.9), (2L, 0.0, -179.9)).toDF("id", "lat", "lon")
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 2.0e6)
+    }
+    assert(e.getMessage.contains("double-count"))
+    // just under the bound still works
+    assert(SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 5.0e4)
+      .collect().length === 1)
+  }
 }
