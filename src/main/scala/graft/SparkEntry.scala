@@ -799,7 +799,39 @@ object SparkEntry {
           round(array_min(col("hull_lats")), 6).as("hull_lat_min"),
           round(array_max(col("hull_lats")), 6).as("hull_lat_max"),
           round(array_min(col("hull_lons")), 6).as("hull_lon_min"),
-          round(array_max(col("hull_lons")), 6).as("hull_lon_max")))
+          round(array_max(col("hull_lons")), 6).as("hull_lon_max"))),
+
+    // BPE-ish token counting next to whitespace counting — the budget
+    // currency for packing/selection. Pattern chosen for cross-engine
+    // regex parity (disjoint alternatives; see TextFunctions scaladoc).
+    "q74_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"))),
+
+    // Benchmark decontamination manifest: corpus vs a deterministic
+    // "benchmark" slice of itself (doc_id % 41 = 0) on 5-gram overlap.
+    // Benchmark docs are their own exact hit, so the flag is guaranteed
+    // non-trivial on gate data.
+    "q75_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.overlap(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 41 === 0), "text",
+        n = 5, minOverlap = 1)
+    }),
+
+    // Token-budget selection: seeded deterministic shuffle + distributed
+    // running total, keep the prefix within budget (~half the sf tokens).
+    "q76_token_budget" -> ((s, d) => {
+      // token counts are evaluated BEFORE the range exchange: only
+      // (doc_id, n_bpe) ride the shuffle, never the text
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+      graft.operators.Sampling.tokenBudgetSelect(
+        counted, "doc_id", col("n_bpe"), budget = 15000L, seed = "s5")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1559,8 +1591,81 @@ object SparkEntry {
         |    AS hull_lon_min,
         |  round(CASE WHEN deg THEN c_lon + l / 2 ELSE lon_max END, 6)
         |    AS hull_lon_max
-        |FROM shaped""".stripMargin)
+        |FROM shaped""".stripMargin),
+
+    // regexp_extract_all exists in both engines; the pattern's
+    // alternatives match disjoint first-character classes so Java regex
+    // and DuckDB's RE2 tokenize identically (TextFunctions scaladoc).
+    "q74_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents""".stripMargin,
+
+    "q75_decontaminate" -> sqlQ75Decontaminate,
+
+    "q76_token_budget" -> sqlQ76TokenBudget
   )
+
+  /** q75 oracle: the decontamination pipeline in DuckDB SQL. N-gram
+    * hashes are handled as (hi, lo) 32-bit md5 halves (the q57 trick —
+    * DuckDB errors on signed-64 overflow where the JVM wraps), packed
+    * into a HUGEINT for the distinct counts; Spark counts distinct over
+    * the bijectively-packed signed long, so the counts agree. Every doc
+    * survives via the final left join (short docs score 0), mirroring
+    * keepEmptyDocs = true.
+    */
+  private val sqlQ75Decontaminate: String = {
+    val n = 5
+    val gram = (1 to n).map(k => s"t[i + ${k - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |cg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5($gram), 1, 8) AS BIGINT) AS hi,
+       |    CAST('0x' || substr(md5($gram), 9, 8) AS BIGINT) AS lo
+       |  FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
+       |bg AS MATERIALIZED (
+       |  SELECT DISTINCT hi, lo FROM cg WHERE doc_id % 41 = 0),
+       |agg AS (
+       |  SELECT c.doc_id,
+       |    count(DISTINCT CAST(c.hi AS HUGEINT) * 4294967296 + c.lo)
+       |      AS n_grams,
+       |    count(DISTINCT CASE WHEN b.hi IS NOT NULL
+       |      THEN CAST(c.hi AS HUGEINT) * 4294967296 + c.lo END) AS n_hit
+       |  FROM cg c
+       |  LEFT JOIN bg b ON c.hi = b.hi AND c.lo = b.lo
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(CASE WHEN coalesce(a.n_hit, 0) >= 1 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS contaminated
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  /** q76 oracle: seeded-hash order + window cumsum. The window form is
+    * fine HERE (DuckDB is single-node by design); the Spark side uses the
+    * distributed globalCumSum instead. CAST to BIGINT per the q70 lesson
+    * (DuckDB window sum returns HUGEINT -> float64 in pandas). Order keys
+    * (hex md5 prefix, doc_id) are total and engine-neutral.
+    */
+  private val sqlQ76TokenBudget: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+      |    substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 15000""".stripMargin
 
   /** Oracle CTE chain: pings -> stop_events -> medians -> per-user
     * connected-components clustering (min_samples=2 DBSCAN degenerate

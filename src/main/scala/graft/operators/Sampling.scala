@@ -72,6 +72,42 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Token-budget corpus selection: deterministically shuffle the corpus
+    * (seeded hash order — a stable "random" training order that survives
+    * retries and engine swaps, same rationale as the split ops above) and
+    * keep the prefix of documents whose running token total stays within
+    * `budget`. The standard "give me ~N tokens of this corpus" curation
+    * step when sizing a pretraining mix.
+    *
+    * The running total is [[Packing.globalCumSum]] — a range exchange on
+    * the hash order plus an imperative per-partition pass — NOT a global
+    * `sum() over (order by ...)` window, which would collapse 100 TB into
+    * one partition. The budget filter is exclusive-at-the-boundary: a doc
+    * whose own tokens cross the budget is dropped, as are all docs after
+    * it in hash order (prefix truncation, not best-fit knapsack — the
+    * result is a contiguous prefix of a deterministic permutation, so two
+    * runs with growing budgets are nested).
+    *
+    * Output = input columns + `n_tokens` (the evaluated token count) and
+    * `cum_tokens` (inclusive running total in selection order).
+    */
+  def tokenBudgetSelect(df: DataFrame, keyCol: String, tokensCol: Column,
+                        budget: Long, seed: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val h = substring(
+      md5(concat(lit(seed), col(keyCol).cast("string")).cast("binary")),
+      1, 8)
+    val withTok = df
+      .withColumn("n_tokens", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__h", h)
+    Packing
+      .globalCumSum(withTok, "__pre", col("n_tokens"),
+        col("__h"), col(keyCol))
+      .withColumn("cum_tokens", col("__pre") + col("n_tokens"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__h", "__pre")
+  }
+
   /** Equal-frequency quantile binning of a numeric column — ntile
     * semantics (bucket sizes differ by ≤1, larger buckets first),
     * deterministic under a total order (value, then key). The standard

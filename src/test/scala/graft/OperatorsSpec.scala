@@ -494,6 +494,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === Seq("a b", "b c", "c d"))
   }
 
+  test("bpe token count: letter runs, single digits, single punctuation") {
+    val got = Seq(
+      ("a", "hello world"),          // 2 letter runs
+      ("b", "v1.23 x"),              // v,1,.,2,3,x = 6
+      ("c", "don't stop!"),          // don,',t,stop,! = 5
+      ("d", "  spaced\tout  "),      // whitespace never tokenizes
+      ("e", "42")                    // digits split: 4,2
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 6L, "c" -> 5L, "d" -> 2L,
+      "e" -> 2L))
+  }
+
   test("langId votes with deterministic tie-break") {
     val got = Seq(
       "the cat and the dog of it",
@@ -503,6 +517,54 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.langId(col("text")).as("l"))
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("en", "es", "und"))
+  }
+}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlap: planted hit, clean doc, short doc all scored") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram w/ bench
+      (2L, "one two three four five six"),          // clean
+      (3L, "too short here")                        // < 5 tokens
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon omega").toDF("text")
+    val got = graft.operators.Decontaminate
+      .overlap(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: 2 distinct 5-grams, exactly one ("alpha..epsilon") in bench
+    assert(got(1L) === ((2L, 1L, 1L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    // short doc survives with zero grams — manifests must cover every doc
+    assert(got(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("bench subset of corpus flags exactly itself at high n") {
+    // distinct texts, no cross-doc 6-gram collisions
+    val corpus = (1L to 6L)
+      .map(i => (i, (1 to 8).map(k => s"w${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Decontaminate
+      .overlap(corpus, "doc_id", "text",
+        corpus.filter($"doc_id" % 2 === 0).select($"text"), "text", n = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L,
+      5L -> 0L, 6L -> 1L))
+  }
+
+  test("benchmark side is broadcast (corpus never shuffles for the probe)") {
+    val corpus = (1L to 50L)
+      .map(i => (i, (1 to 10).map(k => s"t${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Decontaminate
+      .overlap(corpus, "doc_id", "text", corpus.limit(2).select($"text"),
+        "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe join:\n$plan")
   }
 }
 

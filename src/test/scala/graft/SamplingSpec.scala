@@ -65,6 +65,47 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tokenBudgetSelect matches an independent md5-order twin") {
+    val df = (1L to 40L).map(i => (i, 10L + i % 7)).toDF("id", "tok")
+    val budget = 200L
+    val got = Sampling.tokenBudgetSelect(df, "id", col("tok"), budget, "sd")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // independent twin: JDK md5, same (hex-prefix, id) order, prefix sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(s"sd$id".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val ordered = (1L to 40L).map(i => (i, 10L + i % 7))
+      .sortBy { case (id, _) => (h(id), id) }
+    var acc = 0L
+    val expect = ordered.flatMap { case (id, t) =>
+      acc += t
+      if (acc <= budget) Some((id, t, acc)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq === expect)
+    spark.catalog.clearCache()
+  }
+
+  test("tokenBudgetSelect: growing budgets give nested prefixes") {
+    val df = (1L to 60L).map(i => (i, 5L + i % 11)).toDF("id", "tok")
+    def ids(b: Long) =
+      Sampling.tokenBudgetSelect(df, "id", col("tok"), b, "s")
+        .select("id").as[Long].collect().toSet
+    val small = ids(100L)
+    val big = ids(300L)
+    assert(small.nonEmpty && small.size < big.size)
+    assert(small.subsetOf(big), "budget growth must only append")
+    spark.catalog.clearCache()
+  }
+
+  test("tokenBudgetSelect plan has no global window") {
+    val df = (1L to 100L).map(i => (i, 7L)).toDF("id", "tok")
+    val plan = Sampling.tokenBudgetSelect(df, "id", col("tok"), 300L, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window crept in:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("quantileBins plan stays distributed (no single-partition window)") {
     val df = (1L to 100L).map(i => (i * 1.0, i)).toDF("v", "id")
     val plan = Sampling.quantileBins(df, "v", "id", 4)
