@@ -831,7 +831,17 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSelect(
         counted, "doc_id", col("n_bpe"), budget = 15000L, seed = "s5")
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
-    })
+    }),
+
+    // Sliding-window chunking: 16-token windows every 8 tokens over the
+    // BPE count — the long-context training prep step. Pure per-doc
+    // explode, no shuffle.
+    "q77_chunk_windows" -> ((s, d) =>
+      graft.operators.Packing.chunkWindows(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
+        "doc_id", col("n_bpe"), window = 16, stride = 8)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1605,7 +1615,21 @@ object SparkEntry {
 
     "q75_decontaminate" -> sqlQ75Decontaminate,
 
-    "q76_token_budget" -> sqlQ76TokenBudget
+    "q76_token_budget" -> sqlQ76TokenBudget,
+
+    // range(0, n, stride) enumerates the same starts as Spark's
+    // sequence(0, n-1, stride); integer division gives the chunk index
+    "q77_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(s // 8 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS tok_start,
+        |  CAST(least(16, n - s) AS BIGINT) AS tok_len
+        |FROM t, unnest(range(0, n, 8)) AS u(s)""".stripMargin
   )
 
   /** q75 oracle: the decontamination pipeline in DuckDB SQL. N-gram

@@ -86,6 +86,34 @@ object Packing {
       .drop("__v")
   }
 
+  /** Sliding-window chunking for long-context training: each document
+    * becomes windows of up to `window` tokens starting every `stride`
+    * tokens (`stride < window` gives overlapping context windows; the
+    * final window is the sub-`window`-length tail). Output = one row per
+    * chunk: (id, chunk_idx, tok_start, tok_len).
+    *
+    * Purely per-document — a generate/explode over a bounded integer
+    * sequence (at most ceil(n/stride) rows per doc), no shuffle, no
+    * state, full codegen: the shape that scales embarrassingly to 100 TB.
+    * Zero-token docs emit no chunks (there is nothing to train on);
+    * compose with a left join when a doc manifest must stay total.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, tokensCol: Column,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val n = coalesce(tokensCol.cast("long"), lit(0L))
+    docs
+      .select(col(idCol).as("id"), n.as("__n"))
+      .filter(col("__n") > 0L)
+      .select(col("id"), col("__n"),
+        posexplode(sequence(lit(0L), col("__n") - 1L, lit(stride.toLong))))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("tok_start"),
+        least(lit(window.toLong), col("__n") - col("col")).as("tok_len"))
+  }
+
   /** docs + (pack_id, offset_in_pack, n_packs_spanned) under
     * `budgetTokens`, packing in `orderCols` order. Zero-token docs get
     * the pack where their offset falls and span 1.

@@ -171,6 +171,28 @@ class PackingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("chunkWindows: overlap, tail, zero-token doc, no shuffle") {
+    val docs = Seq((1L, 10L), (2L, 3L), (3L, 0L), (4L, 16L))
+      .toDF("doc_id", "toks")
+    val q = Packing.chunkWindows(docs, "doc_id", col("toks"),
+      window = 8, stride = 4)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 8L), (1L, 1L, 4L, 6L), (1L, 2L, 8L, 2L),
+      (2L, 0L, 0L, 3L),
+      // doc 3 (zero tokens) emits nothing
+      (4L, 0L, 0L, 8L), (4L, 1L, 4L, 8L), (4L, 2L, 8L, 8L),
+      (4L, 3L, 12L, 4L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-doc op must not shuffle:\n$plan")
+    val e = intercept[IllegalArgumentException] {
+      Packing.chunkWindows(docs, "doc_id", col("toks"), 8, 9)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+
   test("empty input packs to an empty frame") {
     val docs = Seq.empty[(Long, Long)].toDF("doc_id", "toks")
     assert(Packing.packChunks(docs, col("toks"), 64L, col("doc_id"))
