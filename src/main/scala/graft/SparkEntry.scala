@@ -841,7 +841,34 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"),
           TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
         "doc_id", col("n_bpe"), window = 16, stride = 8)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // End-to-end curation: quality filter -> normalized exact dedup ->
+    // benchmark decontamination -> token-budget selection, composed from
+    // the individually-oracled operators exactly as a pipeline user
+    // would. Composition adds only key-partitioned semi/anti joins and
+    // the operators' own broadcast/agg shapes — no new scale risk.
+    "q78_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = docs.filter(
+        TextFunctions.tokenCount(col("text")).between(20, 1000) &&
+          TextFunctions.langId(col("text")) === col("lang"))
+      val keepers = Dedup.normalizedExactDups(quality, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
+      val flagged = graft.operators.Decontaminate.overlap(
+        deduped, "doc_id", "text",
+        docs.filter(col("doc_id") % 41 === 0), "text",
+        n = 5, minOverlap = 1)
+        .filter(col("contaminated") === 1L)
+        .select("doc_id")
+      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      val counted = clean.select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+      graft.operators.Sampling.tokenBudgetSelect(
+        counted, "doc_id", col("n_bpe"), budget = 8000L, seed = "cur")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1629,8 +1656,67 @@ object SparkEntry {
         |  CAST(s // 8 AS BIGINT) AS chunk_idx,
         |  CAST(s AS BIGINT) AS tok_start,
         |  CAST(least(16, n - s) AS BIGINT) AS tok_len
-        |FROM t, unnest(range(0, n, 8)) AS u(s)""".stripMargin
+        |FROM t, unnest(range(0, n, 8)) AS u(s)""".stripMargin,
+
+    "q78_curation_pipeline" -> sqlQ78Curation
   )
+
+  /** q78 oracle: the four curation stages chained as CTEs — the same
+    * langid votes as q72, the q71 normalization key, the q75 gram-hash
+    * halves, and the q76 seeded-hash cumsum (CAST per the q70 HUGEINT
+    * lesson).
+    */
+  private val sqlQ78Curation: String = {
+    val n = 5
+    val gram = (1 to n).map(k => s"t[i + ${k - 1}]").mkString(" || ' ' || ")
+    langVotesSql.trim + ",\n" +
+      s"""q AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text
+         |  FROM votes v JOIN documents d USING (doc_id)
+         |  WHERE len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
+         |    AND (CASE WHEN v_en = best AND v_en > 0 THEN 'en'
+         |         WHEN v_es = best AND v_es > 0 THEN 'es'
+         |         WHEN v_fr = best AND v_fr > 0 THEN 'fr'
+         |         WHEN v_de = best AND v_de > 0 THEN 'de'
+         |         ELSE 'und' END) = v.lang),
+         |k AS (
+         |  SELECT min(doc_id) AS doc_id FROM q
+         |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+         |dd AS MATERIALIZED (
+         |  SELECT q.doc_id, q.text FROM q JOIN k USING (doc_id)),
+         |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+         |cg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5($gram), 1, 8) AS BIGINT) AS hi,
+         |    CAST('0x' || substr(md5($gram), 9, 8) AS BIGINT) AS lo
+         |  FROM ct, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
+         |bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 41 = 0),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT
+         |    CAST('0x' || substr(md5($gram), 1, 8) AS BIGINT) AS hi,
+         |    CAST('0x' || substr(md5($gram), 9, 8) AS BIGINT) AS lo
+         |  FROM bt, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
+         |contam AS (SELECT DISTINCT c.doc_id FROM cg c
+         |  JOIN bg b ON c.hi = b.hi AND c.lo = b.lo),
+         |clean AS (SELECT dd.doc_id, dd.text FROM dd
+         |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tt AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |    substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |  FROM clean),
+         |cc AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM tt)
+         |SELECT doc_id, n_tokens, cum_tokens FROM cc
+         |WHERE cum_tokens <= 8000""".stripMargin
+  }
 
   /** q75 oracle: the decontamination pipeline in DuckDB SQL. N-gram
     * hashes are handled as (hi, lo) 32-bit md5 halves (the q57 trick —
