@@ -1483,13 +1483,19 @@ object SparkEntry {
            |SELECT uid, event_id, $terms AS z FROM q""".stripMargin
     },
 
+    // Boundary semantics pinned empirically: Spark's session_window
+    // MERGES an event arriving exactly `gap` after the previous one (the
+    // next window's start equals the session end, and touching intervals
+    // coalesce) — so a new session starts only on a STRICTLY larger gap.
+    // sf0.01 had no exactly-1800 s inter-event gap; sf0.1 has one, which
+    // is what exposed a >= here.
     "q64_session_window" ->
       """WITH base AS (
         |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
         |x AS (
         |  SELECT user_id, tsec,
         |    CASE WHEN lag(tsec) OVER w IS NULL
-        |      OR tsec - lag(tsec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_sess
+        |      OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
         |  FROM base
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
         |y AS (

@@ -35,29 +35,47 @@ object Geometry {
   private def hullAndDiameterPoints(pts: Array[(Double, Double)])
   : (Array[(Double, Double)], Array[(Double, Double)]) = {
     val sorted = pts.distinct.sortBy(identity)
-    val chain: Array[(Double, Double)] =
-      if (sorted.length <= 2) sorted
-      else {
-        def cross(o: (Double, Double), a: (Double, Double),
-                  b: (Double, Double)): Double =
-          (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
-        val hull = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-        for (p <- sorted) {
-          while (hull.length >= 2 &&
-            cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
-          hull += p
-        }
-        val lower = hull.length + 1
-        for (p <- sorted.reverseIterator) {
-          while (hull.length >= lower &&
-            cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
-          hull += p
-        }
-        hull.remove(hull.length - 1)
-        hull.toArray
+    val mn = sorted.head
+    val mx = sorted.last
+    // Degenerate ⟺ fewer than 3 distinct points, or every distinct point
+    // EXACTLY on the mn→mx segment line under this double formula — the
+    // same formula in the same operand order as the q73 oracle SQL, so
+    // the regime decision is bit-reproducible cross-engine (IEEE sub/mul
+    // round identically everywhere). The previous predicate — "the
+    // monotone chain collapsed below 3 vertices" — tests collinearity
+    // through NEIGHBOR-triple cross products whose different roundings
+    // can disagree with any relational twin on near-collinear clusters
+    // (first seen at sf0.1: jittered dwell sites ~1e-6 deg apart).
+    val degenerate = sorted.length <= 2 || sorted.forall { p =>
+      math.abs((mx._1 - mn._1) * (p._2 - mn._2) -
+        (mx._2 - mn._2) * (p._1 - mn._1)) == 0.0
+    }
+    if (degenerate) (degenerateSquare(pts, sorted), Array(mn, mx))
+    else {
+      def cross(o: (Double, Double), a: (Double, Double),
+                b: (Double, Double)): Double =
+        (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+      val hull = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      for (p <- sorted) {
+        while (hull.length >= 2 &&
+          cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+        hull += p
       }
-    if (chain.length >= 3) (chain, chain)
-    else (degenerateSquare(pts, sorted), Array(sorted.head, sorted.last))
+      val lower = hull.length + 1
+      for (p <- sorted.reverseIterator) {
+        while (hull.length >= lower &&
+          cross(hull(hull.length - 2), hull.last, p) <= 0) hull.remove(hull.length - 1)
+        hull += p
+      }
+      hull.remove(hull.length - 1)
+      // fp corner: a point off the line by ulps (degenerate == false) can
+      // still be dropped by the chain's neighbor crosses, leaving the two
+      // extremes; that 2-vertex chain IS the hull to within ulps — return
+      // it rather than fall back to the square the reference would not
+      // have produced for a non-collinear input. Its bbox and diameter
+      // agree with the point set's at any rounded precision.
+      (hull.toArray, hull.toArray)
+    }
   }
 
   /** The reference's QhullError fallback: a square centered on the mean

@@ -75,6 +75,38 @@ class PropertySpec extends SparkSpec {
     assert(relational === definitional)
   }
 
+  test("decontamination overlap equals a naive in-memory twin on " +
+    "random corpora") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g")
+    def doc(): String = {
+      val len = rnd.nextInt(12) // includes < n edge cases
+      Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (caseNo <- 1 to 3) {
+      val n = 2 + rnd.nextInt(3)
+      val corpus = Seq.tabulate(30)(i => (i.toLong, doc()))
+      val bench = Seq.fill(5)(doc())
+      val got = graft.operators.Decontaminate
+        .overlap(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          bench.toDF("text"), "text", n = n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      def grams(t: String): Set[String] = {
+        val toks = t.split(" ", -1).toSeq
+        if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val benchGrams = bench.flatMap(grams).toSet
+      corpus.foreach { case (id, t) =>
+        val g = grams(t)
+        assert(got(id) === ((g.size.toLong, (g & benchGrams).size.toLong)),
+          s"case $caseNo doc $id text '$t'")
+      }
+    }
+  }
+
   test("streaming stop detection matches batch on random walks and " +
     "random batch splits") {
     implicit val sqlCtx = spark.sqlContext
