@@ -850,9 +850,15 @@ object SparkEntry {
     // the operators' own broadcast/agg shapes — no new scale risk.
     "q78_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val quality = docs.filter(
+      // The quality stage is read by four downstream consumers (dedup
+      // agg, semi-join left side, decontamination grams, token counting)
+      // — persist the stage boundary or the langId regex pass runs over
+      // the corpus four times. CacheScope-tracked like every internal
+      // operator cache.
+      val quality = graft.CacheScope.track(docs.filter(
         TextFunctions.tokenCount(col("text")).between(20, 1000) &&
           TextFunctions.langId(col("text")) === col("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val keepers = Dedup.normalizedExactDups(quality, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
