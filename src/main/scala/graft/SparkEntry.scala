@@ -787,19 +787,27 @@ object SparkEntry {
             col("lang_pred") === col("lang")).cast("long"))
     }),
 
-    // Hull bounding box per cluster — the oracle-expressible projection of
-    // q38's hulls: a real hull's bbox equals its point set's bbox (the
-    // chain keeps every min/max-coordinate point), and the degenerate
-    // centroid-square's bbox is centroid +/- side/2, both computable in
-    // SQL. Complements q38's rows-only hull_size/diameter check.
+    // Hull regime + bounding box per cluster — the oracle-expressible
+    // projection of q38's hulls. The kernel's degenerate decision uses
+    // the oracle's exact extremes-cross formula (bit-reproducible); a
+    // real hull's bbox equals its point set's bbox (exact min/max in any
+    // engine). The degenerate SQUARE's bbox is centroid-derived — a
+    // sum-order-sensitive float no relational twin can reproduce
+    // bit-for-bit — so degenerate rows emit the flag and NULL bbox
+    // (square values are pinned by GeometrySpec's hand cases instead).
     "q73_hull_bbox" -> ((s, d) =>
       graft.operators.Geometry.clusterHulls(
         stopClusters(s, d).filter(col("stop_locations") =!= -1L))
         .select(col("uid"), col("stop_locations"),
-          round(array_min(col("hull_lats")), 6).as("hull_lat_min"),
-          round(array_max(col("hull_lats")), 6).as("hull_lat_max"),
-          round(array_min(col("hull_lons")), 6).as("hull_lon_min"),
-          round(array_max(col("hull_lons")), 6).as("hull_lon_max"))),
+          col("degenerate").cast("long").as("degenerate"),
+          when(!col("degenerate"),
+            round(array_min(col("hull_lats")), 6)).as("hull_lat_min"),
+          when(!col("degenerate"),
+            round(array_max(col("hull_lats")), 6)).as("hull_lat_max"),
+          when(!col("degenerate"),
+            round(array_min(col("hull_lons")), 6)).as("hull_lon_min"),
+          when(!col("degenerate"),
+            round(array_max(col("hull_lons")), 6)).as("hull_lon_max"))),
 
     // BPE-ish token counting next to whitespace counting — the budget
     // currency for packing/selection. Pattern chosen for cross-engine
@@ -874,7 +882,15 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSelect(
         counted, "doc_id", col("n_bpe"), budget = 8000L, seed = "cur")
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
-    })
+    }),
+
+    // Per-source quality cap: keep each source's 10 longest docs
+    // (doc_id tie-break). One hash exchange + in-partition rank.
+    "q79_source_cap" -> ((s, d) =>
+      graft.operators.Sampling.topKPerGroup(
+        Tables.documents(s, d), Seq("source"), 10,
+        col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1616,29 +1632,26 @@ object SparkEntry {
         |    ON d.uid = e.uid AND d.stop_locations = e.stop_locations
         |  GROUP BY d.uid, d.stop_locations),
         |agg AS (
-        |  SELECT uid, stop_locations, count(*) AS n_rows,
-        |    avg(latitude) AS c_lat, avg(longitude) AS c_lon,
+        |  SELECT uid, stop_locations,
         |    min(latitude) AS lat_min, max(latitude) AS lat_max,
         |    min(longitude) AS lon_min, max(longitude) AS lon_max
         |  FROM pts GROUP BY uid, stop_locations),
         |shaped AS (
         |  SELECT a.uid, a.stop_locations,
         |    (e.n_distinct <= 2 OR c.maxcross = 0) AS deg,
-        |    CASE WHEN a.n_rows = 1 THEN 5e-5
-        |      ELSE sqrt(pow(e.mx.la - e.mn.la, 2) + pow(e.mx.lo - e.mn.lo, 2))
-        |    END AS l,
-        |    a.c_lat, a.c_lon, a.lat_min, a.lat_max, a.lon_min, a.lon_max
+        |    a.lat_min, a.lat_max, a.lon_min, a.lon_max
         |  FROM agg a
         |  JOIN ext e ON a.uid = e.uid AND a.stop_locations = e.stop_locations
         |  JOIN colin c ON a.uid = c.uid AND a.stop_locations = c.stop_locations)
         |SELECT uid, stop_locations,
-        |  round(CASE WHEN deg THEN c_lat - l / 2 ELSE lat_min END, 6)
+        |  CAST(deg AS BIGINT) AS degenerate,
+        |  CASE WHEN deg THEN NULL ELSE round(lat_min, 6) END
         |    AS hull_lat_min,
-        |  round(CASE WHEN deg THEN c_lat + l / 2 ELSE lat_max END, 6)
+        |  CASE WHEN deg THEN NULL ELSE round(lat_max, 6) END
         |    AS hull_lat_max,
-        |  round(CASE WHEN deg THEN c_lon - l / 2 ELSE lon_min END, 6)
+        |  CASE WHEN deg THEN NULL ELSE round(lon_min, 6) END
         |    AS hull_lon_min,
-        |  round(CASE WHEN deg THEN c_lon + l / 2 ELSE lon_max END, 6)
+        |  CASE WHEN deg THEN NULL ELSE round(lon_max, 6) END
         |    AS hull_lon_max
         |FROM shaped""".stripMargin),
 
@@ -1670,7 +1683,12 @@ object SparkEntry {
         |  CAST(least(16, n - s) AS BIGINT) AS tok_len
         |FROM t, unnest(range(0, n, 8)) AS u(s)""".stripMargin,
 
-    "q78_curation_pipeline" -> sqlQ78Curation
+    "q78_curation_pipeline" -> sqlQ78Curation,
+
+    "q79_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin
   )
 
   /** q78 oracle: the four curation stages chained as CTEs — the same

@@ -16,7 +16,8 @@ object Geometry {
   final case class HullRow(uid: String, stop_locations: Long,
                            hull_lats: Array[Double],
                            hull_lons: Array[Double],
-                           max_pair_dist: Double)
+                           max_pair_dist: Double,
+                           degenerate: Boolean)
 
   /** Andrew monotone chain; degenerate inputs (where Qhull would raise —
     * fewer than 3 distinct points, or all collinear) fall back to the
@@ -33,7 +34,7 @@ object Geometry {
     * synthetic square vertices would inflate it by sqrt 2).
     */
   private def hullAndDiameterPoints(pts: Array[(Double, Double)])
-  : (Array[(Double, Double)], Array[(Double, Double)]) = {
+  : (Array[(Double, Double)], Array[(Double, Double)], Boolean) = {
     val sorted = pts.distinct.sortBy(identity)
     val mn = sorted.head
     val mx = sorted.last
@@ -50,7 +51,7 @@ object Geometry {
       math.abs((mx._1 - mn._1) * (p._2 - mn._2) -
         (mx._2 - mn._2) * (p._1 - mn._1)) == 0.0
     }
-    if (degenerate) (degenerateSquare(pts, sorted), Array(mn, mx))
+    if (degenerate) (degenerateSquare(pts, sorted), Array(mn, mx), true)
     else {
       def cross(o: (Double, Double), a: (Double, Double),
                 b: (Double, Double)): Double =
@@ -74,7 +75,7 @@ object Geometry {
       // it rather than fall back to the square the reference would not
       // have produced for a non-collinear input. Its bbox and diameter
       // agree with the point set's at any rounded precision.
-      (hull.toArray, hull.toArray)
+      (hull.toArray, hull.toArray, false)
     }
   }
 
@@ -88,8 +89,14 @@ object Geometry {
   private def degenerateSquare(pts: Array[(Double, Double)],
                                sortedDistinct: Array[(Double, Double)])
   : Array[(Double, Double)] = {
-    val cLat = pts.map(_._1).sum / pts.length
-    val cLon = pts.map(_._2).sum / pts.length
+    // Sum in sorted order (duplicates kept, like points.mean(0)): the
+    // mapGroups iterator's arrival order varies run to run, and a
+    // different double summation order shifts the centroid by ulps —
+    // enough to flip a rounded 6th decimal at a boundary. Sorting first
+    // makes the kernel's output a function of the point MULTISET alone.
+    val ordered = pts.sortBy(identity)
+    val cLat = ordered.map(_._1).sum / ordered.length
+    val cLon = ordered.map(_._2).sum / ordered.length
     val l =
       if (pts.length == 1) 5e-5
       else {
@@ -124,7 +131,7 @@ object Geometry {
       .mapGroups { (key: (String, Long), it: Iterator[PointRow]) =>
         val (uid, loc) = key
         val pts = it.map(r => (r.latitude, r.longitude)).toArray
-        val (hull, dpts) = hullAndDiameterPoints(pts)
+        val (hull, dpts, degenerate) = hullAndDiameterPoints(pts)
         var maxD = 0.0
         var i = 0
         while (i < dpts.length) {
@@ -136,7 +143,7 @@ object Geometry {
           }
           i += 1
         }
-        HullRow(uid, loc, hull.map(_._1), hull.map(_._2), maxD)
+        HullRow(uid, loc, hull.map(_._1), hull.map(_._2), maxD, degenerate)
       }
       .toDF()
   }

@@ -72,6 +72,27 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-group top-k by an explicit ORDER — the "cap each source/domain
+    * at its k best documents" curation primitive ([[stratifiedTake]] is
+    * the hash-RANDOM variant; this one ranks by quality). `orderCols`
+    * plus the group must be a total order (include a unique id as the
+    * last key) or the kept set is recompute-order-dependent.
+    *
+    * One hash exchange on the strata + an in-partition rank — never a
+    * global sort; the rank short-circuits per group, so memory is the
+    * partition's rows, not k * |groups|.
+    */
+  def topKPerGroup(df: DataFrame, strataCols: Seq[String], k: Int,
+                   orderCols: Column*): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Token-budget corpus selection: deterministically shuffle the corpus
     * (seeded hash order — a stable "random" training order that survives
     * retries and engine swaps, same rationale as the split ops above) and

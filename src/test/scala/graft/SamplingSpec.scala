@@ -98,6 +98,25 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("topKPerGroup: ranked cap per stratum, deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 50L), ("a", 2L, 90L), ("a", 3L, 90L), ("a", 4L, 10L),
+      ("b", 5L, 7L)).toDF("g", "id", "score")
+    val got = Sampling.topKPerGroup(df, Seq("g"), 2,
+      col("score").desc, col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: scores 90,90 win; tie broken by id (2 before 3)
+    assert(got === Set(("a", 2L), ("a", 3L), ("b", 5L)))
+    // plan: one hash exchange on the strata, never a global sort
+    val plan = Sampling.topKPerGroup(df, Seq("g"), 2,
+      col("score").desc, col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(g"),
+      s"expected strata hash exchange:\n$plan")
+    assert(!"(?i)rangepartitioning".r.findFirstIn(plan).isDefined,
+      s"global sort crept in:\n$plan")
+  }
+
   test("tokenBudgetSelect plan has no global window") {
     val df = (1L to 100L).map(i => (i, 7L)).toDF("id", "tok")
     val plan = Sampling.tokenBudgetSelect(df, "id", col("tok"), 300L, "s")
