@@ -41,4 +41,32 @@ object Export {
   /** Snappy parquet sink (K1). */
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Token-balanced sharded parquet: documents are packed into shards of
+    * ~`budgetTokens` each (contiguous in `orderCols` order, so shard
+    * membership is deterministic and re-runs produce identical files) and
+    * written one file per shard via partitionBy("shard"). The "size the
+    * output files" step of a corpus build: downstream trainers stream
+    * equal-work files instead of whatever partition sizes the last
+    * shuffle happened to leave.
+    *
+    * Shard assignment = [[graft.operators.Packing.packChunks]]'s pack id
+    * (range exchange + per-partition cumsum — no global window); the
+    * repartition keys each shard's rows to one task so each shard
+    * directory holds exactly one parquet file. A doc larger than
+    * `budgetTokens` gets its own shard(s) boundary like any straddler —
+    * the shard where its first token lands.
+    */
+  def parquetShardedByTokens(docs: DataFrame, tokensCol: String,
+                             budgetTokens: Long, path: String,
+                             orderCols: org.apache.spark.sql.Column*)
+  : Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Packing
+      .packChunks(docs, col(tokensCol), budgetTokens, orderCols: _*)
+      .withColumnRenamed("pack_id", "shard")
+      .drop("offset_in_pack", "n_packs_spanned")
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

@@ -306,6 +306,43 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class ShardedExportSpec extends SparkSpec {
+  import graft.sources.Export
+  import org.apache.spark.sql.functions._
+
+  test("token-balanced shards: deterministic membership, one file each") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    // 12 docs x 100 tokens, budget 500 -> starts 0,100,... shards 0,0,0,
+    // 0,0,1,... = ceil(1200/500) = 3 shards (last one short)
+    val docs = (1L to 12L).map(i => (i, 100L)).toDF("doc_id", "toks")
+      .repartition(4)
+    Export.parquetShardedByTokens(docs, "toks", 500L, s"$dir/out",
+      col("doc_id"))
+    spark.catalog.clearCache()
+    val back = spark.read.parquet(s"$dir/out")
+    val byShard = back.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard"))
+      .toMap
+    assert(byShard === (1L to 12L)
+      .map(i => i -> ((i - 1) * 100L) / 500L).toMap)
+    // one parquet file per shard directory: downstream readers stream
+    // equal-token files, not arbitrary shuffle-partition remnants
+    (0 to 2).foreach { s =>
+      val files = new java.io.File(s"$dir/out/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s has ${files.length} files")
+    }
+    // re-run writes byte-identical membership (determinism)
+    Export.parquetShardedByTokens(docs, "toks", 500L, s"$dir/out2",
+      col("doc_id"))
+    spark.catalog.clearCache()
+    val again = spark.read.parquet(s"$dir/out2").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(again === byShard)
+  }
+}
+
 class CsvRoundTripSpec extends SparkSpec {
   import graft.sources.{Export, Ingest}
 
