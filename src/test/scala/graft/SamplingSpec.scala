@@ -107,7 +107,10 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // a: scores 90,90 win; tie broken by id (2 before 3)
     assert(got === Set(("a", 2L), ("a", 3L), ("b", 5L)))
-    // plan: one hash exchange on the strata, never a global sort
+    // plan: one hash exchange on the strata, never a global sort, and
+    // Spark's rank-limit pushdown (WindowGroupLimit) bounds each task to
+    // k rows per group BEFORE the exchange — the shuffle carries at most
+    // k * |groups| rows per map task, the 100 TB-safe shape
     val plan = Sampling.topKPerGroup(df, Seq("g"), 2,
       col("score").desc, col("id"))
       .queryExecution.executedPlan.toString
@@ -115,6 +118,8 @@ class SamplingSpec extends SparkSpec {
       s"expected strata hash exchange:\n$plan")
     assert(!"(?i)rangepartitioning".r.findFirstIn(plan).isDefined,
       s"global sort crept in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing (map-side top-k lost):\n$plan")
   }
 
   test("tokenBudgetSelect plan has no global window") {
