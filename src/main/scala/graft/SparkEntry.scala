@@ -890,7 +890,15 @@ object SparkEntry {
       graft.operators.Sampling.topKPerGroup(
         Tables.documents(s, d), Seq("source"), 10,
         col("n_chars").desc, col("doc_id"))
-        .select(col("doc_id"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // Materialized training sequences: concat each 2048-token pack's
+    // docs (doc_id order) into one text. Group size bounded by the
+    // budget by construction.
+    "q80_pack_texts" -> ((s, d) =>
+      graft.operators.Packing.materializePacks(
+        Tables.documents(s, d), col("text"),
+        TextFunctions.bpeTokenCount(col("text")), 2048L, col("doc_id")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1688,7 +1696,27 @@ object SparkEntry {
     "q79_source_cap" ->
       """SELECT doc_id, source, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
-        |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin
+        |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin,
+
+    // same pack assignment as q70 (exclusive prefix sum div budget) on
+    // the BPE count, then ordered string_agg per pack
+    "q80_pack_texts" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tok AS st
+        |  FROM t)
+        |SELECT st // 2048 AS pack_id,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS text,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin
   )
 
   /** q78 oracle: the four curation stages chained as CTEs — the same

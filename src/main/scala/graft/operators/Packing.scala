@@ -114,6 +114,38 @@ object Packing {
         least(lit(window.toLong), col("__n") - col("col")).as("tok_len"))
   }
 
+  /** Materialized training sequences: assign each doc to the pack where
+    * its first token lands ([[packChunks]]), then concatenate the pack's
+    * documents in order into one text per pack — the actual "build the
+    * batch file" step, not just the id manifest. Output: (pack_id, text,
+    * n_docs, n_tokens).
+    *
+    * Scale shape: one shuffle on pack_id; each pack's group is bounded by
+    * `budgetTokens` of text BY CONSTRUCTION (a pack holds only docs whose
+    * first token lands inside its budget window, plus at most one
+    * straddler tail), so the per-group collect can never see an unbounded
+    * group — the safety argument a bare collect_list(text) lacks.
+    * Ordering inside the pack uses `orderKey` (must be the leading
+    * orderCol of the packing), so the concatenation is deterministic.
+    */
+  def materializePacks(docs: DataFrame, textCol: Column, tokensCol: Column,
+                       budgetTokens: Long, orderKey: Column,
+                       sep: String = " "): DataFrame = {
+    val packed = packChunks(
+      docs.withColumn("__ok", orderKey).withColumn("__tx", textCol),
+      tokensCol, budgetTokens, col("__ok"))
+    packed
+      .groupBy(col("pack_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("__ok"), col("__tx")))),
+            x => x.getField("__tx")),
+          sep).as("text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** docs + (pack_id, offset_in_pack, n_packs_spanned) under
     * `budgetTokens`, packing in `orderCols` order. Zero-token docs get
     * the pack where their offset falls and span 1.

@@ -193,6 +193,25 @@ class PackingSpec extends SparkSpec {
     assert(e.getMessage.contains("stride"))
   }
 
+  test("materializePacks: ordered concat per pack, straddler included") {
+    val docs = Seq(
+      (1L, "aa bb", 2L), (2L, "cc", 1L), (3L, "dd ee ff", 3L),
+      (4L, "gg", 1L))
+      .toDF("doc_id", "text", "toks")
+    // budget 3: starts 0,2,3,6 -> packs 0,0,1,2
+    val got = Packing.materializePacks(docs, col("text"), col("toks"),
+      3L, col("doc_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, "aa bb cc", 2L, 3L),
+      (1L, "dd ee ff", 1L, 3L),
+      (2L, "gg", 1L, 1L)))
+    spark.catalog.clearCache()
+  }
+
   test("empty input packs to an empty frame") {
     val docs = Seq.empty[(Long, Long)].toDF("doc_id", "toks")
     assert(Packing.packChunks(docs, col("toks"), 64L, col("doc_id"))
