@@ -144,15 +144,16 @@ object Sampling {
     * buckets 1..r hold q+1 rows, buckets r+1..k hold q. Scales as a
     * range exchange + a stateless per-row expression.
     *
-    * Persists internally (via globalRowIndex); caller owns the cache
-    * lifecycle — clear after materializing, as Verify/Bench do.
+    * The sorted frame inside globalRowIndex is a lazy localCheckpoint
+    * whose blocks free via the ContextCleaner — no caller-side cache
+    * lifecycle (this doc predated the checkpoint switch).
     */
   def quantileBins(df: DataFrame, valueCol: String, keyCol: String, k: Int)
   : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val indexed =
       Indexing.globalRowIndex(df, "__idx", col(valueCol), col(keyCol))
-    val n = indexed.count() // served from globalRowIndex's cache
+    val n = indexed.count() // reads globalRowIndex's checkpoint blocks
     val q = n / k
     val r = n % k
     val bin =
