@@ -898,7 +898,17 @@ object SparkEntry {
     "q80_pack_texts" -> ((s, d) =>
       graft.operators.Packing.materializePacks(
         Tables.documents(s, d), col("text"),
-        TextFunctions.bpeTokenCount(col("text")), 2048L, col("doc_id")))
+        TextFunctions.bpeTokenCount(col("text")), 2048L, col("doc_id"))),
+
+    // Weighted corpus mix: even doc_ids as "web" at 192/256, odd as
+    // "books" at 64/256 — per-source salted hash, stateless filters.
+    "q81_weighted_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sampling.weightedMix(Seq(
+        ("web", docs.filter(col("doc_id") % 2 === 0), 192),
+        ("books", docs.filter(col("doc_id") % 2 === 1), 64)), "doc_id")
+        .select(col("doc_id"), col("mix_source"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1716,7 +1726,18 @@ object SparkEntry {
         |  string_agg(text, ' ' ORDER BY doc_id) AS text,
         |  count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // 192 = 0xc0, 64 = 0x40; salt = source name + ':'
+    "q81_weighted_mix" ->
+      """SELECT doc_id, 'web' AS mix_source FROM documents
+        |WHERE doc_id % 2 = 0
+        |  AND substr(md5('web:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |UNION ALL
+        |SELECT doc_id, 'books' FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND substr(md5('books:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |""".stripMargin
   )
 
   /** q78 oracle: the four curation stages chained as CTEs — the same

@@ -72,6 +72,31 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic weighted corpus mixing — the "75% web, 25% books"
+    * pretraining-mix step. Each source corpus is hash-sampled at
+    * `buckets`/256 (256 = keep all) and tagged with its name in
+    * `mix_source`; the per-source SALT (name prefixed into the hash)
+    * makes selections independent across corpora even when keys
+    * collide, and the whole mix is a union of pure stateless filters —
+    * no shuffle, pushdown-friendly, reproducible from any engine.
+    */
+  def weightedMix(sources: Seq[(String, DataFrame, Int)], keyCol: String)
+  : DataFrame = {
+    require(sources.nonEmpty, "at least one source corpus")
+    sources.foreach { case (n, _, b) =>
+      require(b > 0 && b <= 256, s"source '$n': buckets must be in (0, 256], got $b")
+    }
+    sources.map { case (name, df, buckets) =>
+      val bucket = substring(
+        md5(concat(lit(name + ":"), col(keyCol).cast("string"))
+          .cast("binary")), 1, 2)
+      val kept =
+        if (buckets == 256) df
+        else df.filter(bucket < lit(f"$buckets%02x"))
+      kept.withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group top-k by an explicit ORDER — the "cap each source/domain
     * at its k best documents" curation primitive ([[stratifiedTake]] is
     * the hash-RANDOM variant; this one ranks by quality). `orderCols`

@@ -65,6 +65,29 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("weightedMix: salted independent sampling, tags, no shuffle") {
+    val a = (1L to 400L).toDF("id")
+    val b = (1L to 400L).toDF("id") // SAME key space as a
+    val mixed = Sampling.weightedMix(
+      Seq(("a", a, 128), ("b", b, 128)), "id")
+    val rows = mixed.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val inA = rows.filter(_._2 == "a").map(_._1).toSet
+    val inB = rows.filter(_._2 == "b").map(_._1).toSet
+    // both ~50%; the salt makes the selections INDEPENDENT — overlap
+    // ~25%, far from the 50% an unsalted shared hash would produce
+    assert(inA.size > 140 && inA.size < 260, s"|A|=${inA.size}")
+    assert(inB.size > 140 && inB.size < 260, s"|B|=${inB.size}")
+    val overlap = (inA & inB).size.toDouble / 400
+    assert(overlap > 0.10 && overlap < 0.40,
+      s"overlap $overlap — selections look correlated")
+    // buckets=256 keeps everything; stateless plan (no exchange)
+    val all = Sampling.weightedMix(Seq(("x", a, 256)), "id")
+    assert(all.count() === 400)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix must not shuffle:\n$plan")
+  }
+
   test("tokenBudgetSelect matches an independent md5-order twin") {
     val df = (1L to 40L).map(i => (i, 10L + i % 7)).toDF("id", "tok")
     val budget = 200L
