@@ -125,8 +125,10 @@ object Packing {
     * first token lands inside its budget window, plus at most one
     * straddler tail), so the per-group collect can never see an unbounded
     * group — the safety argument a bare collect_list(text) lacks.
-    * Ordering inside the pack uses `orderKey` (must be the leading
-    * orderCol of the packing), so the concatenation is deterministic.
+    * Ordering inside the pack uses `orderKey`, which must be UNIQUE per
+    * row (it is the packing's entire order, and ties would make both the
+    * pack assignment and the concatenation order
+    * recompute-order-dependent).
     */
   def materializePacks(docs: DataFrame, textCol: Column, tokensCol: Column,
                        budgetTokens: Long, orderKey: Column,

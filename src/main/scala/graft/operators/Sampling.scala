@@ -134,8 +134,11 @@ object Sampling {
     * result is a contiguous prefix of a deterministic permutation, so two
     * runs with growing budgets are nested).
     *
-    * Output = input columns + `n_tokens` (the evaluated token count) and
-    * `cum_tokens` (inclusive running total in selection order).
+    * Output = input columns + `n_tokens` (the evaluated token count,
+    * replacing any existing column of that name) and `cum_tokens`
+    * (inclusive running total in selection order). `keyCol` must be
+    * unique: it breaks hash ties, and a duplicate key would make the
+    * tied rows' prefix sums recompute-order-dependent.
     */
   def tokenBudgetSelect(df: DataFrame, keyCol: String, tokensCol: Column,
                         budget: Long, seed: String): DataFrame = {
