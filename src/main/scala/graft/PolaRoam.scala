@@ -75,15 +75,19 @@ object PolaRoam {
     StopClusters.cluster(medians, StopClusters.Params(
       c.r2, 2, c.distance_metric, c.min_spacial_resolution))
 
-  /** event medians -> stop_locations via the community mode (radius graph
-    * + label propagation; documented stand-in for Infomap).
+  /** event medians -> stop_locations via the community mode: the same
+    * radius graph as the reference (models.py:179-204) partitioned by
+    * minimizing the two-level map equation — Infomap's published
+    * objective — with deterministic local moves (no RNG, unlike the C++
+    * Infomap binding the reference calls).
     */
   def computeInfomap(medians: DataFrame, c: Config): DataFrame =
     Communities.assignLocations(medians, Communities.Params(
       r2 = c.r2, weighted = c.weighted,
       weightExponent = c.weight_exponent,
       minSpacialResolution = c.min_spacial_resolution,
-      metric = c.distance_metric, labelSingletons = c.label_singleton))
+      metric = c.distance_metric, labelSingletons = c.label_singleton,
+      algorithm = "infomap"))
 
   /** HW parameter set, mirroring HWEstimate.__init__ defaults. */
   def hwParams(

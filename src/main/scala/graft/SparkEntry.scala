@@ -908,7 +908,19 @@ object SparkEntry {
         ("web", docs.filter(col("doc_id") % 2 === 0), 192),
         ("books", docs.filter(col("doc_id") % 2 === 1), 64)), "doc_id")
         .select(col("doc_id"), col("mix_source"))
-    })
+    }),
+
+    // M2 full form: the reference's Infomap mode with its actual objective
+    // (two-level map equation, deterministic local moves). Rows-only: the
+    // map equation is not SQL-expressible; q37 pins the same graph via its
+    // CC oracle and CommunitiesSpec pins the objective (exhaustive-search
+    // parity on a hand graph + optimality vs baseline partitions).
+    "q82_infomap" -> ((s, d) =>
+      graft.operators.Communities.assignLocations(
+        StopDetect.eventMedians(
+          StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
+        graft.operators.Communities.Params(
+          r2 = 100.0, algorithm = "infomap")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the

@@ -20,13 +20,19 @@ import org.apache.spark.sql.DataFrame
   *  - node order is first appearance in stop_events order (the reference's
   *    group_by(maintain_order=True) over timestamp-sorted stops).
   *
-  * True Infomap minimizes the map equation with a C++ library and is not
-  * bit-reproducible without it (SURVEY §7 trap 7); the reference's own
-  * production scripts use the DBSCAN path. We ship asynchronous weighted
-  * label propagation on the same radius graph: deterministic (max-weight
-  * neighbor label, ties to the smaller label; fixed iteration cap),
-  * per-user inside the same flatMapGroups kernel shape as DBSCAN. The
-  * semantic divergence from Infomap's objective is documented, not hidden.
+  * The reference runs the C++ Infomap binding on this graph, which is not
+  * bit-reproducible (SURVEY §7 trap 7: seeded stochastic search); its own
+  * production scripts use the DBSCAN path. Two algorithms over the same
+  * radius graph, both deterministic, per-user inside the same
+  * flatMapGroups kernel shape as DBSCAN:
+  *  - `algorithm = "infomap"`: minimizes Infomap's actual objective, the
+  *    two-level map equation (Rosvall & Bergstrom, PNAS 2008), with
+  *    fixed-order Louvain-style local moves and module aggregation —
+  *    same objective, deterministic search instead of the seeded one;
+  *  - `algorithm = "lpa"` (default): asynchronous weighted label
+  *    propagation (max-weight neighbor label, ties to the smaller label;
+  *    fixed iteration cap) — coarser (component-shaped on dense gate
+  *    data), kept as the oracle-pinnable mode.
   */
 object Communities {
 
@@ -38,7 +44,8 @@ object Communities {
       maxIterations: Int = 20,
       metric: String = "haversine",
       labelSingletons: Boolean = false,
-      maxGroupSize: Int = 20000)
+      maxGroupSize: Int = 20000,
+      algorithm: String = "lpa")
 
   /** medians(uid, stop_events, latitude, longitude, ...) ->
     * + stop_locations: community id per stop (first-appearance
@@ -101,12 +108,14 @@ object Communities {
     Array.tabulate(rows.length)(k => nodeLabels(rowNode(k)))
   }
 
-  private def labelGroup(coords: Array[(Double, Double)],
-                         counts: Array[Long], p: Params): Array[Long] = {
+  /** Radius graph with reference edge weights (utils.py:101-122):
+    * max(count_i, count_j) * d^(-q) weighted, max(count_i, count_j)
+    * unweighted; zero-distance pairs get a large finite weight.
+    */
+  private[graft] def buildAdjacency(coords: Array[(Double, Double)],
+                                    counts: Array[Long],
+                                    p: Params): Array[List[(Int, Double)]] = {
     val n = coords.length
-    // radius graph with reference edge weights (utils.py:101-122):
-    // max(count_i, count_j) * d^(-q) weighted, max(count_i, count_j)
-    // unweighted; zero-distance pairs get a large finite weight.
     val adj = Array.fill(n)(List.empty[(Int, Double)])
     var i = 0
     while (i < n) {
@@ -126,29 +135,42 @@ object Communities {
       }
       i += 1
     }
-    // asynchronous weighted label propagation in fixed index order:
-    // deterministic AND convergent (synchronous updates oscillate on
-    // 2-node components); ties go to the smallest label
-    val label = Array.tabulate(n)(identity)
-    var changed = true
-    var iter = 0
-    while (changed && iter < p.maxIterations) {
-      changed = false
-      i = 0
-      while (i < n) {
-        if (adj(i).nonEmpty) {
-          val scores = scala.collection.mutable.Map.empty[Int, Double]
-          adj(i).foreach { case (j, w) =>
-            scores(label(j)) = scores.getOrElse(label(j), 0.0) + w
+    adj
+  }
+
+  private def labelGroup(coords: Array[(Double, Double)],
+                         counts: Array[Long], p: Params): Array[Long] = {
+    val n = coords.length
+    val adj = buildAdjacency(coords, counts, p)
+    var i = 0
+    val label: Array[Int] =
+      if (p.algorithm == "infomap") mapEquationPartition(adj)
+      else {
+        // asynchronous weighted label propagation in fixed index order:
+        // deterministic AND convergent (synchronous updates oscillate on
+        // 2-node components); ties go to the smallest label
+        val lbl = Array.tabulate(n)(identity)
+        var changed = true
+        var iter = 0
+        while (changed && iter < p.maxIterations) {
+          changed = false
+          i = 0
+          while (i < n) {
+            if (adj(i).nonEmpty) {
+              val scores = scala.collection.mutable.Map.empty[Int, Double]
+              adj(i).foreach { case (j, w) =>
+                scores(lbl(j)) = scores.getOrElse(lbl(j), 0.0) + w
+              }
+              val next = scores.toSeq
+                .maxBy { case (l, s) => (s, -l.toDouble) }._1
+              if (next != lbl(i)) { lbl(i) = next; changed = true }
+            }
+            i += 1
           }
-          val next = scores.toSeq
-            .maxBy { case (lbl, s) => (s, -lbl.toDouble) }._1
-          if (next != label(i)) { label(i) = next; changed = true }
+          iter += 1
         }
-        i += 1
+        lbl
       }
-      iter += 1
-    }
     // canonicalize: 0-based by first appearance; singletons -> -1 unless
     // labelSingletons (reference label_singletons flag, utils.py:124-134)
     val isolated = Array.tabulate(n)(k => adj(k).isEmpty)
@@ -165,6 +187,189 @@ object Communities {
       i += 1
     }
     out
+  }
+
+  // ---- Map-equation (Infomap) mode --------------------------------------
+  // Two-level map equation for an undirected weighted graph (Rosvall &
+  // Bergstrom, PNAS 105(4), 2008; Rosvall, Axelsson & Bergstrom, "The map
+  // equation", Eur. Phys. J. Special Topics 178, 2009). With node strength
+  // s_a, W2 = sum of strengths, module flow S_m = sum of member strengths,
+  // module exit q_m = (weight of edges leaving m)/W2 and q = sum_m q_m:
+  //
+  //   L(M) = plogp(q) - 2*sum_m plogp(q_m)
+  //        + sum_m plogp(q_m + S_m/W2) - sum_a plogp(s_a/W2)
+  //
+  // (plogp(x) = x*log2 x; the last term is partition-independent but kept
+  // so L is the true per-step description length in bits). Minimized
+  // Louvain-style: fixed-order local node moves scored by the exact
+  // delta-L, then module aggregation, repeated until no move improves —
+  // deterministic (ties to the smallest target module id), no RNG, unlike
+  // the reference's C++ Infomap binding (SURVEY §7 trap 7).
+
+  private def plogp(x: Double): Double =
+    if (x > 0) x * math.log(x) / math.log(2.0) else 0.0
+
+  /** Node graph at one aggregation level: `s` = flow strength (internal
+    * collapsed weight counted twice), `sExt` = boundary strength, `adj` =
+    * inter-node edges only (no self entries).
+    */
+  private final case class WGraph(
+      s: Array[Double],
+      sExt: Array[Double],
+      adj: Array[Array[(Int, Double)]])
+
+  /** Minimize the two-level map equation; returns a module id per node
+    * (ids arbitrary — the caller canonicalizes by first appearance).
+    */
+  private[graft] def mapEquationPartition(
+      adjList: Array[List[(Int, Double)]]): Array[Int] = {
+    val n = adjList.length
+    if (n == 0) return Array.empty
+    val s0 = Array.tabulate(n)(i => adjList(i).iterator.map(_._2).sum)
+    var g = WGraph(s0, s0.clone(), adjList.map(_.sortBy(_._1).toArray))
+    var assign = Array.tabulate(n)(identity)
+    var done = false
+    while (!done) {
+      val part = localMoves(g)
+      val renum = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      val dense = part.map(m => renum.getOrElseUpdate(m, renum.size))
+      if (renum.size == g.s.length) done = true // every node its own module
+      else {
+        assign = assign.map(dense)
+        g = collapse(g, dense, renum.size)
+      }
+    }
+    assign
+  }
+
+  /** One Louvain level: greedy fixed-order single-node moves, exact
+    * delta-L, strict-improvement threshold so the pass loop terminates.
+    */
+  private def localMoves(g: WGraph): Array[Int] = {
+    val n = g.s.length
+    val w2 = g.s.sum
+    val module = Array.tabulate(n)(identity)
+    if (w2 <= 0) return module
+    val S = g.s.clone()    // per-module flow
+    val C = g.sExt.clone() // per-module cut (each cross edge counts once
+                           // per endpoint module, so singleton C = sExt)
+    val size = Array.fill(n)(1)
+    val freeIds = scala.collection.mutable.Stack.empty[Int]
+    var sumQ = C.sum / w2
+    var moved = true
+    var pass = 0
+    while (moved && pass < 200) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        val curr = module(i)
+        val sI = g.s(i)
+        val eI = g.sExt(i)
+        val wTo = scala.collection.mutable.HashMap.empty[Int, Double]
+        g.adj(i).foreach { case (j, w) =>
+          val m = module(j); wTo(m) = wTo.getOrElse(m, 0.0) + w
+        }
+        val wCurr = wTo.getOrElse(curr, 0.0)
+        val cA = C(curr); val sA = S(curr)
+        val cA2 = math.max(0.0, cA - eI + 2 * wCurr)
+        val sA2 = sA - sI
+        var bestM = curr
+        var bestD = 0.0
+        var bestSumQ = sumQ
+        var bestCB2 = 0.0
+        def consider(mB: Int, wB: Double): Unit = if (mB != curr) {
+          val cB = C(mB); val sB = S(mB)
+          val cB2 = cB + eI - 2 * wB
+          val sB2 = sB + sI
+          val sumQ2 = math.max(0.0, sumQ + (cA2 + cB2 - cA - cB) / w2)
+          val d = (plogp(sumQ2) - plogp(sumQ)
+            - 2 * (plogp(cA2 / w2) + plogp(cB2 / w2)
+              - plogp(cA / w2) - plogp(cB / w2))
+            + plogp((cA2 + sA2) / w2) + plogp((cB2 + sB2) / w2)
+            - plogp((cA + sA) / w2) - plogp((cB + sB) / w2))
+          if (d < bestD - 1e-10 ||
+              (d < bestD + 1e-10 && bestM != curr && mB < bestM)) {
+            bestM = mB; bestD = d; bestSumQ = sumQ2; bestCB2 = cB2
+          }
+        }
+        wTo.keysIterator.toArray.sorted.foreach(m => consider(m, wTo(m)))
+        // moving out to a fresh singleton module (only possible once a
+        // merge has freed an id; before that every node IS a singleton)
+        if (size(curr) > 1 && freeIds.nonEmpty) consider(freeIds.top, 0.0)
+        if (bestM != curr) {
+          C(curr) = cA2; S(curr) = sA2; size(curr) -= 1
+          if (size(curr) == 0) freeIds.push(curr)
+          if (size(bestM) == 0 && freeIds.nonEmpty && freeIds.top == bestM)
+            freeIds.pop()
+          C(bestM) = bestCB2; S(bestM) += sI; size(bestM) += 1
+          module(i) = bestM
+          sumQ = bestSumQ
+          moved = true
+        }
+        i += 1
+      }
+      pass += 1
+    }
+    module
+  }
+
+  /** Aggregate modules into super-nodes; intra-module weight becomes
+    * internal flow (counted in `s`, absent from `adj`/`sExt`).
+    */
+  private def collapse(g: WGraph, part: Array[Int], m: Int): WGraph = {
+    val s = new Array[Double](m)
+    val sExt = new Array[Double](m)
+    val edge = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    var i = 0
+    while (i < g.s.length) {
+      val a = part(i)
+      s(a) += g.s(i)
+      g.adj(i).foreach { case (j, w) =>
+        val b = part(j)
+        if (a != b) {
+          sExt(a) += w
+          if (i < j) {
+            val key = if (a < b) (a, b) else (b, a)
+            edge(key) = edge.getOrElse(key, 0.0) + w
+          }
+        }
+      }
+      i += 1
+    }
+    val adjB = Array.fill(m)(List.empty[(Int, Double)])
+    edge.toSeq.sortBy(_._1).foreach { case ((a, b), w) =>
+      adjB(a) ::= (b, w); adjB(b) ::= (a, w)
+    }
+    WGraph(s, sExt, adjB.map(_.sortBy(_._1).toArray))
+  }
+
+  /** Exact two-level map equation (bits per step) of an arbitrary
+    * partition of the graph `adjList` — exposed for spec-level optimality
+    * assertions against baseline partitions.
+    */
+  private[graft] def mapEquationBits(adjList: Array[List[(Int, Double)]],
+                                     part: Array[Int]): Double = {
+    val n = adjList.length
+    val s = Array.tabulate(n)(i => adjList(i).iterator.map(_._2).sum)
+    val w2 = s.sum
+    if (w2 <= 0) return 0.0
+    val S = scala.collection.mutable.HashMap.empty[Int, Double]
+    val C = scala.collection.mutable.HashMap.empty[Int, Double]
+    var i = 0
+    while (i < n) {
+      val m = part(i)
+      S(m) = S.getOrElse(m, 0.0) + s(i)
+      C.getOrElseUpdate(m, 0.0)
+      adjList(i).foreach { case (j, w) =>
+        if (part(j) != m) C(m) = C(m) + w
+      }
+      i += 1
+    }
+    val sumQ = C.valuesIterator.sum / w2
+    (plogp(sumQ)
+      - 2 * C.valuesIterator.map(c => plogp(c / w2)).sum
+      + C.keysIterator.map(m => plogp((C(m) + S(m)) / w2)).sum
+      - s.iterator.map(x => plogp(x / w2)).sum)
   }
 
   private def dist(p: Params)(aLat: Double, aLon: Double,

@@ -88,6 +88,72 @@ class CommunitiesSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(got.toSeq === Seq(0L, 1L))
   }
+
+  test("infomap: exhaustive-search parity on the triangle barbell") {
+    // Two unit-count triangles x = {0, 0.5, 1} and {3, 3.5, 4} joined by
+    // the single bridge 1.0—3.0; r2 = 2.2 euclidean, w = 1/d. Exhaustive
+    // search over all 6^6 partitions puts the map-equation minimum at the
+    // two-triangle split with L = 1.9022017214900178 bits (one module:
+    // 2.5751, all singletons: 4.5751). The optimizer must find exactly it.
+    val p = Communities.Params(r2 = 2.2, metric = "euclidean",
+      algorithm = "infomap")
+    val xs = Seq(0.0, 0.5, 1.0, 3.0, 3.5, 4.0)
+    val got = Communities.assignLocations(
+      medians(xs.zipWithIndex.map { case (x, k) =>
+        ("u", k.toLong + 1, x, 0.0) }: _*), p)
+      .orderBy("stop_events")
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(got.toSeq === Seq(0L, 0L, 0L, 1L, 1L, 1L),
+      "map equation must split the weak bridge (CC keeps one component)")
+    val coords = xs.map(x => (x, 0.0)).toArray
+    val adj = Communities.buildAdjacency(coords, Array.fill(6)(1L), p)
+    val found = Communities.mapEquationPartition(adj)
+    assert(math.abs(Communities.mapEquationBits(adj, found) -
+      1.9022017214900178) < 1e-9)
+  }
+
+  test("infomap: beats baseline partitions on random geometric graphs") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val coords = Array.fill(40)((rnd.nextDouble() * 10,
+        rnd.nextDouble() * 10))
+      val p = Communities.Params(r2 = 1.5, metric = "euclidean",
+        algorithm = "infomap")
+      val adj = Communities.buildAdjacency(coords, Array.fill(40)(1L), p)
+      val found = Communities.mapEquationPartition(adj)
+      val lFound = Communities.mapEquationBits(adj, found)
+      // connected components via BFS — the coarsest sane baseline
+      val comp = Array.fill(40)(-1)
+      var c = 0
+      for (s <- 0 until 40) if (comp(s) < 0) {
+        val stack = scala.collection.mutable.Stack(s)
+        while (stack.nonEmpty) {
+          val v = stack.pop()
+          if (comp(v) < 0) { comp(v) = c; adj(v).foreach(e => stack.push(e._1)) }
+        }
+        c += 1
+      }
+      val lCc = Communities.mapEquationBits(adj, comp)
+      val lOne = Communities.mapEquationBits(adj, Array.fill(40)(0))
+      val lSingles = Communities.mapEquationBits(adj, Array.tabulate(40)(identity))
+      assert(lFound <= lCc + 1e-9, s"seed $seed: worse than components")
+      assert(lFound <= lOne + 1e-9, s"seed $seed: worse than one module")
+      assert(lFound <= lSingles + 1e-9, s"seed $seed: worse than singletons")
+      // deterministic: a second run reproduces the partition exactly
+      assert(Communities.mapEquationPartition(adj).toSeq === found.toSeq)
+    }
+  }
+
+  test("infomap: a close pair stays one module; isolated stays -1") {
+    val got = Communities.assignLocations(medians(
+      ("u", 1L, 19.0000, -99.0),
+      ("u", 2L, 19.0005, -99.0),
+      ("u", 3L, 19.5000, -99.0)),
+      Communities.Params(r2 = 100.0, algorithm = "infomap"))
+      .orderBy("stop_events")
+      .collect().map(_.getAs[Long]("stop_locations"))
+    assert(got.toSeq === Seq(0L, 0L, -1L))
+  }
 }
 
 class IndexingSpec extends SparkSpec {
