@@ -94,9 +94,10 @@ object Communities {
     val allCounts = new Array[Long](allCoords.length)
     i = 0
     while (i < rows.length) { allCounts(rowNode(i)) += 1L; i += 1 }
-    // whale-user guard: the radius graph is O(nodes²); nodes beyond
-    // maxGroupSize (first-appearance order) label -1 rather than pinning
-    // a task for hours — the enforced form of the reference's
+    // whale-user guard: the pair SCAN is grid-pruned (NeighborSearch),
+    // but a dense whale's radius graph is still O(nodes²) EDGES; nodes
+    // beyond maxGroupSize (first-appearance order) label -1 rather than
+    // blowing task memory — the enforced form of the reference's
     // min_spacial_resolution mitigation
     val n = math.min(allCoords.length, p.maxGroupSize)
     if (n < allCoords.length)
@@ -116,26 +117,22 @@ object Communities {
                                     counts: Array[Long],
                                     p: Params): Array[List[(Int, Double)]] = {
     val n = coords.length
-    val adj = Array.fill(n)(List.empty[(Int, Double)])
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val d = dist(p)(coords(i)._1, coords(i)._2,
-          coords(j)._1, coords(j)._2)
-        if (d <= p.r2) {
-          val cMax = math.max(counts(i), counts(j)).toDouble
-          val w =
-            if (!p.weighted) cMax
-            else if (d <= 1e-9) cMax * 1e18
-            else cMax * math.pow(d, -p.weightExponent)
-          adj(i) ::= (j, w); adj(j) ::= (i, w)
-        }
-        j += 1
-      }
-      i += 1
-    }
-    adj
+    val lat = Array.tabulate(n)(coords(_)._1)
+    val lon = Array.tabulate(n)(coords(_)._2)
+    val buf = Array.fill(n)(
+      new scala.collection.mutable.ArrayBuffer[(Int, Double)])
+    NeighborSearch.pairs(lat, lon, p.r2, p.metric, dist(p), (i, j, d) => {
+      val cMax = math.max(counts(i), counts(j)).toDouble
+      val w =
+        if (!p.weighted) cMax
+        else if (d <= 1e-9) cMax * 1e18
+        else cMax * math.pow(d, -p.weightExponent)
+      buf(i) += ((j, w)); buf(j) += ((i, w))
+    })
+    // descending index order = the historical O(n²) prepend order; LPA's
+    // per-label weight sums are FP-order-sensitive, so the grid and brute
+    // paths must hand consumers byte-identical lists
+    buf.map(_.sortBy(-_._1).toList)
   }
 
   private def labelGroup(coords: Array[(Double, Double)],

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * ping table). Everything around it — downsampling, medoid statistics,
   * enrichment — is relational. Per-user groups are intrinsically small
   * (stops per human per period); the [[downsample]] grid-snap stage is the
-  * reference's own whale-group cap (models.py:60-87) and bounds the O(n²)
-  * neighbor search.
+  * reference's own whale-group cap (models.py:60-87); the neighbor scan
+  * itself is grid-pruned ([[NeighborSearch]]) so sparse whales cost
+  * near-linear time, not O(n²).
   *
   * Determinism contract (SURVEY §7 trap 6): with min_samples=2, DBSCAN
   * degenerates to connected components of the eps-neighbor graph (isolated
@@ -94,22 +95,17 @@ object StopClusters {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    // neighbor counts (self included, as in sklearn)
+    // neighbor counts (self included, as in sklearn); grid-pruned exact
+    // pair enumeration — identical pair set to the O(n²) scan
     val degree = Array.fill(n)(1)
     val neighbors = Array.fill(n)(List.empty[Int])
+    val latA = Array.tabulate(n)(rows(_).latitude)
+    val lonA = Array.tabulate(n)(rows(_).longitude)
+    NeighborSearch.pairs(latA, lonA, p.eps, p.metric, d, (i, j, _) => {
+      degree(i) += 1; degree(j) += 1
+      neighbors(i) ::= j; neighbors(j) ::= i
+    })
     var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        if (d(rows(i).latitude, rows(i).longitude,
-          rows(j).latitude, rows(j).longitude) <= p.eps) {
-          degree(i) += 1; degree(j) += 1
-          neighbors(i) ::= j; neighbors(j) ::= i
-        }
-        j += 1
-      }
-      i += 1
-    }
     val core = degree.map(_ >= p.minSamples)
     // core-core edges define components
     i = 0
@@ -140,8 +136,10 @@ object StopClusters {
     Array.tabulate(n)(k => if (owner(k) >= 0) labelOf(owner(k)) else -1L)
   }
 
-  /** Whale-user guard: the kernel is O(n²) in group size, so one uid with
-    * millions of medians would pin a task for hours at cluster scale. Rows
+  /** Whale-user guard: the grid prune makes the scan near-linear, but a
+    * DENSE whale (everything within eps) still materializes O(n²)
+    * neighbor-list entries, and one uid with millions of medians would
+    * blow task memory at cluster scale. Rows
     * beyond `maxGroupSize` (in stop_events order) are excluded from
     * clustering and label as noise (−1) — the same degradation the
     * reference reaches via its min_spacial_resolution downsample, but
