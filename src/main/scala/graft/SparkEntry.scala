@@ -920,7 +920,22 @@ object SparkEntry {
         StopDetect.eventMedians(
           StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
         graft.operators.Communities.Params(
-          r2 = 100.0, algorithm = "infomap")))
+          r2 = 100.0, algorithm = "infomap"))),
+
+    // Cross-batch near-dup: which "incoming" docs (doc_id % 3 = 0)
+    // near-dup any "historical" doc (the rest) — the per-batch dedup
+    // gate of a continuously ingesting corpus. The history band index is
+    // batch-invariant (persist it in production); candidates via one
+    // (band, bucket) equi-join, never a self-join.
+    "q83_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id")
+        .select(col("in_id"), col("hist_id"),
+          col("agree_k").cast("long").as("agree_k"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -992,6 +1007,69 @@ object SparkEntry {
        |JOIN banded b ON a.band = b.band AND $xEq AND a.doc_id < b.doc_id
        |JOIN sized s ON s.band = a.band AND $sEq
        |WHERE s.n <= $maxBucket""".stripMargin
+  }
+
+  /** q83 oracle: the cross-batch minhash near-dup gate in DuckDB SQL —
+    * the q29 signature/banding CTEs computed once over all documents,
+    * split into history (doc_id % 3 <> 0) and incoming (= 0) sides,
+    * bucket cap applied to the HISTORY side only (mirroring the
+    * operator's index-side cap), full-signature agreement count, then
+    * the smallest qualifying historical id per incoming doc.
+    */
+  private val sqlQ83Incremental: String = {
+    val k = 32; val bands = 8; val rows = k / bands; val maxBucket = 64
+    val minAgreeK = 16
+    val p = 2147483647L
+    val mins = (0 until k).map { i =>
+      val a = 1L + 2L * i
+      val b = 12582917L * (i + 1)
+      s"    min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n")
+    def bandSelects(src: String) = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"m${b * rows + r}")
+      if (b == 0)
+        s"  SELECT doc_id, 0 AS band, " +
+          cols.zipWithIndex.map { case (c, j) => s"$c AS x$j" }
+            .mkString(", ") + s" FROM $src"
+      else s"  UNION ALL SELECT doc_id, $b, " + cols.mkString(", ") +
+        s" FROM $src"
+    }.mkString("\n")
+    val xEq = (0 until rows).map(j => s"i.x$j = h.x$j").mkString(" AND ")
+    val sEq = (0 until rows).map(j => s"s.x$j = h.x$j").mkString(" AND ")
+    val xCols = (0 until rows).map(j => s"x$j").mkString(", ")
+    val agree = (0 until k).map(i =>
+      s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS h
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh GROUP BY doc_id),
+       |hsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 3 <> 0),
+       |isig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 3 = 0),
+       |hband AS MATERIALIZED (
+       |${bandSelects("hsig")}),
+       |iband AS MATERIALIZED (
+       |${bandSelects("isig")}),
+       |hsized AS (SELECT band, $xCols, count(*) AS n
+       |  FROM hband GROUP BY ALL),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
+       |  FROM iband i
+       |  JOIN hband h ON i.band = h.band AND $xEq
+       |  JOIN hsized s ON s.band = h.band AND $sEq
+       |  WHERE s.n <= $maxBucket)
+       |SELECT c.in_id, c.hist_id, CAST($agree AS BIGINT) AS agree_k
+       |FROM cand c
+       |JOIN isig a ON a.doc_id = c.in_id
+       |JOIN hsig b ON b.doc_id = c.hist_id
+       |WHERE $agree >= $minAgreeK
+       |QUALIFY row_number() OVER (PARTITION BY c.in_id
+       |  ORDER BY c.hist_id) = 1""".stripMargin
   }
 
   /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
@@ -1749,7 +1827,9 @@ object SparkEntry {
         |SELECT doc_id, 'books' FROM documents
         |WHERE doc_id % 2 = 1
         |  AND substr(md5('books:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-        |""".stripMargin
+        |""".stripMargin,
+
+    "q83_incremental_dedup" -> sqlQ83Incremental
   )
 
   /** q78 oracle: the four curation stages chained as CTEs — the same

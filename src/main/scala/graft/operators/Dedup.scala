@@ -278,6 +278,60 @@ object Dedup {
                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Cross-batch near-dup check: for each incoming doc, the smallest
+    * historical doc id sharing an LSH band, kept when the two full
+    * signatures agree on at least `minAgreeK` of `k` components (the
+    * MinHash Jaccard estimate). Returns (in_id, hist_id, agree_k).
+    *
+    * Scale shape: the history side's banded signature index depends only
+    * on the history rows — in a daily pipeline it is computed once and
+    * persisted (like a bloom build), so each new batch pays signatures
+    * for ITS docs plus one equi-join keyed on (band, bucket). No
+    * self-join, no cross join; verification joins the two signature
+    * tables by id, k+1 longs per row. History buckets larger than
+    * `maxBucket` are dropped (boilerplate content — exact-dedup
+    * territory), bounding any bucket's fan-out at maxBucket candidates
+    * per incoming doc.
+    */
+  def incrementalNearDups(history: DataFrame, incoming: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                          minAgreeK: Int = 16,
+                          maxBucket: Int = 64): DataFrame = {
+    val rows = k / bands
+    def banded(sig: DataFrame) = sig.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+      }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val hSig = minhashSignatures(history, textCol, idCol, shingleN, k)
+    val iSig = minhashSignatures(incoming, textCol, idCol, shingleN, k)
+    val hBanded = banded(hSig)
+    // cap on the INDEX side only: a hot historical bucket caps every
+    // future batch's fan-out, while incoming buckets are batch-sized
+    val hKept = hBanded
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
+      .filter(col("n") <= maxBucket)
+      .drop("n")
+    val cand = banded(iSig).alias("i")
+      .join(hKept.alias("h"), Seq("band", "bucket"))
+      .select(col("i.id").as("in_id"), col("h.id").as("hist_id"))
+      .distinct()
+    val agree = (0 until k).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(iSig.alias("a"), col("in_id") === col("a.id"))
+      .join(hSig.alias("b"), col("hist_id") === col("b.id"))
+      .select(col("in_id"), col("hist_id"), agree.as("agree_k"))
+      .filter(col("agree_k") >= minAgreeK)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("in_id").orderBy("hist_id")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Exact dedup after text normalization — lowercase, strip everything
     * outside [a-z0-9 ], collapse space runs, trim — catching case and
     * punctuation variants of the same document, the standard first pass

@@ -65,6 +65,40 @@ class DedupSpec extends SparkSpec {
       s"releaseAll left operator caches persisted: $remaining")
   }
 
+  test("incremental near-dup flags a planted cross-batch dup, min-id tie") {
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"), // twin
+      (12L, "completely unrelated historical content goes right here"))
+      .toDF("id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // dup
+      (101L, "fresh novel text that matches nothing in the archive"))
+      .toDF("id", "text")
+    val got = Dedup.incrementalNearDups(history, incoming, "text", "id",
+      shingleN = 3, k = 16, bands = 4, minAgreeK = 8)
+      .collect().map(r => (r.getAs[Long]("in_id"),
+        r.getAs[Long]("hist_id"), r.getAs[Int]("agree_k")))
+    // exact text: all 16 components agree; both twins qualify, and the
+    // deterministic keeper is the SMALLEST historical id
+    assert(got.toSeq === Seq((100L, 10L, 16)))
+  }
+
+  test("incremental near-dup: hot history buckets are capped out") {
+    // 70 identical history docs share every band bucket -> every bucket
+    // exceeds maxBucket=64 and the incoming twin finds NO match; the
+    // unrelated control never matched anyway
+    val history = (0 until 70).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val got = Dedup.incrementalNearDups(history, incoming, "text", "id",
+      shingleN = 3, k = 16, bands = 4, minAgreeK = 8)
+    assert(got.count() === 0L)
+  }
+
   test("minhash: identical texts have identical signatures") {
     val sig = docs.select(col("id"),
       Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
