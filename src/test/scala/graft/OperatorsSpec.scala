@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((100L, 10L, 16)))
   }
 
+  test("incremental near-dup plan: equi-joins only, rank-limit pushed down") {
+    val history = Seq((10L, "a b c d e f"), (12L, "g h i j k l"))
+      .toDF("id", "text")
+    val incoming = Seq((100L, "a b c d e f")).toDF("id", "text")
+    val plan = Dedup.incrementalNearDups(history, incoming, "text", "id",
+      shingleN = 3, k = 16, bands = 4, minAgreeK = 8)
+      .queryExecution.executedPlan.toString
+    // the candidate step must stay an equi-join on (band, bucket) — a
+    // cartesian/BNLJ here is the quadratic all-pairs shape this operator
+    // exists to avoid
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to an all-pairs join:\n$plan")
+    // min-id selection must ride Spark's rank-limit pushdown (map-side
+    // top-1 per in_id before the exchange), not a full sort+filter
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number()=1 lost the WindowGroupLimit pushdown:\n$plan")
+  }
+
   test("incremental near-dup: hot history buckets are capped out") {
     // 70 identical history docs share every band bucket -> every bucket
     // exceeds maxBucket=64 and the incoming twin finds NO match; the
