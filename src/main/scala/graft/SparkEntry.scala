@@ -935,7 +935,16 @@ object SparkEntry {
         "text", "doc_id")
         .select(col("in_id"), col("hist_id"),
           col("agree_k").cast("long").as("agree_k"))
-    })
+    }),
+
+    // Global cross-user POI table: grid-cell connectivity clustering over
+    // ALL users' stop medians (the per-user reference cannot express a
+    // shared-place table). Pure integer cell arithmetic -> exact oracle.
+    "q84_grid_pois" -> ((s, d) =>
+      graft.operators.SpatialJoin.gridClusters(
+        StopDetect.eventMedians(
+          StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
+        "uid", "latitude", "longitude", 0.001))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1829,8 +1838,55 @@ object SparkEntry {
         |  AND substr(md5('books:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |""".stripMargin,
 
-    "q83_incremental_dedup" -> sqlQ83Incremental
+    "q83_incremental_dedup" -> sqlQ83Incremental,
+
+    "q84_grid_pois" -> sqlQ84GridPois
   )
+
+  /** q84 oracle: the occupied-cell connectivity clustering in DuckDB —
+    * identical integer cell packing, the same 4 canonical neighbor
+    * probes as an equi-join, recursive min-label closure over the cell
+    * graph (singleton cells seed themselves), then per-POI stop/user
+    * counts.
+    */
+  private def sqlQ84GridPois: String =
+    s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
+      """
+        |medians AS (
+        |  SELECT uid, stop_events, median(latitude) AS latitude,
+        |    median(longitude) AS longitude
+        |  FROM stop_events WHERE stop_events != -1
+        |  GROUP BY uid, stop_events
+        |),
+        |pcell AS (
+        |  SELECT uid,
+        |    (CAST(floor(latitude / 0.001) AS BIGINT) + 1073741824)
+        |      * 4294967296
+        |    + (CAST(floor(longitude / 0.001) AS BIGINT) + 1073741824)
+        |      AS cell
+        |  FROM medians
+        |),
+        |cells AS (SELECT DISTINCT cell FROM pcell),
+        |probes AS (
+        |  SELECT cell AS src, cell + o AS dst
+        |  FROM cells, (VALUES (1), (4294967296), (4294967297),
+        |    (4294967295)) t(o)
+        |),
+        |edges AS (
+        |  SELECT p.src AS i, p.dst AS j
+        |  FROM probes p JOIN cells c ON c.cell = p.dst
+        |),
+        |sym AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
+        |reach AS (
+        |  SELECT cell AS i, cell AS r FROM cells
+        |  UNION
+        |  SELECT s.j, reach.r FROM sym s JOIN reach ON s.i = reach.i
+        |),
+        |comp AS (SELECT i AS cell, min(r) AS poi_id FROM reach GROUP BY i)
+        |SELECT c.poi_id, count(*) AS n_stops,
+        |  count(DISTINCT p.uid) AS n_users
+        |FROM pcell p JOIN comp c ON p.cell = c.cell
+        |GROUP BY 1""".stripMargin
 
   /** q78 oracle: the four curation stages chained as CTEs — the same
     * langid votes as q72, the q71 normalization key, the q75 gram-hash

@@ -97,4 +97,44 @@ object SpatialJoin {
       .filter(col("__d") <= radiusM)
       .select(col("id_a"), col("id_b"), round(col("__d"), 3).as("dist_m"))
   }
+
+  /** Global (cross-user) POI clustering at corpus scale: occupied grid
+    * cells of side `cellDeg` degrees are the vertices, Chebyshev-adjacent
+    * occupied cells the edges, a POI is a connected component of the CELL
+    * graph, and every point inherits its cell's component. Returns
+    * (poi_id, n_stops, n_users) — the shared-place table the per-user
+    * reference pipeline (models.py:206-237, per-uid only) cannot express.
+    *
+    * Scale shape: cell ids are pure integer arithmetic (floor-divide,
+    * pack lat/lon indices into one long) — no FP metric, reproducible in
+    * any engine; edges come from probing the 4 canonical neighbor offsets
+    * with an equi-join against the occupied-cell set, so the edge list is
+    * O(occupied cells) and the quadratic co-location blowup of a
+    * point-pair eps graph ([[radiusPairs]] must hash-sample dense data
+    * for exactly that reason) never appears. Components run on CELLS —
+    * orders of magnitude fewer rows than points.
+    */
+  def gridClusters(pts: DataFrame, userCol: String, latCol: String,
+                   lonCol: String, cellDeg: Double): DataFrame = {
+    require(cellDeg > 0, s"cellDeg must be positive: $cellDeg")
+    val off = 1073741824L   // 2^30: keeps both packed indices positive
+    val shift = 4294967296L // 2^32
+    val key = (floor(col(latCol) / cellDeg).cast("long") + off) * shift +
+      (floor(col(lonCol) / cellDeg).cast("long") + off)
+    val withCell = pts.withColumn("cell", key)
+    val cells = withCell.select("cell").distinct()
+    // E, N, NE, NW: each undirected adjacency probed exactly once
+    val probes = cells.select(col("cell").as("src"),
+      explode(array(Seq(1L, shift, shift + 1L, shift - 1L)
+        .map(o => col("cell") + o): _*)).as("dst"))
+    val edges = probes.join(cells.select(col("cell").as("dst")), "dst")
+    val comp = Graphs.connectedComponents(edges, "src", "dst",
+      cells, "cell")
+    withCell
+      .join(comp.select(col("id").as("cell"),
+        col("component").as("poi_id")), "cell")
+      .groupBy("poi_id")
+      .agg(count(lit(1)).as("n_stops"),
+        countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -95,4 +95,33 @@ class SpatialJoinSpec extends SparkSpec {
     assert(SpatialJoin.radiusPairs(pts, "id", "lat", "lon", 5.0e4)
       .collect().length === 1)
   }
+
+  test("grid POIs: diagonal adjacency merges, gaps separate, chains close") {
+    // cellDeg = 0.001. Cluster A: three points in diagonally-adjacent
+    // cells (0,0) (1,1) (2,2) — Chebyshev chain, ONE poi. Cluster B: a
+    // point at (5,5) — two empty cells away, its own poi. u2 revisits
+    // cluster A, so A counts 2 users, 4 stops.
+    val pts = Seq(
+      ("u1", 0.0005, 0.0005), ("u1", 0.0015, 0.0015),
+      ("u1", 0.0025, 0.0025), ("u2", 0.0005, 0.0006),
+      ("u2", 0.0055, 0.0055))
+      .toDF("uid", "latitude", "longitude")
+    val got = SpatialJoin.gridClusters(pts, "uid", "latitude", "longitude",
+      0.001)
+      .orderBy("n_stops")
+      .collect().map(r => (r.getAs[Long]("n_stops"), r.getAs[Long]("n_users")))
+    assert(got.toSeq === Seq((1L, 1L), (4L, 2L)))
+  }
+
+  test("grid POIs: negative coordinates pack and cluster correctly") {
+    // straddling the origin: (-0.0005) floors to cell -1, (0.0005) to
+    // cell 0 — adjacent, so the two points merge despite the sign flip
+    val pts = Seq(("a", -0.0005, -0.0005), ("b", 0.0005, 0.0005))
+      .toDF("uid", "latitude", "longitude")
+    val got = SpatialJoin.gridClusters(pts, "uid", "latitude", "longitude",
+      0.001).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_stops") === 2L)
+    assert(got.head.getAs[Long]("n_users") === 2L)
+  }
 }
