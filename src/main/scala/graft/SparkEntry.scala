@@ -944,7 +944,14 @@ object SparkEntry {
       graft.operators.SpatialJoin.gridClusters(
         StopDetect.eventMedians(
           StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
-        "uid", "latitude", "longitude", 0.001))
+        "uid", "latitude", "longitude", 0.001)),
+
+    // Intra-doc repetition REMOVAL (the q62 ratios' rewrite sibling).
+    // 2-token chunks: the synthetic vocabulary is ~40 words, so larger
+    // chunks never repeat and the op would be the identity on gate data.
+    "q85_intradoc_dedup" -> ((s, d) =>
+      graft.operators.Dedup.intraDocChunkDedup(
+        Tables.documents(s, d), "doc_id", "text", 2))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1840,7 +1847,28 @@ object SparkEntry {
 
     "q83_incremental_dedup" -> sqlQ83Incremental,
 
-    "q84_grid_pois" -> sqlQ84GridPois
+    "q84_grid_pois" -> sqlQ84GridPois,
+
+    // q85: identical chunking (1-based inclusive list slice clamps at the
+    // end in both engines), first occurrence via min(i), ordered rebuild
+    "q85_intradoc_dedup" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[i * 2 + 1 : i * 2 + 2], ' ') AS chunk
+        |  FROM toks, unnest(range(0, greatest(
+        |    CAST(ceil(len(t) / 2.0) AS BIGINT), 1))) u(i)),
+        |kept AS (
+        |  SELECT doc_id, chunk, min(i) AS i
+        |  FROM chunks GROUP BY doc_id, chunk)
+        |SELECT k.doc_id,
+        |  string_agg(k.chunk, ' ' ORDER BY k.i) AS clean_text,
+        |  greatest(CAST(ceil(len(any_value(t.t)) / 2.0) AS BIGINT), 1)
+        |    AS n_chunks,
+        |  count(*) AS n_kept
+        |FROM kept k JOIN toks t ON t.doc_id = k.doc_id
+        |GROUP BY k.doc_id""".stripMargin
   )
 
   /** q84 oracle: the occupied-cell connectivity clustering in DuckDB —

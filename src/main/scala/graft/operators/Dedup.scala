@@ -278,6 +278,52 @@ object Dedup {
                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Intra-document chunk dedup — the within-page repetition REMOVAL
+    * rewrite (the signal-only form is the q62 repetition ratios): split
+    * each doc into consecutive `chunkTokens`-token chunks, drop every
+    * chunk that already occurred earlier in the SAME doc, and rebuild
+    * the text in original order. Returns (doc_id, clean_text, n_chunks,
+    * n_kept).
+    *
+    * Shape: chunk INDICES are generated per doc (sequence + posexplode)
+    * and each chunk is materialized with `slice` + `concat_ws` — native
+    * collection expressions, not per-element lambda HOFs (measured ~5×
+    * slower here). First occurrence is one (doc_id, chunk) hash agg
+    * (map-side partial: duplicate chunks collapse before the exchange);
+    * the rebuild is one (doc_id) agg. The only lambda HOF runs over the
+    * per-doc KEPT-CHUNK array (small) to restore order.
+    */
+  def intraDocChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                         chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val n = chunkTokens
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L),
+          greatest(ceil(size(col("toks")) / lit(n.toDouble)).cast("long")
+            - 1L, lit(0L)))))
+      .select(col("doc_id"), col("col").as("i"),
+        concat_ws(" ", slice(col("toks"), col("col") * n + 1, lit(n)))
+          .as("chunk"))
+    val kept = chunks.groupBy("doc_id", "chunk").agg(min("i").as("i"))
+    // n_chunks is a closed form of the token count — computed from the
+    // pruned source scan, NOT a second pass over the generate (trap: two
+    // aggregates over one subtree don't share the exchange)
+    val counts = docs.select(col(idCol).as("doc_id"),
+      greatest(ceil(size(split(col(textCol), " ")) / lit(n.toDouble))
+        .cast("long"), lit(1L)).as("n_chunks"))
+    kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(counts, "doc_id")
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"),
+        col("n_kept"))
+  }
+
   /** Cross-batch near-dup check: for each incoming doc, the smallest
     * historical doc id sharing an LSH band, kept when the two full
     * signatures agree on at least `minAgreeK` of `k` components (the

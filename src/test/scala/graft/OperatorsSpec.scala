@@ -65,6 +65,24 @@ class DedupSpec extends SparkSpec {
       s"releaseAll left operator caches persisted: $remaining")
   }
 
+  test("intra-doc chunk dedup drops repeats, keeps order, counts chunks") {
+    val in = Seq(
+      // chunks of 2: [a b][c d][a b][e] -> dup [a b] dropped, tail kept
+      (1L, "a b c d a b e"),
+      (2L, "x y x y x y"), // all repeats of one chunk
+      (3L, "solo"))        // shorter than one chunk
+      .toDF("id", "text")
+    val got = Dedup.intraDocChunkDedup(in, "id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept")))
+    assert(got.toSeq === Seq(
+      (1L, "a b c d e", 4L, 3L),
+      (2L, "x y", 3L, 1L),
+      (3L, "solo", 1L, 1L)))
+  }
+
   test("incremental near-dup flags a planted cross-batch dup, min-id tie") {
     val history = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
