@@ -117,6 +117,10 @@ object SpatialJoin {
   def gridClusters(pts: DataFrame, userCol: String, latCol: String,
                    lonCol: String, cellDeg: Double): DataFrame = {
     require(cellDeg > 0, s"cellDeg must be positive: $cellDeg")
+    // |floor(±180/cellDeg)| must stay inside the 2^30 packing offset or
+    // cell keys collide with a neighbor row's index space
+    require(180.0 / cellDeg < (1L << 30) - 1,
+      f"cellDeg=$cellDeg%g packs cell indices beyond 2^30 — use >= 1e-6 deg")
     val off = 1073741824L   // 2^30: keeps both packed indices positive
     val shift = 4294967296L // 2^32
     val key = (floor(col(latCol) / cellDeg).cast("long") + off) * shift +

@@ -113,6 +113,14 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (4L, 2L)))
   }
 
+  test("grid POIs: sub-packing-resolution cell size fails loudly") {
+    val pts = Seq(("a", 0.0, 0.0)).toDF("uid", "latitude", "longitude")
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.gridClusters(pts, "uid", "latitude", "longitude", 1e-8)
+    }
+    assert(e.getMessage.contains("2^30"))
+  }
+
   test("grid POIs: negative coordinates pack and cluster correctly") {
     // straddling the origin: (-0.0005) floors to cell -1, (0.0005) to
     // cell 0 — adjacent, so the two points merge despite the sign flip
