@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous ingest gate — the streaming form of the q83 cross-batch
+  * near-dup check: flag arriving documents whose MinHash bands collide
+  * with the historical corpus.
+  *
+  * Split of labor at scale:
+  *  - the HISTORY side is a static band index (hist_id, band, bucket)
+  *    built once by [[bandIndex]] from the relational signature pipeline
+  *    (in production: persisted parquet, refreshed on compaction);
+  *  - each micro-batch computes the incoming docs' signatures PER ROW
+  *    with the Column-form twin (spec-pinned value-identical to the
+  *    relational form, so stream buckets match index buckets exactly) —
+  *    stateless, no streaming aggregation, no shuffle on the stream
+  *    side; per-doc HOF cost is fine at ingest rates, unlike the
+  *    corpus-wide batch path;
+  *  - candidates come from the stream-static inner join on
+  *    (band, bucket); the ONLY streaming state is the flagged-pair
+  *    dedup, bounded by the watermark horizon.
+  * Exact verification (full-signature agreement) stays in the batch
+  * layer ([[Dedup.incrementalNearDups]]) — the stream gate is the cheap
+  * early filter in front of it.
+  */
+object StreamIngestGate {
+
+  /** Static (hist_id, band, bucket) index over the historical corpus. */
+  def bandIndex(history: DataFrame, textCol: String, idCol: String,
+                shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    Dedup.minhashSignatures(history, textCol, idCol, shingleN, k)
+      .select(col("id").as("hist_id"),
+        posexplode(array((0 until bands).map { b =>
+          array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+        }: _*)))
+      .select(col("hist_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Flag stream: (in_id, hist_id, ts) per band collision, deduplicated
+    * within the watermark horizon. `incoming` needs (ts, idCol, textCol).
+    * Docs shorter than `shingleN` tokens produce null-component buckets,
+    * which can never equi-join — they flag nothing, matching the batch
+    * path (signatures of short docs drop out there too).
+    */
+  def flagStream(incoming: DataFrame, index: DataFrame, textCol: String,
+                 idCol: String, watermark: String, shingleN: Int = 3,
+                 k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    incoming
+      .withColumn("__sig",
+        Dedup.minhashSignature(col(textCol), shingleN, k))
+      .select(col(idCol).as("in_id"), col("ts"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("__sig"), b * rows + 1, rows)): _*)))
+      .select(col("in_id"), col("ts"), col("pos").as("band"),
+        col("col").as("bucket"))
+      .join(index, Seq("band", "bucket"))
+      .select(col("in_id"), col("hist_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("in_id", "hist_id")
+  }
+}
