@@ -951,7 +951,24 @@ object SparkEntry {
     // chunks never repeat and the op would be the identity on gate data.
     "q85_intradoc_dedup" -> ((s, d) =>
       graft.operators.Dedup.intraDocChunkDedup(
-        Tables.documents(s, d), "doc_id", "text", 2))
+        Tables.documents(s, d), "doc_id", "text", 2)),
+
+    // Bounded-staleness as-of join: q45's enrichment, but a purchase
+    // older than 1 hour no longer qualifies (2114 of 9451 matches
+    // survive at sf0.01 — both regimes exercised).
+    "q86_asof_tolerance" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("ts_us").as("purchase_ts"), col("value").as("purchase_value"))
+      graft.operators.AsofJoin.lastValue(
+        base.drop("value"), purchases, Seq("user_id"), "ts_us",
+        Seq("purchase_ts", "purchase_value"),
+        tolerance = Some(3600000000L))
+        .select("user_id", "event_id", "purchase_ts", "purchase_value")
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1087,6 +1104,23 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY c.in_id
        |  ORDER BY c.hist_id) = 1""".stripMargin
   }
+
+  /** q86 oracle: DuckDB's native ASOF join with the staleness bound
+    * applied as a projection (matches further back than the tolerance
+    * null out, exactly like the operator's windowed form).
+    */
+  private val sqlQ86AsofTolerance: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    event_type, value FROM events),
+      |p AS (SELECT user_id AS p_uid, ts_us AS pts, value AS pval
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT e.user_id, e.event_id,
+      |  CASE WHEN e.ts_us - p.pts <= 3600000000 THEN p.pts END
+      |    AS purchase_ts,
+      |  CASE WHEN e.ts_us - p.pts <= 3600000000 THEN p.pval END
+      |    AS purchase_value
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.p_uid AND e.ts_us >= p.pts""".stripMargin
 
   /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
     * portable 64-bit hash is handled as two 32-bit halves (hi = md5 hex
@@ -1851,6 +1885,8 @@ object SparkEntry {
 
     // q85: identical chunking (1-based inclusive list slice clamps at the
     // end in both engines), first occurrence via min(i), ordered rebuild
+    "q86_asof_tolerance" -> sqlQ86AsofTolerance,
+
     "q85_intradoc_dedup" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

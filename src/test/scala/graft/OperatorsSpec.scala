@@ -662,4 +662,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(got(2) === ((3L, None, None)))            // before any right
     assert(got(3) === ((4L, None, None)))            // other key
   }
+
+  test("tolerance nulls stale matches, keeps fresh and exact ones") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 160L), ("u", 3L, 500L))
+      .toDF("k", "id", "ts")
+    val right = Seq(("u", 100L, "a"), ("u", 150L, "b"))
+      .toDF("k", "ts", "tag")
+    val got = AsofJoin.lastValue(left, right, Seq("k"), "ts",
+      Seq("tag"), tolerance = Some(50L))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(1), Option(r.getAs[String]("tag"))))
+    assert(got(0) === ((1L, Some("a")))) // exact: staleness 0 <= 50
+    assert(got(1) === ((2L, Some("b")))) // staleness 10 <= 50
+    assert(got(2) === ((3L, None)))      // staleness 350 > 50: nulled
+  }
 }
