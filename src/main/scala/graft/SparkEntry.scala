@@ -953,6 +953,23 @@ object SparkEntry {
       graft.operators.Dedup.intraDocChunkDedup(
         Tables.documents(s, d), "doc_id", "text", 2)),
 
+    // Leakage-safe train/test split: near-dup docs travel TOGETHER (the
+    // split key is the dedup component, not the doc), so a test doc can
+    // never have a train-side near-duplicate — the q47 graph + q52 hash
+    // split composed.
+    "q87_leakage_split" -> ((s, d) => {
+      val sh = bigramHashShingles(s, d)
+      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
+        .filter(col("jaccard") >= 0.05)
+        .select("id_a", "id_b")
+      val comps = graft.operators.Graphs.connectedComponents(
+        pairs, "id_a", "id_b",
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      graft.operators.Sampling.hashSplit(
+        comps.select(col("id").as("doc_id"), col("component")),
+        "component", 64)
+    }),
+
     // Bounded-staleness as-of join: q45's enrichment, but a purchase
     // older than 1 hour no longer qualifies (2114 of 9451 matches
     // survive at sf0.01 — both regimes exercised).
@@ -1512,6 +1529,15 @@ object SparkEntry {
 
     "q47_connected_components" ->
       (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id"),
+
+    "q87_leakage_split" -> (ccReachCtes +
+      """
+        |, comp AS (SELECT id AS doc_id, min(r) AS component
+        |  FROM reach GROUP BY id)
+        |SELECT doc_id, component,
+        |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < '40'
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM comp""".stripMargin),
 
     "q48_range_join" ->
       """WITH e AS (

@@ -160,4 +160,25 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), "global window would single-partition")
     spark.catalog.clearCache()
   }
+
+  test("leakage-safe split: near-dup pairs never straddle the split") {
+    // the q87 composition in miniature: component-keyed hashSplit means
+    // two docs in one dedup component get ONE coin flip, not two
+    val docs = (1L to 100L).toDF("doc_id")
+    val pairs = Seq( // three components: {1,2,3}, {10,11}, rest singleton
+      (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = graft.operators.Graphs.connectedComponents(
+      pairs, "id_a", "id_b", docs, "doc_id")
+    val split = Sampling.hashSplit(
+      comps.select(col("id").as("doc_id"), col("component")),
+      "component", 64)
+    val side = split.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(side.size === 100)
+    assert(side(1L) === side(2L) && side(2L) === side(3L))
+    assert(side(10L) === side(11L))
+    // both sides populated across the 100 docs
+    assert(side.values.toSet === Set("train", "test"))
+  }
 }
