@@ -60,6 +60,20 @@ object SparkEntry {
         graft.plans.WordShingleHashes(split(col("text"), " "), 2)
           .as("shingles"))
 
+  /** The q47/q56/q87 near-dup component pipeline — ONE definition, because
+    * all three oracles share ccReachCtes: a threshold or anchor-count
+    * tuned in one copy but not another would silently diverge a query
+    * from its own oracle.
+    */
+  private def nearDupComponents(s: SparkSession, d: String): DataFrame = {
+    val sh = bigramHashShingles(s, d)
+    val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
+      .filter(col("jaccard") >= 0.05)
+      .select("id_a", "id_b")
+    graft.operators.Graphs.connectedComponents(pairs, "id_a", "id_b",
+      Tables.documents(s, d).select("doc_id"), "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2/P1/P4: pruned scan + filter + projection
     "q01_scan_filter" -> ((s, d) =>
@@ -481,14 +495,7 @@ object SparkEntry {
     // Distributed connected components over the near-dup pair graph: the
     // grouping stage of dedup (pairs -> keep-groups). Min-label
     // propagation, one shuffle per round; oracle = recursive CTE closure.
-    "q47_connected_components" -> ((s, d) => {
-      val sh = bigramHashShingles(s, d)
-      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
-        .filter(col("jaccard") >= 0.05)
-        .select("id_a", "id_b")
-      graft.operators.Graphs.connectedComponents(pairs, "id_a", "id_b",
-        Tables.documents(s, d).select("doc_id"), "doc_id")
-    }),
+    "q47_connected_components" -> ((s, d) => nearDupComponents(s, d)),
 
     // Binned point-in-interval range join: points equi-join intervals on
     // (key, time bin) instead of a quadratic BNLJ range predicate
@@ -559,13 +566,8 @@ object SparkEntry {
     // components -> keep the best doc (longest, then smallest id) per
     // component. The full "dedup a corpus" flow as one query.
     "q56_dedup_keep" -> ((s, d) => {
-      val sh = bigramHashShingles(s, d)
-      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
-        .filter(col("jaccard") >= 0.05)
-        .select("id_a", "id_b")
       val docs = Tables.documents(s, d).select("doc_id", "n_chars")
-      val comps = graft.operators.Graphs.connectedComponents(
-        pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+      val comps = nearDupComponents(s, d)
       val w = Window.partitionBy("component")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
       comps.join(docs, comps("id") === docs("doc_id"))
@@ -957,18 +959,11 @@ object SparkEntry {
     // split key is the dedup component, not the doc), so a test doc can
     // never have a train-side near-duplicate — the q47 graph + q52 hash
     // split composed.
-    "q87_leakage_split" -> ((s, d) => {
-      val sh = bigramHashShingles(s, d)
-      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
-        .filter(col("jaccard") >= 0.05)
-        .select("id_a", "id_b")
-      val comps = graft.operators.Graphs.connectedComponents(
-        pairs, "id_a", "id_b",
-        Tables.documents(s, d).select("doc_id"), "doc_id")
+    "q87_leakage_split" -> ((s, d) =>
       graft.operators.Sampling.hashSplit(
-        comps.select(col("id").as("doc_id"), col("component")),
-        "component", 64)
-    }),
+        nearDupComponents(s, d)
+          .select(col("id").as("doc_id"), col("component")),
+        "component", 64)),
 
     // Bounded-staleness as-of join: q45's enrichment, but a purchase
     // older than 1 hour no longer qualifies (2114 of 9451 matches
@@ -1909,10 +1904,11 @@ object SparkEntry {
 
     "q84_grid_pois" -> sqlQ84GridPois,
 
-    // q85: identical chunking (1-based inclusive list slice clamps at the
-    // end in both engines), first occurrence via min(i), ordered rebuild
     "q86_asof_tolerance" -> sqlQ86AsofTolerance,
 
+    // q85: identical chunking (the 1-based inclusive list slice clamps
+    // at the end in both engines), first occurrence via min(i), ordered
+    // rebuild
     "q85_intradoc_dedup" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

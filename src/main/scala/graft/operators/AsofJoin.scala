@@ -35,30 +35,38 @@ object AsofJoin {
                 tsCol: String, valueCols: Seq[String],
                 tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = valueCols.foldLeft(
-      left.withColumn("__side", lit(1)))( (df, c) =>
-      df.withColumn(c, lit(null)))
-      .withColumn("__rts", lit(null))
-    val r = right.select(
-      (keyCols.map(col) :+ col(tsCol)) ++ valueCols.map(col): _*)
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__pay", lit(null))
+    // the payload is carried as ONE struct (right ts + values): ASOF
+    // matches the latest right ROW and takes its values even when some
+    // are null — per-column last(ignoreNulls) would forward-fill an
+    // OLDER row's value under a fresher null, diverging from standard
+    // ASOF (and from the DuckDB oracle) on null payloads, and letting a
+    // stale value slip past the tolerance bound
+    val r = right
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col(tsCol))
+      .withColumn("__pay",
+        struct(col(tsCol).as("__rts") +: valueCols.map(c =>
+          col(c).as(c)): _*))
+      .select(keyCols.map(col) ++
+        Seq(col(tsCol), col("__side"), col("__pay")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (valueCols :+ "__rts").foldLeft(unioned)( (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    val bounded = tolerance match {
+    val filled = unioned.withColumn("__pay",
+      last(col("__pay"), ignoreNulls = true).over(w))
+    val gated = tolerance match {
       case None => filled
       case Some(tol) =>
-        // the carried __rts rides the SAME window pass, so the staleness
-        // test is one more projected column, not a second shuffle
-        valueCols.foldLeft(filled)( (df, c) =>
-          df.withColumn(c,
-            when(col(tsCol) - col("__rts") <= tol, col(c))))
+        // staleness test on the matched row's own ts — one projection,
+        // same window pass, no second shuffle
+        filled.withColumn("__pay",
+          when(col(tsCol) - col("__pay.__rts") <= tol, col("__pay")))
     }
-    bounded.filter(col("__side") === 1)
+    val out = valueCols.foldLeft(gated)( (df, c) =>
+      df.withColumn(c, col(s"__pay.$c")))
+    out.filter(col("__side") === 1)
       .select((leftCols ++ valueCols).map(col): _*)
   }
 }

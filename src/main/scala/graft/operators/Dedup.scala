@@ -91,18 +91,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 32,
                         bands: Int = 8, maxBucket: Int = 64): DataFrame = {
-    val rows = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, shingleN, k)
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-      }: _*)))
-      // The band value ARRAY is the bucket key (arrays group fine): hashing
-      // it to an int is 4 bytes narrower on the exchange but a murmur
-      // collision would merge two unrelated buckets into spurious candidate
-      // pairs — and it makes the pair set engine-specific, which blocks the
-      // DuckDB oracle. rows-per-band longs per row is still tiny.
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // The band value ARRAY is the bucket key (arrays group fine): hashing
+    // it to an int is 4 bytes narrower on the exchange but a murmur
+    // collision would merge two unrelated buckets into spurious candidate
+    // pairs — and it makes the pair set engine-specific, which blocks the
+    // DuckDB oracle. rows-per-band longs per row is still tiny.
+    val banded = bandedSignatures(sig, k, bands)
     // CollectCappedLongs requires bigint input (enforced at analysis time);
     // the explicit cast keeps the operator usable with int-typed ids.
     banded.groupBy("band", "bucket")
@@ -278,6 +273,23 @@ object Dedup {
                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** LSH banding of a [[minhashSignatures]] frame: (id, band, bucket)
+    * with bucket = the band's value array. THE single definition of the
+    * band layout — every banded consumer (candidate pairs, the
+    * cross-batch index, the streaming gate's index) must key buckets
+    * identically or their joins silently match nothing.
+    */
+  def bandedSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"k must divide evenly into bands: k=$k, bands=$bands")
+    val rows = k / bands
+    sig.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+      }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
   /** Intra-document chunk dedup — the within-page repetition REMOVAL
     * rewrite (the signal-only form is the q62 repetition ratios): split
     * each doc into consecutive `chunkTokens`-token chunks, drop every
@@ -344,15 +356,11 @@ object Dedup {
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           minAgreeK: Int = 16,
                           maxBucket: Int = 64): DataFrame = {
-    val rows = k / bands
-    def banded(sig: DataFrame) = sig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-      }: _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    require(minAgreeK >= 1 && minAgreeK <= k,
+      s"minAgreeK must be in [1, $k], got $minAgreeK")
     val hSig = minhashSignatures(history, textCol, idCol, shingleN, k)
     val iSig = minhashSignatures(incoming, textCol, idCol, shingleN, k)
-    val hBanded = banded(hSig)
+    val hBanded = bandedSignatures(hSig, k, bands)
     // cap on the INDEX side only: a hot historical bucket caps every
     // future batch's fan-out, while incoming buckets are batch-sized
     val hKept = hBanded
@@ -360,7 +368,7 @@ object Dedup {
         Window.partitionBy("band", "bucket")))
       .filter(col("n") <= maxBucket)
       .drop("n")
-    val cand = banded(iSig).alias("i")
+    val cand = bandedSignatures(iSig, k, bands).alias("i")
       .join(hKept.alias("h"), Seq("band", "bucket"))
       .select(col("i.id").as("in_id"), col("h.id").as("hist_id"))
       .distinct()

@@ -122,8 +122,13 @@ private[graft] object NeighborSearch {
     val sinHalf = math.sin(math.min(math.Pi / 2, eps / (2 * r)))
     val cosMax = math.cos(math.toRadians(math.min(90.0, maxAbsLat)))
     if (cosMax <= sinHalf) return null // near-pole: lon bound vacuous
-    val latCell = math.toDegrees(eps / r)
-    val lonCell = math.toDegrees(2 * math.asin(sinHalf / cosMax))
+    // 1+1e-9 safety factor: the bounds are exact in real arithmetic, but
+    // with zero FP margin a pair at distance ~eps could round to a delta
+    // one ulp past the cell size, land an index gap of 2 apart, and be
+    // silently dropped — slightly larger cells only add candidates (the
+    // exact recheck keeps the pair set identical)
+    val latCell = math.toDegrees(eps / r) * (1 + 1e-9)
+    val lonCell = math.toDegrees(2 * math.asin(sinHalf / cosMax)) * (1 + 1e-9)
     Array(latCell, lonCell)
   }
 }

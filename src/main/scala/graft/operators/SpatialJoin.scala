@@ -113,6 +113,14 @@ object SpatialJoin {
     * point-pair eps graph ([[radiusPairs]] must hash-sample dense data
     * for exactly that reason) never appears. Components run on CELLS —
     * orders of magnitude fewer rows than points.
+    *
+    * Known limitation (shared with the relational oracle): lon cells are
+    * indexed on raw degrees, so a POI physically straddling the +-180
+    * antimeridian splits into two (the seam-adjacent cell indices differ
+    * by ~360/cellDeg and the neighbor probes never connect them).
+    * [[NeighborSearch]] brute-forces that regime; here a seam POI is
+    * vanishingly rare and the split is benign (two entries, correct
+    * totals) — documented rather than special-cased.
     */
   def gridClusters(pts: DataFrame, userCol: String, latCol: String,
                    lonCol: String, cellDeg: Double): DataFrame = {

@@ -27,32 +27,37 @@ import org.apache.spark.sql.functions._
   */
 object StreamIngestGate {
 
-  /** Static (hist_id, band, bucket) index over the historical corpus. */
+  /** Static (hist_id, band, bucket) index over the historical corpus —
+    * [[Dedup.bandedSignatures]]' layout, so stream and batch consumers
+    * can never key buckets differently.
+    */
   def bandIndex(history: DataFrame, textCol: String, idCol: String,
-                shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
-    val rows = k / bands
-    Dedup.minhashSignatures(history, textCol, idCol, shingleN, k)
-      .select(col("id").as("hist_id"),
-        posexplode(array((0 until bands).map { b =>
-          array((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
-        }: _*)))
-      .select(col("hist_id"), col("pos").as("band"), col("col").as("bucket"))
-  }
+                shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    Dedup.bandedSignatures(
+      Dedup.minhashSignatures(history, textCol, idCol, shingleN, k),
+      k, bands)
+      .withColumnRenamed("id", "hist_id")
 
   /** Flag stream: (in_id, hist_id, ts) per band collision, deduplicated
-    * within the watermark horizon. `incoming` needs (ts, idCol, textCol).
-    * Docs shorter than `shingleN` tokens produce null-component buckets,
-    * which can never equi-join — they flag nothing, matching the batch
-    * path (signatures of short docs drop out there too).
+    * within the watermark horizon. `incoming` needs (tsCol, idCol,
+    * textCol). The (shingleN, k, bands) triple MUST match the index's —
+    * a mismatch joins disjoint bucket spaces and silently flags nothing,
+    * which is why the parameters are validated here too. Docs shorter
+    * than `shingleN` tokens produce null-component buckets, which can
+    * never equi-join — they flag nothing, matching the batch path
+    * (signatures of short docs drop out there too).
     */
   def flagStream(incoming: DataFrame, index: DataFrame, textCol: String,
                  idCol: String, watermark: String, shingleN: Int = 3,
-                 k: Int = 32, bands: Int = 8): DataFrame = {
+                 k: Int = 32, bands: Int = 8,
+                 tsCol: String = "ts"): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"k must divide evenly into bands: k=$k, bands=$bands")
     val rows = k / bands
     incoming
       .withColumn("__sig",
         Dedup.minhashSignature(col(textCol), shingleN, k))
-      .select(col(idCol).as("in_id"), col("ts"),
+      .select(col(idCol).as("in_id"), col(tsCol).as("ts"),
         posexplode(array((0 until bands).map(b =>
           slice(col("__sig"), b * rows + 1, rows)): _*)))
       .select(col("in_id"), col("ts"), col("pos").as("band"),

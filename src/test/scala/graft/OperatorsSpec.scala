@@ -663,6 +663,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(got(3) === ((4L, None, None)))            // other key
   }
 
+  test("null right payloads follow matched-ROW semantics, not forward-fill") {
+    // ASOF matches the latest right ROW and takes its values even when
+    // null. Per-column last(ignoreNulls) would smuggle the OLDER row's
+    // value under a fresher null — and past the tolerance bound.
+    val left = Seq(("u", 1L, 210L)).toDF("k", "id", "ts")
+    val right = Seq(("u", 100L, Some("a")), ("u", 200L, None))
+      .toDF("k", "ts", "tag")
+    def run(tol: Option[Long]) =
+      AsofJoin.lastValue(left, right, Seq("k"), "ts", Seq("tag"), tol)
+        .collect().map(r => Option(r.getAs[String]("tag"))).head
+    assert(run(None) === None,    "matched row ts=200 carries a null tag")
+    assert(run(Some(50L)) === None,
+      "staleness 10 is in bound but the matched row's tag is null")
+  }
+
   test("tolerance nulls stale matches, keeps fresh and exact ones") {
     val left = Seq(("u", 1L, 100L), ("u", 2L, 160L), ("u", 3L, 500L))
       .toDF("k", "id", "ts")
