@@ -965,6 +965,16 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("component")),
         "component", 64)),
 
+    // Per-source quality calibration: decile of doc length WITHIN each
+    // source (global thresholds over-prune weak domains). One range
+    // exchange + broadcast per-group offsets — never a one-task-per-
+    // source window.
+    "q88_group_quantiles" -> ((s, d) =>
+      graft.operators.Sampling.quantileBinsByGroup(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", 10)
+        .select("doc_id", "source", "bin")),
+
     // Bounded-staleness as-of join: q45's enrichment, but a purchase
     // older than 1 hour no longer qualifies (2114 of 9451 matches
     // survive at sf0.01 — both regimes exercised).
@@ -1905,6 +1915,12 @@ object SparkEntry {
     "q84_grid_pois" -> sqlQ84GridPois,
 
     "q86_asof_tolerance" -> sqlQ86AsofTolerance,
+
+    "q88_group_quantiles" ->
+      """SELECT doc_id, source,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
 
     // q85: identical chunking (the 1-based inclusive list slice clamps
     // at the end in both engines), first occurrence via min(i), ordered

@@ -176,6 +176,38 @@ object Sampling {
     * whose blocks free via the ContextCleaner — no caller-side cache
     * lifecycle (this doc predated the checkpoint switch).
     */
+  /** Per-group quantile binning — quality calibration per source/domain
+    * (a global threshold over-prunes weak domains and under-prunes strong
+    * ones; rank within the domain instead). SQL-equivalent:
+    * `ntile(k) OVER (PARTITION BY group ORDER BY value, key)`.
+    *
+    * The naive window form puts each GROUP in one task — at corpus scale
+    * a dominant source is half the data and that task never finishes.
+    * Instead: ONE range exchange over (group, value, key) gives a global
+    * index ([[Indexing.globalRowIndex]]); the per-group ordinal is the
+    * global index minus the group's minimum, where the per-group
+    * (min, count) frame is one tiny row per group — broadcast joined —
+    * and the bucket is ntile's closed form, a stateless projection.
+    * Group count must be broadcast-small (sources/domains: yes).
+    */
+  def quantileBinsByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                          keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val indexed = Indexing.globalRowIndex(df, "__gidx",
+      col(groupCol), col(valueCol), col(keyCol))
+    val stats = indexed.groupBy(groupCol)
+      .agg(min("__gidx").as("__base"), count(lit(1)).as("__n"))
+    indexed.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__idx", col("__gidx") - col("__base"))
+      .withColumn("bin", expr(
+        s"""CASE WHEN __n < $k THEN __idx + 1
+           |WHEN __idx < (__n % $k) * (__n DIV $k + 1)
+           |  THEN __idx DIV (__n DIV $k + 1) + 1
+           |ELSE (__idx - (__n % $k) * (__n DIV $k + 1)) DIV (__n DIV $k)
+           |  + (__n % $k) + 1 END""".stripMargin).cast("long"))
+      .drop("__gidx", "__base", "__n", "__idx")
+  }
+
   def quantileBins(df: DataFrame, valueCol: String, keyCol: String, k: Int)
   : DataFrame = {
     require(k > 0, s"k must be positive, got $k")

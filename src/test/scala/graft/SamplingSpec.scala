@@ -161,6 +161,23 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("per-group quantile bins equal SQL ntile; no window in the plan") {
+    // groups of 7 and 3 rows into k=3 bins: ntile gives 3/2/2 and 1/1/1
+    val df = (Seq.tabulate(7)(i => ("a", (i * 13) % 7, i.toLong)) ++
+      Seq.tabulate(3)(i => ("b", 2 - i, 100L + i)))
+      .toDF("src", "v", "id")
+    val got = Sampling.quantileBinsByGroup(df, "src", "v", "id", 3)
+    val expected = df.selectExpr("src", "v", "id",
+      "CAST(ntile(3) OVER (PARTITION BY src ORDER BY v, id) AS LONG) AS bin")
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+    // scale pin: the whole point is NO per-group window — one task per
+    // dominant source would never finish at corpus scale
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-group binning fell back to a window:\n$plan")
+  }
+
   test("leakage-safe split: near-dup pairs never straddle the split") {
     // the q87 composition in miniature: component-keyed hashSplit means
     // two docs in one dedup component get ONE coin flip, not two
