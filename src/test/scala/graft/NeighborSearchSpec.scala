@@ -95,6 +95,26 @@ class NeighborSearchSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("pairs at exactly eps survive the grid (cell-boundary fuzz)") {
+    // pairs engineered to sit AT the comparison boundary: point pairs
+    // separated by deltas straddling cell edges, eps chosen as the exact
+    // computed distance of a sampled pair — the 1e-9 cell margin must
+    // keep every d <= eps pair inside the 3x3 probe neighborhood
+    val rnd = new scala.util.Random(31)
+    val n = 260
+    val lat = new Array[Double](n); val lon = new Array[Double](n)
+    for (k <- 0 until n) {
+      lat(k) = 19.4 + (k % 16) * 9.04e-4 + rnd.nextGaussian() * 1e-7
+      lon(k) = -99.1 + (k / 16) * 9.04e-4 + rnd.nextGaussian() * 1e-7
+    }
+    // eps = an actual inter-point distance (one grid step) => many pairs
+    // at d == eps exactly
+    val eps = haversine(lat(0), lon(0), lat(1), lon(1))
+    val brute = brutePairs(lat, lon, eps, haversine)
+    assert(gridPairs(lat, lon, eps, "haversine", haversine) === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("pole and antimeridian groups fall back to the exact brute path") {
     // near-pole: lon bound vacuous; seam: raw-lon delta ~360 for a close
     // pair. Both must still yield the exact pair set.

@@ -113,6 +113,18 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (4L, 2L)))
   }
 
+  test("grid POIs plan: equi-join probes, no cartesian/nested-loop") {
+    val pts = Seq(("a", 0.0005, 0.0005), ("b", 0.0015, 0.0015))
+      .toDF("uid", "latitude", "longitude")
+    val plan = SpatialJoin.gridClusters(pts, "uid", "latitude",
+      "longitude", 0.001).queryExecution.executedPlan.toString
+    // the O(occupied cells) edge list depends on the neighbor probes
+    // staying an equi-join on the packed key
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell-adjacency degenerated to an all-pairs join:\n$plan")
+  }
+
   test("grid POIs: sub-packing-resolution cell size fails loudly") {
     val pts = Seq(("a", 0.0, 0.0)).toDF("uid", "latitude", "longitude")
     val e = intercept[IllegalArgumentException] {
