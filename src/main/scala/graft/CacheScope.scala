@@ -16,6 +16,12 @@ import org.apache.spark.sql.Dataset
   * stable materialization (globalRowIndex / globalCumSum range
   * partitioning) use localCheckpoint instead, whose blocks free via the
   * ContextCleaner and cannot be dropped by any unpersist call.
+  *
+  * The registry is process-global and [[releaseAll]] releases EVERY
+  * tracked frame: it assumes one pipeline drives the session at a time
+  * (the harness pattern). Two concurrent pipelines calling releaseAll
+  * would evict each other's live caches — scope handles per pipeline
+  * would be the extension point if that usage ever appears.
   */
 object CacheScope {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]

@@ -1850,7 +1850,7 @@ object SparkEntry {
     "q74_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpe,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
         |FROM documents""".stripMargin,
 
@@ -1864,7 +1864,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(s // 8 AS BIGINT) AS chunk_idx,
@@ -1885,7 +1885,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, text,
         |    CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, text, n_tok,
@@ -2034,7 +2034,7 @@ object SparkEntry {
          |tt AS (
          |  SELECT doc_id,
          |    CAST(len(regexp_extract_all(text,
-         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_tokens,
          |    substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
          |  FROM clean),
          |cc AS (
@@ -2094,7 +2094,7 @@ object SparkEntry {
     """WITH t AS (
       |  SELECT doc_id,
       |    CAST(len(regexp_extract_all(text,
-      |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+      |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_tokens,
       |    substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
       |  FROM documents),
       |c AS (

@@ -13,9 +13,11 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * a transient CPU-steal burst on this VM must not silently delete a
   * green query from the round's record (round-3 failure mode: q59's
   * missing row) — and every query's fate lands in `outDir/status.json`
-  * (`{name: {"status": "ok"|"timeout"|"fail", "seconds": s}}`), so a
-  * missing parquet dir is always distinguishable from a never-declared
-  * query.
+  * (`{name: {"status": "ok"|"ok-late"|"timeout"|"fail", "seconds": s}}`
+  * — "ok-late" = a timed-out or failed attempt's zombie still delivered
+  * a complete result), so a missing parquet dir is always
+  * distinguishable from a never-declared query, and a PRESENT dir always
+  * has an ok-prefixed status.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -81,9 +83,9 @@ object Verify {
                 // it, so status.json and the directory listing can never
                 // disagree (the main thread overwrites with plain "ok"
                 // when this is a live attempt completing normally).
-                status.get(name).filter(_._1 == "timeout").foreach { case (_, s) =>
-                  status(name) = ("ok-late", s)
-                }
+                status.get(name)
+                  .filter(v => v._1 == "timeout" || v._1 == "fail")
+                  .foreach { case (_, s) => status(name) = ("ok-late", s) }
               } else deleteRec(new java.io.File(scratch))
             }
           } finally spark.sparkContext.clearJobGroup()

@@ -106,11 +106,14 @@ object TextFunctions {
     * vocabularies split numbers), single punctuation marks. The three
     * alternatives match DISJOINT first-character classes, so leftmost-
     * first (Java regex) and RE2-family engines (DuckDB, Go) tokenize
-    * identically — alternation order can never matter. `\s` is the same
-    * set in Java and RE2 ([ \t\n\x0B\f\r]), so whitespace is skipped
-    * identically too.
+    * identically — alternation order can never matter. Whitespace is an
+    * EXPLICIT class, not `\s`: Java's `\s` is [ \t\n\x0B\f\r] but
+    * RE2's (DuckDB's) excludes \x0B, so the shorthand silently diverges
+    * on vertical tab; spelling the five characters out makes the two
+    * engines tokenize identically by construction.
     */
-  val bpeTokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val bpeTokenPattern: String =
+    "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Approximate LLM-token count via [[bpeTokenPattern]] — the standard
     * cheap stand-in for a real tokenizer when budgeting training tokens

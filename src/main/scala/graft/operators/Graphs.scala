@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   * Checkpoint mode: local checkpoints live in executor block storage — an
   * executor loss mid-loop invalidates them and fails the job. Fine for a
   * single-JVM run; on a real cluster set
-  * `spark.graft.reliableCheckpoint=true` (plus
+  * `spark.graft.reliableCheckpoint=true` (set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` with it —
+  * reliable checkpoint FILES are not reclaimed by default, and an
+  * iterative run writes one edge-set copy per round; plus
   * `sparkContext.setCheckpointDir`) and every truncation point writes a
   * reliable checkpoint instead, surviving executor loss. Same plan shape
   * either way — the flag only changes where the materialized blocks live.

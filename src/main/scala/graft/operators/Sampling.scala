@@ -54,8 +54,11 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
     require(buckets > 0 && buckets <= 256,
       s"buckets must be in (0, 256], got $buckets")
-    val threshold = f"$buckets%02x"
-    df.filter(hexBucket(col(keyCol)) < lit(threshold))
+    // 256 must short-circuit: f"%02x" renders it as the 3-char "100",
+    // and the 2-char bucket compares lexicographically ("1a" > "100"),
+    // which would silently keep only the ~16/256 buckets starting "0"
+    if (buckets == 256) df
+    else df.filter(hexBucket(col(keyCol)) < lit(f"$buckets%02x"))
   }
 
   /** Deterministic stratified take: exactly min(n, |stratum|) rows per
@@ -63,14 +66,11 @@ object Sampling {
     * the key itself so the result is a function of the data alone.
     */
   def stratifiedTake(df: DataFrame, strataCols: Seq[String], keyCol: String,
-                     n: Int): DataFrame = {
-    require(n > 0, s"n must be positive, got $n")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__rk")
-  }
+                     n: Int): DataFrame =
+    // the hash-RANDOM ordering of the one shared rank-cap implementation
+    // (keeps the WindowGroupLimit plan property pinned in one place)
+    topKPerGroup(df, strataCols, n,
+      md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
 
   /** Deterministic weighted corpus mixing — the "75% web, 25% books"
     * pretraining-mix step. Each source corpus is hash-sampled at
@@ -87,12 +87,10 @@ object Sampling {
       require(b > 0 && b <= 256, s"source '$n': buckets must be in (0, 256], got $b")
     }
     sources.map { case (name, df, buckets) =>
-      val bucket = substring(
-        md5(concat(lit(name + ":"), col(keyCol).cast("string"))
-          .cast("binary")), 1, 2)
+      val salted = concat(lit(name + ":"), col(keyCol).cast("string"))
       val kept =
         if (buckets == 256) df
-        else df.filter(bucket < lit(f"$buckets%02x"))
+        else df.filter(hexBucket(salted) < lit(f"$buckets%02x"))
       kept.withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }

@@ -25,6 +25,13 @@ class SamplingSpec extends SparkSpec {
     assert(s1 === s1b)
   }
 
+  test("hashSample with 256 buckets keeps every row") {
+    // regression: f"%02x" renders 256 as "100" and the 2-char hex bucket
+    // compares lexicographically, which silently kept ~6% of rows
+    val df = (1L to 500L).toDF("id")
+    assert(Sampling.hashSample(df, "id", 256).count() === 500L)
+  }
+
   test("hashSample is the test-side filter of the same bucketing") {
     val df = (1L to 300L).toDF("id")
     val sampled = Sampling.hashSample(df, "id", 64).as[Long].collect().toSet
