@@ -110,14 +110,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: r4's artifact had parsed:null because the
-    // driver tails stdout and Spark's shutdown logs can truncate/interleave
-    // past the JSON line. The file is the durable record.
+    // Persist the FULL record (per-pass timings, medians) to a file first:
+    // the driver keeps only a bounded TAIL of stdout, and r4/r5 both lost
+    // the artifact because the full JSON line (~12 KB at 88 queries)
+    // started before the tail window — parsed:null with the line's head
+    // cut off. The file is the durable record.
     val out = new java.io.PrintWriter(
       new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")),
       "UTF-8")
     try out.println(json) finally out.close()
+    // stdout gets a COMPACT line (no passes/medians, 3-decimal values —
+    // ~2.5 KB) so it fits inside the driver's tail window whole.
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsShort = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -317,12 +317,15 @@ object SparkEntry {
       Dedup.minhashCandidates(
         Tables.documents(s, d), "text", "doc_id", 3, 32, 8)),
 
-    // SimHash fingerprints, relational bit-vote plan. Portable hash, but
-    // the OUTPUT is the packed signed-64 long, which DuckDB's
-    // overflow-checked BIGINT can't assemble: rows-only check here; the
-    // full pipeline is oracled downstream via q57's pairs+hamming.
+    // SimHash fingerprints, relational bit-vote plan. The packed signed-64
+    // long can't be ASSEMBLED in DuckDB's overflow-checked BIGINT, but its
+    // two unsigned 32-bit halves can — emit those, so the full per-doc
+    // signature (not just q57's pairs projection) is oracle-pinned.
     "q30_simhash" -> ((s, d) =>
-      Dedup.simhashDocs(Tables.documents(s, d), "text", "doc_id", 3)),
+      Dedup.simhashDocs(Tables.documents(s, d), "text", "doc_id", 3)
+        .select(col("doc_id"),
+          shiftright(col("sh"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("sh_hi"),
+          col("sh").bitwiseAND(lit(0xFFFFFFFFL)).as("sh_lo"))),
 
     // Multimodal plumbing: binary payloads -> batch feature extraction
     // (decode is a documented stub: rows-only check)
@@ -334,7 +337,9 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"))),
 
-    // LSH-bucketed ANN top-k (xxhash64 buckets: rows-only check)
+    // LSH-bucketed ANN top-k. The md5-portable plane table (LshPlanes)
+    // makes the bucket assignment SQL-reproducible, so the whole probe
+    // pipeline is oracle-checked (sqlQ32LshTopK).
     "q32_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
@@ -403,11 +408,14 @@ object SparkEntry {
     "q39_sql" -> ((s, d) =>
       Graft.sql(s, d, sqlQ39)),
 
-    // IVF ANN: k-means coarse quantizer + probed-cell exact rerank
-    // (k-means init is engine-specific: rows-only check)
+    // IVF ANN: deterministic hash-seeded coarse quantizer + probed-cell
+    // exact rerank — every stage (centroid choice, cell assignment,
+    // probing, rerank) reproduced by the DuckDB oracle. The trained
+    // k-means quantizer (ivfTopK) keeps its spec coverage; its init is
+    // engine-specific and can't be oracled.
     "q40_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(
+      Similarity.ivfTopKSeeded(
         emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding")),
         emb, 10, nlist = 16, nprobe = 3)
@@ -1144,6 +1152,136 @@ object SparkEntry {
       |FROM e ASOF LEFT JOIN p
       |  ON e.user_id = p.p_uid AND e.ts_us >= p.pts""".stripMargin
 
+  /** q30 oracle: per-doc simhash signatures as two unsigned 32-bit halves.
+    * Same portable-md5 shingle hash and bit-vote tallies as sqlQ57Simhash;
+    * the halves stay in non-negative BIGINT, sidestepping the signed-64
+    * packing DuckDB's overflow-checked arithmetic rejects.
+    */
+  private val sqlQ30Simhash: String = {
+    val tallies = (0 until 64).map { j =>
+      val half = if (j < 32) "lo" else "hi"
+      val shift = j % 32
+      s"    sum(CASE WHEN $half IS NULL THEN 0 WHEN (($half >> $shift) & 1) = 1" +
+        s" THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n")
+    def packed(lo: Int): String = (0 until 32).map { j =>
+      s"(CASE WHEN v${lo + j} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS hi,
+       |    CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 9, 8) AS BIGINT) AS lo
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+       |  UNION ALL
+       |  SELECT doc_id, NULL, NULL FROM toks WHERE t IS NULL OR len(t) < 3),
+       |v AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$tallies
+       |  FROM sh GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CAST(${packed(32)} AS BIGINT) AS sh_hi,
+       |  CAST(${packed(0)} AS BIGINT) AS sh_lo
+       |FROM v""".stripMargin
+  }
+
+  /** q32 oracle: the LSH-bucketed ANN in DuckDB SQL. Bucket bits come from
+    * the portable md5 plane table (graft.plans.LshPlanes: u = md5_32 of
+    * "seed:bit:pos" / 2^31 − 1 — exact double ops), and the projection is
+    * a `list_reduce` sequential fold, matching the fused codegen loop's
+    * element-order accumulation bit for bit. Multi-probe radius 1 at
+    * bits=4 = XOR masks {0,1,2,4,8}; cosine + rank as in the q24 oracle.
+    * The hot-bucket cap (2^20) cannot fire at gate scale and is omitted.
+    */
+  private val sqlQ32LshTopK: String = {
+    val bits = 4; val seed = 42L
+    def proj(i: Int) =
+      s"""      list_reduce(list_transform(range(len(embedding)), pos ->
+         |        CAST(embedding[pos + 1] AS DOUBLE) *
+         |        (CAST(('0x' || substr(md5('$seed:$i:' || pos), 1, 8)) AS BIGINT)
+         |          / 2147483648.0 - 1.0)), (a, b) -> a + b) AS p$i""".stripMargin
+    val projs = (0 until bits).map(proj).mkString(",\n")
+    val pack = (0 until bits)
+      .map(i => s"(CASE WHEN p$i >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString(", ")
+    s"""WITH buck AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $pack AS bucket FROM (
+       |    SELECT vec_id, embedding,
+       |$projs
+       |    FROM embeddings)),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |    xor(bucket, m) AS bucket
+       |  FROM buck, unnest([$masks]) AS t(m)
+       |  WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id,
+       |    round(list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(c.embedding,
+       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(q.q_emb,
+       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
+       |  FROM buck c JOIN qprobe q USING (bucket)),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
+  /** q40 oracle: seeded-quantizer IVF in DuckDB SQL. Centroids = the 16
+    * corpus vectors with smallest md5(vec_id) (cells numbered in that
+    * order); assignment/probing rank round-6 cosine with ties to the
+    * smallest cell, mirroring ivfTopKSeeded exactly.
+    */
+  private val sqlQ40IvfTopK: String = {
+    val nlist = 16; val nprobe = 3
+    def cos(a: String, b: String) =
+      s"""round(list_sum(list_transform(list_zip($a, $b),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($a,
+         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b,
+         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6)""".stripMargin
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) AS cell,
+       |    embedding AS centroid
+       |  FROM embeddings
+       |  QUALIFY cell <= $nlist),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
+       |          c.cell ASC) AS arank
+       |    FROM embeddings e, cents c)
+       |  WHERE arank = 1),
+       |qcells AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
+       |          c.cell ASC) AS crank
+       |    FROM embeddings e, cents c
+       |    WHERE e.vec_id < 5)
+       |  WHERE crank <= $nprobe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    ${cos("a.embedding", "q.q_emb")} AS sim
+       |  FROM assigned a JOIN qcells q USING (cell)),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
     * portable 64-bit hash is handled as two 32-bit halves (hi = md5 hex
     * 1-8, lo = 9-16) so every intermediate stays in non-negative BIGINT —
@@ -1436,11 +1574,15 @@ object SparkEntry {
         |  SELECT * FROM orders WHERE o_totalprice > 400000)
         |GROUP BY o_orderstatus""".stripMargin,
 
-    // q29/q57 oracle the full signature pipelines (portable md5 base
-    // hash); q30-q32 stay rows-only (q30's packed-long signature needs
-    // signed-64 wrap DuckDB doesn't do; q31 stub features; q32 projection
-    // buckets ride Spark's seeded xxhash64 chain)
+    // q29/q57/q30 oracle the full signature pipelines (portable md5 base
+    // hash; q30 emits the signature as unsigned 32-bit halves)
     "q29_minhash_pairs" -> sqlQ29Minhash,
+
+    "q30_simhash" -> sqlQ30Simhash,
+
+    "q32_lsh_topk" -> sqlQ32LshTopK,
+
+    "q40_ivf_topk" -> sqlQ40IvfTopK,
 
     "q33_validate" -> (s"WITH ${Tables.pingsSql}\n" +
       """SELECT count(*) AS n_rows,

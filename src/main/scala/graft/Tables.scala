@@ -37,7 +37,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events` with the ts contract every consumer assumes: a NANOSECOND
+    * epoch Long. Fixture generations have stored ts as parquet
+    * TIMESTAMP(NANOS) (read as Long via the nanosAsLong flag) and as
+    * TIMESTAMP(MICROS) (read as TimestampNTZ) — normalize the latter here
+    * (session tz is UTC in every entry point, so the NTZ wall clock IS
+    * the epoch instant; µs → ns is exact integer math and matches the
+    * oracle's `epoch_us(ts) * 1000` to the µs resolution the file holds).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -113,9 +113,15 @@ object Verify {
       CacheScope.releaseAll()
     }
 
+    // Dev bisection hook (mirrors Bench): comma-separated name prefixes to
+    // run (default all). Also subsets the oracle dump so tools/check.py
+    // only judges what ran.
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq(""))
     // Sorted: deterministic run order makes driver logs comparable
     // across rounds and a stall attributable by the last "ok" line.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.exists(n.startsWith) }
     ordered.foreach { case (name, fn) => runOne(name, fn, attempt = 1) }
     // One end-of-run retry for timeouts only (a deterministic failure
     // would just fail again; a steal burst usually has passed by now).
@@ -138,6 +144,7 @@ object Verify {
     // the final directories (they delete their scratch instead).
     swapLock.synchronized { closed = true }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => filter.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val statusJson = status

@@ -36,14 +36,17 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random double in [-1, 1] for (seed, bit, dim):
-    * xxhash64 of the coordinates, scaled. ANSI-safe (no raw multiply
-    * overflow) and codegen'd.
+  /** Deterministic pseudo-random double in [-1, 1) for (seed, bit, dim):
+    * first 32 bits of md5("seed:bit:dim"), scaled — the portable plane
+    * component [[graft.plans.LshPlanes]] precomputes (see there for why
+    * md5: bucket ids become reproducible from plain SQL, which is what
+    * lets the gate oracle-check the ANN bucketing).
     */
   private def mixedUnit(seed: Long, bit: Int,
                         dim: org.apache.spark.sql.Column) =
-    xxhash64(lit(seed), lit(bit), dim).cast("double") /
-      lit(Long.MaxValue.toDouble)
+    conv(substring(md5(concat_ws(":", lit(seed), lit(bit), dim)
+      .cast("binary")), 1, 8), 16, 10).cast("double") /
+      lit(2147483648.0) - lit(1.0)
 
   /** b-bit signed-projection LSH bucket id for each row's embedding —
     * pure per-row expression work, no shuffle. One fused codegen loop
@@ -120,6 +123,62 @@ object Similarity {
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist").desc,
           col("cell").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    val scored = assigned.join(qCells, "cell")
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("embedding"), col("q_emb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** IVF with a deterministic, engine-portable coarse quantizer: the
+    * nlist centroids are the corpus vectors with the smallest
+    * md5(vec_id) (a hash-ordered sample — the "random subsampled
+    * centroids, no refinement" initialization FAISS exposes as niter=0),
+    * cell ids assigned in that hash order. Everything downstream —
+    * nearest-cell assignment, nprobe probing, exact rerank — is the same
+    * IVF structure as [[ivfTopK]], but every step is reproducible from
+    * plain SQL, so the gate can oracle the whole pipeline (q40) instead
+    * of trusting the k-means artifact. Assignment scores are rounded to 6
+    * decimals before the argmax (ties -> smallest cell id) so the cell
+    * decision is stable cross-engine rather than resting on raw-double
+    * comparison of near-equal sims.
+    *
+    * Scale shape: identical to [[ivfTopK]] — the centroid table is nlist
+    * rows collected once and broadcast; the corpus is scanned once for
+    * assignment; the probe join is a hash equi-join on the cell id.
+    * Prefer [[ivfTopK]]'s trained quantizer when cell balance matters
+    * more than auditability.
+    */
+  def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(
+      corpus
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nlist)
+        .select(row_number().over(
+            Window.orderBy(md5(col("vec_id").cast("string")),
+              col("vec_id"))).cast("long").as("cell"),
+          col("embedding").as("centroid")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val assigned = corpus.crossJoin(cents)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("embedding"), col("centroid")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qCells = queries.select(col("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(cents)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("q_emb"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
       .select("query_id", "q_emb", "cell")
     val scored = assigned.join(qCells, "cell")

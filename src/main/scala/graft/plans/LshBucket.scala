@@ -3,30 +3,81 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
+/** Deterministic hyperplane table for [[LshBucket]]: component (i, pos) is
+  * derived from the first 32 bits of `md5("<seed>:<i>:<pos>")`, scaled to
+  * [-1, 1). md5 renders identical hex in every engine (Spark, DuckDB,
+  * Trino) and h/2^31 − 1 touches only exact double operations (h has 32
+  * significant bits; division by a power of two and the subtraction are
+  * exact), so the plane — and therefore every bucket id built on it — is
+  * bit-reproducible from plain SQL. That turns the ANN bucketing from an
+  * engine-private artifact into an auditable, oracle-checkable one (same
+  * rationale as TextFunctions.portableHash32 for the minhash family; the
+  * previous xxhash64 chain was seeded Spark-internally and blocked the
+  * q32 oracle).
+  *
+  * The table depends only on (seed, bits, dims): each task lazily builds
+  * rows up to the largest dimension it has seen (geometric growth, one
+  * md5 per cell) and amortizes to a plain array lookup per element. It is
+  * a reference object in the generated code, so the plan carries only
+  * (seed, bits), never the table.
+  */
+final class LshPlanes(val seed: Long, val bits: Int) extends Serializable {
+  // rebuilt on demand after deserialization; growth is deterministic so
+  // concurrent rebuilds in racing tasks produce identical rows
+  @transient @volatile private var table: Array[Array[Double]] = _
+
+  private def cell(i: Int, pos: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      s"$seed:$i:$pos".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    h.toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Table with at least `n` position rows; row(pos)(i) = u(seed, i, pos). */
+  def ensure(n: Int): Array[Array[Double]] = {
+    val t = table
+    if (t != null && t.length >= n) t
+    else synchronized {
+      val cur = table
+      if (cur != null && cur.length >= n) cur
+      else {
+        val m = math.max(n, if (cur == null) 64 else cur.length * 2)
+        val grown = Array.tabulate(m) { pos =>
+          if (cur != null && pos < cur.length) cur(pos)
+          else Array.tabulate(bits)(i => cell(i, pos))
+        }
+        table = grown
+        grown
+      }
+    }
+  }
+}
+
 /** Random-hyperplane LSH bucket id as ONE fused codegen'd loop — the
-  * custom-Expression form of Similarity.lshBuckets' original
+  * custom-Expression form of Similarity.lshBuckets' composed
   * `aggregate(transform(...))` column, kept bit-identical to it:
   *
   *   proj_i = Σ_pos  (double) emb[pos] · u(seed, i, pos)
-  *   u      = xxhash64(seed: long, i: int, pos: int) / Long.MaxValue
+  *   u      = md5_32("seed:i:pos") / 2^31 − 1        (see [[LshPlanes]])
   *   bucket = OR_i  (proj_i >= 0 ? 1L << i : 0)
   *
-  * with the xxhash64 chain exactly as Spark's XxHash64 expression folds
-  * its arguments (running hash seeded 42, hashLong then hashInt twice)
-  * and the per-bit sums accumulated in element order, so float addition
-  * order matches `aggregate`'s sequential fold.
+  * with the per-bit sums accumulated in element order, so float addition
+  * order matches `aggregate`'s sequential fold — and matches a SQL
+  * `list_reduce` fold, which is what lets the q32 oracle reproduce the
+  * bucket assignment exactly.
   *
   * The HOF form walks the array through interpreted lambda dispatch once
   * per bit (b · len closure calls per row — the NOTES_r3-measured ~25 µs/
   * element pattern); this is a single primitive loop inside whole-stage
-  * codegen. The per-bit hash prefix hashInt(i, hashLong(seed, 42)) is
-  * precomputed once at construction.
+  * codegen reading a precomputed plane table.
   *
   * Null semantics match the composed form: a null array or any null
   * element nulls every projection, and `when(null >= 0, ...)`'s otherwise
@@ -50,25 +101,22 @@ case class LshBucket(child: Expression, bits: Int, seed: Long)
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // hashInt(bit, hashLong(seed, 42)) — the constant prefix of the
-  // xxhash64(seed, bit, pos) chain, one per bit.
-  private lazy val prefixes: Array[Long] = {
-    val h1 = XXH64.hashLong(seed, 42L)
-    Array.tabulate(bits)(i => XXH64.hashInt(i, h1))
-  }
+  private lazy val planes = new LshPlanes(seed, bits)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) 0L
-    else LshBucket.compute(v.asInstanceOf[ArrayData], prefixes, elemIsFloat)
+    else LshBucket.compute(v.asInstanceOf[ArrayData], planes, elemIsFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
-    val pre = ctx.addReferenceObj("lshPrefixes", prefixes, "long[]")
+    val pl = ctx.addReferenceObj("lshPlanes", planes,
+      classOf[LshPlanes].getName)
     val a = childGen.value
     val n = ctx.freshName("n")
+    val tab = ctx.freshName("tab")
     val pos = ctx.freshName("pos")
     val i = ctx.freshName("i")
     val proj = ctx.freshName("proj")
@@ -77,21 +125,20 @@ case class LshBucket(child: Expression, bits: Int, seed: Long)
     val bucket = ctx.freshName("bucket")
     val getX =
       if (elemIsFloat) s"(double) $a.getFloat($pos)" else s"$a.getDouble($pos)"
-    val xxh = classOf[XXH64].getName
-    val maxL = java.lang.Long.MAX_VALUE.toDouble
     val body =
       s"""
          |long $bucket = 0L;
          |if (!${childGen.isNull}) {
          |  final int $n = $a.numElements();
+         |  final double[][] $tab = $pl.ensure($n);
          |  final double[] $proj = new double[$bits];
          |  boolean $bad = false;
          |  for (int $pos = 0; $pos < $n; $pos++) {
          |    if ($a.isNullAt($pos)) { $bad = true; break; }
          |    final double $x = $getX;
+         |    final double[] ${tab}_r = $tab[$pos];
          |    for (int $i = 0; $i < $bits; $i++) {
-         |      $proj[$i] += $x *
-         |        (((double) $xxh.hashInt($pos, $pre[$i])) / ${maxL}D);
+         |      $proj[$i] += $x * ${tab}_r[$i];
          |    }
          |  }
          |  if (!$bad) {
@@ -117,18 +164,19 @@ case class LshBucket(child: Expression, bits: Int, seed: Long)
 
 object LshBucket {
   /** Interpreted twin of the generated loop — identical fold order. */
-  def compute(a: ArrayData, prefixes: Array[Long], isFloat: Boolean): Long = {
+  def compute(a: ArrayData, planes: LshPlanes, isFloat: Boolean): Long = {
     val n = a.numElements()
-    val bits = prefixes.length
+    val bits = planes.bits
+    val tab = planes.ensure(n)
     val proj = new Array[Double](bits)
     var pos = 0
     while (pos < n) {
       if (a.isNullAt(pos)) return 0L
       val x = if (isFloat) a.getFloat(pos).toDouble else a.getDouble(pos)
+      val row = tab(pos)
       var i = 0
       while (i < bits) {
-        proj(i) += x * (XXH64.hashInt(pos, prefixes(i)).toDouble /
-          Long.MaxValue.toDouble)
+        proj(i) += x * row(i)
         i += 1
       }
       pos += 1
