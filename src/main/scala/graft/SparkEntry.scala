@@ -327,15 +327,17 @@ object SparkEntry {
           shiftright(col("sh"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("sh_hi"),
           col("sh").bitwiseAND(lit(0xFFFFFFFFL)).as("sh_lo"))),
 
-    // Multimodal plumbing: binary payloads -> batch feature extraction
-    // (decode is a documented stub: rows-only check)
+    // Multimodal: deterministic PNG payloads -> REAL javax.imageio decode
+    // -> dimensions + channel means. The synthetic pixels are integer
+    // functions of the id, so the DuckDB oracle predicts the decoded
+    // stats exactly — the whole encode/decode byte path is hash-checked.
     "q31_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.fromStrings(Tables.documents(s, d), "doc_id", "text",
-          "text/plain"), 16)
+      Multimodal.decodeImages(
+        Multimodal.synthImages(
+          Tables.documents(s, d).select("doc_id"), "doc_id"), 8)
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("checksum"))),
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
 
     // LSH-bucketed ANN top-k. The md5-portable plane table (LshPlanes)
     // makes the bucket assignment SQL-reproducible, so the whole probe
@@ -734,14 +736,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_neighbors"))
     }),
 
-    // End-to-end multimodal similarity: binary payloads -> batch feature
-    // extraction (mapPartitions, stub codec) -> cosine top-k over the
-    // extracted vectors. Rows-only (stub features); the composition is
-    // the point — decode output feeds the ANN path unchanged.
+    // End-to-end multimodal similarity: PNG payloads -> real imageio
+    // decode (mapPartitions) -> cosine top-k over the extracted feature
+    // vectors. The decoded features are closed-form predictable (see
+    // q31), so the full decode -> ANN composition is oracle-checked.
     "q67_media_ann" -> ((s, d) => {
-      val media = graft.operators.Multimodal.fromStrings(
-        Tables.documents(s, d), "doc_id", "text", "text")
-      val feats = graft.operators.Multimodal.extractFeatures(media, 16)
+      val feats = Multimodal.decodeImages(
+        Multimodal.synthImages(
+          Tables.documents(s, d).select("doc_id"), "doc_id"), 8)
         .toDF()
         .select(col("media_id").as("vec_id"),
           col("features").as("embedding"))
@@ -1282,6 +1284,60 @@ object SparkEntry {
        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** q31/q67 oracles: the synthetic-image pixel model of
+    * Multimodal.synthImages in SQL — w = 4 + id%13, h = 3 + id%7,
+    * channels integer functions of (id, x, y) — enumerated per pixel via
+    * unnest(range(w*h)). Channel sums are exact integers in double, so
+    * avg() reproduces the kernel's mean bit for bit; what the compare
+    * actually pins is that the REAL PNG encode/decode round trip
+    * preserved every pixel.
+    */
+  private val mediaPixelCtes: String =
+    """dims AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id + 3 * (p % w) + 7 * (p // w)) % 256 AS r,
+      |    (2 * doc_id + 5 * (p % w) + (p // w)) % 256 AS g,
+      |    (3 * doc_id + (p % w) + 2 * (p // w)) % 256 AS b
+      |  FROM dims, unnest(range(w * h)) AS t(p)),
+      |imgf AS (
+      |  SELECT doc_id, w, h,
+      |    avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
+      |  FROM px GROUP BY doc_id, w, h)""".stripMargin
+
+  private val sqlQ31MediaFeatures: String =
+    s"""WITH $mediaPixelCtes
+       |SELECT doc_id AS media_id, 'image/png' AS kind,
+       |  w AS width, h AS height, mean_r, mean_g, mean_b
+       |FROM imgf""".stripMargin
+
+  private val sqlQ67MediaAnn: String =
+    s"""WITH $mediaPixelCtes,
+       |f AS (
+       |  SELECT doc_id AS vec_id,
+       |    [CAST(w AS REAL), CAST(h AS REAL), CAST(mean_r AS REAL),
+       |     CAST(mean_g AS REAL), CAST(mean_b AS REAL),
+       |     CAST(0 AS REAL), CAST(0 AS REAL), CAST(0 AS REAL)] AS embedding
+       |  FROM imgf),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM f WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, f.vec_id,
+       |    round(list_sum(list_transform(list_zip(f.embedding, q.q_emb),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(f.embedding,
+       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(q.q_emb,
+       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
+       |  FROM f, q),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
+
   /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
     * portable 64-bit hash is handled as two 32-bit halves (hi = md5 hex
     * 1-8, lo = 9-16) so every intermediate stays in non-negative BIGINT —
@@ -1580,7 +1636,11 @@ object SparkEntry {
 
     "q30_simhash" -> sqlQ30Simhash,
 
+    "q31_media_features" -> sqlQ31MediaFeatures,
+
     "q32_lsh_topk" -> sqlQ32LshTopK,
+
+    "q67_media_ann" -> sqlQ67MediaAnn,
 
     "q40_ivf_topk" -> sqlQ40IvfTopK,
 

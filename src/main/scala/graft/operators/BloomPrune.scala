@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *    bit positions, `bit_or` the per-word masks, collect only the ≤
   *    numBits/64 non-zero words (a 2^20-bit filter is 16 KiB — driver
   *    traffic is the filter size, never the key set).
-  *  - PROBE is a literal array + k codegen'd element_at/bit tests — no
-  *    UDF, no broadcast variable, no kryo; the filter travels inside the
-  *    plan as a constant.
+  *  - PROBE is one fused codegen'd loop (graft.plans.BloomProbe) whose
+  *    word array is a reference object in the generated code — no UDF,
+  *    and the plan tree stays O(1) even for a 2^27-bit filter.
   *
   * False positives only (never false negatives), so the follow-up join
   * keeps the result exact; fpp ≈ (1 - e^(-k·n/m))^k as usual.
@@ -50,10 +50,24 @@ object BloomPrune {
     dense
   }
 
-  /** Membership test as a pure Column over the literal word array —
-    * k hash + element_at + bit-test chains, all inside codegen.
+  /** Membership test for an integral key — one fused codegen loop
+    * ([[graft.plans.BloomProbe]]) whose word array rides the generated
+    * code as a reference object, so the PLAN stays O(1) no matter the
+    * filter size (a 2^27-bit filter through the composed form below is a
+    * 2M-element literal in the plan tree, k times over). Null keys test
+    * false — an equi-join can't match them anyway.
     */
-  def mightContain(bits: Array[Long], numHashes: Int, key: Column): Column = {
+  def mightContain(bits: Array[Long], numHashes: Int, key: Column): Column =
+    graft.plans.BloomProbe(key, bits, numHashes)
+
+  /** The composed-Column membership test — k hash + element_at + bit-test
+    * chains over `lit(bits)`. Probe-identical to [[mightContain]]
+    * (parity-pinned in SkewBloomSpec); used for non-integral key types
+    * and small filters, where the plan-embedded literal is harmless.
+    * Null keys are null (filter-false), same survivors either way.
+    */
+  def mightContainComposed(bits: Array[Long], numHashes: Int,
+                           key: Column): Column = {
     val m = bits.length.toLong * 64L
     val arr = lit(bits)
     (0 until numHashes).map { i =>
@@ -89,7 +103,10 @@ object BloomPrune {
           s"$factKey is $ft, $dimKey is $dt")
     val bits = buildBits(dim.select(buildKey.as(dimKey)), col(dimKey),
       numBits, numHashes)
-    fact.filter(mightContain(bits, numHashes, probeKey))
+    val probe =
+      if (integral(ft)) mightContain(bits, numHashes, probeKey)
+      else mightContainComposed(bits, numHashes, probeKey)
+    fact.filter(probe)
       .join(dim.select(col(dimKey)).distinct(),
         col(factKey) === col(dimKey), "left_semi")
   }

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side mechanics (schema, batch iteration, partition sizing,
-  * output shape) are real and tested; the codec step is a clearly marked
-  * STUB (no media libraries in this environment) producing deterministic
-  * fake features so the pipeline shape is exercised end to end. Swap
-  * [[decodeStub]] for a real decoder (e.g. javacv) without touching the
-  * surrounding plan.
+  * The image path is a REAL codec: [[decodeImage]] reads PNG/JPEG/BMP/GIF
+  * payloads with javax.imageio (pure JVM, no native deps) and emits
+  * dimensions + per-channel statistics; [[synthImages]] builds
+  * deterministic PNG payloads so environments without media files can
+  * still exercise the full encode → decode → feature path end to end
+  * (and, because the synthetic pixels are integer functions of the row
+  * id, a SQL oracle can predict the decoded statistics exactly — q31).
+  * Payload kinds imageio can't parse (audio/video containers) fall back
+  * to [[byteHistogram]], the generic opaque-payload featurizer; swap in a
+  * real codec (e.g. javacv) behind the same mapPartitions seam.
   */
 object Multimodal {
 
@@ -24,11 +28,22 @@ object Multimodal {
                                  n_bytes: Long, checksum: Long,
                                  features: Array[Float])
 
-  /** STUB decode: byte histogram folded into `dim` buckets, L1-normalized.
-    * Deterministic stand-in for image/audio decoding — replace with a real
-    * codec for production.
+  /** Decoded-image features: exact dimensions and per-channel means (the
+    * SQL-checkable subset), plus the fixed-length vector for ANN.
     */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  final case class ImageFeatures(media_id: Long, kind: String,
+                                 n_bytes: Long, width: Long, height: Long,
+                                 mean_r: Double, mean_g: Double,
+                                 mean_b: Double, features: Array[Float])
+
+  /** Generic opaque-payload featurizer: byte histogram folded into `dim`
+    * buckets, L1-normalized. The fallback for payload kinds without a JVM
+    * decoder (audio/video) — deterministic, so pipelines stay testable.
+    */
+  def byteHistogram(payload: Array[Byte], dim: Int): Array[Float] =
+    decodeStub(payload, dim)
+
+  private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -43,7 +58,8 @@ object Multimodal {
 
   /** Batch feature extraction over the binary column — mapPartitions so a
     * real decoder can amortize per-batch model/codec setup exactly like a
-    * pandas-batch UDF would.
+    * pandas-batch UDF would. Uses [[byteHistogram]]: content-agnostic,
+    * works for any payload kind.
     */
   def extractFeatures(media: Dataset[MediaItem], dim: Int = 16)
   : Dataset[MediaFeatures] = {
@@ -51,12 +67,100 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { m =>
-        val feats = decodeStub(m.payload, dim)
+        val feats = byteHistogram(m.payload, dim)
         var ck = 0L
         var i = 0
         while (i < m.payload.length) { ck = ck * 31 + (m.payload(i) & 0xff); i += 1 }
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, ck, feats)
       }
+    }
+  }
+
+  /** Real image decode via javax.imageio: parses the payload (PNG, JPEG,
+    * BMP, GIF — whatever ImageIO has readers for), extracts exact
+    * dimensions and per-channel means, and packs a fixed feature vector
+    * [width, height, mean_r, mean_g, mean_b, 0, ...] of length `dim` that
+    * feeds the ANN path unchanged (q67). Channel sums are exact integer
+    * arithmetic (8-bit channels in a long), divided once — so the means
+    * are reproducible by any engine that can enumerate the pixels.
+    *
+    * Unparseable payloads are dropped (the production behavior for a
+    * corrupt image in a curation pipeline is to quarantine, not crash);
+    * use [[extractFeatures]] when every payload must produce a row.
+    *
+    * mapPartitions, like [[extractFeatures]]: ImageIO reader lookup is
+    * per-JVM-cached, and a heavier codec would init here once per batch.
+    */
+  def decodeImages(media: Dataset[MediaItem], dim: Int = 8)
+  : Dataset[ImageFeatures] = {
+    require(dim >= 5, s"dim must hold [w, h, mean_r, mean_g, mean_b]: $dim")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+        } catch { case _: java.io.IOException => None }
+        img.map { im =>
+          val w = im.getWidth; val h = im.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val mr = sr.toDouble / n
+          val mg = sg.toDouble / n
+          val mb = sb.toDouble / n
+          val feats = new Array[Float](dim)
+          feats(0) = w.toFloat; feats(1) = h.toFloat
+          feats(2) = mr.toFloat; feats(3) = mg.toFloat; feats(4) = mb.toFloat
+          ImageFeatures(m.media_id, m.kind, m.payload.length.toLong,
+            w.toLong, h.toLong, mr, mg, mb, feats)
+        }
+      }
+    }
+  }
+
+  /** Deterministic PNG fixture: one small image per input row, dimensions
+    * and pixel channels integer functions of the id —
+    *   w = 4 + id % 13, h = 3 + id % 7,
+    *   r(x,y) = (id + 3x + 7y) % 256, g = (2id + 5x + y) % 256,
+    *   b = (3id + x + 2y) % 256
+    * — encoded through the REAL ImageIO PNG writer (lossless), so
+    * [[decodeImages]] downstream exercises a genuine byte-level decode
+    * whose output an oracle can still predict in closed form.
+    */
+  def synthImages(df: DataFrame, idCol: String): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id + 3L * x + 7L * y) % 256).toInt
+          val g = ((2L * id + 5L * x + y) % 256).toInt
+          val b = ((3L * id + x + 2L * y) % 256).toInt
+          im.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      MediaItem(id, "image/png", bos.toByteArray)
     }
   }
 

@@ -498,8 +498,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(multi2) > recall(multi),
       s"radius 2 ${recall(multi2)} should beat radius 1 ${recall(multi)}")
     assert(recall(multi2) >= 0.3)
+    val multi3 = pairs(Similarity.lshTopK(q, emb, 10, 8, probeRadius = 3))
+    assert(recall(multi3) > recall(multi2),
+      s"radius 3 ${recall(multi3)} should beat radius 2 ${recall(multi2)}")
+    assert(recall(multi3) >= 0.5, s"radius 3 recall ${recall(multi3)}")
+    // plan stays a hash equi-join at the deeper radius — the fan-out is
+    // query-side mask explosion, never a nested-loop join
+    val plan3 = Similarity.lshTopK(q, emb, 10, 8, probeRadius = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan3.contains("NestedLoop"), plan3.take(2000))
     val ivf = pairs(Similarity.ivfTopK(q, emb, 10, nlist = 16, nprobe = 2))
     assert(recall(ivf) >= 0.35, s"ivf recall ${recall(ivf)}")
+    val ivfSeeded = pairs(
+      Similarity.ivfTopKSeeded(q, emb, 10, nlist = 16, nprobe = 2))
+    assert(recall(ivfSeeded) >= 0.3, s"seeded ivf recall ${recall(ivfSeeded)}")
+    // probe fan-out bound: probing every bucket must be rejected
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(q, emb, 10, bits = 16, probeRadius = 8)
+    }
   }
 
   test("planted hot bucket is capped out of the probe join") {

@@ -62,6 +62,47 @@ class BloomPruneSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"),
       s"expected pure-expression probe, got:\n$plan")
   }
+
+  test("fused probe is decision-identical to the composed literal form") {
+    val dim = (0L to 400L by 3L).toDF("dk")
+    val bits = BloomPrune.buildBits(dim.select($"dk"), $"dk", 1 << 12, 7)
+    val keys = (0L to 2000L).toDF("k")
+    val fused = keys.filter(BloomPrune.mightContain(bits, 7, $"k"))
+      .collect().map(_.getLong(0)).toSet
+    val composed = keys.filter(BloomPrune.mightContainComposed(bits, 7, $"k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fused === composed)
+    assert((0L to 400L by 3L).toSet.subsetOf(fused)) // no false negatives
+    // int-typed keys take the hashInt path and must agree with a filter
+    // BUILT from ints
+    val dimI = (0 to 400 by 3).toDF("dk")
+    val bitsI = BloomPrune.buildBits(dimI.select($"dk"), $"dk", 1 << 12, 7)
+    val keysI = (0 to 2000).toDF("k")
+    val fusedI = keysI.filter(BloomPrune.mightContain(bitsI, 7, $"k"))
+      .collect().map(_.getInt(0)).toSet
+    val composedI = keysI
+      .filter(BloomPrune.mightContainComposed(bitsI, 7, $"k"))
+      .collect().map(_.getInt(0)).toSet
+    assert(fusedI === composedI)
+    assert((0 to 400 by 3).toSet.subsetOf(fusedI))
+  }
+
+  test("a 2^26-bit filter keeps the plan tree small") {
+    // 2^26 bits = 1M words = 8 MB: as a plan literal this was k copies of
+    // a million-element array in every explain/transform; as a reference
+    // object the plan string stays O(1).
+    val dim = (1L to 5000L).toDF("dk")
+    val bits = BloomPrune.buildBits(dim.select($"dk"), $"dk", 1 << 26, 7)
+    assert(bits.length === (1 << 26) / 64)
+    val probed = (1L to 20000L).toDF("k")
+      .filter(BloomPrune.mightContain(bits, 7, $"k"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.length < 100000,
+      s"plan string blew up to ${plan.length} chars")
+    val kept = probed.count()
+    // 5000 true keys, fpp at m=2^26, n=5000, k=7 is ~0
+    assert(kept >= 5000 && kept < 5100, s"kept $kept")
+  }
 }
 
 class SaltingSpec extends SparkSpec {

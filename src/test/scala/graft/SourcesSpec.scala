@@ -304,6 +304,49 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("chunk_idx").collect()
     assert(got.map(_.getAs[Int]("chunk_idx")).toSeq === Seq(0, 2))
   }
+
+  test("real PNG decode: round trip recovers the synthesized pixel stats") {
+    val ids = Seq(0L, 1L, 41L, 255L, 4999L)
+    val media = Multimodal.synthImages(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodeImages(media, 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
+      val f = got(id)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      // closed-form channel means, independent of the codec path
+      def mean(fn: (Long, Long) => Long): Double = {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += fn(x.toLong, y.toLong)
+        s.toDouble / (w * h)
+      }
+      assert(f.mean_r === mean((x, y) => (id + 3 * x + 7 * y) % 256))
+      assert(f.mean_g === mean((x, y) => (2 * id + 5 * x + y) % 256))
+      assert(f.mean_b === mean((x, y) => (3 * id + x + 2 * y) % 256))
+      assert(f.features.take(5).toSeq ===
+        Seq(w.toFloat, h.toFloat, f.mean_r.toFloat, f.mean_g.toFloat,
+          f.mean_b.toFloat))
+      assert(f.n_bytes > 0L) // a real PNG payload, not the raw pixels
+    }
+  }
+
+  test("decode drops unparseable payloads instead of crashing") {
+    val junk = Seq(
+      Multimodal.MediaItem(1L, "image/png", Array[Byte](1, 2, 3)),
+      Multimodal.MediaItem(2L, "image/png", Array.empty[Byte])).toDS()
+    assert(Multimodal.decodeImages(junk, 8).count() === 0L)
+    // a BMP payload (different imageio reader) still decodes
+    val im = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xff0000); im.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "bmp", bos)
+    val bmp = Seq(Multimodal.MediaItem(3L, "image/bmp", bos.toByteArray)).toDS()
+    val f = Multimodal.decodeImages(bmp, 8).collect().head
+    assert(f.width === 2L && f.height === 2L)
+    assert(f.mean_r === 255.0 / 4 && f.mean_b === 255.0 / 4)
+  }
 }
 
 class ShardedExportSpec extends SparkSpec {
