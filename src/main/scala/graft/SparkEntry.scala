@@ -1000,6 +1000,38 @@ object SparkEntry {
         Seq("purchase_ts", "purchase_value"),
         tolerance = Some(3600000000L))
         .select("user_id", "event_id", "purchase_ts", "purchase_value")
+    }),
+
+    // §2.9 streaming surface as a GATE query: the q64 sessionization run
+    // as a real Structured Streaming job — parquet file source,
+    // Trigger.AvailableNow, memory sink — and hash-compared against the
+    // same gap-islands SQL oracle as the batch form. Complete output
+    // mode for exact batch parity on a finite file set (see
+    // StreamSessions.runToCompletion); the bounded-state append+watermark
+    // forms stay spec-covered in streaming/*.
+    "q89_stream_sessions" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val fileSchema = s.read.parquet(path).schema
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, path, fileSchema)
+      // same ts-contract normalization as Tables.events, applied to the
+      // stream: epoch seconds from either a ns-Long or a µs-timestamp ts
+      val tsec = fileSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("ts div 1000000000")
+        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      }
+      val agg = raw
+        .select(col("user_id"), tsec.as("tsec"))
+        .groupBy(col("user_id"),
+          session_window(timestamp_seconds(col("tsec")), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          unix_timestamp(col("session_window.end")).as("s_end"),
+          col("n_events"))
+      graft.streaming.StreamSessions.runToCompletion(agg,
+        "q89_stream_sessions")
     })
   )
 
@@ -1337,6 +1369,30 @@ object SparkEntry {
        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** q64/q89 oracle: gap-islands sessionization. `> gap`, not `>= gap` —
+    * Spark's session_window MERGES an event arriving exactly `gap` after
+    * the previous one (touching windows coalesce; pinned empirically in
+    * round 5). Shared by the batch (q64) and streaming (q89) forms, which
+    * must agree exactly.
+    */
+  private val sqlQ64Sessions: String =
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+      |x AS (
+      |  SELECT user_id, tsec,
+      |    CASE WHEN lag(tsec) OVER w IS NULL
+      |      OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+      |y AS (
+      |  SELECT user_id, tsec,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x)
+      |SELECT user_id, min(tsec) AS s_start, max(tsec) + 1800 AS s_end,
+      |  count(*) AS n_events
+      |FROM y GROUP BY user_id, sid""".stripMargin
 
   /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
     * portable 64-bit hash is handled as two 32-bit halves (hi = md5 hex
@@ -1902,23 +1958,10 @@ object SparkEntry {
     // coalesce) — so a new session starts only on a STRICTLY larger gap.
     // sf0.01 had no exactly-1800 s inter-event gap; sf0.1 has one, which
     // is what exposed a >= here.
-    "q64_session_window" ->
-      """WITH base AS (
-        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
-        |x AS (
-        |  SELECT user_id, tsec,
-        |    CASE WHEN lag(tsec) OVER w IS NULL
-        |      OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
-        |  FROM base
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
-        |y AS (
-        |  SELECT user_id, tsec,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM x)
-        |SELECT user_id, min(tsec) AS s_start, max(tsec) + 1800 AS s_end,
-        |  count(*) AS n_events
-        |FROM y GROUP BY user_id, sid""".stripMargin,
+    "q64_session_window" -> sqlQ64Sessions,
+
+    // the streaming form must produce the identical session set
+    "q89_stream_sessions" -> sqlQ64Sessions,
 
     "q66_salted_join" ->
       """WITH dim AS (

@@ -78,4 +78,34 @@ object StreamSessions {
     q.processAllAvailable()
     q
   }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming AGGREGATION to completion over existing files and
+    * return its final result as a batch DataFrame — the batch-parity
+    * harness for gate queries (q89).
+    *
+    * COMPLETE output mode, deliberately: in append mode a session/window
+    * only emits once the watermark passes its end, so the last session of
+    * the globally-latest user is withheld forever on a finite file set —
+    * batch parity is impossible by construction. Complete mode re-emits
+    * the full state at the final trigger instead; state is the whole
+    * aggregate, which is exactly what a parity check materializes anyway.
+    * Production streams keep the append+watermark forms above (bounded
+    * state); this runner is for AvailableNow backfills and gates.
+    *
+    * The memory-sink table name is suffixed with a run counter so
+    * repeated invocations in one session (bench passes) never collide.
+    */
+  def runToCompletion(df: DataFrame, namePrefix: String): DataFrame = {
+    val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
 }
