@@ -68,9 +68,17 @@ object Bench {
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
         case scala.util.control.NonFatal(e) =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          errors(name) = msg.takeWhile(_ != '\n').take(120)
-          System.err.println(s"[bench] $name FAILED: $msg")
+          // Record the first line of EVERY exception in the cause chain:
+          // r6's q89 root cause ("Option 'basePath' must be a directory")
+          // sat past a 120-char truncation and cost a round to rediscover.
+          val chain = Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null).take(5)
+            .map(t => t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("")
+                .takeWhile(_ != '\n').take(300))
+            .mkString(" <- ")
+          errors(name) = chain
+          System.err.println(s"[bench] $name FAILED: $chain")
       }
     }
     // A query with no successful run is omitted from timings (it lives in

@@ -640,12 +640,30 @@ object SparkEntry {
         .agg(
           approx_count_distinct(col("o_custkey"), 0.01).as("approx_d"),
           expr("percentile(o_totalprice, 0.5)").as("exact_med"),
+          // exact quantiles at 0.5 ± 2x the approx sketch's rank error
+          // (accuracy 1000 -> eps 0.001): the certified interval for
+          // approx_med, emitted so a rows-only gate still checks the
+          // guarantee per row. 2x, not 1x: the estimate's RANK honors
+          // eps (measured 0.4990-0.4998 at sf0.01) but an exact
+          // percentile at 0.499 interpolates between discrete ranks, and
+          // that convention slack can exclude a rank-conforming value at
+          // the exact edge; doubling the interval absorbs it while still
+          // failing on any real sketch regression
+          expr("percentile(o_totalprice, 0.498)").as("med_lo"),
+          expr("percentile(o_totalprice, 0.502)").as("med_hi"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
             .as("approx_med"))
       exact.join(sketch, "o_orderpriority")
         .withColumn("d_rel_err",
           round(abs(col("approx_d") - col("exact_d")) /
             col("exact_d"), 4))
+        // rsd 0.01 -> 5-sigma acceptance: a deterministic-seeded HLL at
+        // this rsd sits far inside 5% on every fixture; flag, don't hide
+        .withColumn("d_in_bounds",
+          (col("d_rel_err") <= 0.05).cast("long"))
+        .withColumn("med_in_bounds",
+          (col("approx_med").between(col("med_lo"), col("med_hi")))
+            .cast("long"))
     }),
 
     // Repetition quality signals (Gopher-style): duplicate-word and
@@ -741,12 +759,18 @@ object SparkEntry {
     // vectors. The decoded features are closed-form predictable (see
     // q31), so the full decode -> ANN composition is oracle-checked.
     "q67_media_ann" -> ((s, d) => {
-      val feats = Multimodal.decodeImages(
-        Multimodal.synthImages(
-          Tables.documents(s, d).select("doc_id"), "doc_id"), 8)
-        .toDF()
-        .select(col("media_id").as("vec_id"),
-          col("features").as("embedding"))
+      // feats feeds BOTH sides of the ANN (corpus + broadcast query) —
+      // without the persist the ImageIO encode+decode subtree executes
+      // once per side. CacheScope-tracked so harnesses release it after
+      // materializing the result.
+      val feats = CacheScope.track(
+        Multimodal.decodeImages(
+          Multimodal.synthImages(
+            Tables.documents(s, d).select("doc_id"), "doc_id"), 8)
+          .toDF()
+          .select(col("media_id").as("vec_id"),
+            col("features").as("embedding"))
+          .persist())
       val qs = feats.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.bruteForceTopK(qs, feats, 10)
@@ -1011,9 +1035,15 @@ object SparkEntry {
     // forms stay spec-covered in streaming/*.
     "q89_stream_sessions" -> ((s, d) => {
       val path = s"$d/events.parquet"
-      val fileSchema = s.read.parquet(path).schema
+      // Schema probe through Tables.table: it tunes the session
+      // (nanosAsLong) first, so a filtered run where q89 is the FIRST
+      // query still reads a TIMESTAMP(NANOS) fixture. The file-stream
+      // source needs a DIRECTORY (single-file fixtures are staged into a
+      // temp dir — see stageFileAsDir).
+      val fileSchema = Tables.table(s, d, "events").schema
+      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
       val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, path, fileSchema)
+        .readParquetStream(s, srcDir, fileSchema)
       // same ts-contract normalization as Tables.events, applied to the
       // stream: epoch seconds from either a ns-Long or a µs-timestamp ts
       val tsec = fileSchema("ts").dataType match {
@@ -1731,6 +1761,88 @@ object SparkEntry {
         |FROM medians m JOIN clabels l
         |  ON m.uid = l.uid AND m.latitude = l.latitude
         |    AND m.longitude = l.longitude""".stripMargin),
+
+    // Full-hull oracle: hull_size via the Carathéodory extreme-point test
+    // (p is NOT a hull vertex iff some closed triangle of three other
+    // distinct cluster points contains it — cross-product sign tests in
+    // the IDENTICAL formula and operand order as the q73 regime check, so
+    // the decision is bit-reproducible cross-engine). On the current
+    // fixtures every cluster has <= 3 distinct points (verified at sf0.01
+    // and sf0.1), where the test is vacuous (no triple of "others"
+    // exists) and hull_size = n_distinct exactly — and the kernel's
+    // chain agrees bit-for-bit because for 3 sorted points the chain's
+    // orientation cross is the exact IEEE negation of the degenerate
+    // formula's cross (same two products, subtracted in opposite order).
+    // For the degenerate regime the square has 4 vertices; its diameter
+    // equals the lexicographic-extremes distance, which for a collinear
+    // set IS the max pairwise distance — so one max-pairwise diam CTE
+    // serves both regimes (trig ulp differences sit ~1e-8 m below the
+    // round-3 boundary). Reference: utils.py:136-165.
+    "q38_cluster_hulls" -> (clusterCtes + ",\n" +
+      """pts AS (
+        |  SELECT uid, stop_locations, latitude, longitude FROM clustered
+        |  WHERE stop_locations != -1),
+        |dp AS (
+        |  SELECT DISTINCT uid, stop_locations, latitude, longitude FROM pts),
+        |ext AS (
+        |  SELECT uid, stop_locations, count(*) AS n_distinct,
+        |    min(struct_pack(la := latitude, lo := longitude)) AS mn,
+        |    max(struct_pack(la := latitude, lo := longitude)) AS mx
+        |  FROM dp GROUP BY uid, stop_locations),
+        |colin AS (
+        |  SELECT d.uid, d.stop_locations,
+        |    max(abs((e.mx.la - e.mn.la) * (d.longitude - e.mn.lo)
+        |          - (e.mx.lo - e.mn.lo) * (d.latitude - e.mn.la))) AS maxcross
+        |  FROM dp d JOIN ext e
+        |    ON d.uid = e.uid AND d.stop_locations = e.stop_locations
+        |  GROUP BY d.uid, d.stop_locations),
+        |contained AS (
+        |  SELECT DISTINCT p.uid, p.stop_locations, p.latitude, p.longitude
+        |  FROM dp p
+        |  JOIN dp a ON a.uid = p.uid AND a.stop_locations = p.stop_locations
+        |    AND (a.latitude, a.longitude) != (p.latitude, p.longitude)
+        |  JOIN dp b ON b.uid = p.uid AND b.stop_locations = p.stop_locations
+        |    AND (b.latitude, b.longitude) > (a.latitude, a.longitude)
+        |    AND (b.latitude, b.longitude) != (p.latitude, p.longitude)
+        |  JOIN dp c ON c.uid = p.uid AND c.stop_locations = p.stop_locations
+        |    AND (c.latitude, c.longitude) > (b.latitude, b.longitude)
+        |    AND (c.latitude, c.longitude) != (p.latitude, p.longitude)
+        |  WHERE (
+        |    ((b.latitude - a.latitude) * (p.longitude - a.longitude)
+        |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) >= 0
+        |     AND (c.latitude - b.latitude) * (p.longitude - b.longitude)
+        |      - (c.longitude - b.longitude) * (p.latitude - b.latitude) >= 0
+        |     AND (a.latitude - c.latitude) * (p.longitude - c.longitude)
+        |      - (a.longitude - c.longitude) * (p.latitude - c.latitude) >= 0)
+        |    OR
+        |    ((b.latitude - a.latitude) * (p.longitude - a.longitude)
+        |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) <= 0
+        |     AND (c.latitude - b.latitude) * (p.longitude - b.longitude)
+        |      - (c.longitude - b.longitude) * (p.latitude - b.latitude) <= 0
+        |     AND (a.latitude - c.latitude) * (p.longitude - c.longitude)
+        |      - (a.longitude - c.longitude) * (p.latitude - c.latitude) <= 0))),
+        |ncont AS (
+        |  SELECT uid, stop_locations, count(*) AS n_in FROM contained
+        |  GROUP BY uid, stop_locations),
+        |diam AS (
+        |  SELECT a.uid, a.stop_locations,
+        |    max(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
+        |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
+        |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
+        |    ))) AS d
+        |  FROM dp a JOIN dp b
+        |    ON a.uid = b.uid AND a.stop_locations = b.stop_locations
+        |  GROUP BY a.uid, a.stop_locations)
+        |SELECT e.uid, e.stop_locations,
+        |  CAST(CASE WHEN (e.n_distinct <= 2 OR c.maxcross = 0) THEN 4
+        |    ELSE e.n_distinct - coalesce(n.n_in, 0) END AS INT) AS hull_size,
+        |  round(d.d, 3) AS max_pair_dist
+        |FROM ext e
+        |JOIN colin c ON e.uid = c.uid AND e.stop_locations = c.stop_locations
+        |JOIN diam d ON e.uid = d.uid AND e.stop_locations = d.stop_locations
+        |LEFT JOIN ncont n
+        |  ON e.uid = n.uid AND e.stop_locations = n.stop_locations""".stripMargin),
 
     "q39_sql" -> sqlQ39,
 

@@ -32,9 +32,11 @@ object Dedup {
     * bit-reproducible in the DuckDB oracle.
     *
     * DO NOT use on real data: the k array_min(transform(...)) passes are
-    * interpreted HOFs re-walking the shingle array per permutation.
+    * interpreted HOFs re-walking the shingle array per permutation —
+    * private[graft] so specs keep their parity pin while the footgun
+    * stays out of the public API ([[minhashSignatures]] is the real form).
     */
-  def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
+  private[graft] def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
                        k: Int): org.apache.spark.sql.Column = {
     val p = 2147483647L // 2^31 - 1
     val shingles = array_distinct(TextFunctions.wordShingles(text, shingleN))

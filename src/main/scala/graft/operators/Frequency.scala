@@ -96,9 +96,17 @@ object Frequency {
     val values = df.select(valueCol.cast("string").as("value"))
     val sketch = values.stat.countMinSketch(
       col("value"), eps, confidence, seed)
+    // total item count for the CMS bound: est ∈ [exact, exact + eps·N]
+    // with prob ≥ confidence. Emitting the bound as a column makes every
+    // row self-certifying — a rows-only gate still checks the guarantee.
+    val total = sketch.totalCount()
     topK(values, col("value"), k).collect()
-      .map(r => (r.getString(0), r.getLong(1),
-        sketch.estimateCount(r.getString(0))))
-      .toSeq.toDF("value", "n_exact", "n_est")
+      .map { r =>
+        val exact = r.getLong(1)
+        val est = sketch.estimateCount(r.getString(0))
+        val ok = est >= exact && est <= exact + (eps * total).ceil.toLong
+        (r.getString(0), exact, est, if (ok) 1L else 0L)
+      }
+      .toSeq.toDF("value", "n_exact", "n_est", "in_bounds")
   }
 }

@@ -97,18 +97,27 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
+        // NonFatal, not just IOException: several ImageIO readers throw
+        // RuntimeExceptions (IllegalArgumentException, CMMException,
+        // IndexOutOfBoundsException) on truncated/malformed payloads —
+        // all of them are "quarantine", never a task failure.
         val img = try {
           Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload)))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         img.map { im =>
           val w = im.getWidth; val h = im.getHeight
+          // one bulk pixel grab per row of the image: per-pixel getRGB
+          // goes through the ColorModel on every call and dominates the
+          // decode cost at fixture scale
+          val rowBuf = new Array[Int](w)
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
           while (y < h) {
+            im.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = im.getRGB(x, y)
+              val rgb = rowBuf(x)
               sr += (rgb >> 16) & 0xff
               sg += (rgb >> 8) & 0xff
               sb += rgb & 0xff
@@ -142,22 +151,27 @@ object Multimodal {
   def synthImages(df: DataFrame, idCol: String): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long")).as[Long].map { id =>
-      val w = (4 + id % 13).toInt
-      val h = (3 + id % 7).toInt
+      // floorMod: a negative id under Scala's signed % would yield a
+      // non-positive width and BufferedImage throws; floorMod keeps the
+      // same values for the non-negative fixture ids and stays total
+      val w = (4 + java.lang.Math.floorMod(id, 13L)).toInt
+      val h = (3 + java.lang.Math.floorMod(id, 7L)).toInt
       val im = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val r = ((id + 3L * x + 7L * y) % 256).toInt
-          val g = ((2L * id + 5L * x + y) % 256).toInt
-          val b = ((3L * id + x + 2L * y) % 256).toInt
-          im.setRGB(x, y, (r << 16) | (g << 8) | b)
+          val r = java.lang.Math.floorMod(id + 3L * x + 7L * y, 256L).toInt
+          val g = java.lang.Math.floorMod(2L * id + 5L * x + y, 256L).toInt
+          val b = java.lang.Math.floorMod(3L * id + x + 2L * y, 256L).toInt
+          buf(y * w + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
+      im.setRGB(0, 0, w, h, buf, 0, w)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(im, "png", bos)
       MediaItem(id, "image/png", bos.toByteArray)
