@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke for the iterative / bucketed operators (dev main).
+  *
+  * The driver ships fixtures up to sf0.1; the 100 TB design claims for
+  * connected components (q47/q69), minhash candidate generation (q29),
+  * grid POI clustering (q84) and the incremental near-dup gate (q83) are
+  * otherwise only design-argued. This main materializes a 10x fixture
+  * (sf1-scale `documents` + `events`) by unioning shifted copies of the
+  * sf0.1 tables, runs those five queries at both scales, and prints one
+  * JSON line with per-query seconds and the sf1/sf0.1 ratio — near-linear
+  * ratios (~10x on 10x rows for the linear operators) and unchanged plan
+  * shapes are the acceptance.
+  *
+  * Copy construction preserves workload SHAPE instead of inflating it:
+  *  - documents: doc_id shifted by 10M per copy and the text prefixed
+  *    with a per-copy token, so shingle/minhash buckets do NOT collapse
+  *    across copies (10 exact copies of every doc would multiply every
+  *    LSH bucket by 10 — a different, artificial workload);
+  *  - events: user_id shifted per copy (10x users, same per-user
+  *    trajectory), event_id shifted by 1M per copy to stay unique; the
+  *    jitter formulas depend on event_id % 5/7, so a multiple-of-70 shift
+  *    keeps each copy's geometry identical to the original.
+  */
+object ScaleSmoke {
+
+  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new java.io.File(dst)
+    if (new java.io.File(s"$dst/_OK").exists()) return
+    fs.mkdirs()
+    val docs = Tables.documents(spark, src)
+    val events = Tables.table(spark, src, "events")
+    val copies = spark.range(0, 10).select(col("id").as("copy"))
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(lit("c"), col("copy"), lit(" "), col("text")))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // event_id shift is a multiple of 70 so event_id % 5 and % 7 (the
+    // ping jitter inputs) are copy-invariant: every copy is the same
+    // trajectory under a new user id.
+    events.crossJoin(copies)
+      .select(
+        (col("event_id") + col("copy") * lit(1000300L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    new java.io.File(s"$dst/_OK").createNewFile(): Unit
+  }
+
+  private val targets =
+    Seq("q29_minhash_pairs", "q47_connected_components", "q69_cc_logn",
+      "q83_incremental_dedup", "q84_grid_pois")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    buildSf1(spark, src, dst)
+
+    def time(name: String, dir: String): Double = {
+      CacheScope.releaseAll()
+      val t0 = System.nanoTime()
+      Bench.force(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // plan-shape fingerprint: shuffle count in the pre-AQE physical plan.
+    // "no new plan shapes at 10x" = identical counts at both scales (a
+    // broadcast flipping to sort-merge, or an extra exchange appearing,
+    // would show up here).
+    def exchanges(name: String, dir: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      "(?m)^.*Exchange".r.findAllIn(plan).size
+    }
+    // pass 1 warms, pass 2-3 measure (min): same steal-burst policy as
+    // Bench, interleaved across queries
+    val best = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (pass <- 1 to 3; name <- targets; dir <- Seq(src, dst)) {
+      val dt = time(name, dir)
+      System.err.println(f"[scale] pass $pass $name ${dir.split('/').last} $dt%.2f s")
+      val k = (name, dir)
+      if (dt < best.getOrElse(k, Double.MaxValue)) best(k) = dt
+    }
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val parts = targets.map { n =>
+      val a = best((n, src)); val b = best((n, dst))
+      val (ea, eb) = (exchanges(n, src), exchanges(n, dst))
+      s""""$n":{"sf0.1":${f3(a)},"sf1":${f3(b)},"ratio":${f3(b / a)}""" +
+        s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb}"""
+    }
+    val json = parts.mkString("{\"metric\":\"scale_smoke\",\"queries\":{",
+      ",", "}}")
+    println(json)
+    val out = new java.io.PrintWriter(
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+        "SCALE_sf1.json")), "UTF-8")
+    try out.println(json) finally out.close()
+    spark.stop()
+  }
+}

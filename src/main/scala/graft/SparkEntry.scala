@@ -1062,6 +1062,33 @@ object SparkEntry {
           col("n_events"))
       graft.streaming.StreamSessions.runToCompletion(agg,
         "q89_stream_sessions")
+    }),
+
+    // Second streaming gate: STATEFUL dedup (dropDuplicatesWithinWatermark)
+    // as a real stream over the same file source. Append mode: the first
+    // arrival per key is emitted immediately, so over a finite AvailableNow
+    // run the emitted set IS the distinct key set — which row of a key
+    // arrives first is task-order dependent, so only the KEY columns are
+    // emitted (deterministic); value columns of the surviving row are not.
+    // Batch twin: q44's distinct; state is watermark-bounded at scale.
+    "q90_stream_dedup" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val fileSchema = Tables.table(s, d, "events").schema
+      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, srcDir, fileSchema)
+      val tsCol = fileSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_seconds(expr("ts div 1000000000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      val keyed = raw
+        .select(col("user_id"), col("event_type"), tsCol.as("ts"))
+        .withColumn("k", concat_ws(":", col("user_id"), col("event_type")))
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        graft.streaming.StreamSessions.dedupStream(keyed, "k", "1 hour")
+          .select(col("user_id"), col("event_type")),
+        "q90_stream_dedup")
     })
   )
 
@@ -2074,6 +2101,11 @@ object SparkEntry {
 
     // the streaming form must produce the identical session set
     "q89_stream_sessions" -> sqlQ64Sessions,
+
+    // Streaming stateful dedup over a finite file set = the distinct key
+    // set (see the q90 query comment for why only keys are emitted).
+    "q90_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q66_salted_join" ->
       """WITH dim AS (

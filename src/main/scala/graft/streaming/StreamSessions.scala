@@ -133,10 +133,23 @@ object StreamSessions {
     * memory sink is driver-resident by design — complete-mode state is the
     * final aggregate — so the lift adds no new scale cost.)
     */
-  def runToCompletion(df: DataFrame, namePrefix: String): DataFrame = {
+  def runToCompletion(df: DataFrame, namePrefix: String): DataFrame =
+    runAndLift(df, namePrefix, "complete")
+
+  /** Append-mode twin of [[runToCompletion]] for streaming operators that
+    * forbid complete mode (stateful dedup, plain projections): every row
+    * the stream emitted over the AvailableNow run is returned. Used by
+    * the q90 gate, where [[dedupStream]]'s append emissions over a finite
+    * file set ARE the final answer (first arrival per key).
+    */
+  def runToCompletionAppend(df: DataFrame, namePrefix: String): DataFrame =
+    runAndLift(df, namePrefix, "append")
+
+  private def runAndLift(df: DataFrame, namePrefix: String,
+                         mode: String): DataFrame = {
     val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

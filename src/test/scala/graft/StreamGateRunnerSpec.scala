@@ -62,6 +62,19 @@ class StreamGateRunnerSpec extends SparkSpec {
     assert(a === 3L && b === 3L)
   }
 
+  test("runToCompletionAppend: stateful dedup emits each key once") {
+    val dir = Files.createTempDirectory("graft_ss4").toString
+    writeEvents(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = StreamSessions.readParquetStream(spark, dir, schema)
+    val out = StreamSessions.runToCompletionAppend(
+      StreamSessions.dedupStream(
+        stream.select(col("user_id"), col("ts")), "user_id", "1 hour")
+        .select("user_id"),
+      "graft_ss4")
+    assert(out.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+  }
+
   test("stageFileAsDir makes a single parquet FILE streamable") {
     // the r6 bench failure: FileStreamSource rejects a file path
     // ("Option 'basePath' must be a directory") that batch read accepts
