@@ -58,8 +58,9 @@ object ScaleSmoke {
   }
 
   private val targets =
-    Seq("q29_minhash_pairs", "q47_connected_components", "q69_cc_logn",
-      "q83_incremental_dedup", "q84_grid_pois")
+    Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
+      "q69_cc_logn", "q78_curation_pipeline", "q83_incremental_dedup",
+      "q84_grid_pois")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

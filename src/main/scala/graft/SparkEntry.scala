@@ -1089,7 +1089,21 @@ object SparkEntry {
         graft.streaming.StreamSessions.dedupStream(keyed, "k", "1 hour")
           .select(col("user_id"), col("event_type")),
         "q90_stream_dedup")
-    })
+    }),
+
+    // Multimodal resize stage: synth PNG -> real decode -> deterministic
+    // nearest-neighbor resample to 8x6 -> PNG re-encode -> real decode of
+    // the thumbnail. The floor index map (sx = x*w/8) is closed-form, so
+    // the oracle predicts the resampled channel means exactly — the whole
+    // two-codec byte path is hash-checked.
+    "q91_media_resize" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(
+          Multimodal.synthImages(
+            Tables.documents(s, d).select("doc_id"), "doc_id"), 8, 6), 8)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -1401,6 +1415,27 @@ object SparkEntry {
        |SELECT doc_id AS media_id, 'image/png' AS kind,
        |  w AS width, h AS height, mean_r, mean_g, mean_b
        |FROM imgf""".stripMargin
+
+  /** q91 oracle: the resampled thumbnail's pixels in closed form. Source
+    * pixel of dst (x, y) is (x*w//8, y*h//6) — the same floor map
+    * [[graft.operators.Multimodal.resizeImages]] computes — fed through
+    * the q31 synthetic channel formulas; the mean over the 48 thumbnail
+    * pixels is one exact integer sum divided once, same as the decoder.
+    */
+  private val sqlQ91MediaResize: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    (doc_id + 3 * (((p % 8) * w) // 8) + 7 * (((p // 8) * h) // 6)) % 256 AS r,
+      |    (2 * doc_id + 5 * (((p % 8) * w) // 8) + (((p // 8) * h) // 6)) % 256 AS g,
+      |    (3 * doc_id + (((p % 8) * w) // 8) + 2 * (((p // 8) * h) // 6)) % 256 AS b
+      |  FROM dims, unnest(range(48)) AS t(p))
+      |SELECT doc_id AS media_id, 'image/png' AS kind,
+      |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+      |  avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
+      |FROM px GROUP BY doc_id""".stripMargin
 
   private val sqlQ67MediaAnn: String =
     s"""WITH $mediaPixelCtes,
@@ -2106,6 +2141,8 @@ object SparkEntry {
     // set (see the q90 query comment for why only keys are emitted).
     "q90_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q91_media_resize" -> sqlQ91MediaResize,
 
     "q66_salted_join" ->
       """WITH dim AS (

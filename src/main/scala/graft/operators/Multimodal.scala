@@ -178,6 +178,57 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor image resize: decode the payload, resample to
+    * (dstW x dstH), re-encode PNG (lossless) — the thumbnail/normalize
+    * stage of a multimodal curation pipeline, in front of feature
+    * extraction so every downstream vector has a uniform receptive size.
+    *
+    * The source index is the EXPLICIT floor map `sx = x * srcW / dstW`
+    * (integer division; likewise sy) rather than Java2D's
+    * getScaledInstance, whose interpolation is implementation-defined —
+    * this map is deterministic and reproducible in closed form by any
+    * engine, which is what lets the q91 gate oracle-check the full
+    * decode -> resample -> encode -> decode byte path.
+    *
+    * Unparseable payloads are dropped (same quarantine contract as
+    * [[decodeImages]]). mapPartitions for per-batch codec amortization.
+    */
+  def resizeImages(media: Dataset[MediaItem], dstW: Int, dstH: Int)
+  : Dataset[MediaItem] = {
+    require(dstW > 0 && dstH > 0, s"dst dims must be positive: $dstW x $dstH")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        img.map { im =>
+          val sw = im.getWidth; val sh = im.getHeight
+          val src = new Array[Int](sw * sh)
+          im.getRGB(0, 0, sw, sh, src, 0, sw)
+          val buf = new Array[Int](dstW * dstH)
+          var y = 0
+          while (y < dstH) {
+            val sy = y * sh / dstH
+            var x = 0
+            while (x < dstW) {
+              buf(y * dstW + x) = src(sy * sw + x * sw / dstW)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.awt.image.BufferedImage(
+            dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          out.setRGB(0, 0, dstW, dstH, buf, 0, dstW)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaItem(m.media_id, m.kind, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for chunked payloads (video stand-in): keep every
     * k-th fixed-size chunk as its own row.
     */

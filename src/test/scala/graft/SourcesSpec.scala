@@ -245,6 +245,34 @@ class StreamSessionsSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("resizeImages: nearest-neighbor floor map, closed-form parity") {
+    // id=5: src 9x8. Resize to 4x2: sx = x*9/4 -> (0,2,4,6); sy = y*8/2
+    // -> (0,4). Decoded thumbnail stats must equal the direct formula
+    // over exactly those source pixels — through a REAL double codec
+    // round trip (encode, decode, resample, encode, decode).
+    val media = Multimodal.synthImages(Seq(5L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodeImages(
+      Multimodal.resizeImages(media, 4, 2), 8).collect().head
+    assert(got.width === 4L && got.height === 2L)
+    val id = 5L
+    val pix = for (y <- Seq(0, 4); x <- Seq(0, 2, 4, 6))
+      yield ((id + 3 * x + 7 * y) % 256, (2 * id + 5 * x + y) % 256,
+        (3 * id + x + 2 * y) % 256)
+    assert(got.mean_r === pix.map(_._1).sum.toDouble / 8)
+    assert(got.mean_g === pix.map(_._2).sum.toDouble / 8)
+    assert(got.mean_b === pix.map(_._3).sum.toDouble / 8)
+  }
+
+  test("resizeImages: upscale repeats source pixels, corrupt payloads drop") {
+    val media = Multimodal.synthImages(Seq(1L).toDF("doc_id"), "doc_id")
+    val up = Multimodal.decodeImages(
+      Multimodal.resizeImages(media, 16, 16), 8).collect().head
+    assert(up.width === 16L && up.height === 16L)
+    val junk = Multimodal.fromStrings(
+      Seq((9L, "not a png")).toDF("id", "s"), "id", "s", "image/png")
+    assert(Multimodal.resizeImages(junk, 4, 4).count() === 0L)
+  }
+
   test("feature extraction: deterministic histogram features") {
     val media = Multimodal.fromStrings(
       Seq((1L, "abcabc"), (2L, "zzzz")).toDF("id", "s"), "id", "s", "img")
