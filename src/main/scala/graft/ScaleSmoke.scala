@@ -27,13 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+  private def buildSf1(spark: SparkSession, src: String, dst: String,
+                       nCopies: Int): Unit = {
     val fs = new java.io.File(dst)
     if (new java.io.File(s"$dst/_OK").exists()) return
     fs.mkdirs()
     val docs = Tables.documents(spark, src)
     val events = Tables.table(spark, src, "events")
-    val copies = spark.range(0, 10).select(col("id").as("copy"))
+    val copies = spark.range(0, nCopies).select(col("id").as("copy"))
     docs.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
@@ -57,7 +58,7 @@ object ScaleSmoke {
     new java.io.File(s"$dst/_OK").createNewFile(): Unit
   }
 
-  private val targets =
+  private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q69_cc_logn", "q78_curation_pipeline", "q83_incremental_dedup",
       "q84_grid_pois")
@@ -75,7 +76,14 @@ object ScaleSmoke {
 
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
-    buildSf1(spark, src, dst)
+    // knobs for bigger sweeps: copy count (10 = sf1, 100 = sf10), pass
+    // count, and a target-prefix filter (mirrors Bench's BENCH_ONLY)
+    val nCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "3").toInt
+    val targets = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(f => defaultTargets.filter(t => f.split(",").exists(t.startsWith)))
+      .getOrElse(defaultTargets)
+    buildSf1(spark, src, dst, nCopies)
 
     def time(name: String, dir: String): Double = {
       CacheScope.releaseAll()
@@ -95,7 +103,7 @@ object ScaleSmoke {
     // pass 1 warms, pass 2-3 measure (min): same steal-burst policy as
     // Bench, interleaved across queries
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
-    for (pass <- 1 to 3; name <- targets; dir <- Seq(src, dst)) {
+    for (pass <- 1 to nPasses; name <- targets; dir <- Seq(src, dst)) {
       val dt = time(name, dir)
       System.err.println(f"[scale] pass $pass $name ${dir.split('/').last} $dt%.2f s")
       val k = (name, dir)
@@ -109,7 +117,8 @@ object ScaleSmoke {
       s""""$n":{"sf0.1":${f3(a)},"sf1":${f3(b)},"ratio":${f3(b / a)}""" +
         s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb}"""
     }
-    val json = parts.mkString("{\"metric\":\"scale_smoke\",\"queries\":{",
+    val json = parts.mkString(
+      s"""{"metric":"scale_smoke","copies":$nCopies,"queries":{""",
       ",", "}}")
     println(json)
     val out = new java.io.PrintWriter(

@@ -1103,7 +1103,22 @@ object SparkEntry {
             Tables.documents(s, d).select("doc_id"), "doc_id"), 8, 6), 8)
         .toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b")))
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+
+    // Frame sampling as a gate: every 2nd 64-byte chunk of each payload
+    // becomes its own row (the video-frame-sampling shape over an opaque
+    // binary column). Payloads here are the documents' ASCII text bytes,
+    // so the chunk content is oracle-expressible as substr — the chunking
+    // arithmetic (grouped + zipWithIndex + stride filter) is what's
+    // being pinned.
+    "q92_frame_sample" -> ((s, d) =>
+      Multimodal.sampleChunks(
+        Multimodal.fromStrings(
+          Tables.documents(s, d), "doc_id", "text", "text/plain"),
+        chunkBytes = 64, everyK = 2)
+        .select(col("media_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk").cast("string").as("chunk")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -2143,6 +2158,19 @@ object SparkEntry {
       "SELECT DISTINCT user_id, event_type FROM events",
 
     "q91_media_resize" -> sqlQ91MediaResize,
+
+    // chunk count = ceil(len/64) via integer arithmetic; stride-2 filter;
+    // 1-based substr start. ASCII fixture text => bytes == chars.
+    "q92_frame_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |idx AS (
+        |  SELECT doc_id, text, CAST(p AS BIGINT) AS chunk_idx
+        |  FROM t, unnest(range((n + 63) // 64)) AS u(p)
+        |  WHERE p % 2 = 0)
+        |SELECT doc_id AS media_id, chunk_idx,
+        |  substr(text, CAST(chunk_idx * 64 + 1 AS INT), 64) AS chunk
+        |FROM idx""".stripMargin,
 
     "q66_salted_join" ->
       """WITH dim AS (
