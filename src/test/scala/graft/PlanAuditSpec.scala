@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.StopDetect
+import org.apache.spark.sql.functions._
+
+/** Pins the headline physical-plan claims (README "Design for scale"):
+  * these are the shapes that decide 100 TB behavior, so they are
+  * asserted, not just documented. All on the sf0.001 fixture — plan
+  * shape does not depend on row count until size thresholds flip join
+  * strategies, which is exactly what the assertions would catch if a
+  * refactor broke the sharing.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).size
+
+  test("stop pipeline: ONE uid exchange end to end (pings -> medians)") {
+    // pings ordinal window, stop-detect lead/lag windows, run-id cumsum,
+    // and the median aggregate all key on the same uid attribute: the
+    // (uid, stop_events) aggregate is satisfied by the uid hash
+    // distribution (subset clustering), so Catalyst plans exactly one
+    // shuffle for the entire pipeline.
+    val medians = StopDetect.eventMedians(
+      StopDetect.stopEvents(Tables.pings(spark, sf), StopDetect.Params()))
+    val plan = planOf(medians)
+    assert(exchanges(plan) === 1,
+      s"stop pipeline must shuffle exactly once, on uid:\n$plan")
+    assert(plan.contains("hashpartitioning(uid"),
+      s"the single exchange must key on uid:\n$plan")
+  }
+
+  test("q01 scan: filter reaches PushedFilters, schema is pruned") {
+    val plan = SparkEntry.queries("q01_scan_filter")(spark, sf)
+      .queryExecution.executedPlan.treeString(verbose = true)
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []"),
+      s"q01's filter must reach the parquet scan:\n$plan")
+    // projection pruning: the 16-column lineitem scan must not read
+    // every column for a few-column query
+    assert(!plan.contains("l_comment"),
+      s"q01 must not scan unprojected columns:\n$plan")
+  }
+
+  test("ANN brute force: query side broadcasts, one shuffle for top-k") {
+    val plan = planOf(SparkEntry.queries("q24_cosine_topk")(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"q24's query vectors must broadcast:\n$plan")
+    // corpus scan -> scored cross join is shuffle-free; the only hash
+    // exchange is the per-query top-k window
+    assert(exchanges(plan) === 1,
+      s"q24 must shuffle only for the final window:\n$plan")
+  }
+
+  test("dedup: normalized-exact keys shuffle, document text does not") {
+    // Dedup.normalizedExactDups groups by the md5 of the normalized
+    // text; the exchange must key on the 16-byte norm_key and ship only
+    // the partial-aggregate rows (norm_key, keep_id, n_copies) — never
+    // the text column. The tree prints children below the exchange (the
+    // scan legitimately reads text), so assert on the exchange LINE's
+    // partitioning and output, not on the subtree.
+    val plan = planOf(operators.Dedup.normalizedExactDups(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    val exLine = plan.linesIterator
+      .find(_.contains("Exchange hashpartitioning"))
+      .getOrElse(fail(s"no hash exchange in dedup plan:\n$plan"))
+    assert(exLine.contains("norm_key"),
+      s"dedup must shuffle on the md5 key:\n$exLine")
+    assert(!exLine.contains("text#"),
+      s"document text must not ride the shuffle:\n$exLine")
+    // and the agg is partial below the exchange (map-side combine)
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"dedup aggregate must combine map-side:\n$plan")
+  }
+}
