@@ -57,6 +57,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q24 must shuffle only for the final window:\n$plan")
   }
 
+  test("LSH ANN: fused bucket expression, equi-joins only, hot-bucket anti-join") {
+    val plan = planOf(SparkEntry.queries("q32_lsh_topk")(spark, sf))
+    // the bucket id is computed by the codegen LshBucket expression, not
+    // the composed aggregate(transform(...)) interpreted-HOF form
+    assert(plan.contains("lsh_bucket("),
+      s"q32 must use the fused LshBucket expression:\n$plan")
+    assert(!plan.contains("aggregate(") && !plan.contains("transform("),
+      s"no interpreted HOFs on the ANN hot path:\n$plan")
+    // candidate generation is bucket equi-joins (hash or broadcast-hash
+    // depending on size thresholds) — never a nested-loop all-pairs scan
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q32 must never plan an all-pairs join:\n$plan")
+    // the hot-bucket cap materializes as an anti-join against the
+    // over-full buckets
+    assert(plan.contains("LeftAnti"),
+      s"q32's hot-bucket cap must be an anti-join:\n$plan")
+  }
+
   test("dedup: normalized-exact keys shuffle, document text does not") {
     // Dedup.normalizedExactDups groups by the md5 of the normalized
     // text; the exchange must key on the 16-byte norm_key and ship only
