@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * converges in O(log n) rounds and is the drop-in upgrade.
   *
   * Scale shape: each round is one shuffle (labels-to-edges hash join +
-  * min aggregate on dst) over O(E) rows — no driver-side graph state, no
-  * collect. Each round's labels are EAGERLY materialized with lineage
+  * min aggregate on dst) over O(E) rows — no driver-side graph state or
+  * collect above the conf-bounded small-graph fast path
+  * (`spark.graft.ccSmallGraphEdges`, see [[smallGraphMaxEdges]]).
+  * Each round's labels are EAGERLY materialized with lineage
   * truncated (localCheckpoint): the label frame is referenced twice per
   * round (neighbor join + fallback coalesce), so an un-truncated plan
   * doubles every iteration — by ~9 rounds the plan string alone OOMs the
@@ -56,6 +58,58 @@ object Graphs {
     if (reliableMode(df.sparkSession)) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Edge-count bound for the driver union-find fast path (0 disables).
+    * The iterative loop pays one driver-synchronized job per round
+    * regardless of data size, so a thousand-edge POI cell graph costs the
+    * same wall clock as a billion-edge one — seconds of pure round
+    * latency. At or under this many (deduped, undirected) edges the
+    * component labels are computed in one bounded collect instead:
+    * 2^18 edges ≈ 6 MB of long pairs, comparable to a broadcast-join
+    * build side. Above the bound nothing changes — the distributed loop
+    * is the contract, the fast path is an optimization for graphs that
+    * contracted far below their source table (grid cells, near-dup
+    * candidates after capping).
+    */
+  private def smallGraphMaxEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.ccSmallGraphEdges")
+      .map(_.toLong).getOrElse(1L << 18)
+
+  /** Union-find (path compression, min-root linking: the surviving root
+    * of every merge is the smaller id, so each final root IS the
+    * component minimum — identical labels to min-label propagation) over
+    * a collected edge list. Returns (id, component) for edge-touched
+    * nodes only; the caller unions the isolated remainder.
+    */
+  private def driverComponents(pairs: Array[(Long, Long)],
+                               spark: org.apache.spark.sql.SparkSession)
+  : DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x0
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    val touched = scala.collection.mutable.LongMap.empty[Unit]
+    pairs.foreach { case (s, d) =>
+      touched(s) = (); touched(d) = ()
+      val a = find(s); val b = find(d)
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](touched.size)
+    touched.foreachKey { id =>
+      rows.add(org.apache.spark.sql.Row(id, find(id)))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Connected components of the graph given by `edges` (undirected; each
     * pair listed once in either direction) over the node universe `nodes`
     * (isolated nodes keep their own id as component).
@@ -80,6 +134,52 @@ object Graphs {
     val sym = truncate(edges.select(src.as("src"), dst.as("dst"))
       .union(edges.select(dst.as("src"), src.as("dst"))))
     val all = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
+    val spark = edges.sparkSession
+    // Small-graph fast path: the count over the just-checkpointed sym is
+    // one cheap job; under the bound, collect the universe-confined edge
+    // set (both endpoints in `nodes` — edges through out-of-universe
+    // nodes don't propagate in the loop either) and union-find on the
+    // driver. Labels are identical (min id per component) by
+    // construction; only the round latency disappears.
+    val bound = smallGraphMaxEdges(spark)
+    if (bound > 0 && sym.count() <= 2L * bound) {
+      import spark.implicits._
+      // Confine to the node universe DRIVER-side: the touched-node set is
+      // bounded by 2x the edge bound, and collecting it evaluates `all`
+      // exactly once — a relational semi-join per endpoint would instead
+      // re-run the (possibly expensive) nodes subtree once per join
+      // (measured: q84's cell frame derives from the whole stop-median
+      // pipeline, and two extra evaluations cost more than the loop
+      // rounds the fast path removes).
+      val universe = new java.util.HashSet[java.lang.Long]()
+      all.join(sym.select(col("src").as("id")).distinct(), Seq("id"),
+        "left_semi")
+        .as[Long].collect().foreach(universe.add(_))
+      val confined = sym
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+        .as[(Long, Long)].collect()
+        .filter { case (s, d) => universe.contains(s) && universe.contains(d) }
+      val labels = driverComponents(confined, spark)
+      // nodes touched only by out-of-universe or self-loop edges still
+      // label themselves (the loop's cached init gives every touched
+      // universe node its own id even when no edge can change it)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val it = universe.iterator()
+      while (it.hasNext) { val id = it.next().longValue(); rows.add(org.apache.spark.sql.Row(id, id)) }
+      val selfLabels = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+      val isolatedFast = all
+        .join(sym.select(col("src").as("id")).distinct(), Seq("id"),
+          "left_anti")
+        .withColumn("component", col("id"))
+      return labels.union(selfLabels).union(isolatedFast)
+    }
     // Iterate ONLY over edge-touched nodes: isolated nodes (in a dedup
     // graph, most of the corpus) can never change label, so carrying
     // them through every round's join + checkpoint just multiplies the
@@ -90,7 +190,6 @@ object Graphs {
       .withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
-    val spark = edges.sparkSession
     while (changed > 0 && iter < maxIter) {
       val neigh = sym.join(cached.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))

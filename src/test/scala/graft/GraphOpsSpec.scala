@@ -6,6 +6,51 @@ import org.apache.spark.sql.functions._
 class GraphsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Force the distributed propagation loop (the small-graph driver
+    * fast path would otherwise absorb every fixture-sized graph) for
+    * tests that pin LOOP mechanics rather than results.
+    */
+  private def withDistributedCC[T](body: => T): T = {
+    spark.conf.set("spark.graft.ccSmallGraphEdges", "0")
+    try body finally spark.conf.unset("spark.graft.ccSmallGraphEdges")
+  }
+
+  test("small-graph fast path equals the distributed loop") {
+    // random graphs, both paths, identical (id, component) sets
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .toDF("src", "dst")
+      val nodes = (0L until 30L).toDF("id")
+      val fast = Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val loop = withDistributedCC {
+        Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(fast === loop, s"trial $trial")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("fast path confines edges to the node universe (loop parity)") {
+    // 1-2 via out-of-universe node 50: the loop never propagates through
+    // an unlabeled node, so 1 and 2 stay separate — the fast path must
+    // agree, not union-find through 50.
+    val edges = Seq((1L, 50L), (50L, 2L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val fast = Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L)))
+    val loop = withDistributedCC {
+      Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(fast === loop)
+    spark.catalog.clearCache()
+  }
+
   test("connected components: chain, clique, isolated node") {
     // Components: {1,2,3,4} (chain), {10,11,12} (triangle), {99} isolated.
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
@@ -22,14 +67,16 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("connected components: long chain needs diameter rounds") {
-    // Path 0-1-2-...-9: min label must travel 9 hops.
-    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
-    val nodes = (0L to 9L).toDF("id")
-    val got = Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got.values.toSet === Set(0L))
-    assert(got.size === 10)
-    spark.catalog.clearCache()
+    // Path 0-1-2-...-9: min label must travel 9 hops (distributed loop).
+    withDistributedCC {
+      val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+      val nodes = (0L to 9L).toDF("id")
+      val got = Graphs.connectedComponents(edges, "src", "dst", nodes, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got.values.toSet === Set(0L))
+      assert(got.size === 10)
+      spark.catalog.clearCache()
+    }
   }
 
   test("one driver-synchronized job per propagation round") {
@@ -42,7 +89,7 @@ class GraphsSpec extends SparkSpec {
     // job-count delta by the round delta. Constant terms cancel; only
     // the per-round shape (one materialization action + its
     // broadcast-build jobs) remains.
-    def jobsFor(chainEdges: Int, tag: String): Int = {
+    def jobsFor(chainEdges: Int, tag: String): Int = withDistributedCC {
       val edges = (0L until chainEdges.toLong).map(i => (i, i + 1))
         .toDF("src", "dst")
       val nodes = (0L to chainEdges.toLong).toDF("id")
@@ -83,6 +130,9 @@ class GraphsSpec extends SparkSpec {
       .toFile.getAbsolutePath
     spark.sparkContext.setCheckpointDir(dir)
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    // the loop (not the small-graph fast path) is what reliable mode
+    // changes — force it
+    spark.conf.set("spark.graft.ccSmallGraphEdges", "0")
     try {
       val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
       val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
@@ -100,6 +150,7 @@ class GraphsSpec extends SparkSpec {
       assert(wrote != null && wrote.nonEmpty, "checkpoint dir is empty")
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpoint")
+      spark.conf.unset("spark.graft.ccSmallGraphEdges")
       spark.catalog.clearCache()
     }
   }
