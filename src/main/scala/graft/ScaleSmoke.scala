@@ -30,7 +30,9 @@ object ScaleSmoke {
   private def buildSf1(spark: SparkSession, src: String, dst: String,
                        nCopies: Int): Unit = {
     val fs = new java.io.File(dst)
-    if (new java.io.File(s"$dst/_OK").exists()) return
+    // completion marker encodes the copy count: a bare _OK would silently
+    // reuse a 10-copy fixture for a requested 100-copy sweep
+    if (new java.io.File(s"$dst/_OK_$nCopies").exists()) return
     fs.mkdirs()
     val docs = Tables.documents(spark, src)
     val events = Tables.table(spark, src, "events")
@@ -55,7 +57,7 @@ object ScaleSmoke {
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    new java.io.File(s"$dst/_OK").createNewFile(): Unit
+    new java.io.File(s"$dst/_OK_$nCopies").createNewFile(): Unit
   }
 
   private val defaultTargets =
@@ -85,20 +87,27 @@ object ScaleSmoke {
       .getOrElse(defaultTargets)
     buildSf1(spark, src, dst, nCopies)
 
+    // plan-shape fingerprint: shuffle count in the returned frame's
+    // physical plan, captured from the SAME df the timed pass runs —
+    // re-constructing the query just to fingerprint it would re-execute
+    // the iterative queries (their loops run during construction).
+    // "no new plan shapes at 10x" = identical counts at both scales (a
+    // broadcast flipping to sort-merge, or an extra exchange appearing,
+    // shows up here). Limitation: for the iterative CC queries this
+    // fingerprints the final label-stitching plan, not the per-round
+    // loop plans — round-internal strategy flips surface in the timing
+    // ratio, not this count.
+    val planEx =
+      scala.collection.mutable.Map.empty[(String, String), Int]
     def time(name: String, dir: String): Double = {
       CacheScope.releaseAll()
       val t0 = System.nanoTime()
-      Bench.force(SparkEntry.queries(name)(spark, dir))
-      (System.nanoTime() - t0) / 1e9
-    }
-    // plan-shape fingerprint: shuffle count in the pre-AQE physical plan.
-    // "no new plan shapes at 10x" = identical counts at both scales (a
-    // broadcast flipping to sort-merge, or an extra exchange appearing,
-    // would show up here).
-    def exchanges(name: String, dir: String): Int = {
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      "(?m)^.*Exchange".r.findAllIn(plan).size
+      val df = SparkEntry.queries(name)(spark, dir)
+      Bench.force(df)
+      val dt = (System.nanoTime() - t0) / 1e9
+      planEx((name, dir)) = "(?m)^.*Exchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+      dt
     }
     // pass 1 warms, pass 2-3 measure (min): same steal-burst policy as
     // Bench, interleaved across queries
@@ -113,7 +122,7 @@ object ScaleSmoke {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val parts = targets.map { n =>
       val a = best((n, src)); val b = best((n, dst))
-      val (ea, eb) = (exchanges(n, src), exchanges(n, dst))
+      val (ea, eb) = (planEx((n, src)), planEx((n, dst)))
       s""""$n":{"sf0.1":${f3(a)},"sf1":${f3(b)},"ratio":${f3(b / a)}""" +
         s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb}"""
     }

@@ -1084,9 +1084,16 @@ object SparkEntry {
       }
       val keyed = raw
         .select(col("user_id"), col("event_type"), tsCol.as("ts"))
-        .withColumn("k", concat_ws(":", col("user_id"), col("event_type")))
+      // multi-column key directly (a concat key would collide on
+      // separator content and drop NULL parts); watermark far beyond the
+      // fixture's time span so the backfill equals exact DISTINCT even
+      // if the source ever splits into multiple micro-batches — with a
+      // short horizon, a key recurring later than the horizon in a LATER
+      // batch would be re-emitted. Production streams choose a real
+      // horizon to bound state; a finite backfill gate wants exactness.
       graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.streaming.StreamSessions.dedupStream(keyed, "k", "1 hour")
+        graft.streaming.StreamSessions.dedupStream(keyed,
+          Seq("user_id", "event_type"), "3650 days")
           .select(col("user_id"), col("event_type")),
         "q90_stream_dedup")
     }),
@@ -1874,6 +1881,11 @@ object SparkEntry {
         |    ON d.uid = e.uid AND d.stop_locations = e.stop_locations
         |  GROUP BY d.uid, d.stop_locations),
         |contained AS (
+        |  -- branch 1: p inside/on a NON-degenerate triangle of three
+        |  -- other points. The area guard matters: a collinear triple's
+        |  -- sign tests are all-zero and would swallow points on the
+        |  -- line but OUTSIDE the segment (a hull vertex at a lattice
+        |  -- line's end would be undercounted).
         |  SELECT DISTINCT p.uid, p.stop_locations, p.latitude, p.longitude
         |  FROM dp p
         |  JOIN dp a ON a.uid = p.uid AND a.stop_locations = p.stop_locations
@@ -1884,7 +1896,9 @@ object SparkEntry {
         |  JOIN dp c ON c.uid = p.uid AND c.stop_locations = p.stop_locations
         |    AND (c.latitude, c.longitude) > (b.latitude, b.longitude)
         |    AND (c.latitude, c.longitude) != (p.latitude, p.longitude)
-        |  WHERE (
+        |  WHERE (b.latitude - a.latitude) * (c.longitude - a.longitude)
+        |      - (b.longitude - a.longitude) * (c.latitude - a.latitude) != 0
+        |   AND (
         |    ((b.latitude - a.latitude) * (p.longitude - a.longitude)
         |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) >= 0
         |     AND (c.latitude - b.latitude) * (p.longitude - b.longitude)
@@ -1897,7 +1911,24 @@ object SparkEntry {
         |     AND (c.latitude - b.latitude) * (p.longitude - b.longitude)
         |      - (c.longitude - b.longitude) * (p.latitude - b.latitude) <= 0
         |     AND (a.latitude - c.latitude) * (p.longitude - c.longitude)
-        |      - (a.longitude - c.longitude) * (p.latitude - c.latitude) <= 0))),
+        |      - (a.longitude - c.longitude) * (p.latitude - c.latitude) <= 0))
+        |  UNION
+        |  -- branch 2: p on the closed segment between two other points
+        |  -- (collinear + inside the segment bbox) — the Caratheodory
+        |  -- 2-point case branch 1's area guard excludes
+        |  SELECT DISTINCT p.uid, p.stop_locations, p.latitude, p.longitude
+        |  FROM dp p
+        |  JOIN dp a ON a.uid = p.uid AND a.stop_locations = p.stop_locations
+        |    AND (a.latitude, a.longitude) != (p.latitude, p.longitude)
+        |  JOIN dp b ON b.uid = p.uid AND b.stop_locations = p.stop_locations
+        |    AND (b.latitude, b.longitude) > (a.latitude, a.longitude)
+        |    AND (b.latitude, b.longitude) != (p.latitude, p.longitude)
+        |  WHERE (b.latitude - a.latitude) * (p.longitude - a.longitude)
+        |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) = 0
+        |    AND p.latitude BETWEEN least(a.latitude, b.latitude)
+        |      AND greatest(a.latitude, b.latitude)
+        |    AND p.longitude BETWEEN least(a.longitude, b.longitude)
+        |      AND greatest(a.longitude, b.longitude)),
         |ncont AS (
         |  SELECT uid, stop_locations, count(*) AS n_in FROM contained
         |  GROUP BY uid, stop_locations),

@@ -86,7 +86,9 @@ object Frequency {
     * whole-corpus frequency artifact that fits in memory — `topK`
     * verifies its accuracy on the heaviest (worst-case-collision) keys.
     *
-    * Output: (value, n_exact, n_est).
+    * Output: (value, n_exact, n_est, in_bounds) — in_bounds certifies
+    * the CMS guarantee per row (never undercounts, overcount <= eps*N),
+    * so a rows-only gate still checks the sketch contract.
     */
   def cmsTopK(df: DataFrame, valueCol: Column, k: Int,
               eps: Double = 1e-4, confidence: Double = 0.99,

@@ -77,10 +77,11 @@ object Graphs {
   /** Union-find (path compression, min-root linking: the surviving root
     * of every merge is the smaller id, so each final root IS the
     * component minimum — identical labels to min-label propagation) over
-    * a collected edge list. Returns (id, component) for edge-touched
-    * nodes only; the caller unions the isolated remainder.
+    * a collected edge list. Emits one (id, component) row per id in
+    * `ids`; an id no confined edge reached labels itself (find of an
+    * unseen node is the node), exactly the loop's cached-init semantics.
     */
-  private def driverComponents(pairs: Array[(Long, Long)],
+  private def driverComponents(ids: Array[Long], pairs: Array[(Long, Long)],
                                spark: org.apache.spark.sql.SparkSession)
   : DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -93,16 +94,12 @@ object Graphs {
       }
       r
     }
-    val touched = scala.collection.mutable.LongMap.empty[Unit]
     pairs.foreach { case (s, d) =>
-      touched(s) = (); touched(d) = ()
       val a = find(s); val b = find(d)
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
     }
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](touched.size)
-    touched.foreachKey { id =>
-      rows.add(org.apache.spark.sql.Row(id, find(id)))
-    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    ids.foreach { id => rows.add(org.apache.spark.sql.Row(id, find(id))) }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -146,39 +143,31 @@ object Graphs {
       import spark.implicits._
       // Confine to the node universe DRIVER-side: the touched-node set is
       // bounded by 2x the edge bound, and collecting it evaluates `all`
-      // exactly once — a relational semi-join per endpoint would instead
-      // re-run the (possibly expensive) nodes subtree once per join
-      // (measured: q84's cell frame derives from the whole stop-median
-      // pipeline, and two extra evaluations cost more than the loop
-      // rounds the fast path removes).
+      // and the touched-id distinct exactly once each — a relational
+      // semi-join per endpoint would instead re-run the (possibly
+      // expensive) nodes subtree once per join (measured: q84's cell
+      // frame derives from the whole stop-median pipeline, and two extra
+      // evaluations cost more than the loop rounds the fast path
+      // removes).
+      val universeIds = all
+        .join(sym.select(col("src").as("id")).distinct(), Seq("id"),
+          "left_semi")
+        .as[Long].collect()
       val universe = new java.util.HashSet[java.lang.Long]()
-      all.join(sym.select(col("src").as("id")).distinct(), Seq("id"),
-        "left_semi")
-        .as[Long].collect().foreach(universe.add(_))
+      universeIds.foreach(universe.add(_))
       val confined = sym
         .filter(col("src") < col("dst"))
         .select("src", "dst")
         .as[(Long, Long)].collect()
         .filter { case (s, d) => universe.contains(s) && universe.contains(d) }
-      val labels = driverComponents(confined, spark)
-      // nodes touched only by out-of-universe or self-loop edges still
-      // label themselves (the loop's cached init gives every touched
-      // universe node its own id even when no edge can change it)
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      val it = universe.iterator()
-      while (it.hasNext) { val id = it.next().longValue(); rows.add(org.apache.spark.sql.Row(id, id)) }
-      val selfLabels = spark.createDataFrame(rows,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("component",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-        .join(labels.select("id"), Seq("id"), "left_anti")
+      // one row per touched universe node — nodes only reached by
+      // out-of-universe or self-loop edges label themselves, the loop's
+      // cached-init semantics
+      val labels = driverComponents(universeIds, confined, spark)
       val isolatedFast = all
-        .join(sym.select(col("src").as("id")).distinct(), Seq("id"),
-          "left_anti")
+        .join(labels.select("id"), Seq("id"), "left_anti")
         .withColumn("component", col("id"))
-      return labels.union(selfLabels).union(isolatedFast)
+      return labels.union(isolatedFast)
     }
     // Iterate ONLY over edge-touched nodes: isolated nodes (in a dedup
     // graph, most of the corpus) can never change label, so carrying

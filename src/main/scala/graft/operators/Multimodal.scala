@@ -223,7 +223,9 @@ object Multimodal {
           out.setRGB(0, 0, dstW, dstH, buf, 0, dstW)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
-          MediaItem(m.media_id, m.kind, bos.toByteArray)
+          // the bytes ARE png now regardless of the input container —
+          // a propagated source kind would misroute downstream dispatch
+          MediaItem(m.media_id, "image/png", bos.toByteArray)
         }
       }
     }

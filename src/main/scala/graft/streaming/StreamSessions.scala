@@ -89,12 +89,21 @@ object StreamSessions {
     * horizon survives (the streaming twin of Dedup.exact — state is
     * bounded by the watermark, the scale requirement for an unbounded
     * source).
+    *
+    * Multi-column keys are passed as-is — never pre-concatenate key
+    * columns into a string: a separator can collide with key content,
+    * and concat_ws silently drops NULLs, both of which merge distinct
+    * keys.
     */
-  def dedupStream(docs: DataFrame, keyCol: String,
+  def dedupStream(docs: DataFrame, keyCols: Seq[String],
                   watermark: String): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCol)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  def dedupStream(docs: DataFrame, keyCol: String,
+                  watermark: String): DataFrame =
+    dedupStream(docs, Seq(keyCol), watermark)
 
   /** Run a streaming frame to completion over existing files into an
     * in-memory table (AvailableNow = the reference's batch day-loop).
