@@ -1098,6 +1098,43 @@ object SparkEntry {
         "q90_stream_dedup")
     }),
 
+    // Third streaming gate: the MOBILITY pipeline's streaming form —
+    // incremental stop detection (flatMapGroupsWithState automaton) over
+    // a real file stream, hash-compared against the BATCH stop-event
+    // oracle (same SQL as q12). A ping classifies when its successor
+    // arrives, so each user's trajectory tail would stay pending; one
+    // per-user SENTINEL ping at global-max-ts + maxStayingTime + 1 is
+    // appended to the staged input — always non-stationary, so it
+    // flushes every real ping with exactly the batch tail semantics
+    // (batch's NULL forward gap -> -1, automaton's non-stationary
+    // successor -> -1) while the sentinel itself never classifies (no
+    // successor) and so never appears in the output.
+    "q93_stream_stops" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q93:$d") {
+        val pings = Tables.pings(s, d)
+          .select("uid", "latitude", "longitude", "timestamp")
+        val maxTs = pings.agg(max("timestamp")).collect()(0).getLong(0)
+        val sentinels = pings.select("uid").distinct()
+          .select(col("uid"), lit(0.0).as("latitude"),
+            lit(0.0).as("longitude"),
+            lit(maxTs + stopParams.maxStayingTime + 1L).as("timestamp"))
+        pings.union(sentinels)
+      }
+      val schema = StructType(Seq(
+        StructField("uid", StringType), StructField("latitude", DoubleType),
+        StructField("longitude", DoubleType),
+        StructField("timestamp", LongType)))
+      import s.implicits._
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, dir, schema)
+        .as[graft.streaming.StreamingStopDetect.Ping]
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        graft.streaming.StreamingStopDetect.stopEvents(raw, stopParams),
+        "q93_stream_stops")
+        .select("uid", "timestamp", "stop_events", "latitude", "longitude")
+    }),
+
     // Multimodal resize stage: synth PNG -> real decode -> deterministic
     // nearest-neighbor resample to 8x6 -> PNG re-encode -> real decode of
     // the thumbnail. The floor index map (sx = x*w/8) is closed-form, so
@@ -1649,6 +1686,11 @@ object SparkEntry {
         |GROUP BY user_id""".stripMargin,
 
     "q12_stop_events" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
+      """SELECT uid, "timestamp", stop_events, latitude, longitude
+        |FROM stop_events""".stripMargin),
+
+    // streaming form, sentinel-flushed: equals the batch segmentation
+    "q93_stream_stops" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
       """SELECT uid, "timestamp", stop_events, latitude, longitude
         |FROM stop_events""".stripMargin),
 

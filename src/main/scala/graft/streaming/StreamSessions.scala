@@ -53,6 +53,23 @@ object StreamSessions {
     })
   }
 
+  /** Materialize a frame as a SINGLE-file parquet directory for the
+    * file-stream source, memoized by `key` — the staging step for gate
+    * queries whose stream input is derived (e.g. q93's pings + sentinel
+    * union). One part file => one AvailableNow micro-batch, which is
+    * what lets an in-order-across-batches stateful operator consume a
+    * derived fixture safely.
+    */
+  def stageFrameAsDir(key: String)(df: => DataFrame): String =
+    staged.computeIfAbsent(s"frame:$key", { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-stream-stage-")
+      dir.toFile.deleteOnExit()
+      val out = dir.resolve("data").toString
+      df.coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Event-time sessionization: per (user, session_window(gap)) counts.
     * Input needs columns (user_id, ts: timestamp-compatible).
     * The batch twin is Intervals.coalesceRuns / q11_sessions.

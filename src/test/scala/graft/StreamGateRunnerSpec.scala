@@ -75,6 +75,48 @@ class StreamGateRunnerSpec extends SparkSpec {
     assert(out.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
   }
 
+  test("stageFrameAsDir: derived frame staged once as a one-file dir") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val dir = StreamSessions.stageFrameAsDir("spec-frame")(df)
+    val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(parts.length === 1, "must stage exactly one part file")
+    assert(spark.read.parquet(dir).count() === 2L)
+    // memoized: the thunk must not re-run (a second write would churn
+    // mtimes and could split a later AvailableNow run)
+    assert(StreamSessions.stageFrameAsDir("spec-frame")(
+      sys.error("thunk re-ran")) === dir)
+  }
+
+  test("sentinel flush: streaming stop detect equals batch on finite input") {
+    // the q93 pattern in miniature: one user, a valid 3-ping dwell then a
+    // jump; the sentinel classifies the tail exactly as batch's NULL
+    // forward gap does
+    val p = graft.operators.StopDetect.Params()
+    val pings = Seq(
+      ("u", 19.0, -99.0, 0L), ("u", 19.0, -99.0, 300L),
+      ("u", 19.00001, -99.0, 600L),
+      ("u", 19.5, -99.5, 900L))
+      .toDF("uid", "latitude", "longitude", "timestamp")
+    val batch = graft.operators.StopDetect.stopEvents(pings, p)
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(1))).toSet
+    val maxTs = 900L
+    val withSentinel = pings.union(
+      Seq(("u", 0.0, 0.0, maxTs + p.maxStayingTime + 1L))
+        .toDF("uid", "latitude", "longitude", "timestamp"))
+    val dir = StreamSessions.stageFrameAsDir("spec-sentinel")(withSentinel)
+    val raw = StreamSessions.readParquetStream(spark, dir,
+      withSentinel.schema)
+      .as[graft.streaming.StreamingStopDetect.Ping]
+    val got = StreamSessions.runToCompletionAppend(
+      graft.streaming.StreamingStopDetect.stopEvents(raw, p),
+      "spec_sentinel")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(1))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("stageFileAsDir makes a single parquet FILE streamable") {
     // the r6 bench failure: FileStreamSource rejects a file path
     // ("Option 'basePath' must be a directory") that batch read accepts
