@@ -1098,6 +1098,36 @@ object SparkEntry {
         "q90_stream_dedup")
     }),
 
+    // Fourth streaming gate: the continuous INGEST gate — arriving docs'
+    // per-row Column-form minhash signatures band-joined against the
+    // static history index, flagged pairs deduped in stream state. The
+    // incoming side is a 1/30 slice: an ingest micro-batch is small by
+    // nature, and the per-row signature is priced for ingest rates (the
+    // corpus-scale path is the relational q83 pipeline). Oracle = the
+    // q83 candidate CTE without the hot-bucket cap or agree-verify
+    // (the gate is the cheap early filter in front of both).
+    "q94_stream_ingest_gate" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, d)
+      val index = graft.streaming.StreamIngestGate.bandIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q94:$d") {
+        docs.filter(col("doc_id") % 30 === 0)
+          .select(col("doc_id"), col("text"),
+            timestamp_seconds(col("doc_id")).as("ts"))
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", TimestampType)))
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, dir, schema)
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        graft.streaming.StreamIngestGate.flagStream(
+          raw, index, "text", "doc_id", "3650 days"),
+        "q94_stream_ingest_gate")
+        .select("in_id", "hist_id")
+    }),
+
     // Third streaming gate: the MOBILITY pipeline's streaming form —
     // incremental stop detection (flatMapGroupsWithState automaton) over
     // a real file stream, hash-compared against the BATCH stop-event
@@ -1243,6 +1273,51 @@ object SparkEntry {
     * operator's index-side cap), full-signature agreement count, then
     * the smallest qualifying historical id per incoming doc.
     */
+  /** q94 oracle: the md5-portable signature pipeline's BAND-COLLISION
+    * pairs between the 1/30 incoming slice and the %3!=0 history — the
+    * q83 candidate structure without the hot-bucket cap or the
+    * agree_k verification (the stream gate is the early filter in front
+    * of both).
+    */
+  private val sqlQ94StreamGate: String = {
+    val k = 32; val bands = 8; val rows = k / bands
+    val p = 2147483647L
+    val mins = (0 until k).map { i =>
+      val a = 1L + 2L * i
+      val b = 12582917L * (i + 1)
+      s"    min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n")
+    def bandSelects(src: String) = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"m${b * rows + r}")
+      if (b == 0)
+        s"  SELECT doc_id, 0 AS band, " +
+          cols.zipWithIndex.map { case (c, j) => s"$c AS x$j" }
+            .mkString(", ") + s" FROM $src"
+      else s"  UNION ALL SELECT doc_id, $b, " + cols.mkString(", ") +
+        s" FROM $src"
+    }.mkString("\n")
+    val xEq = (0 until rows).map(j => s"i.x$j = h.x$j").mkString(" AND ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, CAST('0x' || substr(
+       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS h
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM sh GROUP BY doc_id),
+       |hsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 3 <> 0),
+       |isig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 30 = 0),
+       |hband AS MATERIALIZED (
+       |${bandSelects("hsig")}),
+       |iband AS MATERIALIZED (
+       |${bandSelects("isig")})
+       |SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
+       |FROM iband i
+       |JOIN hband h ON i.band = h.band AND $xEq""".stripMargin
+  }
+
   private val sqlQ83Incremental: String = {
     val k = 32; val bands = 8; val rows = k / bands; val maxBucket = 64
     val minAgreeK = 16
@@ -2438,6 +2513,8 @@ object SparkEntry {
         |""".stripMargin,
 
     "q83_incremental_dedup" -> sqlQ83Incremental,
+
+    "q94_stream_ingest_gate" -> sqlQ94StreamGate,
 
     "q84_grid_pois" -> sqlQ84GridPois,
 

@@ -55,8 +55,12 @@ object StreamIngestGate {
       s"k must divide evenly into bands: k=$k, bands=$bands")
     val rows = k / bands
     incoming
+      // fused per-row signature (one compiled pass over the shingles) —
+      // value-identical to the Column composition AND to the relational
+      // index pipeline (MinhashSignatureParitySpec + the bucket-parity
+      // test below), so stream and index buckets can never diverge
       .withColumn("__sig",
-        Dedup.minhashSignature(col(textCol), shingleN, k))
+        graft.plans.MinhashSignature(col(textCol), shingleN, k))
       .select(col(idCol).as("in_id"), col(tsCol).as("ts"),
         posexplode(array((0 until bands).map(b =>
           slice(col("__sig"), b * rows + 1, rows)): _*)))
