@@ -786,8 +786,12 @@ object SparkEntry {
       val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
         .filter(col("jaccard") >= 0.05)
         .select("id_a", "id_b")
+      // smallGraphFastPath = false: this gate EXISTS to exercise the
+      // distributed large-star/small-star rounds end to end (the fast
+      // path would absorb the fixture-sized graph and gate nothing)
       graft.operators.Graphs.connectedComponentsLogN(pairs, "id_a", "id_b",
-        Tables.documents(s, d).select("doc_id"), "doc_id")
+        Tables.documents(s, d).select("doc_id"), "doc_id",
+        smallGraphFastPath = false)
     }),
 
     // Training-sequence packing: concat-then-chunk under a token budget.

@@ -252,8 +252,44 @@ object Graphs {
     */
   def connectedComponentsLogN(edges: DataFrame, srcCol: String,
                               dstCol: String, nodes: DataFrame,
-                              nodeCol: String, maxIter: Int = 30)
+                              nodeCol: String, maxIter: Int = 30,
+                              smallGraphFastPath: Boolean = true)
   : DataFrame = {
+    // Conf-bounded driver fast path (see [[connectedComponents]]) with
+    // THIS form's contract mirrored exactly: the star rounds do NOT
+    // confine to the node universe — min flows through (and is emitted
+    // for) every non-min edge endpoint, in-universe or not, while
+    // component minima themselves only appear when they are in `nodes`.
+    // A parameter (not only the conf) so a caller that exists to
+    // EXERCISE the distributed algorithm (the q69 gate) can opt out
+    // explicitly.
+    if (smallGraphFastPath) {
+      val spark = edges.sparkSession
+      val src0 = col(srcCol).cast("long")
+      val dst0 = col(dstCol).cast("long")
+      val dedupEdges = edges.select(
+        least(src0, dst0).as("src"), greatest(src0, dst0).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val bound = smallGraphMaxEdges(spark)
+      if (bound > 0 && dedupEdges.count() <= bound) {
+        import spark.implicits._
+        val pairs = dedupEdges.as[(Long, Long)].collect()
+        val endpoints = new java.util.TreeSet[java.lang.Long]()
+        pairs.foreach { case (s, d) => endpoints.add(s); endpoints.add(d) }
+        val endpointIds = endpoints.toArray(Array.empty[java.lang.Long])
+          .map(_.longValue())
+        // driverComponents over every endpoint, then keep only the
+        // NON-min rows — the star form's `labeled` never contains a
+        // component minimum as a left-hand id
+        val labels = driverComponents(endpointIds, pairs, spark)
+          .filter(col("id") =!= col("component"))
+        val all0 = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
+        return labels.union(all0
+          .join(labels.select("id"), Seq("id"), "left_anti")
+          .withColumn("component", col("id")))
+      }
+    }
     // large-star: over BOTH orientations, each hub u points its LARGER
     // neighbors at m = min(neighborhood ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {

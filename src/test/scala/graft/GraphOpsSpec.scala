@@ -142,7 +142,7 @@ class GraphsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(lp === expect)
       val ln = Graphs.connectedComponentsLogN(edges, "src", "dst",
-        nodes, "id")
+        nodes, "id", smallGraphFastPath = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(ln === expect)
       // reliable mode must actually write there (not silently fall back)
@@ -173,9 +173,32 @@ class LogNComponentsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   private def byLogN(edges: org.apache.spark.sql.DataFrame,
-                     nodes: org.apache.spark.sql.DataFrame) =
-    Graphs.connectedComponentsLogN(edges, "a", "b", nodes, "id")
+                     nodes: org.apache.spark.sql.DataFrame,
+                     fastPath: Boolean = true) =
+    Graphs.connectedComponentsLogN(edges, "a", "b", nodes, "id",
+      smallGraphFastPath = fastPath)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("logN fast path equals the distributed star rounds") {
+    val rnd = new scala.util.Random(23)
+    for (caseNo <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("a", "b")
+      assert(byLogN(edges, nodes, fastPath = true) ===
+        byLogN(edges, nodes, fastPath = false), s"case $caseNo")
+      spark.catalog.clearCache()
+    }
+    // the star form's out-of-universe quirk must be mirrored: node 50 is
+    // not in `nodes` yet min flows THROUGH it, and 50 itself (a non-min
+    // endpoint) is emitted; the component min (1) labels everything
+    val nodes = Seq(1L, 2L, 9L).toDF("id")
+    val edges = Seq((1L, 50L), (50L, 2L)).toDF("a", "b")
+    val expect = byLogN(edges, nodes, fastPath = false)
+    assert(byLogN(edges, nodes, fastPath = true) === expect)
+    assert(expect === Set(2L -> 1L, 50L -> 1L, 1L -> 1L, 9L -> 9L))
+  }
 
   test("equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(17)
@@ -192,10 +215,11 @@ class LogNComponentsSpec extends SparkSpec {
 
   test("long chain: converges in far fewer rounds than the diameter") {
     // path of 64 nodes: label propagation needs ~diameter rounds;
-    // star-contraction collapses it in O(log n)
+    // star-contraction collapses it in O(log n) — force the distributed
+    // rounds, the thing this test exists to exercise
     val nodes = (0L until 64L).toDF("id")
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = byLogN(edges, nodes)
+    val got = byLogN(edges, nodes, fastPath = false)
     assert(got === (0L until 64L).map(_ -> 0L).toSet)
   }
 
