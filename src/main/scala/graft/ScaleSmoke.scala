@@ -34,6 +34,12 @@ object ScaleSmoke {
     // reuse a 10-copy fixture for a requested 100-copy sweep
     if (new java.io.File(s"$dst/_OK_$nCopies").exists()) return
     fs.mkdirs()
+    // rebuilding at a different copy count: drop every stale marker so a
+    // later run requesting the OLD count can't silently reuse data built
+    // at the new scale
+    Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_OK_"))
+      .foreach(_.delete())
     val docs = Tables.documents(spark, src)
     val events = Tables.table(spark, src, "events")
     val copies = spark.range(0, nCopies).select(col("id").as("copy"))

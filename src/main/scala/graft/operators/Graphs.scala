@@ -263,14 +263,21 @@ object Graphs {
     // A parameter (not only the conf) so a caller that exists to
     // EXERCISE the distributed algorithm (the q69 gate) can opt out
     // explicitly.
+    var fastPathInit: Option[DataFrame] = None
     if (smallGraphFastPath) {
       val spark = edges.sparkSession
       val src0 = col(srcCol).cast("long")
       val dst0 = col(dstCol).cast("long")
-      val dedupEdges = edges.select(
+      // truncate BEFORE the count/collect pair: an un-checkpointed edge
+      // plan would re-run the (possibly expensive) upstream pair
+      // computation twice — the exact trap the loop's own sym handling
+      // avoids. The checkpoint is never wasted: when the graph is over
+      // the bound it becomes the star loop's initial edge set below
+      // (canonical orientation is fine — largeStar symmetrizes).
+      val dedupEdges = truncate(edges.select(
         least(src0, dst0).as("src"), greatest(src0, dst0).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
+        .distinct())
       val bound = smallGraphMaxEdges(spark)
       if (bound > 0 && dedupEdges.count() <= bound) {
         import spark.implicits._
@@ -289,6 +296,8 @@ object Graphs {
           .join(labels.select("id"), Seq("id"), "left_anti")
           .withColumn("component", col("id")))
       }
+      fastPathInit = Some(
+        dedupEdges.select(col("src").as("u"), col("dst").as("v")))
     }
     // large-star: over BOTH orientations, each hub u points its LARGER
     // neighbors at m = min(neighborhood ∪ {u})
@@ -316,10 +325,11 @@ object Graphs {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var cur = truncate(edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+    var cur = fastPathInit.getOrElse(
+      truncate(edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()))
     var curCount = cur.count()
     var stable = false
     var iter = 0

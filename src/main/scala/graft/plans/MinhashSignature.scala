@@ -30,8 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - permutation i: `(h * (1 + 2i) + 12582917 * (i + 1)) mod (2^31-1)`
   *    (all operands positive, so Java % equals pmod);
   *  - fewer than n tokens: k NULL minima (array_min of an empty array),
-  *    whose banded buckets can never equi-join — the short-doc contract
-  *    the stream gate documents.
+  *    matching the short-doc contract the stream gate documents;
+  *  - NULL text: also k NULL minima — the composed form propagates the
+  *    null through split/transform into every array_min slot, producing
+  *    `array(null x k)`, NOT a null array, so this expression overrides
+  *    the UnaryExpression null short-circuit to match bit-for-bit
+  *    (MinhashSignatureParitySpec pins both degenerate rows).
   *
   * CodegenFallback like [[WordShingleHashes]]: the cost is the
   * per-element loop, not the single virtual dispatch per row.
@@ -57,6 +61,16 @@ case class MinhashSignature(child: Expression, shingleN: Int, k: Int)
     }
 
   private val p = 2147483647L // 2^31 - 1
+
+  // the result is an array of k (possibly null) minima for EVERY input,
+  // null text included — never a null array
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) new GenericArrayData(Array.fill[Any](k)(null))
+    else nullSafeEval(value)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)

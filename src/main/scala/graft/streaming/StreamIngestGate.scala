@@ -43,9 +43,14 @@ object StreamIngestGate {
     * textCol). The (shingleN, k, bands) triple MUST match the index's —
     * a mismatch joins disjoint bucket spaces and silently flags nothing,
     * which is why the parameters are validated here too. Docs shorter
-    * than `shingleN` tokens produce null-component buckets, which can
-    * never equi-join — they flag nothing, matching the batch path
-    * (signatures of short docs drop out there too).
+    * than `shingleN` tokens (and null-text docs) produce all-null
+    * buckets; those rows are filtered out before the join. NOTE this is
+    * not redundant belt-and-braces: Spark's array equality treats null
+    * elements as EQUAL, so two all-null buckets would equi-join — the
+    * invariant that the index side contains no null buckets holds today
+    * only because [[bandIndex]] builds from minhashSignatures (which
+    * drops short docs), and the filter keeps the gate correct even if an
+    * index is ever built from the fused per-row expression instead.
     */
   def flagStream(incoming: DataFrame, index: DataFrame, textCol: String,
                  idCol: String, watermark: String, shingleN: Int = 3,
@@ -66,6 +71,10 @@ object StreamIngestGate {
           slice(col("__sig"), b * rows + 1, rows)): _*)))
       .select(col("in_id"), col("ts"), col("pos").as("band"),
         col("col").as("bucket"))
+      // short/null docs emit all-null buckets; drop them HERE — array
+      // equality treats null elements as equal, so they would otherwise
+      // match an all-null index bucket (see scaladoc)
+      .filter(element_at(col("bucket"), 1).isNotNull)
       .join(index, Seq("band", "bucket"))
       .select(col("in_id"), col("hist_id"), col("ts"))
       .withWatermark("ts", watermark)

@@ -183,9 +183,10 @@ object StreamSessions {
     try q.processAllAvailable() finally q.stop()
     val spark = df.sparkSession
     val sink = spark.table(name)
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    sink.collect().foreach(rows.add)
-    val out = spark.createDataFrame(rows, sink.schema)
+    // one driver-resident copy: wrap the collected array directly (no
+    // ArrayList re-copy) — the memory sink itself is dropped with the view
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
     spark.catalog.dropTempView(name)
     out
   }

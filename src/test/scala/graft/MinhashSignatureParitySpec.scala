@@ -19,7 +19,8 @@ class MinhashSignatureParitySpec extends SparkSpec {
     (4L, "double  space   runs survive the split exactly as spark does"),
     (5L, "tiny doc"),   // < 3 tokens -> k nulls
     (6L, ""),           // empty string -> one empty token -> k nulls
-    (7L, "exactly three tokens")) // boundary: one shingle
+    (7L, "exactly three tokens"), // boundary: one shingle
+    (8L, null))         // NULL text -> array of k nulls, not a null array
     .toDF("id", "text")
 
   test("fused expression equals the Column composition on every doc") {
@@ -35,6 +36,11 @@ class MinhashSignatureParitySpec extends SparkSpec {
     assert(fused(5L).get.forall(_ == null))
     assert(fused(6L).get.forall(_ == null))
     assert(fused(7L).get.forall(_ != null))
+    // null text: the composed form propagates the null into every
+    // array_min slot (array of k nulls); the fused form must match
+    // rather than short-circuit to a null array
+    assert(fused(8L).isDefined && fused(8L).get.size === 32 &&
+      fused(8L).get.forall(_ == null))
   }
 
   test("fused expression equals the relational pipeline's signatures") {
