@@ -51,20 +51,48 @@ object Bench {
     val passes =
       scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
+    // Per-pass host-load fingerprint (verdict r7 #8): two rounds of
+    // audits were spent attributing ±30% swings to environment by
+    // argument. /proc/stat deltas across each pass make it attributable
+    // from the artifact alone: steal% = hypervisor took the CPU (the
+    // bursty-VM signature), busy% = total non-idle including other
+    // processes. A 31 s pass with 40% steal next to a 3.8 s pass with 0%
+    // is self-diagnosing.
+    val loads = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
+      .withDefaultValue(Nil)
+    // (steal, idle+iowait, total) jiffies from the aggregate cpu line
+    def cpuTicks(): Option[(Long, Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val v = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          Some((if (v.length > 7) v(7) else 0L,
+            v(3) + (if (v.length > 4) v(4) else 0L), v.sum))
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (pass <- 1 to runsPerQuery; (name, fn) <- named) {
       // Each run pays the full query cost: queries that persist() internally
       // (tracked in CacheScope) would otherwise serve later passes from
       // cache. Targeted release, not clearCache — see Verify.
       CacheScope.releaseAll()
+      val ticks0 = cpuTicks()
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
+        val (stealPct, busyPct) = (ticks0, cpuTicks()) match {
+          case (Some((s0, i0, a0)), Some((s1, i1, a1))) if a1 > a0 =>
+            val d = (a1 - a0).toDouble
+            (100.0 * (s1 - s0) / d, 100.0 * ((a1 - a0) - (i1 - i0)) / d)
+          case _ => (-1.0, -1.0)
+        }
         // progress to stderr: which query a stall is in, and per-pass
         // timings (min-of-passes hides a steal burst; the log keeps it)
-        System.err.println(f"[bench] pass $pass $name $dt%.2f s")
+        System.err.println(
+          f"[bench] pass $pass $name $dt%.2f s (steal $stealPct%.1f%% busy $busyPct%.1f%%)")
         passes(name) = passes(name) :+ dt
+        loads(name) = loads(name) :+ ((stealPct, busyPct))
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -115,9 +143,16 @@ object Bench {
       jstr(k) + ":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(median(vs)))
     }.mkString("{", ",", "}")
+    // load[name] = [[stealPct, busyPct] per pass], aligned with passes[name]
+    val ls = loads.toMap.map { case (k, vs) =>
+      jstr(k) + ":" + vs.map { case (s, b) =>
+        "[" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(s)) +
+          "," + String.format(java.util.Locale.ROOT, "%.1f", Double.box(b)) + "]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the FULL record (per-pass timings, medians) to a file first:
     // the driver keeps only a bounded TAIL of stdout, and r4/r5 both lost
     // the artifact because the full JSON line (~12 KB at 88 queries)

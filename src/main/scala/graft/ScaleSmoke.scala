@@ -68,8 +68,8 @@ object ScaleSmoke {
 
   private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
-      "q69_cc_logn", "q78_curation_pipeline", "q83_incremental_dedup",
-      "q84_grid_pois")
+      "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
+      "q83_incremental_dedup", "q84_grid_pois")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

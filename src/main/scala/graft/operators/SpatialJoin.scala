@@ -134,7 +134,15 @@ object SpatialJoin {
     val key = (floor(col(latCol) / cellDeg).cast("long") + off) * shift +
       (floor(col(lonCol) / cellDeg).cast("long") + off)
     val withCell = pts.withColumn("cell", key)
-    val cells = withCell.select("cell").distinct()
+    // The occupied-cell set is read by FOUR consumers (both sides of the
+    // adjacency probe join, the CC node universe, and CC's isolated-node
+    // anti-join), and `pts` is typically an expensive upstream (q84: the
+    // whole stop-median pipeline). Without a persist each consumer
+    // re-runs that upstream — measured ~1.5 s extra and 2x the variance
+    // on q84 at sf0.1. The frame is tiny (one long per occupied cell),
+    // so the persist is bounded by the grid occupancy, not the data.
+    val cells = graft.CacheScope.track(
+      withCell.select("cell").distinct().persist())
     // E, N, NE, NW: each undirected adjacency probed exactly once
     val probes = cells.select(col("cell").as("src"),
       explode(array(Seq(1L, shift, shift + 1L, shift - 1L)
