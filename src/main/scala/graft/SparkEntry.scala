@@ -39,7 +39,11 @@ object SparkEntry {
     startWorkingHour = 8, endWorkingHour = 18,
     minPeriodsHome = 0.08, spanPeriodHome = 0.08,
     minPeriodsWork = 0.05, spanPeriodWork = 0.05,
-    totalDays = Some(30L), convertTz = true, tz = "America/Mexico_City")
+    // None = the reference's default path (utils.py:434-454): the span is
+    // floor((max-min start_timestamp)/1d)+1 computed over each candidate
+    // frame and cross-joined as a broadcast scalar — the gated q17/q18
+    // exercise J5 (scalar cross join) + F9 (day span +1) end-to-end
+    totalDays = None, convertTz = true, tz = "America/Mexico_City")
 
   private def stopClusters(s: SparkSession, d: String): DataFrame =
     StopClusters.cluster(
@@ -1196,7 +1200,90 @@ object SparkEntry {
         chunkBytes = 64, everyK = 2)
         .select(col("media_id"),
           col("chunk_idx").cast("long").as("chunk_idx"),
-          col("chunk").cast("string").as("chunk")))
+          col("chunk").cast("string").as("chunk"))),
+
+    // S3/K3/K1 roundtrip gate (reference read_localize_write.py:50-68):
+    // events -> parquet copy (K1 sink) -> headerless gz CSV dump (K3) ->
+    // CSV scan (S3, codec inferred from .gz) -> positional rename ->
+    // casts -> accuracy filter -> uid anonymization -> per-bucket
+    // aggregate. Every staged value is integer-derived (the doubles are
+    // integer-valued and Java doubles round-trip via toString), so the
+    // DuckDB oracle reproduces the whole pipeline from the ORIGINAL
+    // parquet exactly — a value lost or mangled anywhere in the
+    // write/read chain breaks the hash.
+    "q95_csv_roundtrip" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q95:$d") { out =>
+        val raw = Tables.events(s, d).select(
+          concat(lit("u"), col("user_id").cast("string")).as("_c0"),
+          col("event_type").as("_c1"),
+          (col("user_id") % 90).cast("double").as("_c2"),
+          (col("event_id") % 180).cast("double").as("_c3"),
+          (col("event_id") % 50).cast("double").as("_c4"),
+          expr("ts div 1000000").as("_c5"))
+        graft.sources.Export.parquet(raw, s"$out/pq")
+        graft.sources.Export.csvGz(
+          s.read.parquet(s"$out/pq").repartition(4), s"$out/csv")
+      }
+      val raw = graft.sources.Ingest.readCsv(s, s"$dir/csv")
+      val renamed = graft.sources.Ingest.renameRaw(raw, Map(
+        "_c0" -> "uid", "_c2" -> "latitude", "_c3" -> "longitude",
+        "_c5" -> "timestamp", "_c4" -> "error"))
+        .select(col("uid"),
+          col("latitude").cast("double").as("latitude"),
+          col("longitude").cast("double").as("longitude"),
+          col("error").cast("double").as("error"),
+          col("timestamp").cast("long").as("timestamp"))
+      graft.sources.Ingest.filterAccuracy(renamed, 30.0)
+        .withColumn("uid_hash", graft.sources.Ingest.uidHash(col("uid")))
+        .groupBy(pmod(col("uid_hash"), lit(8)).as("bucket"))
+        .agg(count(lit(1)).as("n_pings"),
+          countDistinct(col("uid_hash")).as("n_uid"),
+          sum(col("latitude")).cast("long").as("sum_lat"),
+          sum(col("longitude")).cast("long").as("sum_lon"),
+          max(col("timestamp")).as("max_ts_ms"))
+    }),
+
+    // K2/S2 roundtrip gate (reference read_localize_write.py:29-33):
+    // events keyed by UTC day -> hive-partitioned parquet write (K2) ->
+    // partition-pruned read-back (S2: the dayofmonth predicate lands in
+    // PartitionFilters, the scan never lists the pruned day directories
+    // — PlanAuditSpec pins it) -> per-day aggregate vs the original
+    // parquet in DuckDB.
+    "q96_partitioned_roundtrip" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q96:$d") { out =>
+        graft.sources.Ingest.writePartitioned(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"),
+              expr("ts div 1000000000").as("ts_s"))
+            .withColumn("date_trunc",
+              date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd")),
+          out)
+      }
+      Tables.tune(s).read.parquet(dir)
+        .filter(dayofmonth(col("date_trunc")) <= 15)
+        .groupBy(col("date_trunc").cast("date").as("dt"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_eid"),
+          max(col("ts_s")).as("max_ts_s"))
+    }),
+
+    // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
+    // broadcast-joined against a fact scan — the "attach a small config
+    // frame to big data" ingest shape. Oracle = an inline VALUES list.
+    "q98_inline_dim" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("o_orderpriority", "tier")
+      Tables.orders(s, d)
+        .join(broadcast(dim), Seq("o_orderpriority"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("sum_cents"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -2520,6 +2607,51 @@ object SparkEntry {
 
     "q94_stream_ingest_gate" -> sqlQ94StreamGate,
 
+    // q95/q96 oracles run against the ORIGINAL events parquet — the Spark
+    // side's staged sink->scan roundtrip must be value-lossless for the
+    // hashes to agree (see the query scaladocs)
+    "q95_csv_roundtrip" ->
+      """WITH raw AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS uid,
+        |    CAST(user_id % 90 AS DOUBLE) AS latitude,
+        |    CAST(event_id % 180 AS DOUBLE) AS longitude,
+        |    CAST(event_id % 50 AS DOUBLE) AS error,
+        |    epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events
+        |), cleaned AS (
+        |  SELECT CAST(('0x' || substr(sha256(uid), 50, 15)) AS BIGINT)
+        |      AS uid_hash,
+        |    latitude, longitude, ts_ms
+        |  FROM raw WHERE error < 30
+        |)
+        |SELECT uid_hash % 8 AS bucket, count(*) AS n_pings,
+        |  count(DISTINCT uid_hash) AS n_uid,
+        |  CAST(sum(latitude) AS BIGINT) AS sum_lat,
+        |  CAST(sum(longitude) AS BIGINT) AS sum_lon,
+        |  max(ts_ms) AS max_ts_ms
+        |FROM cleaned GROUP BY 1""".stripMargin,
+
+    "q96_partitioned_roundtrip" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+        |    DATE '1970-01-01'
+        |      + CAST((epoch_us(ts) // 1000000) // 86400 AS INT) AS dt
+        |  FROM events)
+        |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
+        |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q98_inline_dim" ->
+      """SELECT tier, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+        |  ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+        |  ('5-LOW', 'cold')) AS dim(o_orderpriority, tier)
+        |USING (o_orderpriority)
+        |GROUP BY tier""".stripMargin,
+
     "q84_grid_pois" -> sqlQ84GridPois,
 
     "q86_asof_tolerance" -> sqlQ86AsofTolerance,
@@ -2868,7 +3000,9 @@ object SparkEntry {
        |  SELECT hc.uid, hc.stop_locations FROM home_counts hc
        |  JOIN home_tot ht ON hc.uid = ht.uid
        |  WHERE hc.cluster_dates / ht.total_dates >= ${hwParams.minPeriodsHome}
-       |    AND hc.cluster_dates / ${hwParams.totalDays.get} >= ${hwParams.spanPeriodHome}
+       |    AND hc.cluster_dates / (SELECT CAST(floor((max(start_timestamp)
+       |      - min(start_timestamp)) / 86400) + 1 AS BIGINT) FROM home_cand)
+       |      >= ${hwParams.spanPeriodHome}
        |),
        |homed AS (
        |  SELECT p.*,
@@ -2896,7 +3030,9 @@ object SparkEntry {
        |  SELECT wc.uid, wc.stop_locations FROM work_counts wc
        |  JOIN work_tot wt ON wc.uid = wt.uid
        |  WHERE wc.cluster_dates / wt.total_dates >= ${hwParams.minPeriodsWork}
-       |    AND wc.cluster_dates / ${hwParams.totalDays.get} >= ${hwParams.spanPeriodWork}
+       |    AND wc.cluster_dates / (SELECT CAST(floor((max(start_timestamp)
+       |      - min(start_timestamp)) / 86400) + 1 AS BIGINT) FROM work_cand)
+       |      >= ${hwParams.spanPeriodWork}
        |),
        |hw_final AS (
        |  SELECT h.* EXCLUDE (location_type, ls),

@@ -42,6 +42,18 @@ object Export {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Distributed gzip CSV sink (K3's at-scale form): headerless by
+    * default — the reference's raw drops are positional
+    * (read_localize_write.py:50) — one .csv.gz per partition, so file
+    * count follows the frame's partitioning (unlike [[csvSingle]]'s
+    * explicit small-result coalesce).
+    */
+  def csvGz(df: DataFrame, path: String, header: Boolean = false): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("compression", "gzip")
+      .csv(path)
+
   /** Token-balanced sharded parquet: documents are packed into shards of
     * ~`budgetTokens` each (contiguous in `orderCols` order, so shard
     * membership is deterministic and re-runs produce identical files) and

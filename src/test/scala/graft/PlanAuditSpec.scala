@@ -96,4 +96,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min") || plan.contains("partial"),
       s"dedup aggregate must combine map-side:\n$plan")
   }
+
+  test("q96 read-back: dayofmonth predicate prunes hive partitions") {
+    // The S2 contract: a predicate on the partition column must land in
+    // PartitionFilters (evaluated against directory values during file
+    // listing — pruned days are never opened), NOT as a post-scan
+    // filter. At 100 TB a date-partitioned corpus is only usable if day
+    // predicates prune the listing.
+    val plan = SparkEntry.queries("q96_partitioned_roundtrip")(spark, sf)
+      .queryExecution.executedPlan.treeString(verbose = true)
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in q96 plan:\n$plan"))
+    assert(scanLine.contains("dayofmonth"),
+      s"q96's dayofmonth predicate must be a partition filter:\n$scanLine")
+    // and the partition column never appears as a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(date_trunc)"),
+      s"date_trunc must be partition metadata, not scanned data:\n$plan")
+  }
 }
