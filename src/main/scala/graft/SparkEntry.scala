@@ -1173,6 +1173,69 @@ object SparkEntry {
         .select("uid", "timestamp", "stop_events", "latitude", "longitude")
     }),
 
+    // Out-of-order streaming stop detection: the same batch-oracle
+    // contract as q93, but the pings arrive SHUFFLED — each ping's
+    // arrival slot is its timestamp plus a deterministic ±120 s jitter
+    // (hash-derived), the fixture is staged as 8 rank-ordered files
+    // replayed one per micro-batch, and the automaton runs behind a
+    // 300 s watermark buffer (stopEventsUnordered). Displacement bound
+    // D=120 < lateness L=300 guarantees no ping is ever dropped as
+    // too-late (worst-case watermark when a ping arrives is
+    // T + 2D - L = T - 60). Per-user sentinels flush trajectory tails
+    // exactly as in q93; two trailing "pusher" rows at S + L + 2 push
+    // the final watermark past the sentinels so the last drain happens
+    // inside a DATA batch (no reliance on no-data batch semantics).
+    // Sentinels classify every real ping but never emit; pushers never
+    // even reach the automaton (they stay buffered above the final
+    // watermark).
+    "q97_stream_stops_unordered" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val lateness = 300L
+      val jitterBound = 120L
+      val nFiles = 8
+      val dir = graft.streaming.StreamSessions.stageOrderedFrames(s"q97:$d") {
+        val pings = Tables.pings(s, d)
+          .select("uid", "latitude", "longitude", "timestamp")
+        val maxTs = pings.agg(max("timestamp")).collect()(0).getLong(0)
+        val sentinelTs = maxTs + stopParams.maxStayingTime + 1L
+        val pusherTs = sentinelTs + lateness + 2L
+        val jitter =
+          pmod(xxhash64(col("uid"), col("timestamp")),
+            lit(2 * jitterBound + 1)) - lit(jitterBound)
+        val sentinels = pings.select("uid").distinct()
+          .select(col("uid"), lit(0.0).as("latitude"),
+            lit(0.0).as("longitude"), lit(sentinelTs).as("timestamp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rank"), col("uid"), col("timestamp"))
+        val filed = pings
+          .withColumn("__rank", (col("timestamp") + jitter).cast("long"))
+          .unionByName(sentinels.withColumn("__rank", lit(sentinelTs)))
+          .withColumn("__file", ntile(nFiles).over(w) - 1)
+          .persist()
+        val data = (0 until nFiles).map(i =>
+          filed.filter(col("__file") === i)
+            .select("uid", "latitude", "longitude", "timestamp"))
+        val pusher = s.range(1).select(lit("__pusher").as("uid"),
+          lit(0.0).as("latitude"), lit(0.0).as("longitude"),
+          lit(pusherTs).as("timestamp"))
+        data ++ Seq(pusher, pusher)
+      }
+      val schema = StructType(Seq(
+        StructField("uid", StringType), StructField("latitude", DoubleType),
+        StructField("longitude", DoubleType),
+        StructField("timestamp", LongType)))
+      import s.implicits._
+      val raw = graft.streaming.StreamSessions
+        .readParquetStreamThrottled(s, dir, schema)
+        .as[graft.streaming.StreamingStopDetect.Ping]
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        graft.streaming.StreamingStopDetect.stopEventsUnordered(
+          raw, stopParams, lateness),
+        "q97_stream_stops_unordered")
+        .filter(col("uid") =!= "__pusher") // defensive: pushers never emit
+        .select("uid", "timestamp", "stop_events", "latitude", "longitude")
+    }),
+
     // Multimodal resize stage: synth PNG -> real decode -> deterministic
     // nearest-neighbor resample to 8x6 -> PNG re-encode -> real decode of
     // the thumbnail. The floor index map (sx = x*w/8) is closed-form, so
@@ -1859,6 +1922,13 @@ object SparkEntry {
     "q93_stream_stops" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
       """SELECT uid, "timestamp", stop_events, latitude, longitude
         |FROM stop_events""".stripMargin),
+
+    // out-of-order streaming form: SAME batch oracle — the watermark
+    // buffer must make the shuffled arrival invisible
+    "q97_stream_stops_unordered" ->
+      (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
+        """SELECT uid, "timestamp", stop_events, latitude, longitude
+          |FROM stop_events""".stripMargin),
 
     "q13_event_medians" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
       """SELECT uid, stop_events,

@@ -22,6 +22,21 @@ object StreamSessions {
                         schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** File-source stream that admits at most `filesPerTrigger` files per
+    * micro-batch — Trigger.AvailableNow honors source rate limits, so an
+    * N-file directory becomes ceil(N/filesPerTrigger) ordered
+    * micro-batches with a watermark update between each. This is what
+    * makes a staged fixture exercise REAL cross-batch watermark
+    * progression (the q97 out-of-order gate) instead of collapsing into
+    * one batch.
+    */
+  def readParquetStreamThrottled(spark: SparkSession, dir: String,
+                                 schema: StructType,
+                                 filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir)
+
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -68,6 +83,38 @@ object StreamSessions {
       val out = dir.resolve("data").toString
       df.coalesce(1).write.mode("overwrite").parquet(out)
       out
+    })
+
+  /** Materialize a SEQUENCE of frames as one single-file parquet each,
+    * with strictly increasing modification times, memoized by `key`.
+    * Spark's FileStreamSource admits files oldest-modification-first, so
+    * combined with [[readParquetStreamThrottled]] the staged sequence
+    * replays as deterministic ordered micro-batches — the arrival
+    * schedule IS part of the fixture (q97 stages a bounded-displacement
+    * shuffle of the ping stream this way). Mod times are pinned a minute
+    * apart (source ordering must not depend on write speed).
+    */
+  def stageOrderedFrames(key: String)(build: => Seq[DataFrame]): String =
+    staged.computeIfAbsent(s"ordered:$key", { _ =>
+      import java.nio.file.Files
+      val dir = Files.createTempDirectory("graft-stream-stage-")
+      dir.toFile.deleteOnExit()
+      val out = dir.resolve("data")
+      Files.createDirectories(out)
+      build.zipWithIndex.foreach { case (df, i) =>
+        val scratch = dir.resolve(s"scratch$i")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Option(scratch.toFile.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file written for staged frame $i"))
+        val target = out.resolve(f"f$i%04d.parquet")
+        Files.move(part.toPath, target)
+        target.toFile.setLastModified(1700000000000L + i * 60000L): Unit
+        target.toFile.deleteOnExit()
+      }
+      out.toString
     })
 
   /** Event-time sessionization: per (user, session_window(gap)) counts.
