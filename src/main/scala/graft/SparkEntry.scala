@@ -959,8 +959,14 @@ object SparkEntry {
     // map equation is not SQL-expressible; q37 pins the same graph via its
     // CC oracle and CommunitiesSpec pins the objective (exhaustive-search
     // parity on a hand graph + optimality vs baseline partitions).
+    // no_oracle by nature (community IDs are search-order-dependent
+    // across engines) but SELF-CERTIFYING since r8: every row carries the
+    // user's exact map-equation codelength, the all-singletons baseline
+    // codelength, and improves = found <= singleton — the objective the
+    // reference's Infomap minimizes (utils.py:67-99), machine-checkable
+    // from the dump alone.
     "q82_infomap" -> ((s, d) =>
-      graft.operators.Communities.assignLocations(
+      graft.operators.Communities.assignLocationsCertified(
         StopDetect.eventMedians(
           StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
         graft.operators.Communities.Params(

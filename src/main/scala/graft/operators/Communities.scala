@@ -71,17 +71,72 @@ object Communities {
       .toDF()
   }
 
+  /** [[assignLocationsCertified]] row: the labeled stop plus the
+    * per-user optimality certificate.
+    */
+  final case class CertifiedRow(
+      uid: String, stop_events: Long, latitude: Double, longitude: Double,
+      start_timestamp: Long, end_timestamp: Long, stop_locations: Long,
+      bits_found: Double, bits_singleton: Double, improves: Boolean)
+
+  /** Infomap labeling with a SELF-CERTIFICATE per user: alongside each
+    * stop's community label, emit the exact two-level map-equation
+    * codelength (bits/step) of the found partition over the user's
+    * (trimmed) node graph, the codelength of the all-singletons
+    * baseline partition, and `improves` = found <= singleton + 1e-9 —
+    * the objective the reference's Infomap binding minimizes
+    * (utils.py:67-99). A search that ever "optimized" to something
+    * worse than no-aggregation-at-all would flip `improves` false, so
+    * the no-oracle q82 gate becomes machine-checkable without an
+    * engine-independent community oracle (community IDs themselves are
+    * search-order-dependent across engines; the objective value's
+    * partial order is not).
+    */
+  def assignLocationsCertified(medians: DataFrame, p: Params): DataFrame = {
+    require(p.algorithm == "infomap",
+      s"certificate is defined for the map-equation mode, got ${p.algorithm}")
+    val spark = medians.sparkSession
+    import spark.implicits._
+    medians
+      .select("uid", "stop_events", "latitude", "longitude",
+        "start_timestamp", "end_timestamp")
+      .as[StopClusters.MedianRow]
+      .groupByKey(_.uid)
+      .flatMapGroups { (_: String, it: Iterator[StopClusters.MedianRow]) =>
+        val rows = it.toArray.sortBy(_.stop_events)
+        val (rowNode, allCoords, allCounts) = collapseStops(rows, p)
+        val n = trimmedSize(allCoords.length, rows.head.uid, p)
+        val adj = buildAdjacency(allCoords.take(n), allCounts.take(n), p)
+        val part = mapEquationPartition(adj)
+        val nodeLabels = canonicalizeLabels(part, adj, p) ++
+          Array.fill(allCoords.length - n)(-1L)
+        val bitsFound = mapEquationBits(adj, part)
+        val bitsSingleton =
+          mapEquationBits(adj, Array.tabulate(adj.length)(identity))
+        val improves = bitsFound <= bitsSingleton + 1e-9
+        rows.iterator.zipWithIndex.map { case (r, k) =>
+          CertifiedRow(r.uid, r.stop_events, r.latitude, r.longitude,
+            r.start_timestamp, r.end_timestamp, nodeLabels(rowNode(k)),
+            bitsFound, bitsSingleton, improves)
+        }
+      }
+      .toDF()
+  }
+
   /** Collapse a user's stops to unique snapped coordinates (downsample),
     * label the unique-coordinate graph, and fan labels back to stops.
     * Returns one label per input row (input must be stop_events-sorted).
     */
-  private[operators] def labelStops(rows: Array[StopClusters.MedianRow],
-                                    p: Params): Array[Long] = {
+  /** First-appearance-ordered unique snapped coords: per-row node index,
+    * coords, and per-coord stop counts (the downsample step shared by
+    * [[labelStops]] and the certified q82 path).
+    */
+  private def collapseStops(rows: Array[StopClusters.MedianRow], p: Params)
+  : (Array[Int], Array[(Double, Double)], Array[Long]) = {
     def snap(v: Double): Double =
       if (p.minSpacialResolution > 0)
         math.round(v / p.minSpacialResolution) * p.minSpacialResolution
       else v
-    // first-appearance-ordered unique coords + per-coord stop counts
     val nodeOf = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
     val rowNode = new Array[Int](rows.length)
     var i = 0
@@ -94,16 +149,28 @@ object Communities {
     val allCounts = new Array[Long](allCoords.length)
     i = 0
     while (i < rows.length) { allCounts(rowNode(i)) += 1L; i += 1 }
-    // whale-user guard: the pair SCAN is grid-pruned (NeighborSearch),
-    // but a dense whale's radius graph is still O(nodes²) EDGES; nodes
-    // beyond maxGroupSize (first-appearance order) label -1 rather than
-    // blowing task memory — the enforced form of the reference's
-    // min_spacial_resolution mitigation
-    val n = math.min(allCoords.length, p.maxGroupSize)
-    if (n < allCoords.length)
+    (rowNode, allCoords, allCounts)
+  }
+
+  /** Whale-user guard: the pair SCAN is grid-pruned (NeighborSearch),
+    * but a dense whale's radius graph is still O(nodes²) EDGES; nodes
+    * beyond maxGroupSize (first-appearance order) label -1 rather than
+    * blowing task memory — the enforced form of the reference's
+    * min_spacial_resolution mitigation.
+    */
+  private def trimmedSize(total: Int, uid: String, p: Params): Int = {
+    val n = math.min(total, p.maxGroupSize)
+    if (n < total)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"uid ${rows.head.uid}: ${allCoords.length} unique coords exceed " +
+        s"uid $uid: $total unique coords exceed " +
           s"maxGroupSize=${p.maxGroupSize}; labeling overflow as -1")
+    n
+  }
+
+  private[operators] def labelStops(rows: Array[StopClusters.MedianRow],
+                                    p: Params): Array[Long] = {
+    val (rowNode, allCoords, allCounts) = collapseStops(rows, p)
+    val n = trimmedSize(allCoords.length, rows.head.uid, p)
     val nodeLabels = labelGroup(allCoords.take(n), allCounts.take(n), p) ++
       Array.fill(allCoords.length - n)(-1L)
     Array.tabulate(rows.length)(k => nodeLabels(rowNode(k)))
@@ -168,14 +235,22 @@ object Communities {
         }
         lbl
       }
-    // canonicalize: 0-based by first appearance; singletons -> -1 unless
-    // labelSingletons (reference label_singletons flag, utils.py:124-134)
-    val isolated = Array.tabulate(n)(k => adj(k).isEmpty)
+    canonicalizeLabels(label, adj, p)
+  }
+
+  /** Canonicalize raw module ids: 0-based by first appearance; isolated
+    * singletons -> -1 unless labelSingletons (reference label_singletons
+    * flag, utils.py:124-134).
+    */
+  private def canonicalizeLabels(label: Array[Int],
+                                 adj: Array[List[(Int, Double)]],
+                                 p: Params): Array[Long] = {
+    val n = label.length
     val labelOf = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
     val out = new Array[Long](n)
-    i = 0
+    var i = 0
     while (i < n) {
-      if (isolated(i) && !p.labelSingletons) out(i) = -1L
+      if (adj(i).isEmpty && !p.labelSingletons) out(i) = -1L
       else {
         if (!labelOf.contains(label(i)))
           labelOf(label(i)) = labelOf.size.toLong

@@ -110,6 +110,20 @@ class CommunitiesSpec extends SparkSpec {
     val found = Communities.mapEquationPartition(adj)
     assert(math.abs(Communities.mapEquationBits(adj, found) -
       1.9022017214900178) < 1e-9)
+
+    // certified variant: same labels, and the certificate carries the
+    // known optimum vs the all-singletons baseline (q82's self-check)
+    val cert = Communities.assignLocationsCertified(
+      medians(xs.zipWithIndex.map { case (x, k) =>
+        ("u", k.toLong + 1, x, 0.0) }: _*), p)
+      .orderBy("stop_events").collect()
+    assert(cert.map(_.getAs[Long]("stop_locations")).toSeq ===
+      Seq(0L, 0L, 0L, 1L, 1L, 1L))
+    assert(cert.forall(r =>
+      math.abs(r.getAs[Double]("bits_found") - 1.9022017214900178) < 1e-9))
+    assert(cert.forall(r =>
+      math.abs(r.getAs[Double]("bits_singleton") - 4.5751) < 5e-4))
+    assert(cert.forall(_.getAs[Boolean]("improves")))
   }
 
   test("infomap: beats baseline partitions on random geometric graphs") {
