@@ -1337,6 +1337,35 @@ object SparkEntry {
           max(col("ts_s")).as("max_ts_s"))
     }),
 
+    // JSONL roundtrip gate (corpus-interchange sink/source, beyond the
+    // reference's surface): documents -> gzip JSONL dump -> explicit-
+    // schema FAILFAST scan -> per-source aggregate. The summed portable
+    // md5 text hash pins byte-exact string fidelity through the JSON
+    // escape/unescape cycle — one mangled character anywhere in the
+    // corpus flips the hash.
+    "q99_jsonl_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.sources.Staging.once(s"q99:$d") { out =>
+        graft.sources.Export.jsonl(
+          Tables.documents(s, d).select(
+            col("doc_id").cast("long").as("doc_id"), col("text"),
+            col("lang"), col("source"),
+            col("n_chars").cast("long").as("n_chars")), out)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Export.readJsonl(s, dir, schema, mode = "FAILFAST")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"),
+          sum(graft.functions.TextFunctions.portableHash32(col("text")))
+            .as("sum_text_hash"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }),
+
     // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
     // broadcast-joined against a fact scan — the "attach a small config
     // frame to big data" ingest shape. Oracle = an inline VALUES list.
@@ -2716,6 +2745,15 @@ object SparkEntry {
         |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
         |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q99_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS sum_text_hash,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q98_inline_dim" ->
       """SELECT tier, count(*) AS n,
