@@ -392,6 +392,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last.getAs[Double]("sim") === -1.0)
   }
 
+  test("int8 quantization: hand values, saturation, zero vector, bound") {
+    val df = Seq(
+      (0L, Array(1.27f, -0.635f, 0.0f)), // scale 0.01: q = 127, -64 (63.5 rounds away), 0
+      (1L, Array(0.0f, 0.0f)),           // zero vector: scale 0, q all 0
+      (2L, Array(-2.0f)))                // single element saturates at -127
+      .toDF("vec_id", "embedding")
+      .withColumn("s", VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("q", VectorFunctions.quantizeInt8(col("embedding"), col("s")))
+      .orderBy("vec_id").collect()
+    assert(df(0).getAs[scala.collection.Seq[Int]]("q").toList === List(127, -64, 0))
+    assert(math.abs(df(0).getAs[Double]("s") - 1.27f.toDouble / 127.0) < 1e-15)
+    assert(df(1).getAs[Double]("s") === 0.0 &&
+      df(1).getAs[scala.collection.Seq[Int]]("q").toList === List(0, 0))
+    assert(df(2).getAs[scala.collection.Seq[Int]]("q").toList === List(-127))
+    // reconstruction bound |x - q*s| <= s/2 on every component
+    val (s0, q0) = (df(0).getAs[Double]("s"),
+      df(0).getAs[scala.collection.Seq[Int]]("q").toList)
+    Seq(1.27, -0.635, 0.0).zip(q0).foreach { case (x, qi) =>
+      assert(math.abs(x - qi * s0) <= s0 / 2 + 1e-9)
+    }
+  }
+
   test("lsh buckets: identical vectors share a bucket; top-k finds self") {
     val queries = corpus.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
