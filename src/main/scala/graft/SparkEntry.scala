@@ -1396,6 +1396,18 @@ object SparkEntry {
           err <= col("__scale") * 0.5 + lit(1e-12)).as("err_ok"))
     }),
 
+    // Quantized ANN: q24's brute-force top-k on the int8-quantized
+    // corpus (4x smaller vectors), scored by the fused integer
+    // Int8Cosine loop. Integer dot/norms are order-exact, so unlike the
+    // float form there is NO fold-order contract to honor — the oracle
+    // reproduces the similarity bit-for-bit from plain list arithmetic.
+    "q101_ann_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopKInt8(queries, emb, 10)
+    }),
+
     // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
     // broadcast-joined against a fact scan — the "attach a small config
     // frame to big data" ingest shape. Oracle = an inline VALUES list.
@@ -2775,6 +2787,34 @@ object SparkEntry {
         |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
         |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q101_ann_int8" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+        |      ELSE CAST(round(CAST(x AS DOUBLE) / s, 0) AS INT) END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, qv AS q_q FROM qz
+        |      WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(CAST(list_sum(list_transform(list_zip(e.qv, q.q_q),
+        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+        |        AS DOUBLE)
+        |      / NULLIF(sqrt(CAST(list_sum(list_transform(e.qv,
+        |            v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS DOUBLE))
+        |        * sqrt(CAST(list_sum(list_transform(q.q_q,
+        |            v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS DOUBLE)),
+        |        0), 6) AS sim
+        |  FROM qz e, q),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q100_embed_quantize" ->
       """WITH sc AS (

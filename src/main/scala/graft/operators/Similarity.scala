@@ -36,6 +36,39 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Quantized brute-force top-k: both sides are int8-quantized per row
+    * ([[VectorFunctions.quantizeInt8]] — 4x smaller vectors, the
+    * memory-bound corpus path) and scored with the fused integer
+    * [[graft.plans.Int8Cosine]] loop. Because symmetric per-vector
+    * scales cancel out of the cosine, the score is an integer
+    * dot/norm ratio — exact in any evaluation order, so the quantized
+    * ANN is bit-reproducible across engines with no fold-order
+    * contract at all. Plan shape matches [[bruteForceTopK]]: broadcast
+    * queries, one scan, one shuffle for the per-query top-k window.
+    * Zero vectors quantize to all-zero (undefined cosine) and rank
+    * last as null.
+    */
+  def bruteForceTopKInt8(queries: DataFrame, corpus: DataFrame,
+                         k: Int): DataFrame = {
+    def quantized(df: DataFrame, out: String) = {
+      val s = VectorFunctions.int8Scale(col("embedding"))
+      df.withColumn("__s", s)
+        .withColumn(out, VectorFunctions.quantizeInt8(col("embedding"),
+          col("__s")))
+    }
+    val q = quantized(queries, "q_q").select(col("query_id"), col("q_q"))
+    val c = quantized(corpus, "c_q").select(col("vec_id"), col("c_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(graft.plans.Int8Cosine(col("c_q"), col("q_q")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Deterministic pseudo-random double in [-1, 1) for (seed, bit, dim):
     * first 32 bits of md5("seed:bit:dim"), scaled — the portable plane
     * component [[graft.plans.LshPlanes]] precomputes (see there for why

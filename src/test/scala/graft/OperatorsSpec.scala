@@ -414,6 +414,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 cosine: exact hand values, zero-norm null, top-1 is self") {
+    val vals = Seq(
+      (Array(3, 4), Array(3, 4)),   // identical -> 1.0 exactly
+      (Array(1, 0), Array(0, 1)),   // orthogonal -> 0.0 exactly
+      (Array(0, 0), Array(1, 1)))   // zero norm -> null (undefined)
+      .toDF("a", "b")
+      .select(graft.plans.Int8Cosine(col("a"), col("b")).as("c")).collect()
+    assert(vals(0).getDouble(0) === 1.0)
+    assert(vals(1).getDouble(0) === 0.0)
+    assert(vals(2).isNullAt(0))
+    // quantized brute force over the float fixture: every query's top-1
+    // is itself (quantization must not break self-similarity)
+    val queries = corpus.select(col("vec_id").as("query_id"),
+      col("embedding"))
+    val top1 = Similarity.bruteForceTopKInt8(queries, corpus, 1).collect()
+    assert(top1.length === 4 && top1.forall(r =>
+      r.getAs[Long]("query_id") === r.getAs[Long]("vec_id")))
+  }
+
   test("lsh buckets: identical vectors share a bucket; top-k finds self") {
     val queries = corpus.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
