@@ -1408,6 +1408,28 @@ object SparkEntry {
       Similarity.bruteForceTopKInt8(queries, emb, 10)
     }),
 
+    // PII redaction gate (corpus-scrub stage): deterministic synthetic
+    // PII (email + IPv4 + phone, derived from doc_id) is injected into
+    // every document so the redaction demonstrably fires on gate data,
+    // then TextFunctions.redact scrubs it and the FULL redacted text is
+    // hash-compared against DuckDB applying the identical regex chain.
+    // Patterns are deliberately Java/RE2-portable (ASCII classes, no
+    // lookaround, no backrefs); application order (email, IP, phone)
+    // matters — an IPv4 also matches the phone shape — and the oracle
+    // nests its regexp_replace calls in the same order.
+    "q102_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.TextFunctions.redact(
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@mail"), pmod(col("doc_id"), lit(7)),
+            lit(".com from 10."), pmod(col("doc_id"), lit(256)),
+            lit(".0."), pmod(col("doc_id"), lit(100)),
+            lit(" tel +1 555 "),
+            (lit(1000000L) + pmod(col("doc_id"), lit(9000000L)))))
+          .as("clean"))),
+
     // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
     // broadcast-joined against a fact scan — the "attach a small config
     // frame to big data" ingest shape. Oracle = an inline VALUES list.
@@ -2787,6 +2809,20 @@ object SparkEntry {
         |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
         |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q102_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' tel +1 555 '
+        |      || CAST(1000000 + doc_id % 9000000 AS VARCHAR),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
 
     "q101_ann_int8" ->
       """WITH qz AS (
