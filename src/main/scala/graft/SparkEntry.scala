@@ -1430,6 +1430,27 @@ object SparkEntry {
             (lit(1000000L) + pmod(col("doc_id"), lit(9000000L)))))
           .as("clean"))),
 
+    // ORC roundtrip gate: the second columnar production format (beyond
+    // parquet). lineitem -> ORC write -> ORC scan with filter/projection
+    // pushdown -> aggregate vs the original parquet in DuckDB. Proves
+    // the format seam, not new operator logic — a user switching sinks
+    // keeps identical results.
+    "q103_orc_roundtrip" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q103:$d") { out =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_returnflag",
+            "l_extendedprice")
+          .write.mode("overwrite").orc(out)
+      }
+      s.read.orc(dir)
+        .filter(col("l_quantity") > 25.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("sum_price_cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
     // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
     // broadcast-joined against a fact scan — the "attach a small config
     // frame to big data" ingest shape. Oracle = an inline VALUES list.
@@ -2809,6 +2830,14 @@ object SparkEntry {
         |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
         |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q103_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_cents,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_quantity > 25.0
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q102_pii_redact" ->
       """SELECT doc_id,
