@@ -1451,6 +1451,59 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
+    // Tumbling-window streaming aggregation gate: windowedCounts over
+    // the events file stream vs the batch hour-bucket oracle. Values
+    // ride as integer cents (exact, order-free sums) so the streaming
+    // and batch aggregates agree bit-for-bit.
+    "q104_stream_window" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val fileSchema = Tables.table(s, d, "events").schema
+      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, srcDir, fileSchema)
+      val tsec = fileSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("ts div 1000000000")
+        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      }
+      val ev = raw.select(col("user_id"),
+        timestamp_seconds(tsec).as("ts"),
+        round(col("value") * 100, 0).as("value"))
+      val agg = graft.streaming.StreamSessions
+        .windowedCounts(ev, "3600 seconds", "3650 days")
+        .select(col("user_id"),
+          unix_timestamp(col("w_start")).as("w_start"),
+          unix_timestamp(col("w_end")).as("w_end"),
+          col("n_events"), col("sum_value").cast("long").as("sum_cents"))
+      graft.streaming.StreamSessions.runToCompletion(agg,
+        "q104_stream_window")
+    }),
+
+    // Bucketed co-located join gate: both join sides written
+    // bucketed+sorted on the order key (Bucketing.writeBucketed), so the
+    // join runs with NO exchange on either side — the shuffle-once-at-
+    // ingest layout a 100 TB fact table needs (PlanAuditSpec pins the
+    // single remaining exchange to the final aggregate). Result parity
+    // vs the plain parquet join oracle.
+    "q105_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ordersT, liT) = (s"graft_q105_orders$tag", s"graft_q105_li$tag")
+      if (!s.catalog.tableExists(ordersT)) {
+        val dir = graft.sources.Staging.once(s"q105:$d") { _ => () }
+        graft.sources.Bucketing.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          ordersT, s"$dir/orders", "o_orderkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+          liT, s"$dir/lineitem", "l_orderkey", 8)
+      }
+      s.table(liT)
+        .join(s.table(ordersT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
     // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
     // broadcast-joined against a fact scan — the "attach a small config
     // frame to big data" ingest shape. Oracle = an inline VALUES list.
@@ -2830,6 +2883,22 @@ object SparkEntry {
         |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
         |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q104_stream_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, (tsec // 3600) * 3600 AS w_start,
+        |  (tsec // 3600) * 3600 + 3600 AS w_end,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "q105_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q103_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,

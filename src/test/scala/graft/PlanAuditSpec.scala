@@ -97,6 +97,21 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup aggregate must combine map-side:\n$plan")
   }
 
+  test("q105 bucketed join: no exchange on either join side") {
+    // Both tables are bucketed+sorted on the order key, so the join's
+    // distribution requirement is satisfied by the table layout — the
+    // ONLY exchange in the plan is the final per-priority aggregate.
+    // This is the shuffle-once-at-ingest contract a 100 TB fact table
+    // depends on.
+    val plan = SparkEntry.queries("q105_bucketed_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"bucketed join must not shuffle its inputs:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("orderkey")),
+      s"the single exchange must be the aggregate, not the join:\n$plan")
+  }
+
   test("q96 read-back: dayofmonth predicate prunes hive partitions") {
     // The S2 contract: a predicate on the partition column must land in
     // PartitionFilters (evaluated against directory values during file
