@@ -45,6 +45,21 @@ object SparkEntry {
     // exercise J5 (scalar cross join) + F9 (day span +1) end-to-end
     totalDays = None, convertTz = true, tz = "America/Mexico_City")
 
+  /** Day-partitioned hive copy of `events` (UTC day key), staged once per
+    * sf dir — shared by the K2/S2 roundtrip gate (q96) and the per-day
+    * driver gate (q108).
+    */
+  private def stagedDailyEvents(s: SparkSession, d: String): String =
+    graft.sources.Staging.once(s"dailyevents:$d") { out =>
+      graft.sources.Ingest.writePartitioned(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000000").as("ts_s"))
+          .withColumn("date_trunc",
+            date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd")),
+        out)
+    }
+
   private def stopClusters(s: SparkSession, d: String): DataFrame =
     StopClusters.cluster(
       StopDetect.eventMedians(
@@ -1319,15 +1334,7 @@ object SparkEntry {
     // — PlanAuditSpec pins it) -> per-day aggregate vs the original
     // parquet in DuckDB.
     "q96_partitioned_roundtrip" -> ((s, d) => {
-      val dir = graft.sources.Staging.once(s"q96:$d") { out =>
-        graft.sources.Ingest.writePartitioned(
-          Tables.events(s, d)
-            .select(col("user_id"), col("event_id"),
-              expr("ts div 1000000000").as("ts_s"))
-            .withColumn("date_trunc",
-              date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd")),
-          out)
-      }
+      val dir = stagedDailyEvents(s, d)
       Tables.tune(s).read.parquet(dir)
         .filter(dayofmonth(col("date_trunc")) <= 15)
         .groupBy(col("date_trunc").cast("date").as("dt"))
@@ -1502,6 +1509,61 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // Token-balanced sharded sink gate: documents packed into ~100k-char
+    // shards (contiguous in doc_id order, one parquet file per shard) and
+    // read back; per-shard membership is pinned by the same prefix-sum
+    // arithmetic as the q70 packing oracle.
+    "q106_sharded_export" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q106:$d") { out =>
+        graft.sources.Export.parquetShardedByTokens(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars")),
+          "n_chars", 100000L, out, col("doc_id"))
+      }
+      s.read.parquet(dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }),
+
+    // Versioned snapshot upsert gate: v1 = full corpus labeled 'old',
+    // then an upsert replaces every doc_id % 3 == 0 row with 'new'; the
+    // latest (_SUCCESS-gated) snapshot must show exactly the merged
+    // keyed state — the plain-parquet MERGE pattern of the daily flow.
+    "q107_snapshot_upsert" -> ((s, d) => {
+      val root = graft.sources.Staging.once(s"q107:$d") { out =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        graft.sources.DailyBatch.upsertSnapshot(s, out,
+          docs.withColumn("label", lit("old")), Seq("doc_id"))
+        graft.sources.DailyBatch.upsertSnapshot(s, out,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("label", lit("new")), Seq("doc_id"))
+        ()
+      }
+      s.read.parquet(
+        graft.sources.DailyBatch.latestSnapshot(s, root).get)
+        .groupBy("source", "label")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+    }),
+
+    // Per-day batch driver gate: forEachDay runs a per-user count over
+    // each date partition in isolation (partition-pruned reads, one
+    // output dir per day); the union of the per-day outputs must equal
+    // the single-job whole-history aggregate — the reference's
+    // operational day loop, result-identical to the Spark-first form.
+    "q108_daily_batch" -> ((s, d) => {
+      val src = stagedDailyEvents(s, d)
+      val out = graft.sources.Staging.once(s"q108:$d") { o =>
+        val errs = graft.sources.DailyBatch.forEachDay(s, src, o) {
+          (day, _) => day.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        }
+        require(errs.isEmpty, s"per-day failures: $errs")
+      }
+      s.read.parquet(out)
+        .groupBy(col("date_trunc").cast("date").as("dt"))
+        .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"))
     }),
 
     // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
@@ -2883,6 +2945,33 @@ object SparkEntry {
         |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
         |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
+
+    "q106_sharded_export" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_chars AS st
+        |  FROM documents)
+        |SELECT st // 100000 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q107_snapshot_upsert" ->
+      """SELECT source,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'new' ELSE 'old' END AS label,
+        |  count(*) AS n, min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q108_daily_batch" ->
+      """WITH base AS (
+        |  SELECT user_id, DATE '1970-01-01'
+        |      + CAST((epoch_us(ts) // 1000000) // 86400 AS INT) AS dt
+        |  FROM events)
+        |SELECT dt, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM base GROUP BY dt""".stripMargin,
 
     "q104_stream_window" ->
       """WITH e AS (
