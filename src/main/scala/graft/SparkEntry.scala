@@ -1228,11 +1228,15 @@ object SparkEntry {
             lit(0.0).as("longitude"), lit(sentinelTs).as("timestamp"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("__rank"), col("uid"), col("timestamp"))
-        val filed = pings
+        // persisted for the nFiles filtered writes (each would otherwise
+        // recompute the global rank window); CacheScope-tracked so the
+        // harness releases it after the query — the cache must not
+        // outlive the once-per-JVM staging it serves
+        val filed = graft.CacheScope.track(pings
           .withColumn("__rank", (col("timestamp") + jitter).cast("long"))
           .unionByName(sentinels.withColumn("__rank", lit(sentinelTs)))
           .withColumn("__file", ntile(nFiles).over(w) - 1)
-          .persist()
+          .persist())
         val data = (0 until nFiles).map(i =>
           filed.filter(col("__file") === i)
             .select("uid", "latitude", "longitude", "timestamp"))
