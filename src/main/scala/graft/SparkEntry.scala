@@ -1585,6 +1585,143 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .as("sum_cents"))
+    }),
+
+    // PageRank over the order-part co-occurrence graph (keys contracted
+    // mod 997 into a ~2k-node bipartite graph): 10 fixed power-method
+    // rounds, damping 0.85, one shuffle per round with lineage-truncated
+    // ranks (Graphs.pageRank). Oracle = the identical iteration unrolled
+    // as 10 chained CTEs in DuckDB; ranks rounded to 6 so IEEE
+    // summation-order drift (~1e-15 over the run) cannot flip the hash.
+    "q109_pagerank" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 997).as("src"),
+          (lit(1000L) + col("l_partkey") % 997).as("dst"))
+      graft.operators.Graphs.pageRank(e, "src", "dst", iterations = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
+    // Stream-stream watermarked interval join gate: the view stream
+    // enriched with same-user purchases from the preceding 6 hours —
+    // both sides real file streams with event-time watermarks, state
+    // bounded by the join's time-range condition
+    // (StreamSessions.intervalJoin). Inner join => matches emit when both
+    // sides have arrived, so the AvailableNow run equals the batch join
+    // bit-for-bit: the oracle is the plain range-bounded SQL join.
+    "q110_stream_join" -> ((s, d) => {
+      val base = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
+      val vDir = graft.streaming.StreamSessions.stageFrameAsDir(s"q110v:$d") {
+        base.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts")
+      }
+      val pDir = graft.streaming.StreamSessions.stageFrameAsDir(s"q110p:$d") {
+        base.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("pts"))
+      }
+      val v = graft.streaming.StreamSessions.readParquetStream(
+        s, vDir, s.read.parquet(vDir).schema)
+      val p = graft.streaming.StreamSessions.readParquetStream(
+        s, pDir, s.read.parquet(pDir).schema)
+      val joined = graft.streaming.StreamSessions.intervalJoin(
+        v, p, "user_id", "ts", "pts", "6 HOURS", "3650 days")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("purchase_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
+            .as("gap_s"))
+      graft.streaming.StreamSessions.runToCompletionAppend(joined,
+        "q110_stream_join")
+    }),
+
+    // Two-sided ASOF (linear interpolation): each view event gets the
+    // purchase-value signal linearly interpolated between the
+    // surrounding purchases of the same user — one union + one window
+    // pass (AsofJoin.interpolateLinear), no range join. The signal is
+    // pre-aggregated to one row per (user, ts) so the endpoints are
+    // well-defined; flat extrapolation outside the signal's span.
+    "q111_interpolate" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+      val views = base.filter(col("event_type") === "view")
+        .select("user_id", "event_id", "ts_us")
+      val sig = base.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us").agg(max("value").as("value"))
+      graft.operators.AsofJoin.interpolateLinear(
+        views, sig, Seq("user_id"), "ts_us", "value")
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("interp"))
+    }),
+
+    // Schema-evolution roundtrip: v1 written without o_orderpriority,
+    // v2 with it; a mergeSchema read unifies both (v1 rows surface the
+    // new column as null) and the aggregate must equal the UNION-ALL
+    // oracle — the "historical partitions predate the new column"
+    // contract every long-lived 100 TB dataset needs.
+    "q112_schema_evolution" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q112:$d") { out =>
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$out/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$out/v2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("sum_cents"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // Product-quantization ANN (Similarity.pqTopK): corpus stored as
+    // m=8 four-bit-ish codes (64x smaller than float32), queries scored
+    // by ADC table lookups. The deterministic hash-ordered codebook makes
+    // every stage SQL-reproducible, so the WHOLE pipeline — encoding
+    // argmin, lookup tables, final ranking — is oracle-checked, not just
+    // recall-certified.
+    "q113_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(queries, emb, 10)
+    }),
+
+    // Mergeable-sketch persistence: per-(event_type, day) Datasketches
+    // HLL sketches written to parquet, read back, union-merged to
+    // per-type distinct-user estimates (Frequency.hllSketchByBucket /
+    // hllMergeEstimate) — the incremental count-distinct artifact a
+    // 100 TB fact table needs (merge kilobyte sketches, never re-scan).
+    // Rows-only (sketch estimates are implementation-defined) but
+    // self-certifying: every row carries the exact distinct count and
+    // in_bounds = |approx - exact| within the lgK=12 error budget.
+    "q114_sketch_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          date_format(timestamp_seconds(expr("ts div 1000000000")),
+            "yyyy-MM-dd").as("day"))
+      val dir = graft.sources.Staging.once(s"q114:$d") { out =>
+        graft.operators.Frequency.hllSketchByBucket(
+          ev, Seq("event_type"), col("day"), col("user_id"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val est = graft.operators.Frequency.hllMergeEstimate(
+        s.read.parquet(dir), Seq("event_type"))
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "event_type")
+        .select(col("event_type"),
+          col("approx_distinct").cast("long").as("approx_distinct"),
+          col("exact_distinct"), col("n_rows"), col("n_sketches"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            greatest(lit(1.0), lit(0.05) * col("exact_distinct")))
+            .cast("long").as("in_bounds"))
     })
   )
 
@@ -1912,6 +2049,92 @@ object SparkEntry {
        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
+  /** q109 oracle: Graphs.pageRank's fixed-iteration power method unrolled
+    * as 10 chained MATERIALIZED CTEs (DuckDB inlines CTEs by default; the
+    * symmetric edge list and degree table are referenced every round).
+    * The damping constants are emitted as exact double literals so both
+    * engines evaluate the identical IEEE expression; the per-node
+    * contribution sums are the one place summation order differs, hence
+    * the round-6 on both sides.
+    */
+  private val sqlQ109PageRank: String = {
+    val iters = 10; val damping = 0.85
+    val baseLit = (1.0 - damping).toString
+    val prs = (1 to iters).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT g.id,
+         |    (SELECT CAST($baseLit AS DOUBLE) / n FROM nn)
+         |      + CAST($damping AS DOUBLE) * s.s AS rank
+         |  FROM deg g JOIN (
+         |    SELECT sym.dst AS id, sum(p.rank / dg.deg) AS s
+         |    FROM sym JOIN pr${i - 1} p ON sym.src = p.id
+         |    JOIN deg dg ON dg.id = p.id
+         |    GROUP BY sym.dst) s ON g.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 997 AS src,
+       |    1000 + l_partkey % 997 AS dst
+       |  FROM lineitem),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 WHERE src <> dst
+       |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+       |$prs
+       |SELECT id, round(rank, 6) AS rank FROM pr$iters""".stripMargin
+  }
+
+  /** q113 oracle: the full PQ/ADC pipeline in DuckDB — hash-ordered
+    * codebook (the q40 seeded-quantizer trick), per-subspace slices,
+    * round-6 argmin encoding with ties to the smallest code, lookup-table
+    * scoring, rank with ties to vec_id. Per-row sub-distances are
+    * bit-exact across engines (sequential fold both sides); only the
+    * 8-term ADC sum needs the round-6.
+    */
+  private val sqlQ113PqAnn: String = {
+    val m = 8; val sd = 8; val codes = 16; val k = 10
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    s"""WITH cbb AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) AS code,
+       |    embedding
+       |  FROM embeddings
+       |  QUALIFY code <= $codes),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |cb AS MATERIALIZED (
+       |  SELECT code, sub, embedding[sub*$sd+1 : sub*$sd+$sd] AS cvec
+       |  FROM cbb, subs),
+       |corp AS MATERIALIZED (
+       |  SELECT vec_id, sub, embedding[sub*$sd+1 : sub*$sd+$sd] AS svec
+       |  FROM embeddings, subs),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT c.vec_id, c.sub, b.code,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
+       |        ORDER BY round(${l2("c.svec", "b.cvec")}, 6) ASC,
+       |          b.code ASC) AS rn
+       |    FROM corp c JOIN cb b USING (sub))
+       |  WHERE rn = 1),
+       |qt AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.sub, b.code,
+       |    round(${l2("q.svec", "b.cvec")}, 6) AS qdist
+       |  FROM corp q JOIN cb b USING (sub)
+       |  WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT q.query_id, e.vec_id, round(sum(q.qdist), 6) AS adist
+       |  FROM enc e JOIN qt q ON q.sub = e.sub AND q.code = e.code
+       |  GROUP BY q.query_id, e.vec_id)
+       |SELECT query_id, vec_id, adist, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM adc)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** q31/q67 oracles: the synthetic-image pixel model of
@@ -3090,6 +3313,77 @@ object SparkEntry {
     "q84_grid_pois" -> sqlQ84GridPois,
 
     "q86_asof_tolerance" -> sqlQ86AsofTolerance,
+
+    "q109_pagerank" -> sqlQ109PageRank,
+
+    "q110_stream_join" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events),
+        |v AS (SELECT user_id, event_id, ts_s FROM base
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_s AS pts_s
+        |      FROM base WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_id, p.purchase_id,
+        |  v.ts_s - p.pts_s AS gap_s
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.pts_s BETWEEN v.ts_s - 21600 AND v.ts_s""".stripMargin,
+
+    "q111_interpolate" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    value
+        |  FROM events),
+        |v AS (SELECT user_id, event_id, ts_us FROM base
+        |      WHERE event_type = 'view'),
+        |sig AS (SELECT user_id, ts_us, max(value) AS value FROM base
+        |        WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+        |u AS (
+        |  SELECT user_id, event_id, ts_us, 1 AS side,
+        |    CAST(NULL AS DOUBLE) AS rv
+        |  FROM v
+        |  UNION ALL SELECT user_id, NULL, ts_us, 0, value FROM sig),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us, side,
+        |    last_value(CASE WHEN side = 0 THEN CAST(ts_us AS DOUBLE) END
+        |      IGNORE NULLS) OVER w_prev AS pts,
+        |    last_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
+        |      OVER w_prev AS pv,
+        |    first_value(CASE WHEN side = 0 THEN CAST(ts_us AS DOUBLE) END
+        |      IGNORE NULLS) OVER w_next AS nts,
+        |    first_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
+        |      OVER w_next AS nv
+        |  FROM u
+        |  WINDOW
+        |    w_prev AS (PARTITION BY user_id ORDER BY ts_us ASC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY user_id ORDER BY ts_us ASC, side ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN pts IS NOT NULL AND nts IS NOT NULL
+        |      THEN pv + (nv - pv) * (CAST(ts_us AS DOUBLE) - pts)
+        |        / (nts - pts)
+        |    WHEN pts IS NOT NULL THEN pv
+        |    WHEN nts IS NOT NULL THEN nv END, 6) AS interp
+        |FROM f WHERE side = 1""".stripMargin,
+
+    "q112_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, 'UNKNOWN') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM merged GROUP BY 1""".stripMargin,
+
+    "q113_pq_ann" -> sqlQ113PqAnn,
 
     "q88_group_quantiles" ->
       """SELECT doc_id, source,

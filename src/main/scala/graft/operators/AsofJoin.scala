@@ -69,4 +69,65 @@ object AsofJoin {
     out.filter(col("__side") === 1)
       .select((leftCols ++ valueCols).map(col): _*)
   }
+
+  /** Time-weighted linear interpolation — the two-sided ASOF: each left
+    * row gets the right-side value linearly interpolated between the
+    * latest right row at-or-before its timestamp and the earliest right
+    * row strictly after it (sensor/market-data resampling). Outside the
+    * right side's span the nearest endpoint's value is held flat; keys
+    * with no right rows at all interpolate to null.
+    *
+    * Same single-exchange shape as [[lastValue]]: tag both sides, union,
+    * ONE window pass over (key, ts) computing both the forward fill
+    * (last right row at-or-before) and the backward fill (first right row
+    * after), then one projection does the arithmetic. No range join, no
+    * per-key materialization. At equal timestamps the right row sorts
+    * first, so an exactly-simultaneous sample is the "before" endpoint
+    * and the interpolation returns its value exactly.
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate
+    * duplicates (e.g. max per second) or the fill picks an unspecified
+    * one of the tied rows.
+    *
+    * @param valueCol right-side numeric column to interpolate; emitted
+    *                 under the same name on the left rows
+    */
+  def interpolateLinear(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String], tsCol: String,
+                        valueCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .withColumn("__side", lit(0))
+      .withColumn("__rv", col(valueCol).cast("double"))
+      .select(keyCols.map(col) ++
+        Seq(col(tsCol), col("__side"), col("__rv")): _*)
+    val unioned = l.drop(valueCol)
+      .unionByName(r, allowMissingColumns = true)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // ts and value are carried as ONE struct per direction so both fields
+    // always come from the same right row (the lastValue null-payload
+    // lesson); right rows at the left row's exact ts land in `before`
+    // only (side 0 sorts first), so p.ts <= ts < n.ts and the
+    // denominator below is never zero.
+    val pay = struct(col(tsCol).cast("double").as("__rts"),
+      col("__rv").as("__v"))
+    val filled = unioned
+      .withColumn("__p",
+        last(when(col("__side") === 0, pay), ignoreNulls = true).over(before))
+      .withColumn("__n",
+        first(when(col("__side") === 0, pay), ignoreNulls = true).over(after))
+    filled.filter(col("__side") === 1)
+      .withColumn(valueCol,
+        when(col("__p").isNotNull && col("__n").isNotNull,
+          col("__p.__v") + (col("__n.__v") - col("__p.__v")) *
+            (col(tsCol).cast("double") - col("__p.__rts")) /
+            (col("__n.__rts") - col("__p.__rts")))
+          .when(col("__p").isNotNull, col("__p.__v"))
+          .when(col("__n").isNotNull, col("__n.__v")))
+      .select((leftCols.filterNot(_ == valueCol) :+ valueCol).map(col): _*)
+  }
 }

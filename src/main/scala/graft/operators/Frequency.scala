@@ -111,4 +111,36 @@ object Frequency {
       }
       .toSeq.toDF("value", "n_exact", "n_est", "in_bounds")
   }
+
+  /** Per-(group, bucket) Datasketches-HLL sketch BYTES — the mergeable
+    * count-distinct artifact. Unlike `approx_count_distinct` (whose HLL
+    * state dies with the query), these rows persist to parquet and
+    * re-aggregate: the 100 TB pattern is one sketch row per
+    * (dimension, day-partition), so "distinct users over any date range /
+    * dimension rollup" is answered by merging kilobyte sketches instead
+    * of re-scanning the fact table. Binary layout is Apache Datasketches
+    * (Spark's hll_sketch_agg), stable across Spark versions and readable
+    * by the Datasketches libs in other engines.
+    */
+  def hllSketchByBucket(df: DataFrame, groupCols: Seq[String],
+                        bucketCol: Column, valueCol: Column,
+                        lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col) :+ bucketCol.as("bucket"): _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge persisted per-bucket sketches to per-group distinct estimates
+    * (hll_union_agg + hll_sketch_estimate): one partial-agg shuffle over
+    * sketch rows — the fact table is never touched. `allowDifferentLgK`
+    * is on so sketches built at different precisions (schema evolution
+    * across historical partitions) still union.
+    */
+  def hllMergeEstimate(sketches: DataFrame, groupCols: Seq[String])
+  : DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_sketch_estimate(
+          hll_union_agg(col("sketch"), lit(true))).as("approx_distinct"),
+        sum("n_rows").as("n_rows"),
+        count(lit(1)).as("n_sketches"))
 }

@@ -251,6 +251,94 @@ object Similarity {
     * near-duplicate mining inside a mega-cluster is exact-dedup/minhash
     * territory, not ANN's.
     */
+  /** Product-quantization (PQ) ANN with asymmetric distance computation
+    * (ADC) — the memory-bound scale path past int8: each corpus vector is
+    * stored as `m` sub-space code ids (m·log2(codes) bits, e.g. 4 bytes
+    * for m=8/codes=16 vs 256 bytes of float32 at dim 64 — a 64x
+    * compression), and query-time scoring is a table lookup per subspace
+    * instead of float math over the full vector (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Deterministic, engine-portable quantizer in the spirit of
+    * [[ivfTopKSeeded]]: the per-subspace codebook is the sub-vectors of
+    * the `codes` corpus rows with the smallest md5(vec_id) (hash-ordered
+    * sample, no Lloyd refinement), so every stage — encoding argmin, ADC
+    * tables, final ranking — is reproducible from plain SQL and the q113
+    * gate oracles the whole pipeline instead of trusting a trained
+    * artifact. Sub-distances are exact (sequential fold per row); they are
+    * rounded to 6 decimals before the argmin / ranking with ties to the
+    * smallest code / vec_id, so every discrete decision is stable
+    * cross-engine.
+    *
+    * Scale shape: the codebook is m·codes rows collected once and
+    * broadcast; encoding is ONE corpus scan + broadcast join (the 100 TB
+    * pattern is to persist the code table as the index and re-encode only
+    * new rows); ADC is a broadcast of the per-query lookup tables
+    * (queries × m × codes rows) joined to the code table on (sub, code),
+    * then one partial-agg sum per (query, vec) — the only shuffle. Exact
+    * distances never touch the corpus at query time.
+    *
+    * Returns (query_id, vec_id, adist, rank): adist = approximate squared
+    * L2 distance (sum of per-subspace quantized distances), rank 1..k
+    * ascending.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, subDim: Int = 8, codes: Int = 16): DataFrame = {
+    // exact squared L2 between two equal-length slices: widen-then-fold,
+    // sequential like the cosine family, so per-row values are bit-equal
+    // across engines
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val subs = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("svec"))
+    }
+    // codebook: hash-ordered corpus sample, sliced per subspace
+    val cb = broadcast(
+      corpus
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(codes)
+        .select(row_number().over(
+            Window.orderBy(md5(col("vec_id").cast("string")),
+              col("vec_id"))).cast("long").as("code"),
+          explode(array(subs: _*)).as("sc"))
+        .select(col("code"), col("sc.sub").as("sub"),
+          col("sc.svec").as("cvec")))
+    // encode: argmin code per (vec, sub) — one corpus scan, broadcast join
+    val wEnc = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("cdist").asc, col("code").asc)
+    val enc = corpus
+      .select(col("vec_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
+      .join(cb, "sub")
+      .withColumn("cdist", round(l2sq(col("svec"), col("cvec")), 6))
+      .withColumn("erank", row_number().over(wEnc))
+      .filter(col("erank") === 1)
+      .select("vec_id", "sub", "code")
+    // per-query ADC lookup tables: distance from each query sub-vector to
+    // every codebook entry (queries x m x codes rows, broadcast)
+    val qTab = broadcast(
+      queries
+        .select(col("query_id"), explode(array(subs: _*)).as("sc"))
+        .select(col("query_id"), col("sc.sub").as("sub"),
+          col("sc.svec").as("qvec"))
+        .join(cb, "sub")
+        .withColumn("qdist", round(l2sq(col("qvec"), col("cvec")), 6))
+        .select("query_id", "sub", "code", "qdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    enc.join(qTab, Seq("sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum("qdist"), 6).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adist", "rank")
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8, seed: Long = 42L,
               probeRadius: Int = 1,

@@ -169,6 +169,43 @@ object StreamSessions {
                   watermark: String): DataFrame =
     dedupStream(docs, Seq(keyCol), watermark)
 
+  /** Stream-stream inner equi-join with an event-time range bound: each
+    * left row matches right rows for the same key whose timestamp falls
+    * in [left.ts - lookback, left.ts] — "enrich every view with the
+    * purchases of the preceding hour", both sides unbounded streams.
+    *
+    * This is the one streaming primitive whose STATE story differs from
+    * its batch twin: both inputs buffer in the state store, and it is the
+    * watermark + the time-range predicate together that let Spark evict a
+    * buffered row once no future match can reach it (left rows age out
+    * `lookback` past the watermark, right rows as soon as the watermark
+    * passes them). Without the range bound the state is unbounded — which
+    * is why this wrapper REQUIRES it rather than exposing a plain
+    * stream-stream equi-join.
+    *
+    * Inner join, so matches emit as soon as both sides arrive (the
+    * watermark gates only eviction, not emission): over a finite
+    * AvailableNow run the append output equals the batch join exactly —
+    * the q110 gate's contract.
+    *
+    * Both inputs must carry TimestampType event-time columns named
+    * `tsCol` (left) and `rtsCol` (right); the two names must differ
+    * (Spark requires unambiguous columns in the join condition).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, rtsCol: String, lookback: String,
+                   watermark: String): DataFrame = {
+    val rKey = s"__r_$keyCol"
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.withColumnRenamed(keyCol, rKey)
+      .withWatermark(rtsCol, watermark)
+    l.join(r,
+      col(keyCol) === col(rKey) &&
+        col(rtsCol) >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(rtsCol) <= col(tsCol))
+      .drop(rKey)
+  }
+
   /** Run a streaming frame to completion over existing files into an
     * in-memory table (AvailableNow = the reference's batch day-loop).
     */

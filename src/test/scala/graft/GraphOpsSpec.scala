@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import graft.operators.{Frequency, Graphs, RangeJoin}
 import org.apache.spark.sql.functions._
 
@@ -346,6 +348,90 @@ class FrequencySpec extends SparkSpec {
     val again = Frequency.cmsTopK(df, col("v"), 10, eps = eps)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === again.toSeq)
+  }
+
+  test("hll sketches: per-bucket build + union merge recovers the exact " +
+    "distinct (sparse mode), across a parquet roundtrip") {
+    // 300 distinct users spread over 4 day-buckets WITH overlap (user u
+    // appears in buckets u%4 and (u+1)%4): a per-bucket sum would
+    // double-count; only a true HLL union dedups across buckets. At this
+    // cardinality lgK=12 runs in exact (sparse) mode, so the merged
+    // estimate must EQUAL the exact distinct.
+    val rows = (0 until 300).flatMap { u =>
+      Seq(("a", u % 4, u.toLong), ("a", (u + 1) % 4, u.toLong))
+    } ++ (0 until 40).map { u => ("b", u % 4, u.toLong) }
+    val df = rows.toDF("grp", "bucket", "user")
+    val sk = Frequency.hllSketchByBucket(df, Seq("grp"), col("bucket"),
+      col("user"))
+    val dir = Files.createTempDirectory("graft_hll").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val got = Frequency.hllMergeEstimate(spark.read.parquet(dir), Seq("grp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(("a", 300L, 600L, 4L), ("b", 40L, 40L, 4L)))
+  }
+}
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withDistributedPR[T](body: => T): T = {
+    spark.conf.set("spark.graft.pageRankSmallGraphEdges", "0")
+    try body finally spark.conf.unset("spark.graft.pageRankSmallGraphEdges")
+  }
+
+  private def ranksOf(edges: org.apache.spark.sql.DataFrame) =
+    Graphs.pageRank(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+
+  test("driver fast path equals the distributed loop at round-6") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)(
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val fast = ranksOf(edges)
+    val loop = withDistributedPR(ranksOf(edges))
+    assert(fast === loop)
+    spark.catalog.clearCache()
+  }
+
+  test("star graph: hub dominates, ranks sum to 1, near the fixed point") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, "src", "dst", iterations = 60).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(0L) > r(1L))
+    // closed-form fixed point: hub = base(1+3d)/(1-d^2) with d=0.85,
+    // base=0.0375; the star alternates hub<->leaves so the residual
+    // decays as d^iters (~6e-5 at 60 rounds)
+    assert(math.abs(r(0L) - 0.0375 * (1 + 3 * 0.85) / (1 - 0.85 * 0.85))
+      < 1e-3)
+    assert(math.abs(r(1L) - r(2L)) < 1e-12 &&
+      math.abs(r(2L) - r(3L)) < 1e-12)
+  }
+
+  test("symmetric components: every node of two disjoint edges gets 1/4") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, "src", "dst").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size === 4)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+  }
+
+  test("deterministic: repeated runs produce identical bits") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(200)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = Graphs.pageRank(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = Graphs.pageRank(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a === b)
   }
 }
 

@@ -135,4 +135,36 @@ class StreamGateRunnerSpec extends SparkSpec {
     // a directory input passes through untouched
     assert(StreamSessions.stageFileAsDir(dir) === dir)
   }
+
+  test("intervalJoin: stream-stream range join equals the batch join") {
+    // left u: events at 0/200/400; right u: 150/390/400/410.
+    // lookback 100 s => 200 matches 150; 400 matches 390 AND the
+    // exactly-simultaneous 400; 410 is in the future, 0 matches nothing;
+    // user w has no right rows at all.
+    val lDir = StreamSessions.stageFrameAsDir("spec-ij-left") {
+      Seq(("u", 1L, 0L), ("u", 2L, 200L), ("u", 3L, 400L),
+        ("w", 4L, 200L))
+        .toDF("user_id", "lid", "tsec")
+        .select(col("user_id"), col("lid"),
+          timestamp_seconds(col("tsec")).as("ts"))
+    }
+    val rDir = StreamSessions.stageFrameAsDir("spec-ij-right") {
+      Seq(("u", 10L, 150L), ("u", 11L, 390L), ("u", 12L, 400L),
+        ("u", 13L, 410L))
+        .toDF("user_id", "rid", "rsec")
+        .select(col("user_id"), col("rid"),
+          timestamp_seconds(col("rsec")).as("rts"))
+    }
+    val l = StreamSessions.readParquetStream(spark, lDir,
+      spark.read.parquet(lDir).schema)
+    val r = StreamSessions.readParquetStream(spark, rDir,
+      spark.read.parquet(rDir).schema)
+    val got = StreamSessions.runToCompletionAppend(
+      StreamSessions.intervalJoin(l, r, "user_id", "ts", "rts",
+        "100 SECONDS", "1 hour")
+        .select("lid", "rid"),
+      "spec_ij")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((2L, 10L), (3L, 11L), (3L, 12L)))
+  }
 }
