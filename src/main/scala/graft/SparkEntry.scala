@@ -1722,6 +1722,86 @@ object SparkEntry {
           (abs(col("approx_distinct") - col("exact_distinct")) <=
             greatest(lit(1.0), lit(0.05) * col("exact_distinct")))
             .cast("long").as("in_bounds"))
+    }),
+
+    // Semi-structured ingest: events.props is a JSON string column;
+    // from_json with an EXPLICIT schema (inference is a second scan and
+    // a non-contract at 100 TB) extracts k, then per-type stats. The
+    // json path stays a per-row codegen'd expression — no UDF.
+    "q115_json_extract" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          countDistinct(col("k")).as("n_k"))
+    }),
+
+    // Unpivot (wide -> long, the inverse of R4's pivot): four lineitem
+    // measures stacked into (measure, val) rows, then per
+    // (returnflag, measure) aggregates. Spark's unpivot is a zero-shuffle
+    // per-row expansion (a Generate, not a join); exact integer cents.
+    "q116_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("val") * 100, 0).cast("long")).as("sum_cents"))),
+
+    // Time-series resampling: every user sampled on a fixed 6-hour grid
+    // over the fixture month, value = the purchase signal linearly
+    // interpolated at each grid instant — sequence() explode for the
+    // grid (zero shuffle) composed with AsofJoin.interpolateLinear (one
+    // exchange). The regular-grid feature matrix a downstream model
+    // trains on.
+    "q117_resample" -> ((s, d) => {
+      val start = 1704067200L            // 2024-01-01 00:00:00 UTC
+      val end = start + 30L * 86400L
+      val grid = Tables.events(s, d).select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(start), lit(end), lit(21600L))).as("ts_s"))
+      val sig = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"),
+          col("value"))
+        .groupBy("user_id", "ts_s").agg(max("value").as("value"))
+      graft.operators.AsofJoin.interpolateLinear(
+        grid, sig, Seq("user_id"), "ts_s", "value")
+        .select(col("user_id"), col("ts_s"),
+          round(col("value"), 6).as("interp"))
+    }),
+
+    // Small-file compaction gate: events deliberately shattered into 40
+    // files, compacted to byte-sized-target balanced files
+    // (Export.compactParquet), read back and aggregated against the
+    // SOURCE table's oracle — content-exact through the rewrite, file
+    // count collapsed (asserted in SourcesSpec; the oracle pins content).
+    "q118_compact" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q118:$d") { out =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(40)
+          .write.mode("overwrite").parquet(s"$out/small")
+        graft.sources.Export.compactParquet(s, s"$out/small",
+          s"$out/compact", targetBytes = 1L << 20): Unit
+      }
+      s.read.parquet(s"$dir/compact")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("event_id").as("min_ev"), max("event_id").as("max_ev"))
     })
   )
 
@@ -3384,6 +3464,78 @@ object SparkEntry {
         |FROM merged GROUP BY 1""".stripMargin,
 
     "q113_pq_ann" -> sqlQ113PqAnn,
+
+    "q115_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS n_k
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "q116_unpivot" ->
+      """WITH longf AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice',
+        |    l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+        |  FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  CAST(sum(CAST(round(val * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM longf GROUP BY 1, 2""".stripMargin,
+
+    "q117_resample" ->
+      """WITH grid AS (
+        |  SELECT u.user_id, g.ts_s
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |    unnest(generate_series(1704067200,
+        |      1704067200 + 30 * 86400, 21600)) AS g(ts_s)),
+        |sig AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+        |    max(value) AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts) // 1000000),
+        |u AS (
+        |  SELECT user_id, ts_s, 1 AS side, CAST(NULL AS DOUBLE) AS rv
+        |  FROM grid
+        |  UNION ALL SELECT user_id, ts_s, 0, value FROM sig),
+        |f AS (
+        |  SELECT user_id, ts_s, side,
+        |    last_value(CASE WHEN side = 0 THEN CAST(ts_s AS DOUBLE) END
+        |      IGNORE NULLS) OVER w_prev AS pts,
+        |    last_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
+        |      OVER w_prev AS pv,
+        |    first_value(CASE WHEN side = 0 THEN CAST(ts_s AS DOUBLE) END
+        |      IGNORE NULLS) OVER w_next AS nts,
+        |    first_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
+        |      OVER w_next AS nv
+        |  FROM u
+        |  WINDOW
+        |    w_prev AS (PARTITION BY user_id ORDER BY ts_s ASC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY user_id ORDER BY ts_s ASC, side ASC
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, ts_s,
+        |  round(CASE WHEN pts IS NOT NULL AND nts IS NOT NULL
+        |      THEN pv + (nv - pv) * (CAST(ts_s AS DOUBLE) - pts)
+        |        / (nts - pts)
+        |    WHEN pts IS NOT NULL THEN pv
+        |    WHEN nts IS NOT NULL THEN nv END, 6) AS interp
+        |FROM f WHERE side = 1""".stripMargin,
+
+    "q118_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q88_group_quantiles" ->
       """SELECT doc_id, source,

@@ -69,6 +69,47 @@ object Export {
     * `budgetTokens` gets its own shard(s) boundary like any straddler —
     * the shard where its first token lands.
     */
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) balanced files. THE background maintenance
+    * op of any long-lived ingest: streaming sinks and per-day jobs leave
+    * thousands of KB-sized files per partition, and at 100 TB the
+    * resulting open/seek overhead (plus NameNode/object-store listing
+    * pressure) dominates scan time long before data volume does.
+    *
+    * File count is sized from the SOURCE's on-disk bytes (compression
+    * carries over approximately between parquet rewrites — close enough
+    * for sizing). `repartition(n)` (round-robin, one shuffle) rather than
+    * `coalesce(n)`: coalesce merges whole input partitions without
+    * moving rows, so a skewed source (one fat file + a thousand tiny
+    * ones) would re-emerge skewed; compaction is a maintenance job where
+    * output balance is the point and the shuffle IS the work.
+    *
+    * Returns the target file count. Content is preserved exactly (the
+    * q118 gate aggregates the compacted copy against the source's
+    * oracle); row ORDER is not a parquet-directory contract and is not
+    * preserved.
+    */
+  def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
+                     targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = {
+      // Hadoop FileSystem, not java.io: srcDir may be s3a://, hdfs://, …
+      val p = new org.apache.hadoop.fs.Path(srcDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      }
+      total
+    }
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir).repartition(n)
+      .write.mode("overwrite").parquet(dstDir)
+    n
+  }
+
   def parquetShardedByTokens(docs: DataFrame, tokensCol: String,
                              budgetTokens: Long, path: String,
                              orderCols: org.apache.spark.sql.Column*)

@@ -432,4 +432,32 @@ class CsvRoundTripSpec extends SparkSpec {
     assert(raw.columns.head === "_c0")
     assert(raw.count() === 3) // header row becomes data in headerless mode
   }
+
+  test("compactParquet: many small files -> few balanced, content exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(25)
+      .write.mode("overwrite").parquet(s"$dir/small")
+    def parts(p: String) =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    assert(parts(s"$dir/small") === 25)
+    // huge target => everything fits one file
+    val n = Export.compactParquet(spark, s"$dir/small", s"$dir/one")
+    assert(n === 1 && parts(s"$dir/one") === 1)
+    // tiny target => sized from source bytes, several balanced files
+    val bytes = Option(new java.io.File(s"$dir/small").listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n2 = Export.compactParquet(spark, s"$dir/small", s"$dir/few",
+      targetBytes = bytes / 4 + 1)
+    assert(n2 === 4 && parts(s"$dir/few") === 4)
+    // content preserved exactly through both rewrites
+    val src = spark.read.parquet(s"$dir/small")
+      .as[(Long, String)].collect().toSet
+    assert(spark.read.parquet(s"$dir/one")
+      .as[(Long, String)].collect().toSet === src)
+    assert(spark.read.parquet(s"$dir/few")
+      .as[(Long, String)].collect().toSet === src)
+  }
 }
