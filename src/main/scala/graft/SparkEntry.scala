@@ -1802,6 +1802,19 @@ object SparkEntry {
           sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
           countDistinct(col("user_id")).as("n_users"),
           min("event_id").as("min_ev"), max("event_id").as("max_ev"))
+    }),
+
+    // IVF-PQ ANN (Similarity.ivfPqTopK): the FAISS-style 100 TB layout —
+    // the coarse quantizer prunes the SCAN (nprobe of nlist cells), the
+    // product codes shrink the scanned BYTES (~64x); the whole index is
+    // (cell, 8 codes) per vector and exact floats never appear at query
+    // time. Both quantizers are deterministic hash-ordered samples, so
+    // the oracle re-derives index build AND query path end to end.
+    "q119_ivfpq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopK(queries, emb, 10)
     })
   )
 
@@ -2210,6 +2223,83 @@ object SparkEntry {
        |adc AS (
        |  SELECT q.query_id, e.vec_id, round(sum(q.qdist), 6) AS adist
        |  FROM enc e JOIN qt q ON q.sub = e.sub AND q.code = e.code
+       |  GROUP BY q.query_id, e.vec_id)
+       |SELECT query_id, vec_id, adist, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM adc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q119 oracle: the IVF-PQ index build + query path in DuckDB — q40's
+    * seeded coarse quantizer (cells, round-6 cosine assignment, ties to
+    * the smallest cell) composed with q113's PQ machinery (codebook,
+    * round-6 L2 argmin encoding, ADC tables), pruned to each query's
+    * nprobe cells.
+    */
+  private val sqlQ119IvfPq: String = {
+    val nlist = 16; val nprobe = 4; val m = 8; val sd = 8
+    val codes = 16; val k = 10
+    def l2(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+    def cos(a: String, b: String) =
+      s"""round(list_sum(list_transform(list_zip($a, $b),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform($a,
+         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b,
+         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6)""".stripMargin
+    val sl = s"e.embedding[s.sub*$sd+1 : s.sub*$sd+$sd]"
+    val sla = s"a.embedding[s.sub*$sd+1 : s.sub*$sd+$sd]"
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) AS cell,
+       |    embedding AS centroid
+       |  FROM embeddings QUALIFY cell <= $nlist),
+       |cbb AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) AS code,
+       |    embedding
+       |  FROM embeddings QUALIFY code <= $codes),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |cb AS MATERIALIZED (
+       |  SELECT code, sub, embedding[sub*$sd+1 : sub*$sd+$sd] AS cvec
+       |  FROM cbb, subs),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
+       |          c.cell ASC) AS arank
+       |    FROM embeddings e, cents c)
+       |  WHERE arank = 1),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, cell, sub, code FROM (
+       |    SELECT a.vec_id, a.cell, s.sub, b.code,
+       |      row_number() OVER (PARTITION BY a.vec_id, s.sub
+       |        ORDER BY round(${l2(sla, "b.cvec")}, 6) ASC,
+       |          b.code ASC) AS rn
+       |    FROM assigned a, subs s JOIN cb b ON b.sub = s.sub)
+       |  WHERE rn = 1),
+       |qcells AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
+       |          c.cell ASC) AS crank
+       |    FROM embeddings e, cents c WHERE e.vec_id < 5)
+       |  WHERE crank <= $nprobe),
+       |qt AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, s.sub, b.code,
+       |    round(${l2(sl, "b.cvec")}, 6) AS qdist
+       |  FROM embeddings e, subs s JOIN cb b ON b.sub = s.sub
+       |  WHERE e.vec_id < 5),
+       |adc AS (
+       |  SELECT q.query_id, e.vec_id, round(sum(t.qdist), 6) AS adist
+       |  FROM enc e JOIN qcells q ON q.cell = e.cell
+       |  JOIN qt t ON t.query_id = q.query_id AND t.sub = e.sub
+       |    AND t.code = e.code
        |  GROUP BY q.query_id, e.vec_id)
        |SELECT query_id, vec_id, adist, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -3464,6 +3554,8 @@ object SparkEntry {
         |FROM merged GROUP BY 1""".stripMargin,
 
     "q113_pq_ann" -> sqlQ113PqAnn,
+
+    "q119_ivfpq_ann" -> sqlQ119IvfPq,
 
     "q115_json_extract" ->
       """WITH e AS (

@@ -339,6 +339,106 @@ object Similarity {
       .select("query_id", "vec_id", "adist", "rank")
   }
 
+  /** IVF-PQ: the FAISS-style composition of [[ivfTopKSeeded]]'s coarse
+    * quantizer (which prunes the SCAN to nprobe of nlist cells) with
+    * [[pqTopK]]'s product codes (which shrink the scanned BYTES ~64x) —
+    * the canonical 100 TB vector-search layout: the whole index is
+    * (cell, m codes) per vector, queries touch nprobe cells' code lists
+    * via ADC lookups, and exact floats appear nowhere at query time.
+    *
+    * Both quantizers are the deterministic hash-ordered samples of their
+    * parents, so the ENTIRE index build + query path is SQL-reproducible
+    * and the q119 gate oracles it end to end. Same discrete-decision
+    * discipline: round-6 scores, ties to the smallest cell / code /
+    * vec_id.
+    *
+    * Scale shape: one corpus scan assigns cells (broadcast centroids) and
+    * one encodes codes (broadcast codebook) — in production both persist
+    * as THE index; the query side is broadcast lookup tables joined to
+    * the probed cells' code lists (hash equi-join on cell, then
+    * (sub, code)), one partial-agg sum per (query, vec).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, subDim: Int = 8, codes: Int = 16): DataFrame = {
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val subs = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("svec"))
+    }
+    val hashOrd = Window.orderBy(md5(col("vec_id").cast("string")),
+      col("vec_id"))
+    // coarse quantizer: nlist hash-ordered corpus vectors (q40's trick)
+    val cents = broadcast(
+      corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nlist)
+        .select(row_number().over(hashOrd).cast("long").as("cell"),
+          col("embedding").as("centroid")))
+    // PQ codebook: codes hash-ordered corpus vectors, sliced per subspace
+    val cb = broadcast(
+      corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(codes)
+        .select(row_number().over(hashOrd).cast("long").as("code"),
+          explode(array(subs: _*)).as("sc"))
+        .select(col("code"), col("sc.sub").as("sub"),
+          col("sc.svec").as("cvec")))
+    // index build: cell assignment (argmax round-6 cosine, ties to the
+    // smallest cell) + per-subspace codes (argmin round-6 L2, ties to
+    // the smallest code) — one scan each, broadcast joins
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val assigned = corpus.crossJoin(cents)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("embedding"), col("centroid")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val wEnc = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("cdist").asc, col("code").asc)
+    val enc = assigned
+      .select(col("vec_id"), col("cell"), explode(array(subs: _*)).as("sc"))
+      .select(col("vec_id"), col("cell"), col("sc.sub").as("sub"),
+        col("sc.svec").as("svec"))
+      .join(cb, "sub")
+      .withColumn("cdist", round(l2sq(col("svec"), col("cvec")), 6))
+      .withColumn("erank", row_number().over(wEnc))
+      .filter(col("erank") === 1)
+      .select("vec_id", "cell", "sub", "code")
+    // query side: probe cells + ADC lookup tables, both broadcast
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val qCells = broadcast(
+      queries.select(col("query_id"), col("embedding").as("q_emb"))
+        .crossJoin(cents)
+        .withColumn("csim",
+          round(VectorFunctions.cosine(col("q_emb"), col("centroid")), 6))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= nprobe)
+        .select("query_id", "cell"))
+    val qTab = broadcast(
+      queries
+        .select(col("query_id"), explode(array(subs: _*)).as("sc"))
+        .select(col("query_id"), col("sc.sub").as("sub"),
+          col("sc.svec").as("qvec"))
+        .join(cb, "sub")
+        .withColumn("qdist", round(l2sq(col("qvec"), col("cvec")), 6))
+        .select("query_id", "sub", "code", "qdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    enc.join(qCells, "cell")
+      .join(qTab, Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum("qdist"), 6).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adist", "rank")
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8, seed: Long = 42L,
               probeRadius: Int = 1,

