@@ -1815,6 +1815,53 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfPqTopK(queries, emb, 10)
+    }),
+
+    // Winnowing fingerprints (Dedup.winnowFingerprints — the MOSS
+    // algorithm): per-doc count + order-free digest of the selected
+    // fingerprint set. The fp_key encoding (gram-md5 ++ padded reverse
+    // position) makes the robust-winnowing selection a plain window min,
+    // so the oracle re-runs the identical selection in DuckDB.
+    "q120_winnow" -> ((s, d) =>
+      graft.operators.Dedup
+        .winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 8, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          md5(concat_ws(",", array_sort(collect_list(col("fp_key"))))
+            .cast("binary")).as("fp_digest"))),
+
+    // Per-node triangle counts (Graphs.triangleCounts, degree-oriented
+    // wedge join) over the thinned co-purchase graph: parts sharing an
+    // order. The quantity filter keeps basket fan-out (and thus edge
+    // density) realistic; the oracle enumerates the same triangle set by
+    // plain id order — orientation only changes WHERE each triangle is
+    // counted, never the set.
+    "q121_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
+      graft.operators.Graphs.triangleCounts(pairs, "pa", "pb")
+    }),
+
+    // Multi-source BFS (Graphs.bfsDistances): min hop distance from the
+    // seed parts over the same co-purchase graph, capped at 4 hops. The
+    // oracle unrolls the four frontier expansions as chained CTEs and
+    // takes min(level) per node.
+    "q122_bfs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
+      val seeds = Tables.lineitem(s, d)
+        .filter(col("l_partkey") < 3).select("l_partkey")
+      graft.operators.Graphs.bfsDistances(pairs, "pa", "pb",
+        seeds, "l_partkey", maxHops = 4)
     })
   )
 
@@ -3556,6 +3603,82 @@ object SparkEntry {
     "q113_pq_ann" -> sqlQ113PqAnn,
 
     "q119_ivfpq_ann" -> sqlQ119IvfPq,
+
+    // The identical winnowing selection: same normalization, same gram
+    // hash, same fp_key encoding, same window min, same digest.
+    "q120_winnow" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(1, CAST(length(norm) - 8 + 2 AS BIGINT)))
+        |      AS BIGINT) AS p,
+        |    norm
+        |  FROM nrm WHERE length(norm) >= 11),
+        |keyed AS (
+        |  SELECT doc_id, p,
+        |    md5(substr(norm, CAST(p AS INT), 8))
+        |      || lpad(CAST(10000000 - p AS VARCHAR), 8, '0') AS key,
+        |    length(norm) - 8 + 1 AS n_grams
+        |  FROM grams),
+        |chosen AS (
+        |  SELECT DISTINCT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_key
+        |  FROM keyed QUALIFY p <= n_grams - 4 + 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  md5(string_agg(fp_key, ',' ORDER BY fp_key)) AS fp_digest
+        |FROM chosen GROUP BY doc_id""".stripMargin,
+
+    // Naive id-ordered triangle enumeration over the same co-purchase
+    // edge set: each triangle (a < b < c) found exactly once, so the
+    // per-node counts equal the degree-oriented form's.
+    "q121_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity <= 10),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY id""".stripMargin,
+
+    // Four frontier expansions unrolled as chained CTEs; min(level) per
+    // node = BFS distance (level k holds ALL nodes at distance exactly k,
+    // possibly plus closer ones — the min collapses them).
+    "q122_bfs" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity <= 10),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |s0 AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+        |       WHERE l_partkey < 3),
+        |s1 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s0 ON e.u = s0.id),
+        |s2 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s1 ON e.u = s1.id),
+        |s3 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s2 ON e.u = s2.id),
+        |s4 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s3 ON e.u = s3.id),
+        |lv AS (
+        |  SELECT id, 0 AS d FROM s0 UNION ALL SELECT id, 1 FROM s1
+        |  UNION ALL SELECT id, 2 FROM s2 UNION ALL SELECT id, 3 FROM s3
+        |  UNION ALL SELECT id, 4 FROM s4)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM lv GROUP BY id""".stripMargin,
 
     "q115_json_extract" ->
       """WITH e AS (

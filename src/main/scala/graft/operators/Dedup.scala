@@ -446,4 +446,60 @@ object Dedup {
       // drawn from the corpus; sim is identical so the dedup is safe
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    * normalized text, slide a window of w consecutive gram hashes, and
+    * keep each window's minimum (rightmost position on hash ties — the
+    * paper's robust-winnowing tie-break). The selected set has two
+    * properties exact/MinHash dedup lack: (a) any shared substring of
+    * length >= w + k - 1 is GUARANTEED to share a fingerprint (no
+    * probabilistic miss), and (b) expected density is 2/(w+1) of
+    * positions, independent of document length — a plagiarism /
+    * boilerplate detector with a hard recall floor.
+    *
+    * Returns one row per selected fingerprint: (doc_id, fp_key) where
+    * fp_key = gram-md5 ++ zero-padded (10^7 - position) — a single
+    * string whose lexicographic MIN is exactly "smallest hash, rightmost
+    * position", making the whole selection one window `min` pass that is
+    * portable to any SQL engine (the q120 oracle re-runs it in DuckDB
+    * verbatim). Docs whose normalized text has fewer than k + w - 1
+    * chars yield no complete window and are absent (the reference
+    * behavior for sub-gram docs in [[minhashSignatures]]).
+    *
+    * Scale shape: the gram explode is per-row local (no shuffle); the
+    * window min needs doc_id partitioning, so the plan pays ONE exchange
+    * of (doc_id, p, 40-char key) gram rows — order-sensitive selection
+    * has no partial-aggregate form — and the downstream distinct + any
+    * per-doc aggregate reuse that same partitioning (Catalyst elides
+    * their exchanges). State per doc is bounded by text length; docs are
+    * independent, so the pass scales linearly with corpus tokens.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be >= 1")
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), norm.as("norm"))
+      .withColumn("n_grams", (length(col("norm")) - k + 1).cast("long"))
+      .filter(col("n_grams") >= w)
+      .select(col("doc_id"), col("n_grams"),
+        explode(sequence(lit(1L), col("n_grams"))).as("p"),
+        col("norm"))
+      .select(col("doc_id"), col("n_grams"), col("p"),
+        concat(
+          md5(expr(s"substring(norm, CAST(p AS INT), $k)").cast("binary")),
+          lpad((lit(10000000L) - col("p")).cast("string"), 8, "0"))
+          .as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp_key", min("key").over(win))
+      // only complete windows select; the frame rows past the last start
+      // still participate as window MEMBERS above
+      .filter(col("p") <= col("n_grams") - w + 1)
+      .select("doc_id", "fp_key")
+      .distinct()
+  }
 }

@@ -496,4 +496,121 @@ object Graphs {
       .withColumn("component", col("id"))
     labeled.union(isolated)
   }
+
+  /** Per-node triangle counts over the undirected graph given by `edges`
+    * (each pair in either direction; self-loops and duplicates dropped).
+    * Returns (id, n_triangles) for every node in at least one triangle —
+    * the local clustering signal (community cores, link-spam boilerplate,
+    * co-purchase cliques).
+    *
+    * Algorithm: degree orientation (Chiba-Nishizeki / the MapReduce form
+    * in Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    * Last Reducer", WWW'11): orient every edge from the
+    * lower-(degree, id) endpoint to the higher, so each triangle has
+    * EXACTLY one node with two out-edges and is enumerated once — as a
+    * wedge at that node joined against the oriented edge closing it.
+    * Orientation caps out-degree at O(sqrt(m)), so the wedge fan-out is
+    * sum deg_out^2 <= m * sqrt(m) instead of the sum deg^2 blow-up a
+    * naive wedge join pays on skewed (power-law) graphs — the "last
+    * reducer" hub problem.
+    *
+    * Scale shape: degree agg (one shuffle), two broadcast-or-shuffle
+    * joins to attach (deg, id) order keys, the wedge self-join on the
+    * low endpoint (one shuffle of the oriented edge list), and the
+    * closing-edge equi-join — every join on plain long keys, no driver
+    * state, no iteration.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val und = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // total order: (deg, id) ascending — attach to both endpoints, then
+    // orient low -> high
+    val withOrd = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val oriented = withOrd.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("lo"), col("v").as("hi"),
+          col("du").as("dlo"), col("dv").as("dhi")))
+        .otherwise(
+          struct(col("v").as("lo"), col("u").as("hi"),
+            col("dv").as("dlo"), col("du").as("dhi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
+        col("e.dlo").as("dlo"), col("e.dhi").as("dhi"))
+    // wedges at the low node: pick the (b, c) pair ordered by the SAME
+    // (deg, id) total order, so the closing edge (b -> c) matches the
+    // oriented list directly
+    val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"),
+      col("dhi").as("db"))
+    val e2 = oriented.select(col("lo").as("a"), col("hi").as("c"),
+      col("dhi").as("dc"))
+    val wedges = e1.join(e2, "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+      .select("a", "b", "c")
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any node in `seeds` to
+    * every reachable node within `maxHops`, over the undirected graph
+    * given by `edges`. Returns (id, dist) — seeds at 0; nodes further
+    * than `maxHops` (or disconnected) are absent. The k-hop
+    * neighborhood / blast-radius primitive (expansion from a seed set of
+    * flagged docs, impact analysis over dependency edges).
+    *
+    * Frontier algorithm: visited starts as the seed set; each round the
+    * frontier's neighbors are anti-joined against visited, deduped, and
+    * become the next frontier at dist+1. Each round is one join + one
+    * anti-join + a distinct (two shuffles) over frontier-adjacent edges
+    * only; frames are lineage-truncated per round like every iterative
+    * operator here (class scaladoc), and the loop stops early on an
+    * empty frontier (the bounded `limit(1).count()` probe, not a full
+    * count). Frontier rows are (id) longs — state is O(V) spread across
+    * executors, never on the driver.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfsDistances: maxHops must be >= 0")
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val dedup = truncate(edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val sym = truncate(dedup
+      .union(dedup.select(col("v").as("u"), col("u").as("v"))))
+    val seed0 = truncate(
+      seeds.select(col(seedCol).cast("long").as("id")).distinct())
+    var visited = seed0.withColumn("dist", lit(0L))
+    var frontier = seed0
+    var hop = 1
+    while (hop <= maxHops && frontier.limit(1).count() > 0) {
+      val next = truncate(
+        sym.join(frontier.select(col("id").as("u")), "u")
+          .select(col("v").as("id"))
+          .distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti"))
+      visited = truncate(
+        visited.union(next.withColumn("dist", lit(hop.toLong))))
+      frontier = next
+      hop += 1
+    }
+    visited
+  }
 }

@@ -455,3 +455,88 @@ class ClusterDiameterSpec extends SparkSpec {
       ("u", 0L, 2L, 1L), ("u", 1L, 2L, 0L), ("v", 0L, 1L, 0L)))
   }
 }
+
+class TriangleCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def counts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: four triangles, every node in three") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(counts(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangle-free graphs yield no rows") {
+    // path and star: no triangles at all
+    assert(counts(Seq((0L, 1L), (1L, 2L), (2L, 3L))) === Map.empty)
+    assert(counts(Seq((9L, 1L), (9L, 2L), (9L, 3L))) === Map.empty)
+  }
+
+  test("star plus one leaf-leaf edge closes exactly one triangle") {
+    // hub 9 with leaves 1..4; edge (1,2) closes (9,1,2) only — counts
+    // at the hub and the two closing leaves, not the other leaves
+    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (1L, 2L))
+    assert(counts(e) === Map(9L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("duplicate, reversed, and self-loop edges do not change counts") {
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val noisy = tri ++ Seq((1L, 0L), (2L, 1L), (0L, 0L), (0L, 1L))
+    assert(counts(noisy) === counts(tri))
+    assert(counts(tri) === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("matches naive enumeration on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60 + trial * 30)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val und = edges.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a != b }.distinct.toSet
+      val naive = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        (a, b) <- und; c <- 0L until 20L
+        if b < c && und((a, c)) && und((b, c))
+      } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+      assert(counts(edges) === naive.toMap)
+    }
+  }
+}
+
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dists(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                    maxHops: Int): Map[Long, Long] =
+    Graphs.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("id"), "id", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph: hop cap truncates the reach") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(dists(path, Seq(0L), 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(dists(path, Seq(0L), 0) === Map(0L -> 0L))
+  }
+
+  test("multi-source: distance is the min over seeds") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(dists(path, Seq(0L, 5L), 4) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("disconnected nodes are absent; isolated seeds report 0") {
+    // component {0,1} seeded, component {5,6} not, seed 9 isolated
+    val e = Seq((0L, 1L), (5L, 6L))
+    assert(dists(e, Seq(0L, 9L), 2) === Map(0L -> 0L, 1L -> 1L, 9L -> 0L))
+  }
+
+  test("cycle: BFS takes the short way around") {
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    assert(dists(cyc, Seq(0L), 4) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+}

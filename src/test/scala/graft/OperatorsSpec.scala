@@ -327,6 +327,53 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("anchor side"))
   }
+
+  private def winnowSets(in: Seq[(Long, String)], k: Int, w: Int)
+  : Map[Long, Set[String]] =
+    Dedup.winnowFingerprints(in.toDF("id", "text"), "id", "text", k, w)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+
+  test("winnowing: identical docs select identical fingerprint sets") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val got = winnowSets(Seq((1L, t), (2L, t)), 8, 4)
+    assert(got(1L) === got(2L) && got(1L).nonEmpty)
+  }
+
+  test("winnowing guarantee: shared substring >= w+k-1 chars shares a " +
+    "fingerprint HASH; density stays near 2/(w+1)") {
+    // the shared run normalizes to 16 chars >= 8+4-1 = 11 -> the paper's
+    // guarantee: at least one common (hash, not position) fingerprint
+    val shared = "zebra quilt jumble"
+    val a = s"first document header $shared tail words one"
+    val b = s"unrelated prefix text goes here $shared other ending"
+    val got = winnowSets(Seq((1L, a), (2L, b)), 8, 4)
+    val hashes = got.view.mapValues(_.map(_.take(32))).toMap
+    assert((hashes(1L) & hashes(2L)).nonEmpty)
+    // density: selected / positions within [1/(w+1), 3/(w+1)] loosely
+    val nGrams = a.toLowerCase.replaceAll("[^a-z0-9]", "").length - 8 + 1
+    assert(got(1L).size >= nGrams / 5 && got(1L).size <= nGrams)
+  }
+
+  test("winnowing: sub-window docs yield no fingerprints; ties go to " +
+    "the rightmost position") {
+    // "aaaa...": every gram identical -> every window min is the
+    // RIGHTMOST key of the window (reverse-position padding), so
+    // positions selected = one per window start
+    val got = Dedup.winnowFingerprints(
+      Seq((1L, "aaaaaaaaaaaaaa"), (2L, "tiny")).toDF("id", "text"),
+      "id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!got.exists(_._1 == 2L), "sub-window doc must be absent")
+    // 14 a's -> 7 grams, 4 window starts, each selecting its rightmost
+    // member = positions 4..7 -> 4 distinct fp keys, one hash
+    val keys = got.filter(_._1 == 1L).map(_._2)
+    assert(keys.length === 4)
+    assert(keys.map(_.take(32)).distinct.length === 1)
+    val positions = keys.map(k => 10000000L - k.drop(32).toLong).sorted
+    assert(positions === Array(4L, 5L, 6L, 7L))
+  }
 }
 
 class WordShingleHashesSpec extends SparkSpec {
