@@ -1862,6 +1862,19 @@ object SparkEntry {
         .filter(col("l_partkey") < 3).select("l_partkey")
       graft.operators.Graphs.bfsDistances(pairs, "pa", "pb",
         seeds, "l_partkey", maxHops = 4)
+    }),
+
+    // Funnel analysis (Funnel.earliestCompletion): greedy earliest
+    // view -> click -> purchase per user, later stages within 24 h of
+    // the first view (a window spanning all three outcomes at gate
+    // scale). Timestamps compared as integer microseconds — exact on
+    // both engines.
+    "q123_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      graft.operators.Funnel.earliestCompletion(ev, "user_id",
+        "event_type", "ts_us", Seq("view", "click", "purchase"),
+        window = Some(24L * 3600L * 1000000L))
     })
   )
 
@@ -3679,6 +3692,30 @@ object SparkEntry {
         |  UNION ALL SELECT id, 2 FROM s2 UNION ALL SELECT id, 3 FROM s3
         |  UNION ALL SELECT id, 4 FROM s4)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM lv GROUP BY id""".stripMargin,
+
+    // The same greedy-earliest chain: each stage a conditional min after
+    // an equi-join on the previous stage's time, stalls kept by the
+    // final left joins.
+    "q123_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |f1 AS (SELECT e.user_id, f0.t0, min(e.ts_us) AS t1
+        |       FROM e JOIN f0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_us > f0.t0
+        |         AND e.ts_us <= f0.t0 + 86400000000
+        |       GROUP BY e.user_id, f0.t0),
+        |f2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+        |       FROM e JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > f1.t1
+        |         AND e.ts_us <= f1.t0 + 86400000000
+        |       GROUP BY e.user_id)
+        |SELECT f0.user_id, f0.t0, f1.t1, f2.t2,
+        |  1 + CAST(f1.t1 IS NOT NULL AS BIGINT)
+        |    + CAST(f2.t2 IS NOT NULL AS BIGINT) AS n_stages
+        |FROM f0 LEFT JOIN f1 USING (user_id)
+        |  LEFT JOIN f2 USING (user_id)""".stripMargin,
 
     "q115_json_extract" ->
       """WITH e AS (

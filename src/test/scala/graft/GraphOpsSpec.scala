@@ -540,3 +540,59 @@ class BfsSpec extends SparkSpec {
       Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 }
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stages = Seq("a", "b", "c")
+
+  private def run(rows: Seq[(Long, String, Long)],
+                  window: Option[Long] = None) =
+    graft.operators.Funnel.earliestCompletion(
+      rows.toDF("uid", "et", "ts"), "uid", "et", "ts", stages, window)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4)))
+      .sortBy(_._1)
+
+  test("greedy earliest: each stage after the previous chosen event") {
+    val rows = Seq(
+      // u1 completes: a@10, first b after 10 is 20, first c after 20 is 50
+      (1L, "a", 10L), (1L, "b", 5L), (1L, "b", 20L),
+      (1L, "c", 15L), (1L, "c", 50L),
+      // u2 stalls at b: only c precedes its a
+      (2L, "a", 10L), (2L, "c", 30L),
+      // u3 never starts (no a) -> absent
+      (3L, "b", 1L), (3L, "c", 2L))
+    assert(run(rows) === Seq(
+      (1L, Some(10L), Some(20L), Some(50L), 3L),
+      (2L, Some(10L), None, None, 1L)))
+  }
+
+  test("conversion window bounds every later stage to t0 + w") {
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 200L),
+      (2L, "a", 10L), (2L, "b", 120L))
+    // window 100: u1's c at 200 > 110 misses; u2's b at 120 misses
+    assert(run(rows, window = Some(100L)) === Seq(
+      (1L, Some(10L), Some(20L), None, 2L),
+      (2L, Some(10L), None, None, 1L)))
+    // unwindowed, both convert as far as their events allow
+    assert(run(rows) === Seq(
+      (1L, Some(10L), Some(20L), Some(200L), 3L),
+      (2L, Some(10L), Some(120L), None, 2L)))
+  }
+
+  test("strict ordering: a stage event AT the previous time is not after") {
+    val rows = Seq((1L, "a", 10L), (1L, "b", 10L), (1L, "c", 11L))
+    assert(run(rows) === Seq((1L, Some(10L), None, None, 1L)))
+  }
+
+  test("greedy choice maximizes stages (earliest b keeps a later c alive)") {
+    // with b chosen at 20 (earliest), c@25 converts; choosing b@30
+    // would also work here, but greedy must not pick b@30 and miss c
+    val rows = Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "b", 30L),
+      (1L, "c", 25L))
+    assert(run(rows) === Seq((1L, Some(10L), Some(20L), Some(25L), 3L)))
+  }
+}
