@@ -1875,6 +1875,35 @@ object SparkEntry {
       graft.operators.Funnel.earliestCompletion(ev, "user_id",
         "event_type", "ts_us", Seq("view", "click", "purchase"),
         window = Some(24L * 3600L * 1000000L))
+    }),
+
+    // Deterministic contrastive negative sampling
+    // (Sampling.contrastiveNegatives): 4 hash-addressed negatives per
+    // doc, excluding normalized-exact duplicates as false negatives.
+    // Every draw is md5-derived, so the oracle reproduces the exact
+    // pairing (row_number index + the same '0x'||substr(md5) hash).
+    "q124_negative_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nk = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")).cast("binary"))
+      val keyed = docs.select(col("doc_id"), nk.as("nk"))
+      val a = keyed.select(col("doc_id").as("id_a"), col("nk"))
+      val b = keyed.select(col("doc_id").as("id_b"), col("nk"))
+      val dupPairs = a.join(b, "nk").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      graft.operators.Sampling.contrastiveNegatives(docs, "doc_id", 4,
+        exclude = Some(dupPairs))
+    }),
+
+    // Cohort retention matrix (Cohort.retention): users bucketed by
+    // first-PURCHASE day (pure integer division of epoch-us — no
+    // calendar seam; purchase-only activity gives a real decay curve),
+    // distinct-active counts per (cohort, offset) plus cohort sizes.
+    "q125_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000 div 86400000000").as("dy"))
+      graft.operators.Cohort.retention(ev, "user_id", "dy")
     })
   )
 
@@ -3716,6 +3745,53 @@ object SparkEntry {
         |    + CAST(f2.t2 IS NOT NULL AS BIGINT) AS n_stages
         |FROM f0 LEFT JOIN f1 USING (user_id)
         |  LEFT JOIN f2 USING (user_id)""".stripMargin,
+
+    // The identical hash-addressed pairing: row_number index by doc_id,
+    // the portable 32-bit md5 hash mod N, self-pairs dropped, exact-dup
+    // pairs anti-joined on the canonical key.
+    "q124_negative_pairs" ->
+      """WITH idx AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |js AS (SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS j),
+        |cand AS (
+        |  SELECT i.doc_id AS anchor_id, js.j,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(i.doc_id AS VARCHAR) || ':' || CAST(js.j AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % n.n_docs AS neg_idx
+        |  FROM idx i, n, js),
+        |joined AS (
+        |  SELECT c.anchor_id, c.j, x.doc_id AS neg_id
+        |  FROM cand c JOIN idx x ON x.idx = c.neg_idx
+        |  WHERE x.doc_id <> c.anchor_id),
+        |nrm AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nrm a JOIN nrm b ON a.nk = b.nk AND a.doc_id < b.doc_id)
+        |SELECT anchor_id, j, neg_id FROM joined jo
+        |WHERE NOT EXISTS (SELECT 1 FROM ex
+        |  WHERE ex.id_a = least(jo.anchor_id, jo.neg_id)
+        |    AND ex.id_b = greatest(jo.anchor_id, jo.neg_id))""".stripMargin,
+
+    // The identical integer-week retention matrix.
+    "q125_cohort" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS bucket
+        |  FROM events WHERE event_type = 'purchase'),
+        |fst AS (SELECT u, min(bucket) AS cohort FROM active GROUP BY u),
+        |sizes AS (SELECT cohort, count(*) AS cohort_size FROM fst
+        |          GROUP BY cohort)
+        |SELECT f.cohort, a.bucket - f.cohort AS bucket_offset,
+        |  count(DISTINCT a.u) AS n_active, s.cohort_size
+        |FROM active a JOIN fst f USING (u)
+        |JOIN sizes s ON s.cohort = f.cohort
+        |GROUP BY f.cohort, a.bucket - f.cohort, s.cohort_size""".stripMargin,
 
     "q115_json_extract" ->
       """WITH e AS (

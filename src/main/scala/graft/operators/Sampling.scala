@@ -222,4 +222,55 @@ object Sampling {
           .otherwise(expr(s"(__idx - ${r * (q + 1)}) DIV $q") + lit(r + 1))
     indexed.withColumn("bin", bin.cast("long")).drop("__idx")
   }
+
+  /** Deterministic contrastive negative sampling: k pseudo-random
+    * negatives per anchor, reproducibly — the pairing a contrastive
+    * trainer (CLIP/SimCSE-style in-batch or explicit negatives) needs to
+    * be stable across reruns and engines so a resumed job never silently
+    * re-pairs. Negative j of anchor a is the document at global index
+    * `portableHash32("a:j") mod N` ([[Indexing.globalRowIndex]] by id —
+    * no dense-id assumption), skipping self-pairs; `exclude` (canonical
+    * (id_a, id_b) pairs, e.g. exact or LSH near-dups) anti-joins out
+    * false negatives — a near-dup used as a negative actively teaches
+    * the wrong geometry.
+    *
+    * Hash collisions across j are kept (the trainer sees k draws, not k
+    * guaranteed-distinct docs) — dropping them would make row counts
+    * depend on collision luck; excluded/self pairs are dropped, the
+    * standard "fewer than k usable negatives" case.
+    *
+    * Scale shape: the candidate build is a per-row expression over
+    * anchors x k (explode of a k-literal sequence, no shuffle beyond the
+    * index join); resolving neg_idx -> id is one equi-join against the
+    * (id, idx) frame, and the exclusion is a left-anti equi-join on the
+    * canonical pair key. No windows, no driver state beyond
+    * globalRowIndex's bounded per-partition counts.
+    */
+  def contrastiveNegatives(docs: DataFrame, idCol: String, k: Int,
+                           exclude: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "contrastiveNegatives: k must be >= 1")
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val idx = Indexing.globalRowIndex(ids, "idx", col("doc_id"))
+    val nDocs = broadcast(idx.agg(count(lit(1)).as("n_docs")))
+    val cand = idx.select(col("doc_id").as("anchor_id"))
+      .crossJoin(nDocs)
+      .select(col("anchor_id"), col("n_docs"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("neg_idx",
+        pmod(graft.functions.TextFunctions.portableHash32(
+          concat(col("anchor_id").cast("string"), lit(":"),
+            col("j").cast("string"))), col("n_docs")))
+      .join(idx.select(col("idx").as("neg_idx"),
+        col("doc_id").as("neg_id")), "neg_idx")
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select("anchor_id", "j", "neg_id")
+    exclude match {
+      case None => cand
+      case Some(ex) =>
+        cand.join(ex.select(col("id_a"), col("id_b")),
+          least(col("anchor_id"), col("neg_id")) === col("id_a") &&
+            greatest(col("anchor_id"), col("neg_id")) === col("id_b"),
+          "left_anti")
+    }
+  }
 }

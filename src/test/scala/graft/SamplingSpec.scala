@@ -206,3 +206,81 @@ class SamplingSpec extends SparkSpec {
     assert(side.values.toSet === Set("train", "test"))
   }
 }
+
+class ContrastiveNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 20L).toDF("doc_id")
+
+  test("deterministic: identical pairing across runs, k rows per anchor " +
+    "minus self-hits") {
+    val a = Sampling.contrastiveNegatives(docs, "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.contrastiveNegatives(docs, "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.forall { case (anchor, _, neg) => anchor != neg })
+    // every (anchor, j) appears at most once; at most k per anchor
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 3))
+    assert(a.map(t => (t._1, t._2)).size === a.size)
+  }
+
+  test("hash addressing matches the independent md5 computation") {
+    // ids 0..19 are dense, so global index == id; recompute a draw by
+    // hand: neg(a, j) = first-8-hex(md5("a:j")) mod 20
+    val got = Sampling.contrastiveNegatives(docs, "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (a <- 0L until 20L; j <- 1L to 2L) {
+      val hex = md.digest(s"$a:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val neg = java.lang.Long.parseLong(hex, 16) % 20L
+      if (neg != a) assert(got((a, j)) === neg, s"anchor $a draw $j")
+      else assert(!got.contains((a, j)), s"self-pair ($a,$j) must drop")
+    }
+  }
+
+  test("exclusion pairs are anti-joined in both orientations") {
+    val all = Sampling.contrastiveNegatives(docs, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(all.nonEmpty)
+    val (x, y) = all.head
+    val ex = Seq((x min y, x max y)).toDF("id_a", "id_b")
+    val kept = Sampling.contrastiveNegatives(docs, "doc_id", 4, Some(ex))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(!kept.contains((x, y)) && !kept.contains((y, x)))
+    assert(kept.subsetOf(all.toSet))
+  }
+}
+
+class CohortSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retention matrix: cohorts by first bucket, counts and sizes") {
+    // u1 first at 10, active 10,11,13; u2 first at 10, active 10 only;
+    // u3 first at 11, active 11,13; duplicate activity rows collapse
+    val ev = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 10L), (3L, 11L), (3L, 13L))
+      .toDF("uid", "bk")
+    val got = graft.operators.Cohort.retention(ev, "uid", "bk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got === Seq(
+      (10L, 0L, 2L, 2L), (10L, 1L, 1L, 2L), (10L, 3L, 1L, 2L),
+      (11L, 0L, 1L, 1L), (11L, 2L, 1L, 1L)))
+  }
+
+  test("offset-0 row always counts the whole cohort") {
+    val rnd = new scala.util.Random(5)
+    val ev = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(12).toLong))
+      .toDF("uid", "bk")
+    val rows = graft.operators.Cohort.retention(ev, "uid", "bk").collect()
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) === r.getLong(3), s"cohort ${r.getLong(0)}")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+  }
+}
