@@ -32,7 +32,9 @@ object ScaleSmoke {
     val fs = new java.io.File(dst)
     // completion marker encodes the copy count: a bare _OK would silently
     // reuse a 10-copy fixture for a requested 100-copy sweep
-    if (new java.io.File(s"$dst/_OK_$nCopies").exists()) return
+    // v2: fixture gained lineitem — the version bump forces a rebuild
+    // over any pre-lineitem fixture whose marker would otherwise match
+    if (new java.io.File(s"$dst/_OK_v2_$nCopies").exists()) return
     fs.mkdirs()
     // rebuilding at a different copy count: drop every stale marker so a
     // later run requesting the OLD count can't silently reuse data built
@@ -63,13 +65,29 @@ object ScaleSmoke {
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    new java.io.File(s"$dst/_OK_$nCopies").createNewFile(): Unit
+    // lineitem (the co-purchase graph source for q121/q122): order AND
+    // part keys shift together per copy, so baskets stay intact and the
+    // graph becomes nCopies disjoint copies — nodes, edges, and
+    // triangles all scale linearly with rows, the honest growth mode
+    // (inflating only orders would densify one fixed part space into an
+    // unrealistically-complete graph instead).
+    Tables.lineitem(spark, src).crossJoin(copies)
+      .select(
+        (col("l_orderkey") + col("copy") * lit(3000000L)).as("l_orderkey"),
+        (col("l_partkey") + col("copy") * lit(1000000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    new java.io.File(s"$dst/_OK_v2_$nCopies").createNewFile(): Unit
   }
 
   private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
-      "q83_incremental_dedup", "q84_grid_pois")
+      "q83_incremental_dedup", "q84_grid_pois", "q120_winnow",
+      "q121_triangles", "q123_funnel", "q125_cohort")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -468,13 +468,19 @@ object Dedup {
     * chars yield no complete window and are absent (the reference
     * behavior for sub-gram docs in [[minhashSignatures]]).
     *
-    * Scale shape: the gram explode is per-row local (no shuffle); the
-    * window min needs doc_id partitioning, so the plan pays ONE exchange
-    * of (doc_id, p, 40-char key) gram rows — order-sensitive selection
-    * has no partial-aggregate form — and the downstream distinct + any
-    * per-doc aggregate reuse that same partitioning (Catalyst elides
-    * their exchanges). State per doc is bounded by text length; docs are
-    * independent, so the pass scales linearly with corpus tokens.
+    * Scale shape: the one exchange hashes DOC rows on doc_id BEFORE the
+    * gram explode — the window min needs doc_id partitioning anyway, and
+    * placing the shuffle pre-explode both keeps it ~k-times smaller
+    * (whole docs, not one row per gram) and spreads the gram/md5
+    * computation across every core even when the source is a handful of
+    * parquet files (a post-explode exchange would leave the entire
+    * explode+hash stage on the scan's partitioning — measured 1 core and
+    * 2.5 s of the gate's 3 s at sf0.1). The window, the distinct, and
+    * any per-doc aggregate all reuse that partitioning (Catalyst elides
+    * their exchanges); order-sensitive selection has no
+    * partial-aggregate form. State per doc is bounded by text length;
+    * docs are independent, so the pass scales linearly with corpus
+    * tokens.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
@@ -484,6 +490,12 @@ object Dedup {
       .select(col(idCol).as("doc_id"), norm.as("norm"))
       .withColumn("n_grams", (length(col("norm")) - k + 1).cast("long"))
       .filter(col("n_grams") >= w)
+      // explicit partition count: the doc-level shuffle is tiny (docs,
+      // not grams), so AQE would coalesce it back to one partition and
+      // re-serialize the explode stage — the stage's work is k-grams PER
+      // doc, invisible to AQE's byte-based sizing
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), col("n_grams"),
         explode(sequence(lit(1L), col("n_grams"))).as("p"),
         col("norm"))
