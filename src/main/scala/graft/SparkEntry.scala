@@ -1904,7 +1904,19 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), expr("ts div 1000 div 86400000000").as("dy"))
       graft.operators.Cohort.retention(ev, "user_id", "dy")
-    })
+    }),
+
+    // EXACT set-similarity self-join (Dedup.setSimilarityJoin, the
+    // All-Pairs/PPJoin prefix filter): trigram-set Jaccard >= 1/2 with
+    // the exact similarity — guaranteed recall where MinHash-LSH (q29)
+    // is probabilistic. Trigram elements keep document frequencies low
+    // (the regime prefix filtering is built for); the integer
+    // cross-multiplied threshold makes the accept set engine-exact; the
+    // oracle verifies EVERY pair relationally with no prefix filter.
+    "q126_setsim_join" -> ((s, d) =>
+      graft.operators.Dedup.setSimilarityJoin(
+        Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
+        shingleN = 3))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -3792,6 +3804,29 @@ object SparkEntry {
         |FROM active a JOIN fst f USING (u)
         |JOIN sizes s ON s.cohort = f.cohort
         |GROUP BY f.cohort, a.bucket - f.cohort, s.cohort_size""".stripMargin,
+
+    // Ground truth with NO prefix filter: every pair's exact bigram-set
+    // intersection, relationally (token equi-join + group count), with
+    // the identical integer cross-multiplied accept test.
+    "q126_setsim_join" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |el AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
+        |  FROM toks),
+        |sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin,
 
     "q115_json_extract" ->
       """WITH e AS (

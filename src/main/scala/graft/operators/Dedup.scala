@@ -514,4 +514,86 @@ object Dedup {
       .select("doc_id", "fp_key")
       .distinct()
   }
+
+  /** EXACT set-similarity self-join with prefix filtering (Chaudhuri's
+    * SSJoin / Bayardo's All-Pairs / the PPJoin family; distributed form:
+    * Vernica, Carey & Li, "Efficient Parallel Set-Similarity Joins Using
+    * MapReduce", SIGMOD'10): every pair of docs whose word-`shingleN`-gram
+    * SETS have Jaccard >= tNum/tDen, with the exact similarity — the
+    * guaranteed-recall complement to MinHash-LSH ([[minhashSignatures]]),
+    * for thresholds where probabilistic misses are not acceptable.
+    *
+    * Prefix filter: order every doc's elements rarest-first (ascending
+    * document frequency, ties by element) and keep only the first
+    * n - ceil(t*n) + 1 as its PREFIX. Any pair with Jaccard >= t must
+    * share a prefix element under a common global order (the pigeonhole
+    * argument: the suffix is shorter than the required overlap), so
+    * joining prefixes instead of full sets is lossless while shrinking
+    * both the join input (~(1-t) of the elements) and — because prefixes
+    * hold the RAREST elements — the candidate fan-out by orders of
+    * magnitude; candidates then verify with an exact intersection count.
+    * The threshold is a rational (tNum/tDen) so the accept test is pure
+    * integer cross-multiplication — engine-exact, no float boundary.
+    *
+    * Scale shape: df is one hash aggregate; the rarest-first prefix is a
+    * per-doc array sort+slice (no global rank structure); the candidate
+    * join keys on single elements whose fan-out the rarest-first order
+    * caps (a hot element lands in few prefixes by construction); the
+    * verify join touches candidates only. Docs with fewer than shingleN
+    * tokens have no elements and are absent.
+    */
+  def setSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int,
+                        shingleN: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "setSimilarityJoin: threshold must be a rational in (0, 1]")
+    val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val el = TextFunctions.explodedShingles(
+      docs.repartition(spread, col(idCol)), idCol, textCol, shingleN)
+      .select(col("id").as("doc_id"), col("shingle").as("e"))
+      .distinct()
+    val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
+    // rarest-first prefix per doc: sort (df, e) structs in-array, slice
+    // the first n - ceil(t*n) + 1 = n - (n*tNum + tDen - 1) div tDen + 1
+    val pref = el.join(dfreq, "e")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("e"))))
+        .as("elems"))
+      .join(sz, "doc_id")
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("elems"), lit(1),
+          (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+            .cast("int"))).as("pe"))
+      .select(col("doc_id"), col("n"), col("pe.e").as("e"))
+    val candA = pref.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("e"))
+    val candB = pref.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("e"))
+    // length filter (All-Pairs): J >= t forces t*nb <= na <= nb/t —
+    // applied inside the candidate join, before the distinct
+    val cand = candA.join(candB, "e")
+      .filter(col("id_a") < col("id_b") &&
+        col("na") * tDen >= lit(tNum) * col("nb") &&
+        col("nb") * tDen >= lit(tNum) * col("na"))
+      .select("id_a", "id_b", "na", "nb")
+      .distinct()
+    // verify candidates against the full element sets as per-doc ARRAYS:
+    // two hash joins + an in-row array_intersect, instead of re-exploding
+    // every candidate by its elements through a shuffle join and
+    // re-aggregating (measured 2x at sf0.1 — the expansion join moved
+    // |cand| * avg-set-size rows)
+    val arrs = el.groupBy("doc_id").agg(collect_list(col("e")).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("ea")),
+        "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("arr").as("eb")),
+        "id_b")
+      .withColumn("c", size(array_intersect(col("ea"), col("eb")))
+        .cast("long"))
+      .filter(col("c") * tDen >= lit(tNum) * (col("na") + col("nb") - col("c")))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+  }
 }

@@ -374,6 +374,49 @@ class DedupSpec extends SparkSpec {
     val positions = keys.map(k => 10000000L - k.drop(32).toLong).sorted
     assert(positions === Array(4L, 5L, 6L, 7L))
   }
+
+  private def naiveSetSim(texts: Seq[(Long, String)], n: Int,
+                          tNum: Int, tDen: Int): Set[(Long, Long, Long)] = {
+    val sets = texts.map { case (id, t) =>
+      val toks = t.split(" ")
+      id -> toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      c = (sa & sb).size
+      if c.toLong * tDen >= tNum.toLong * (sa.size + sb.size - c)
+    } yield (ia, ib, c.toLong)).toSet
+  }
+
+  test("setSimilarityJoin: prefix filter is lossless vs the naive " +
+    "all-pairs twin on random corpora") {
+    val rnd = new scala.util.Random(13)
+    val vocab = ('a' to 'j').map(_.toString)
+    for (trial <- 1 to 3) {
+      val texts = (0L until 30L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(10)))
+          .mkString(" ")
+      }
+      val got = Dedup.setSimilarityJoin(texts.toDF("id", "text"),
+        "id", "text", tNum = 1, tDen = 2, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = naiveSetSim(texts, 2, 1, 2).map(t => (t._1, t._2))
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("setSimilarityJoin: exact jaccard values and no self/dup pairs") {
+    val texts = Seq(
+      (1L, "a b c d e"),   // bigrams {ab, bc, cd, de}
+      (2L, "a b c d x"),   // {ab, bc, cd, dx} -> inter 3, union 5 = 0.6
+      (3L, "a b c d e"),   // exact dup of 1 -> jaccard 1.0
+      (4L, "z y x w v"))   // disjoint
+    val got = Dedup.setSimilarityJoin(texts.toDF("id", "text"),
+      "id", "text", tNum = 3, tDen = 5, shingleN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got === Array((1L, 2L, 0.6), (1L, 3L, 1.0), (2L, 3L, 0.6)))
+  }
 }
 
 class WordShingleHashesSpec extends SparkSpec {
