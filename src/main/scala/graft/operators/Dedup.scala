@@ -548,10 +548,16 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "setSimilarityJoin: threshold must be a rational in (0, 1]")
     val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val el = TextFunctions.explodedShingles(
+    // the element frame feeds FIVE consumers (sizes, dfs, the prefix
+    // build, and both verify-array sides) — persist it once or every
+    // consumer re-runs the shingle explode (the plan audit counts the
+    // Generates). Registered with CacheScope; callers release after
+    // materializing.
+    val el = graft.CacheScope.track(TextFunctions.explodedShingles(
       docs.repartition(spread, col(idCol)), idCol, textCol, shingleN)
       .select(col("id").as("doc_id"), col("shingle").as("e"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
     // rarest-first prefix per doc: sort (df, e) structs in-array, slice

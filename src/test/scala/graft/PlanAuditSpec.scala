@@ -129,4 +129,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(date_trunc)"),
       s"date_trunc must be partition metadata, not scanned data:\n$plan")
   }
+
+  test("q120 winnowing: ONE doc exchange, placed BEFORE the gram explode") {
+    // the whole selection (explode -> window min -> distinct -> digest)
+    // must share a single doc_id partitioning, and the exchange must
+    // move doc rows, not gram rows: the Generate (explode) sits ABOVE
+    // the exchange in the plan
+    val plan = planOf(SparkEntry.queries("q120_winnow")(spark, sf))
+    assert(exchanges(plan) === 1,
+      s"winnowing must shuffle exactly once, on doc_id:\n$plan")
+    val exIdx = plan.indexOf("Exchange hashpartitioning(doc_id")
+    val genIdx = plan.indexOf("Generate explode")
+    assert(exIdx >= 0 && genIdx >= 0 && genIdx < exIdx,
+      s"the explode must run on the post-shuffle (parallel) side:\n$plan")
+  }
+
+  test("q123 funnel: every stage aggregate keys on user_id, no windows") {
+    // the greedy chain is conditional-min hash aggregates sharing the
+    // user partitioning — a Window-based rewrite (one task per user
+    // ordering) must not sneak in
+    val plan = planOf(SparkEntry.queries("q123_funnel")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"funnel must not use window operators:\n$plan")
+    val parts = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(parts == Set("user_id") || parts == Set("user"),
+      s"funnel exchanges must all key on the user column, got $parts:\n$plan")
+  }
+
+  test("q126 set-similarity: verification joins arrays, never re-explodes " +
+    "candidates") {
+    // the verify stage must be hash joins + in-row array_intersect; a
+    // Generate after the candidate distinct would mean the expansion
+    // join crept back
+    val df = SparkEntry.queries("q126_setsim_join")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("array_intersect"),
+      s"verification must use array_intersect:\n$plan")
+    // the element frame is persisted once and every consumer reads the
+    // cache — the shingle posexplode exists only inside the
+    // InMemoryTableScan's printed cached plan, never as a live operator
+    // (the un-persisted form re-ran the explode per consumer: 5 live
+    // Generate subtrees in this plan before the fix)
+    assert(plan.contains("InMemoryTableScan"),
+      s"the element frame must be persisted and reused:\n$plan")
+    // the only live explodes are the two prefix slices (one per
+    // self-join side)
+    val prefixGen = "Generate explode\\(slice".r.findAllIn(plan).size
+    assert(prefixGen == 2,
+      s"expected exactly the two prefix-slice explodes, got $prefixGen:\n$plan")
+    graft.CacheScope.releaseAll()
+  }
 }
