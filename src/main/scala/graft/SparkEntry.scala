@@ -1916,7 +1916,22 @@ object SparkEntry {
     "q126_setsim_join" -> ((s, d) =>
       graft.operators.Dedup.setSimilarityJoin(
         Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
-        shingleN = 3))
+        shingleN = 3)),
+
+    // CUBE with grouping_id: all four aggregation levels of
+    // (status, priority) in one pass (map-side partials expand the
+    // grouping sets — no re-scan per level), with the integer
+    // grouping_id disambiguating real nulls from subtotal rows. q46's
+    // rollup twin completes the grouping-sets surface.
+    "q127_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("total")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -3827,6 +3842,17 @@ object SparkEntry {
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
         |JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin,
+
+    // GROUPING() bits composed in Spark's grouping_id order
+    // (first listed column = most significant bit).
+    "q127_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(2 * GROUPING(o_orderstatus)
+        |    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q115_json_extract" ->
       """WITH e AS (
