@@ -1931,7 +1931,22 @@ object SparkEntry {
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("gid"), col("n"), col("total")))
+          col("gid"), col("n"), col("total"))),
+
+    // k-core (Graphs.kCore): the 4-core of the co-purchase graph with
+    // in-core degrees. Peeling's fixpoint is deletion-order-independent,
+    // so the driver queue peel, the distributed round peel, and the
+    // oracle's unrolled rounds (48 >> the ~36 needed; extra rounds are
+    // identity) agree exactly.
+    "q128_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
+      graft.operators.Graphs.kCore(pairs, "pa", "pb", k = 4)
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -2421,6 +2436,38 @@ object SparkEntry {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM adc)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q128 oracle: the k-core peel unrolled as materialized rounds.
+    * Peeling converges in ~36 rounds on this graph at both scales; 48
+    * rounds bound it with margin, and post-fixpoint rounds are the
+    * identity. Every round CTE must be MATERIALIZED — each is referenced
+    * twice (both endpoints), so inlining would double the plan per round.
+    */
+  private val sqlQ128KCore: String = {
+    val k = 4; val rounds = 48
+    val ctes = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT x.id FROM a${i - 1} x JOIN sym e ON e.u = x.id
+         |  JOIN a${i - 1} y ON y.id = e.v
+         |  GROUP BY x.id HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_quantity <= 10),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+       |    greatest(a.l_partkey, b.l_partkey) AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+       |a0 AS MATERIALIZED (
+       |  SELECT u AS id FROM und UNION SELECT v FROM und),
+       |$ctes
+       |SELECT x.id, count(*) AS core_deg
+       |FROM a$rounds x JOIN sym e ON e.u = x.id
+       |JOIN a$rounds y ON y.id = e.v GROUP BY x.id""".stripMargin
   }
 
   /** q31/q67 oracles: the synthetic-image pixel model of
@@ -3842,6 +3889,8 @@ object SparkEntry {
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
         |JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin,
+
+    "q128_kcore" -> sqlQ128KCore,
 
     // GROUPING() bits composed in Spark's grouping_id order
     // (first listed column = most significant bit).

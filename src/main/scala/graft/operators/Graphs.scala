@@ -566,6 +566,110 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core: the maximal subgraph in which every node has degree >= k
+    * (Seidman's coreness; the "dense cohesive core" extractor — spam
+    * farms, community nuclei, the canonical prune before expensive graph
+    * ML). Returns (id, core_deg) for surviving nodes, core_deg = the
+    * node's degree WITHIN the core.
+    *
+    * Peeling: repeatedly delete nodes of degree < k until stable. The
+    * fixpoint is unique (independent of deletion order), so the
+    * round-synchronous distributed peel, the driver queue peel, and the
+    * oracle's unrolled rounds all agree exactly.
+    *
+    * Scale shape: each distributed round recomputes alive-degrees with
+    * one equi-join + aggregate over frontier-adjacent edges (two
+    * shuffles), lineage-truncated like every iterative operator here;
+    * rounds = peel depth (up to O(V) on pathological chains — the
+    * conf-bounded driver fast path `spark.graft.kCoreSmallGraphEdges`
+    * (default 2^18, 0 disables) absorbs contracted graphs with the
+    * classic O(E) queue peel instead of paying per-round job latency,
+    * the [[connectedComponents]]/[[pageRank]] precedent).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val dedup = truncate(edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val spark = edges.sparkSession
+    val bound = spark.conf.getOption("spark.graft.kCoreSmallGraphEdges")
+      .map(_.toLong).getOrElse(1L << 18)
+    if (bound > 0 && dedup.count() <= bound) {
+      import spark.implicits._
+      val pairs = dedup.as[(Long, Long)].collect()
+      // index nodes, build adjacency, queue-peel
+      val idx = new scala.collection.mutable.LongMap[Int]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def id(x: Long): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+      val ai = pairs.map(p => id(p._1)); val bi = pairs.map(p => id(p._2))
+      val n = ids.length
+      val deg = new Array[Int](n)
+      ai.foreach(deg(_) += 1); bi.foreach(deg(_) += 1)
+      val adjOff = new Array[Int](n + 1)
+      deg.indices.foreach(i => adjOff(i + 1) = adjOff(i) + deg(i))
+      val adj = new Array[Int](pairs.length * 2)
+      val fill = adjOff.clone()
+      var e = 0
+      while (e < pairs.length) {
+        adj(fill(ai(e))) = bi(e); fill(ai(e)) += 1
+        adj(fill(bi(e))) = ai(e); fill(bi(e)) += 1
+        e += 1
+      }
+      val alive = Array.fill(n)(true)
+      val live = deg.clone()
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      (0 until n).foreach(i => if (live(i) < k) { queue += i; alive(i) = false })
+      while (queue.nonEmpty) {
+        val x = queue.dequeue()
+        var j = adjOff(x)
+        while (j < adjOff(x + 1)) {
+          val y = adj(j)
+          if (alive(y)) {
+            live(y) -= 1
+            if (live(y) < k) { alive(y) = false; queue += y }
+          }
+          j += 1
+        }
+      }
+      val rows = (0 until n).filter(alive)
+        .map(i => (ids(i), live(i).toLong))
+      return rows.toDF("id", "core_deg")
+    }
+    val sym = truncate(dedup
+      .union(dedup.select(col("v").as("u"), col("u").as("v"))))
+    var alive = truncate(sym.select(col("u").as("id")).distinct())
+    var nAlive = alive.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val degs = sym
+        .join(alive.select(col("id").as("u")), "u")
+        .join(alive.select(col("id").as("v")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val next = truncate(degs.filter(col("d") >= k).select("id"))
+      val nNext = next.count()
+      rounds += 1
+      if (nNext == nAlive) {
+        // stable: every survivor already has in-core degree >= k
+        return sym
+          .join(next.select(col("id").as("u")), "u")
+          .join(next.select(col("id").as("v")), "v")
+          .groupBy(col("u").as("id"))
+          .agg(count(lit(1)).as("core_deg"))
+      }
+      alive = next
+      nAlive = nNext
+      if (nAlive == 0)
+        return alive.withColumn("core_deg", lit(0L)).filter(lit(false))
+    }
+    throw new IllegalStateException(
+      s"kCore did not converge in $maxRounds rounds")
+  }
+
   /** Multi-source BFS: minimum hop distance from any node in `seeds` to
     * every reachable node within `maxHops`, over the undirected graph
     * given by `edges`. Returns (id, dist) — seeds at 0; nodes further

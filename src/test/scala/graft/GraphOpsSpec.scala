@@ -596,3 +596,51 @@ class FunnelSpec extends SparkSpec {
     assert(run(rows) === Seq((1L, Some(10L), Some(20L), Some(25L), 3L)))
   }
 }
+
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def withDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.kCoreSmallGraphEdges", "0")
+    try body finally spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
+  }
+
+  test("triangle with a pendant: 2-core drops the pendant only") {
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 9L))
+    assert(core(e, 2) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // the whole graph survives k=1; nothing survives k=3
+    assert(core(e, 1).keySet === Set(0L, 1L, 2L, 9L))
+    assert(core(e, 3) === Map.empty)
+  }
+
+  test("cascade: removing a chain end unravels the whole chain") {
+    // path 0-1-2-3: every node peels at k=2 even though 1,2 start at deg 2
+    assert(core(Seq((0L, 1L), (1L, 2L), (2L, 3L)), 2) === Map.empty)
+    // cycle survives k=2 exactly
+    assert(core(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 2).values.toSet === Set(2L))
+  }
+
+  test("core degrees count only in-core neighbors") {
+    // K4 plus pendant on node 0: 3-core = K4, node 0's core_deg is 3 (not 4)
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val got = core(k4 :+ ((0L, 9L)), 3)
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("driver fast path equals the distributed round peel") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80 + trial * 40)(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      for (k <- Seq(2, 3)) {
+        val fast = core(edges, k)
+        val loop = withDistributed { core(edges, k) }
+        assert(fast === loop, s"trial $trial k=$k")
+      }
+    }
+  }
+}
