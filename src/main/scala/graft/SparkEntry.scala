@@ -1946,6 +1946,27 @@ object SparkEntry {
       val b = li.select(col("ok"), col("l_partkey").as("pb"))
       val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
       graft.operators.Graphs.kCore(pairs, "pa", "pb", k = 4)
+    }),
+
+    // Bounded-hop weighted shortest paths (Graphs.weightedHopDistances,
+    // synchronous Bellman-Ford rounds): cheapest route from the seed
+    // parts within 4 edges over the co-purchase graph, edge weight =
+    // the deterministic integer 1 + (u + 2v) mod 7. Integer weights
+    // keep every distance exact; the oracle unrolls the identical
+    // relaxation rounds.
+    "q129_sssp" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
+        .withColumn("w", lit(1L) + pmod(col("pa") + lit(2L) * col("pb"),
+          lit(7L)))
+      val seeds = Tables.lineitem(s, d)
+        .filter(col("l_partkey") < 3).select("l_partkey")
+      graft.operators.Graphs.weightedHopDistances(pairs, "pa", "pb", "w",
+        seeds, "l_partkey", maxHops = 4)
     })
   )
 
@@ -3891,6 +3912,41 @@ object SparkEntry {
         |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin,
 
     "q128_kcore" -> sqlQ128KCore,
+
+    // Four relaxation rounds unrolled; each round = previous distances
+    // union one-edge extensions, min per node. Integer weights, exact.
+    "q129_sssp" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity <= 10),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v, 1 + (u + 2 * v) % 7 AS w FROM und
+        |  UNION ALL SELECT v, u, 1 + (u + 2 * v) % 7 FROM und),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey AS id, CAST(0 AS BIGINT) AS dist
+        |  FROM lineitem WHERE l_partkey < 3),
+        |d1 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d0 UNION ALL
+        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d0 d ON d.id = e.u)
+        |  GROUP BY id),
+        |d2 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d1 UNION ALL
+        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d1 d ON d.id = e.u)
+        |  GROUP BY id),
+        |d3 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d2 UNION ALL
+        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d2 d ON d.id = e.u)
+        |  GROUP BY id),
+        |d4 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d3 UNION ALL
+        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d3 d ON d.id = e.u)
+        |  GROUP BY id)
+        |SELECT id, dist FROM d4""".stripMargin,
 
     // GROUPING() bits composed in Spark's grouping_id order
     // (first listed column = most significant bit).

@@ -670,6 +670,52 @@ object Graphs {
       s"kCore did not converge in $maxRounds rounds")
   }
 
+  /** Bounded-hop weighted shortest paths (synchronous Bellman-Ford
+    * rounds): minimum total edge weight from any seed to every node
+    * reachable within `maxHops` edges, over the undirected weighted
+    * graph. The weighted upgrade of [[bfsDistances]] — influence cost,
+    * degrees-of-separation with strengths, cheapest-route within a hop
+    * budget. Non-negative integer weights keep the distances exact in
+    * any engine (the q129 oracle unrolls the identical relaxation
+    * rounds); parallel edges collapse to their minimum weight.
+    *
+    * Bounded hops is the contract, not a truncation apology: each round
+    * is one join + one min-aggregate (two shuffles) over
+    * frontier-adjacent edges, lineage-truncated; unbounded Bellman-Ford
+    * needs O(V) rounds on pathological chains, while a hop budget makes
+    * the cost deterministic and the result well-defined ("best route
+    * using at most h edges").
+    */
+  def weightedHopDistances(edges: DataFrame, srcCol: String,
+                           dstCol: String, weightCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "weightedHopDistances: maxHops must be >= 0")
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val w = col(weightCol).cast("long")
+    val dedup = truncate(edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"),
+        w.as("w"))
+      .filter(col("u") =!= col("v") && col("w") >= 0)
+      .groupBy("u", "v").agg(min("w").as("w")))
+    val sym = truncate(dedup.union(
+      dedup.select(col("v").as("u"), col("u").as("v"), col("w"))))
+    var dist = truncate(seeds
+      .select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var hop = 0
+    while (hop < maxHops) {
+      val relaxed = sym
+        .join(dist.select(col("id").as("u"), col("dist")), "u")
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = truncate(dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
+      hop += 1
+    }
+    dist
+  }
+
   /** Multi-source BFS: minimum hop distance from any node in `seeds` to
     * every reachable node within `maxHops`, over the undirected graph
     * given by `edges`. Returns (id, dist) — seeds at 0; nodes further

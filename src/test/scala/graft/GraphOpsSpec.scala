@@ -644,3 +644,33 @@ class KCoreSpec extends SparkSpec {
     }
   }
 }
+
+class WeightedHopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dists(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                    h: Int): Map[Long, Long] =
+    Graphs.weightedHopDistances(edges.toDF("src", "dst", "w"),
+      "src", "dst", "w", seeds.toDF("id"), "id", h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cheaper long route beats the expensive direct edge within budget") {
+    // 0-2 direct costs 10; 0-1-2 costs 2+3=5 with two hops
+    val e = Seq((0L, 2L, 10L), (0L, 1L, 2L), (1L, 2L, 3L))
+    assert(dists(e, Seq(0L), 1) === Map(0L -> 0L, 1L -> 2L, 2L -> 10L))
+    assert(dists(e, Seq(0L), 2) === Map(0L -> 0L, 1L -> 2L, 2L -> 5L))
+  }
+
+  test("parallel edges collapse to the min; multi-seed takes the min") {
+    val e = Seq((0L, 1L, 9L), (1L, 0L, 4L), (1L, 2L, 1L))
+    assert(dists(e, Seq(0L), 2) === Map(0L -> 0L, 1L -> 4L, 2L -> 5L))
+    assert(dists(e, Seq(0L, 2L), 1) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("hop budget truncates; unreachable nodes absent; zero weights ok") {
+    val e = Seq((0L, 1L, 0L), (1L, 2L, 1L), (5L, 6L, 1L))
+    assert(dists(e, Seq(0L), 1) === Map(0L -> 0L, 1L -> 0L))
+    assert(dists(e, Seq(0L), 2) === Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+  }
+}
