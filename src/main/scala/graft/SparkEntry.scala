@@ -1967,6 +1967,54 @@ object SparkEntry {
         .filter(col("l_partkey") < 3).select("l_partkey")
       graft.operators.Graphs.weightedHopDistances(pairs, "pa", "pb", "w",
         seeds, "l_partkey", maxHops = 4)
+    }),
+
+    // Time-weighted average (the TSDB aggregate): each purchase value
+    // holds until the user's next purchase; twa = sum(value * hold) /
+    // total span. Integer-cents x integer-microsecond numerators stay
+    // exact; the only division is the final one, rounded identically.
+    // One user exchange: the lead window and the aggregate share it.
+    "q130_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("next_ts", lead("ts_us", 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum((col("next_ts") - col("ts_us")) * col("cents"))
+            .as("weighted_sum"),
+          sum(col("next_ts") - col("ts_us")).as("span_us"))
+        .withColumn("twa_cents",
+          round(col("weighted_sum").cast("double") / col("span_us"), 6))
+    }),
+
+    // Moment-based Pearson correlation: quantity vs whole-dollar price
+    // per return flag. The five moments are EXACT integer sums (one
+    // partial-agg pass, order-free); the correlation assembles from
+    // them in one deterministic double expression — each product /
+    // sqrt / division is a single correctly-rounded IEEE op, identical
+    // in any engine — rather than an incremental covariance update
+    // whose accumulation order differs. (Whole dollars keep sum(y*y)
+    // inside long range at any group size the fixture reaches.)
+    "q131_corr" -> ((s, d) => {
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice"), 0).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("corr6", round(
+          (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+            (sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
+              sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))),
+          6))
     })
   )
 
@@ -3947,6 +3995,46 @@ object SparkEntry {
         |  SELECT e.v, d.dist + e.w FROM sym e JOIN d3 d ON d.id = e.u)
         |  GROUP BY id)
         |SELECT id, dist FROM d4""".stripMargin,
+
+    // Identical hold-until-next integer arithmetic; one final division.
+    "q130_time_weighted" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (
+        |  SELECT user_id, ts_us, cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |      AS next_ts
+        |  FROM p)
+        |SELECT user_id, count(*) AS n_holds,
+        |  sum((next_ts - ts_us) * cents) AS weighted_sum,
+        |  sum(next_ts - ts_us) AS span_us,
+        |  round(CAST(sum((next_ts - ts_us) * cents) AS DOUBLE)
+        |    / sum(next_ts - ts_us), 6) AS twa_cents
+        |FROM h WHERE next_ts IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    // The same exact integer moments assembled with the same one-shot
+    // double expression (each op correctly rounded once — engine-exact).
+    "q131_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(l_quantity AS BIGINT) AS x,
+        |      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr6
+        |FROM m""".stripMargin,
 
     // GROUPING() bits composed in Spark's grouping_id order
     // (first listed column = most significant bit).
