@@ -561,8 +561,10 @@ object Dedup {
     val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
     // rarest-first prefix per doc: sort (df, e) structs in-array, slice
-    // the first n - ceil(t*n) + 1 = n - (n*tNum + tDen - 1) div tDen + 1
-    val pref = el.join(dfreq, "e")
+    // the first n - ceil(t*n) + 1 = n - (n*tNum + tDen - 1) div tDen + 1.
+    // Persisted too: the candidate self-join consumes it on BOTH sides,
+    // and an unpersisted plan re-runs the df join + per-doc sort twice.
+    val pref = graft.CacheScope.track(el.join(dfreq, "e")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("e"))))
         .as("elems"))
@@ -572,6 +574,7 @@ object Dedup {
           (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
             .cast("int"))).as("pe"))
       .select(col("doc_id"), col("n"), col("pe.e").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candA = pref.select(col("doc_id").as("id_a"), col("n").as("na"),
       col("e"))
     val candB = pref.select(col("doc_id").as("id_b"), col("n").as("nb"),
