@@ -87,7 +87,8 @@ object ScaleSmoke {
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
       "q83_incremental_dedup", "q84_grid_pois", "q120_winnow",
-      "q121_triangles", "q123_funnel", "q125_cohort")
+      "q121_triangles", "q123_funnel", "q125_cohort", "q126_setsim_join",
+      "q128_kcore")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -58,6 +58,28 @@ object Graphs {
     if (reliableMode(df.sparkSession)) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Stats-resetting truncate for MANY-round loops whose per-round plan
+    * references the previous frame more than once. `localCheckpoint`
+    * preserves the origin plan's ESTIMATED statistics in the new
+    * LogicalRDD, and size estimation multiplies join children — so a
+    * double self-reference SQUARES the estimate every round. The bit
+    * length of the cached sizeInBytes BigInteger then doubles per round:
+    * by round ~20 it has millions of bits and every subsequent stats
+    * call multiplies quarter-gigabyte integers on ONE driver core
+    * (observed on the x10 k-core peel: >10 min pinned inside
+    * BigInteger.multiplyToomCook3 before any data work). Rebuilding the
+    * frame over the checkpointed RDD through the public Row API resets
+    * the estimate to the session default — constant-size stats per
+    * round. The Row round-trip costs a decode/re-encode per downstream
+    * scan, fine for the |V|-bounded loop frames this guards; frames
+    * referenced once per round grow linearly and keep the cheap
+    * [[truncate]].
+    */
+  private def truncateFresh(df: DataFrame): DataFrame = {
+    val ck = truncate(df)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Edge-count bound for the driver union-find fast path (0 disables).
     * The iterative loop pays one driver-synchronized job per round
     * regardless of data size, so a thousand-edge POI cell graph costs the
@@ -643,21 +665,34 @@ object Graphs {
       .union(dedup.select(col("v").as("u"), col("u").as("v"))))
     var alive = truncate(sym.select(col("u").as("id")).distinct())
     var nAlive = alive.count()
+    // Checkpointed frames carry no statistics, so without a hint every
+    // per-round join plans as a sort-merge that re-shuffles the FULL
+    // edge list each iteration — the pageRank lesson
+    // (see [[pageRank]]'s hint scaladoc; measured ~10x there). Under
+    // the node bound, hint the |V|-sized alive frame broadcast: a round
+    // becomes two map-side joins over the cached edge blocks plus one
+    // partial-agg shuffle. Above the bound the shuffle join IS the
+    // right plan — same loop, no hint.
+    val bcastNodes = spark.conf
+      .getOption("spark.graft.kCoreBroadcastNodes")
+      .map(_.toLong).getOrElse(1L << 20)
+    def hint(df: DataFrame): DataFrame =
+      if (nAlive <= bcastNodes) broadcast(df) else df
     var rounds = 0
     while (rounds < maxRounds) {
       val degs = sym
-        .join(alive.select(col("id").as("u")), "u")
-        .join(alive.select(col("id").as("v")), "v")
+        .join(hint(alive.select(col("id").as("u"))), "u")
+        .join(hint(alive.select(col("id").as("v"))), "v")
         .groupBy(col("u").as("id"))
         .agg(count(lit(1)).as("d"))
-      val next = truncate(degs.filter(col("d") >= k).select("id"))
+      val next = truncateFresh(degs.filter(col("d") >= k).select("id"))
       val nNext = next.count()
       rounds += 1
       if (nNext == nAlive) {
         // stable: every survivor already has in-core degree >= k
         return sym
-          .join(next.select(col("id").as("u")), "u")
-          .join(next.select(col("id").as("v")), "v")
+          .join(hint(next.select(col("id").as("u"))), "u")
+          .join(hint(next.select(col("id").as("v"))), "v")
           .groupBy(col("u").as("id"))
           .agg(count(lit(1)).as("core_deg"))
       }
@@ -704,10 +739,17 @@ object Graphs {
     var dist = truncate(seeds
       .select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L)))
+    // |V|-bounded dist frame broadcast under the conf bound — the
+    // checkpointed-sym-has-no-stats trap, see [[kCore]]/[[pageRank]]
+    val bcastNodes = edges.sparkSession.conf
+      .getOption("spark.graft.graphBroadcastNodes")
+      .map(_.toLong).getOrElse(1L << 20)
     var hop = 0
     while (hop < maxHops) {
+      val distU = dist.select(col("id").as("u"), col("dist"))
       val relaxed = sym
-        .join(dist.select(col("id").as("u"), col("dist")), "u")
+        .join(if (dist.count() <= bcastNodes) broadcast(distU) else distU,
+          "u")
         .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
       dist = truncate(dist.union(relaxed)
         .groupBy("id").agg(min("dist").as("dist")))
@@ -749,10 +791,18 @@ object Graphs {
       seeds.select(col(seedCol).cast("long").as("id")).distinct())
     var visited = seed0.withColumn("dist", lit(0L))
     var frontier = seed0
+    // |V|-bounded frontier broadcast under the conf bound — the
+    // checkpointed-sym-has-no-stats trap, see [[kCore]]/[[pageRank]]
+    val bcastNodes = edges.sparkSession.conf
+      .getOption("spark.graft.graphBroadcastNodes")
+      .map(_.toLong).getOrElse(1L << 20)
     var hop = 1
     while (hop <= maxHops && frontier.limit(1).count() > 0) {
+      val frontU = frontier.select(col("id").as("u"))
       val next = truncate(
-        sym.join(frontier.select(col("id").as("u")), "u")
+        sym.join(
+          if (frontier.count() <= bcastNodes) broadcast(frontU) else frontU,
+          "u")
           .select(col("v").as("id"))
           .distinct()
           .join(visited.select("id"), Seq("id"), "left_anti"))
