@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * shapes are the acceptance.
   *
   * Copy construction preserves workload SHAPE instead of inflating it:
-  *  - documents: doc_id shifted by 10M per copy and the text prefixed
-  *    with a per-copy token, so shingle/minhash buckets do NOT collapse
-  *    across copies (10 exact copies of every doc would multiply every
-  *    LSH bucket by 10 — a different, artificial workload);
+  *  - documents: doc_id shifted by 10M per copy and EVERY TOKEN suffixed
+  *    with a per-copy tag, so the copies are fully disjoint in shingle /
+  *    gram space — the same "disjoint copies" growth mode as lineitem.
+  *    (The earlier per-copy PREFIX token prevented exact-dup collapse
+  *    but left copies Jaccard-~1 NEIGHBORS of each other: for the exact
+  *    set-similarity join the true-pair output then grows quadratically
+  *    in copies — a ×75 "regression" that was fixture artifact, not
+  *    algorithm. Per-token salting keeps element document frequencies
+  *    scale-invariant, which is what a 10× corpus actually looks like.)
   *  - events: user_id shifted per copy (10x users, same per-user
   *    trajectory), event_id shifted by 1M per copy to stay unique; the
   *    jitter formulas depend on event_id % 5/7, so a multiple-of-70 shift
@@ -32,9 +37,9 @@ object ScaleSmoke {
     val fs = new java.io.File(dst)
     // completion marker encodes the copy count: a bare _OK would silently
     // reuse a 10-copy fixture for a requested 100-copy sweep
-    // v2: fixture gained lineitem — the version bump forces a rebuild
-    // over any pre-lineitem fixture whose marker would otherwise match
-    if (new java.io.File(s"$dst/_OK_v2_$nCopies").exists()) return
+    // v3: documents switched to per-token copy salting — the version
+    // bump forces a rebuild over any prefix-salted fixture
+    if (new java.io.File(s"$dst/_OK_v3_$nCopies").exists()) return
     fs.mkdirs()
     // rebuilding at a different copy count: drop every stale marker so a
     // later run requesting the OLD count can't silently reuse data built
@@ -45,11 +50,17 @@ object ScaleSmoke {
     val docs = Tables.documents(spark, src)
     val events = Tables.table(spark, src, "events")
     val copies = spark.range(0, nCopies).select(col("id").as("copy"))
+    // per-token salt: suffix every token with "~c<copy>" (copy 0 keeps
+    // the original text, so the sf0.1 slice of the fixture IS the real
+    // corpus). Tokenization everywhere is single-space, so the suffix
+    // rides inside the token and every word-n-gram / char-k-gram space
+    // is disjoint across copies.
     docs.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
         when(col("copy") === 0, col("text"))
-          .otherwise(concat(lit("c"), col("copy"), lit(" "), col("text")))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~c"), col("copy"))))
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
@@ -80,7 +91,7 @@ object ScaleSmoke {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-    new java.io.File(s"$dst/_OK_v2_$nCopies").createNewFile(): Unit
+    new java.io.File(s"$dst/_OK_v3_$nCopies").createNewFile(): Unit
   }
 
   private val defaultTargets =

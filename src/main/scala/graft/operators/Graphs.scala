@@ -620,10 +620,18 @@ object Graphs {
     val spark = edges.sparkSession
     val bound = spark.conf.getOption("spark.graft.kCoreSmallGraphEdges")
       .map(_.toLong).getOrElse(1L << 18)
-    if (bound > 0 && dedup.count() <= bound) {
+    // O(E) queue peel over a collected (u, v) edge list — the classic
+    // sequential algorithm. Used (a) up front when the whole contracted
+    // graph fits under the conf bound, and (b) as the HYBRID FINISH of
+    // the distributed loop: each synchronous round deletes all deg<k
+    // nodes, so the alive remainder shrinks monotonically, and once it
+    // fits under the same bound the last ~peel-depth rounds (the long
+    // latency tail — chains peel one sublevel per round) collapse into
+    // one in-driver pass. The fixpoint is deletion-order independent, so
+    // distributed rounds + driver finish = pure driver = pure
+    // distributed (KCoreSpec pins all three).
+    def queuePeel(pairs: Array[(Long, Long)]): DataFrame = {
       import spark.implicits._
-      val pairs = dedup.as[(Long, Long)].collect()
-      // index nodes, build adjacency, queue-peel
       val idx = new scala.collection.mutable.LongMap[Int]()
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       def id(x: Long): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
@@ -659,7 +667,11 @@ object Graphs {
       }
       val rows = (0 until n).filter(alive)
         .map(i => (ids(i), live(i).toLong))
-      return rows.toDF("id", "core_deg")
+      rows.toDF("id", "core_deg")
+    }
+    if (bound > 0 && dedup.count() <= bound) {
+      import spark.implicits._
+      return queuePeel(dedup.as[(Long, Long)].collect())
     }
     val sym = truncate(dedup
       .union(dedup.select(col("v").as("u"), col("u").as("v"))))
@@ -685,8 +697,14 @@ object Graphs {
         .join(hint(alive.select(col("id").as("v"))), "v")
         .groupBy(col("u").as("id"))
         .agg(count(lit(1)).as("d"))
-      val next = truncateFresh(degs.filter(col("d") >= k).select("id"))
-      val nNext = next.count()
+      val next = truncateFresh(degs.filter(col("d") >= k))
+      // one action for both loop controls: survivor count and survivor
+      // degree sum. sum(d)/2 upper-bounds the SURVIVING edge count (d
+      // still counts edges into just-deleted nodes), so it is a safe
+      // trigger for the hybrid driver finish below.
+      val aggRow = next.agg(count(lit(1)), sum(col("d"))).head()
+      val nNext = aggRow.getLong(0)
+      val edgeUb = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1) / 2
       rounds += 1
       if (nNext == nAlive) {
         // stable: every survivor already has in-core degree >= k
@@ -696,10 +714,25 @@ object Graphs {
           .groupBy(col("u").as("id"))
           .agg(count(lit(1)).as("core_deg"))
       }
-      alive = next
+      alive = next.select("id")
       nAlive = nNext
       if (nAlive == 0)
         return alive.withColumn("core_deg", lit(0L)).filter(lit(false))
+      if (bound > 0 && edgeUb <= bound) {
+        // hybrid finish: the alive remainder now fits the same conf
+        // bound — collect it and queue-peel in the driver instead of
+        // paying one synchronous round per remaining peel SUBLEVEL
+        // (chains peel one node per round; measured 36+ rounds / 60+ s
+        // of pure job latency on the x10 co-purchase graph vs ~2 s to
+        // this cutover point).
+        import spark.implicits._
+        val rem = sym
+          .join(hint(alive.select(col("id").as("u"))), "u")
+          .join(hint(alive.select(col("id").as("v"))), "v")
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v"))
+        return queuePeel(rem.as[(Long, Long)].collect())
+      }
     }
     throw new IllegalStateException(
       s"kCore did not converge in $maxRounds rounds")

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational MERGE INTO and golden-record survivorship — the keyed
+  * table-maintenance surface (beyond the reference's scope — first-class
+  * per the build brief). Spark has no MERGE over plain parquet (that
+  * lives in table formats); both operators here express the semantics
+  * with one keyed outer join so they run on anything Spark can read.
+  */
+object MergeOps {
+
+  /** MERGE INTO semantics over a keyed target:
+    *   - key in both:   apply `updateSet` (expressions may read both
+    *     sides: target columns as-is, source columns via `src` prefix),
+    *     then drop the row if `deleteWhen` holds on the updated image;
+    *   - key only in source: insert `insertSet`;
+    *   - key only in target: keep unchanged.
+    *
+    * One full-outer hash join on the key — the scale shape of every
+    * table-format MERGE (they add file pruning on top; semantics are
+    * this). Deterministic: both inputs must be key-unique (the caller's
+    * contract, as in SQL MERGE where a duplicate source key is an error).
+    *
+    * `updateSet`/`insertSet` list (targetColumn -> expression); columns
+    * absent from `updateSet` keep their target value; every target
+    * column must get a value on insert (nulls are explicit).
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+                updateSet: Seq[(String, Column)],
+                insertSet: Seq[(String, Column)],
+                deleteWhen: Option[Column] = None): DataFrame = {
+    val tCols = target.columns.toSeq
+    val srcPrefixed = source.columns.foldLeft(source) { (d, c) =>
+      if (c == key) d else d.withColumnRenamed(c, s"src_$c")
+    }
+    val j = target.withColumn("_t", lit(1))
+      .join(srcPrefixed.withColumn("_s", lit(1)), Seq(key), "full_outer")
+    val updated = tCols.map { c =>
+      val upd = updateSet.toMap.get(c)
+      val ins = insertSet.toMap.getOrElse(c,
+        throw new IllegalArgumentException(s"mergeInto: no insert value for $c"))
+      when(col("_t").isNotNull && col("_s").isNotNull,
+        upd.getOrElse(col(c)))
+        .when(col("_t").isNull, ins)
+        .otherwise(col(c)).as(c)
+    }
+    val merged = j.select(col("_t") +: col("_s") +: updated: _*)
+    deleteWhen
+      .map(d => merged.filter(col("_t").isNull || col("_s").isNull || !d))
+      .getOrElse(merged)
+      .drop("_t", "_s")
+  }
+
+  /** Golden-record survivorship: collapse a key's rows into one record
+    * where EACH column independently takes its best survivor —
+    * `max_by`-style "latest non-null wins" under a caller-chosen recency
+    * order, with the (order, value) pair made total so ties are
+    * deterministic. The master-data dedup that [[Dedup]]'s keep-one
+    * cannot express: the winning row may not exist (columns come from
+    * DIFFERENT rows).
+    *
+    * Implementation is one hash aggregate: per column, max of the
+    * (hasValue, order, tieBreak, value) struct — null values sort below
+    * present ones, so a null never beats data; struct max is a single
+    * partial-aggregable min/max, no window, no self-join.
+    */
+  def goldenRecord(df: DataFrame, key: String, orderCol: String,
+                   tieBreakCol: String, valueCols: Seq[String])
+  : DataFrame = {
+    val picks = valueCols.map { c =>
+      max(struct(col(c).isNotNull.as("has"), col(orderCol).as("o"),
+        col(tieBreakCol).as("t"), col(c).as("v")))
+        .getField("v").as(c)
+    }
+    df.groupBy(col(key))
+      .agg(picks.head, picks.tail: _*)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics for corpus/metric quality control
+  * (beyond the reference's surface — first-class per the build brief).
+  *
+  * Both operators follow the repo's exactness contract: every comparison
+  * happens in INTEGER arithmetic (cross-multiplied moments, exact ranks),
+  * so the flag/clip decisions are bit-identical in any engine — floats
+  * appear only in final presentation columns, each a one-shot correctly
+  * rounded expression (the q131 precedent).
+  */
+object RobustStats {
+
+  /** Per-group outlier counts by the 3-sigma rule, decided exactly:
+    * |x - mean| > zNum/zDen * stddev_pop is cross-multiplied to
+    *   (n·x - sx)² · zDen² > zNum² · n · (n·sxx - sx²) · ... — all in
+    * long arithmetic (no float boundary, no sqrt). Input values must be
+    * exact integers (cents); groups are whatever key the caller hands in.
+    *
+    * One partial-agg pass builds the three moments per group, a second
+    * pass joins them back (broadcast — the moment frame is key-sized) and
+    * counts flagged rows. n=1 groups flag nothing (variance 0, deviation
+    * 0). Scale shape: two shuffles on the group key, no window, no skew
+    * surface beyond the key agg.
+    */
+  def outlierCounts(df: DataFrame, keys: Seq[String], valueCol: String,
+                    zNum: Long = 3, zDen: Long = 1): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    val moments = df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("sx"),
+        sum(v * v).as("sxx"))
+    // (n·x − sx)² · zDen² > zNum² · n · (n·sxx − sx²)
+    val dev = col("n") * v - col("sx")
+    val isOut = dev * dev * lit(zDen * zDen) >
+      lit(zNum * zNum) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx"))
+    df.join(broadcast(moments), keys)
+      .groupBy(keyCols: _*)
+      .agg(max(col("n")).as("n"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(isOut, v)).as("outlier_total"))
+  }
+
+  /** Winsorized statistics: clip each value to its group's exact
+    * [pLo, pHi] percentile bounds (percentile_disc semantics: the value
+    * at rank ceil(p·n) under the deterministic (value, id) total order),
+    * then aggregate. The standard heavy-tail guard before averaging —
+    * a handful of corrupt readings otherwise own the mean at any scale.
+    *
+    * Ranks, bounds, and clips are all integer-exact; pLo/pHi are
+    * rationals (num/den) so ceil(p·n) is `(n·num + den − 1) div den`
+    * with no float rank boundary. One window pass over the group
+    * exchange computes ranks and group sizes; the two boundary rows per
+    * group broadcast back; the clip is a branch-free least/greatest.
+    */
+  def winsorizedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                      idCol: String, loNum: Long, hiNum: Long,
+                      den: Long): DataFrame = {
+    require(0 <= loNum && loNum <= hiNum && hiNum <= den,
+      "winsorizedStats: need 0 <= loNum <= hiNum <= den")
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    val w = Window.partitionBy(keyCols: _*).orderBy(v, col(idCol))
+    val cw = Window.partitionBy(keyCols: _*)
+    // integer ceil-division: Column./ on longs is DOUBLE division, so
+    // spell the rank with SQL's div
+    def ceilRank(num: Long): Column =
+      greatest(lit(1L), expr(s"(gn * $num + ${den - 1}) div $den"))
+    val ranked = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("gn", count(lit(1)).over(cw))
+    val bounds = ranked
+      .filter(col("rn") === ceilRank(loNum) || col("rn") === ceilRank(hiNum))
+      .groupBy(keyCols: _*)
+      .agg(min(when(col("rn") === ceilRank(loNum), v)).as("lo"),
+        min(when(col("rn") === ceilRank(hiNum), v)).as("hi"))
+    val clipped = least(greatest(v, col("lo")), col("hi"))
+    df.join(broadcast(bounds), keys)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(clipped).as("w_total"),
+        sum(when(v < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .withColumn("w_avg6",
+        round(col("w_total").cast("double") / col("n"), 6))
+  }
+}

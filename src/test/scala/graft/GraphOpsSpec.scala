@@ -643,6 +643,30 @@ class KCoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("hybrid finish (distributed rounds then driver peel) matches both") {
+    // K8 (28 edges) + one parent per K8 node + 2 leaves per parent
+    // (52 edges total). At k=3 with bound=35 the cutover provably fires
+    // after exactly two distributed rounds: round 1 deletes the 16
+    // leaves (survivor degree-sum upper bound 88/2 = 44 > 35), round 2
+    // deletes the 8 now-deg-1 parents (bound 64/2 = 32 <= 35) — the
+    // remaining K8 is collected and queue-peeled in the driver.
+    val k8 = for (a <- 0L to 7L; b <- 0L to 7L if a < b) yield (a, b)
+    val parents = (0L to 7L).map(i => (i, 10L + i))
+    val leaves = (0L to 7L).flatMap(i =>
+      Seq((10L + i, 20L + 2 * i), (10L + i, 21L + 2 * i)))
+    val edges = k8 ++ parents ++ leaves
+    val pureDriver = core(edges, 3)
+    val pureLoop = withDistributed { core(edges, 3) }
+    spark.conf.set("spark.graft.kCoreSmallGraphEdges", "35")
+    val hybrid =
+      try core(edges, 3)
+      finally spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
+    val want = (0L to 7L).map(_ -> 7L).toMap
+    assert(hybrid === want)
+    assert(pureDriver === want)
+    assert(pureLoop === want)
+  }
 }
 
 class WeightedHopSpec extends SparkSpec {
