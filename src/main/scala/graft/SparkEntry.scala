@@ -2015,7 +2015,88 @@ object SparkEntry {
             (sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
               sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))),
           6))
-    })
+    }),
+
+    // Incremental aggregate maintenance (the materialized-view pattern):
+    // per-user purchase state folded over two day-parity batches must
+    // hash-equal the single-pass recompute — the algebraic-merge
+    // contract that lets a 100 TB rollup absorb a day's increment
+    // without re-scanning history. avg/variance assemble from the
+    // integer state in one-shot double expressions (q131 contract).
+    "q132_incremental_agg" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.IncrementalAgg.present(
+        graft.operators.IncrementalAgg.foldBatches(
+          Seq(p.filter(col("day") % 2 === 0), p.filter(col("day") % 2 === 1)),
+          Seq("user_id"), "cents"))
+    }),
+
+    // Exact z-score outlier counts per user (z > 2 on purchase cents):
+    // the flag is decided in cross-multiplied LONG arithmetic —
+    // (n·x − sx)²·zDen² > zNum²·(n·sxx − sx²) — so the flagged set is
+    // bit-identical in any engine; no sqrt, no float boundary.
+    "q133_outliers" -> ((s, d) =>
+      graft.operators.RobustStats.outlierCounts(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        Seq("user_id"), "cents", zNum = 2, zDen = 1)),
+
+    // Winsorized mean per event_type: clip to the exact [p05, p95]
+    // percentile_disc bounds (rank ceil(p·n) under the total
+    // (cents, event_id) order) before averaging — the heavy-tail guard.
+    "q134_winsorize" -> ((s, d) =>
+      graft.operators.RobustStats.winsorizedStats(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        Seq("event_type"), "cents", "event_id", 5, 95, 100)),
+
+    // MERGE INTO semantics over a keyed per-(user, weekday) purchase
+    // rollup: first-half state is the target, second-half state the
+    // source — update on overlap, insert source-only keys, keep
+    // target-only keys, and delete merged rows whose combined count
+    // falls under 3. All four arms are live at both scales.
+    "q135_merge" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      def stateOf(df: DataFrame) = df
+        .groupBy(col("user_id"), (col("day") % 7).as("dow"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+      graft.operators.MergeOps.mergeInto(
+        stateOf(p.filter(col("day") < 19738)),
+        stateOf(p.filter(col("day") >= 19738)),
+        Seq("user_id", "dow"),
+        updateSet = Seq("n" -> (col("n") + col("src_n")),
+          "total" -> (col("total") + col("src_total"))),
+        insertSet = Seq("n" -> col("src_n"), "total" -> col("src_total")),
+        deleteWhen = Some(col("n") < 3))
+    }),
+
+    // Golden-record survivorship: each column independently takes its
+    // latest non-null value under the total (ts, event_id) order — the
+    // master-data collapse where the winning ROW may not exist. One
+    // struct-max hash aggregate, no window, no self-join.
+    "q136_golden" -> ((s, d) =>
+      graft.operators.MergeOps.goldenRecord(
+        Tables.events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_id"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).as("purchase_cents"),
+          when(col("event_type") === "view",
+            get_json_object(col("props"), "$.k").cast("long")).as("view_k"),
+          when(col("event_type") === "error", col("event_id"))
+            .as("error_event")),
+        "user_id", "ts_us", "event_id",
+        Seq("purchase_cents", "view_k", "error_event")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4035,6 +4116,123 @@ object SparkEntry {
         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr6
         |FROM m""".stripMargin,
+
+    // Single-pass recompute of the same integer state + the same
+    // one-shot double expressions — batch folding must land exactly here.
+    "q132_incremental_agg" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total,
+        |  min(cents) AS mn, max(cents) AS mx,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg6,
+        |  round((CAST(count(*) AS DOUBLE) * CAST(sum(cents * cents) AS DOUBLE)
+        |      - CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+        |    AS var6
+        |FROM p GROUP BY user_id""".stripMargin,
+
+    // Identical cross-multiplied integer flag — no sqrt on either side.
+    "q133_outliers" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+        |  FROM p GROUP BY user_id),
+        |f AS (
+        |  SELECT p.user_id, cents, n,
+        |    CASE WHEN (n * cents - sx) * (n * cents - sx)
+        |        > 4 * (n * sxx - sx * sx) THEN 1 ELSE 0 END AS flag
+        |  FROM p JOIN m USING (user_id))
+        |SELECT user_id, max(n) AS n,
+        |  CAST(sum(flag) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN flag = 1 THEN cents END) AS BIGINT)
+        |    AS outlier_total
+        |FROM f GROUP BY user_id""".stripMargin,
+
+    // Same exact ranks (ceil(p*n) as integer div), same clip, same
+    // one-division average.
+    "q134_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS gn
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = greatest(1, (gn * 5 + 99) // 100)
+        |      THEN cents END) AS lo,
+        |    min(CASE WHEN rn = greatest(1, (gn * 95 + 99) // 100)
+        |      THEN cents END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
+        |  CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS w_total,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE)
+        |    / count(*), 6) AS w_avg6
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+
+    // The four MERGE arms as one full-outer CASE: update adds the
+    // states, insert takes source, target-only passes through, and the
+    // matched-image delete drops combined n < 3.
+    "q135_merge" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, d % 7 AS dow, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM p WHERE d < 19738 GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, d % 7 AS dow, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM p WHERE d >= 19738 GROUP BY 1, 2)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |  coalesce(t.dow, s.dow) AS dow,
+        |  CASE WHEN t.n IS NOT NULL AND s.n IS NOT NULL THEN t.n + s.n
+        |       WHEN t.n IS NULL THEN s.n ELSE t.n END AS n,
+        |  CASE WHEN t.n IS NOT NULL AND s.n IS NOT NULL
+        |         THEN t.total + s.total
+        |       WHEN t.n IS NULL THEN s.total ELSE t.total END AS total
+        |FROM t FULL OUTER JOIN s
+        |  ON t.user_id = s.user_id AND t.dow = s.dow
+        |WHERE NOT (t.n IS NOT NULL AND s.n IS NOT NULL
+        |  AND t.n + s.n < 3)""".stripMargin,
+
+    // Latest-non-null per column under the same (ts_us, event_id) total
+    // order, via IGNORE NULLS frame-end window (the q111 device).
+    "q136_golden" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) END
+        |      AS purchase_cents,
+        |    CASE WHEN event_type = 'view'
+        |      THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS view_k,
+        |    CASE WHEN event_type = 'error' THEN event_id END AS error_event
+        |  FROM events)
+        |SELECT DISTINCT user_id,
+        |  last_value(purchase_cents IGNORE NULLS) OVER w AS purchase_cents,
+        |  last_value(view_k IGNORE NULLS) OVER w AS view_k,
+        |  last_value(error_event IGNORE NULLS) OVER w AS error_event
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin,
 
     // GROUPING() bits composed in Spark's grouping_id order
     // (first listed column = most significant bit).

@@ -18,33 +18,38 @@ object MergeOps {
     *   - key only in source: insert `insertSet`;
     *   - key only in target: keep unchanged.
     *
-    * One full-outer hash join on the key — the scale shape of every
+    * One full-outer hash join on the keys — the scale shape of every
     * table-format MERGE (they add file pruning on top; semantics are
     * this). Deterministic: both inputs must be key-unique (the caller's
-    * contract, as in SQL MERGE where a duplicate source key is an error).
+    * contract, as in SQL MERGE where a duplicate source key is an
+    * error). Key columns pass through (USING-join coalesced); every
+    * non-key target column needs an `insertSet` value.
     *
     * `updateSet`/`insertSet` list (targetColumn -> expression); columns
     * absent from `updateSet` keep their target value; every target
     * column must get a value on insert (nulls are explicit).
     */
-  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
                 updateSet: Seq[(String, Column)],
                 insertSet: Seq[(String, Column)],
                 deleteWhen: Option[Column] = None): DataFrame = {
     val tCols = target.columns.toSeq
     val srcPrefixed = source.columns.foldLeft(source) { (d, c) =>
-      if (c == key) d else d.withColumnRenamed(c, s"src_$c")
+      if (keys.contains(c)) d else d.withColumnRenamed(c, s"src_$c")
     }
     val j = target.withColumn("_t", lit(1))
-      .join(srcPrefixed.withColumn("_s", lit(1)), Seq(key), "full_outer")
+      .join(srcPrefixed.withColumn("_s", lit(1)), keys, "full_outer")
     val updated = tCols.map { c =>
-      val upd = updateSet.toMap.get(c)
-      val ins = insertSet.toMap.getOrElse(c,
-        throw new IllegalArgumentException(s"mergeInto: no insert value for $c"))
-      when(col("_t").isNotNull && col("_s").isNotNull,
-        upd.getOrElse(col(c)))
-        .when(col("_t").isNull, ins)
-        .otherwise(col(c)).as(c)
+      if (keys.contains(c)) col(c).as(c) // USING-join keys are coalesced
+      else {
+        val upd = updateSet.toMap.get(c)
+        val ins = insertSet.toMap.getOrElse(c,
+          throw new IllegalArgumentException(s"mergeInto: no insert value for $c"))
+        when(col("_t").isNotNull && col("_s").isNotNull,
+          upd.getOrElse(col(c)))
+          .when(col("_t").isNull, ins)
+          .otherwise(col(c)).as(c)
+      }
     }
     val merged = j.select(col("_t") +: col("_s") +: updated: _*)
     deleteWhen

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
-  /** Per-group outlier counts by the 3-sigma rule, decided exactly:
-    * |x - mean| > zNum/zDen * stddev_pop is cross-multiplied to
-    *   (n·x - sx)² · zDen² > zNum² · n · (n·sxx - sx²) · ... — all in
-    * long arithmetic (no float boundary, no sqrt). Input values must be
-    * exact integers (cents); groups are whatever key the caller hands in.
+  /** Per-group outlier counts by the z-sigma rule, decided exactly:
+    * with μ = sx/n and σ²_pop = (n·sxx − sx²)/n², the test
+    * |x − μ| > (zNum/zDen)·σ cross-multiplies to
+    *   (n·x − sx)² · zDen² > zNum² · (n·sxx − sx²)
+    * — all in long arithmetic (no float boundary, no sqrt). Input values
+    * must be exact integers (cents). Caller's overflow contract:
+    * n·max|x| must stay within ~3e9 so its square fits a long — group
+    * by a bounded key (user, day), not a 5-value enum over the corpus.
     *
     * One partial-agg pass builds the three moments per group, a second
     * pass joins them back (broadcast — the moment frame is key-sized) and
@@ -34,10 +37,10 @@ object RobustStats {
     val moments = df.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n"), sum(v).as("sx"),
         sum(v * v).as("sxx"))
-    // (n·x − sx)² · zDen² > zNum² · n · (n·sxx − sx²)
+    // (n·x − sx)² · zDen² > zNum² · (n·sxx − sx²)
     val dev = col("n") * v - col("sx")
     val isOut = dev * dev * lit(zDen * zDen) >
-      lit(zNum * zNum) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx"))
+      lit(zNum * zNum) * (col("n") * col("sxx") - col("sx") * col("sx"))
     df.join(broadcast(moments), keys)
       .groupBy(keyCols: _*)
       .agg(max(col("n")).as("n"),

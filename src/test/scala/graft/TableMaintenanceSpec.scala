@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{IncrementalAgg, MergeOps, RobustStats}
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // (key, value, batch)
+    ("a", 10L, 0), ("a", 20L, 1), ("a", 30L, 0),
+    ("b", 5L, 1), ("b", 7L, 1),
+    ("c", 100L, 0))
+
+  test("fold of batches equals single-pass aggregate, any order") {
+    val df = rows.toDF("k", "v", "b")
+    val whole = IncrementalAgg.aggregate(df, Seq("k"), "v")
+    def state(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+    val batches = Seq(df.filter($"b" === 0), df.filter($"b" === 1))
+    val folded = IncrementalAgg.foldBatches(batches, Seq("k"), "v")
+    val foldedRev =
+      IncrementalAgg.foldBatches(batches.reverse, Seq("k"), "v")
+    assert(state(folded) === state(whole))
+    assert(state(foldedRev) === state(whole))
+    // keys present in only one batch must pass through the outer merge
+    assert(state(folded)("b") === (2L, 12L, 5L, 7L, 74L))
+    assert(state(folded)("c") === (1L, 100L, 100L, 100L, 10000L))
+  }
+
+  test("present derives avg and population variance from state") {
+    val st = IncrementalAgg.aggregate(
+      Seq(("a", 2L), ("a", 4L)).toDF("k", "v"), Seq("k"), "v")
+    val row = IncrementalAgg.present(st).collect().head
+    assert(row.getAs[Double]("avg6") === 3.0)
+    assert(row.getAs[Double]("var6") === 1.0) // pop var of {2,4}
+  }
+}
+
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("outlierCounts flags exactly |x - mean| > z*sigma_pop, integer-decided") {
+    // group g: values 1,1,1,1,16 -> mean 4, sigma_pop 6; z=2 bound is 12
+    // |16-4| = 12 is NOT > 12 (strict) -> no flag at z=2, flags at z=3/2
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 1L), ("g", 16L))
+      .toDF("k", "v")
+    val at2 = RobustStats.outlierCounts(df, Seq("k"), "v", 2, 1)
+      .collect().head
+    assert(at2.getAs[Long]("n_outliers") === 0L)
+    val at32 = RobustStats.outlierCounts(df, Seq("k"), "v", 3, 2)
+      .collect().head
+    assert(at32.getAs[Long]("n_outliers") === 1L)
+    assert(at32.getAs[Long]("outlier_total") === 16L)
+  }
+
+  test("outlierCounts: n=1 and zero-variance groups flag nothing") {
+    val df = Seq(("one", 42L), ("flat", 7L), ("flat", 7L), ("flat", 7L))
+      .toDF("k", "v")
+    val got = RobustStats.outlierCounts(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_outliers")).toMap
+    assert(got === Map("one" -> 0L, "flat" -> 0L))
+  }
+
+  test("winsorizedStats clips to exact ceil-rank percentile bounds") {
+    // 10 values 10..100; p10 rank ceil(1)=1 -> lo=10, p80 rank 8 -> hi=80
+    val df = (1 to 10).map(i => ("g", i * 10L, i.toLong)).toDF("k", "v", "id")
+    val r = RobustStats.winsorizedStats(df, Seq("k"), "v", "id", 10, 80, 100)
+      .collect().head
+    assert(r.getAs[Long]("lo") === 10L)
+    assert(r.getAs[Long]("hi") === 80L)
+    assert(r.getAs[Long]("n_clip_lo") === 0L)
+    assert(r.getAs[Long]("n_clip_hi") === 2L) // 90, 100
+    assert(r.getAs[Long]("w_total") === (10 to 80 by 10).sum + 2 * 80L)
+  }
+
+  test("winsorizedStats ties break by id — deterministic bounds") {
+    // equal values: rank order falls back to id, bounds still unique
+    val df = Seq(("g", 5L, 2L), ("g", 5L, 1L), ("g", 9L, 3L), ("g", 1L, 4L))
+      .toDF("k", "v", "id")
+    val r = RobustStats.winsorizedStats(df, Seq("k"), "v", "id", 25, 75, 100)
+      .collect().head
+    assert(r.getAs[Long]("lo") === 1L) // rank ceil(4*25/100)=1
+    assert(r.getAs[Long]("hi") === 5L) // rank 3 under (v, id) order
+  }
+}
+
+class MergeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeInto: update, insert, keep, and matched-image delete arms") {
+    val target = Seq((1L, 10L), (2L, 1L), (3L, 99L)).toDF("k", "n")
+    val source = Seq((1L, 5L), (2L, 1L), (4L, 7L)).toDF("k", "n")
+    val got = MergeOps.mergeInto(target, source, Seq("k"),
+      updateSet = Seq("n" -> (col("n") + col("src_n"))),
+      insertSet = Seq("n" -> col("src_n")),
+      deleteWhen = Some(col("n") < 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1 updated 10+5; k=2 updated 1+1=2 -> deleted; k=3 kept; k=4 inserted
+    assert(got === Map(1L -> 15L, 3L -> 99L, 4L -> 7L))
+  }
+
+  test("mergeInto without deleteWhen keeps every merged row") {
+    val target = Seq((1L, 1L)).toDF("k", "n")
+    val source = Seq((1L, 1L)).toDF("k", "n")
+    val got = MergeOps.mergeInto(target, source, Seq("k"),
+      Seq("n" -> (col("n") + col("src_n"))), Seq("n" -> col("src_n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L))
+  }
+
+  test("goldenRecord: columns survive independently, nulls never win") {
+    val df = Seq(
+      // (key, order, tie, a, b)
+      (1L, 1L, 1L, Some(10L), None: Option[Long]),
+      (1L, 2L, 2L, None, Some(20L)),
+      (1L, 3L, 3L, None, None), // latest row is all-null: must not win
+      (2L, 1L, 4L, None, None)  // key with no values at all
+    ).toDF("k", "o", "t", "a", "b")
+    val got = MergeOps.goldenRecord(df, "k", "o", "t", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) === (Some(10L), Some(20L)))
+    assert(got(2L) === (None, None))
+  }
+
+  test("goldenRecord: equal order falls to tie-break deterministically") {
+    val df = Seq((1L, 5L, 1L, Some(100L)), (1L, 5L, 2L, Some(200L)))
+      .toDF("k", "o", "t", "a")
+    val got = MergeOps.goldenRecord(df, "k", "o", "t", Seq("a"))
+      .collect().head
+    assert(got.getLong(1) === 200L)
+  }
+}
