@@ -570,21 +570,32 @@ object Dedup {
         .as("elems"))
       .join(sz, "doc_id")
       .select(col("doc_id"), col("n"),
-        explode(slice(col("elems"), lit(1),
+        posexplode(slice(col("elems"), lit(1),
           (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
-            .cast("int"))).as("pe"))
-      .select(col("doc_id"), col("n"), col("pe.e").as("e"))
+            .cast("int"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col.e").as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candA = pref.select(col("doc_id").as("id_a"), col("n").as("na"),
-      col("e"))
+      col("p").as("pa"), col("e"))
     val candB = pref.select(col("doc_id").as("id_b"), col("n").as("nb"),
-      col("e"))
-    // length filter (All-Pairs): J >= t forces t*nb <= na <= nb/t —
-    // applied inside the candidate join, before the distinct
+      col("p").as("pb"), col("e"))
+    // two candidate filters beyond the equi-join, both pure integers:
+    //  - length (All-Pairs): J >= t forces t*nb <= na <= nb/t;
+    //  - positional (PPJoin): matching at 1-based prefix positions
+    //    (pa, pb) caps the overlap at 1 + min(na-pa, nb-pb), which must
+    //    reach minOverlap = ceil(tNum*(na+nb)/(tNum+tDen)) (from
+    //    c*tDen >= tNum*(na+nb-c)). Lossless: a qualifying pair's FIRST
+    //    shared element in the global order sits inside both prefixes
+    //    and sees every common element at-or-after it, so that
+    //    occurrence always passes; occurrence-wise OR + distinct can
+    //    only admit more.
     val cand = candA.join(candB, "e")
       .filter(col("id_a") < col("id_b") &&
         col("na") * tDen >= lit(tNum) * col("nb") &&
-        col("nb") * tDen >= lit(tNum) * col("na"))
+        col("nb") * tDen >= lit(tNum) * col("na") &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+          expr(s"($tNum * (na + nb) + ${tNum + tDen - 1}) div ${tNum + tDen}"))
       .select("id_a", "id_b", "na", "nb")
       .distinct()
     // verify candidates against the full element sets as per-doc ARRAYS:

@@ -175,7 +175,7 @@ class PlanAuditSpec extends SparkSpec {
       s"the element frame must be persisted and reused:\n$plan")
     // the only live explodes are the two prefix slices (one per
     // self-join side)
-    val prefixGen = "Generate explode\\(slice".r.findAllIn(plan).size
+    val prefixGen = "Generate posexplode\\(slice".r.findAllIn(plan).size
     assert(prefixGen == 2,
       s"expected exactly the two prefix-slice explodes, got $prefixGen:\n$plan")
     graft.CacheScope.releaseAll()
