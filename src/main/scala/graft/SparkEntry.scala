@@ -2097,6 +2097,52 @@ object SparkEntry {
             .as("error_event")),
         "user_id", "ts_us", "event_id",
         Seq("purchase_cents", "view_k", "error_event")))
+  ,
+
+    // Entity-resolution composition — the end-to-end dedup deliverable:
+    // exact near-dup pairs (q126's guaranteed-recall set-similarity
+    // join) -> connected components (min-id labels) -> per-cluster size
+    // and canonical representative (longest text, ties to smallest id).
+    // The pair frame persists once (CacheScope): the CC edge
+    // symmetrization, the node universe, and the membership join all
+    // consume it.
+    "q137_entity_resolution" -> ((s, d) => {
+      val pairs = graft.CacheScope.track(
+        graft.operators.Dedup.setSimilarityJoin(
+          Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
+          shingleN = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nodes = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b")))
+        .distinct()
+      val cc = graft.operators.Graphs.connectedComponents(
+        pairs, "id_a", "id_b", nodes, "doc_id")
+      val ord = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      cc.select(col("id").as("doc_id"), col("component").as("cluster"))
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster")))
+        .withColumn("canonical_id", first("doc_id").over(ord))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("canonical_id")).cast("long"))
+        .select("doc_id", "cluster", "cluster_size", "canonical_id",
+          "is_canonical")
+    }),
+
+    // Exact rolling LOWER median (7 observed days) of per-user daily
+    // purchase cents: element at ceil(n/2) of the sorted trailing
+    // window — no even-count averaging, integer-exact cross-engine.
+    "q138_rolling_median" -> ((s, d) =>
+      graft.operators.RobustStats.rollingLowerMedian(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy("user_id", "day")
+          .agg(sum("cents").as("cents")),
+        Seq("user_id"), "day", "cents", 7))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4233,6 +4279,66 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
         .stripMargin,
+
+    // q126's exact pair set -> recursive reachability closure (min
+    // reachable id = the CC label) -> identical window canonical pick.
+    "q137_entity_resolution" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |el AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
+        |  FROM toks),
+        |sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT i.id_a, i.id_b
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r AS r
+        |  FROM e JOIN reach ON e.src = reach.id),
+        |comp AS MATERIALIZED (
+        |  SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        |m AS (
+        |  SELECT c.doc_id, c.cluster, d.n_chars
+        |  FROM comp c JOIN documents d USING (doc_id))
+        |SELECT doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+        |  first_value(doc_id) OVER ord AS canonical_id,
+        |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER ord
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM m
+        |WINDOW ord AS (PARTITION BY cluster
+        |  ORDER BY n_chars DESC, doc_id)""".stripMargin,
+
+    // Same trailing-window list, same sort, same ceil(n/2) pick.
+    "q138_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, day, cents,
+        |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT user_id, day, cents,
+        |  arr[(len(arr) + 1) // 2] AS med7
+        |FROM r""".stripMargin,
 
     // GROUPING() bits composed in Spark's grouping_id order
     // (first listed column = most significant bit).

@@ -92,4 +92,30 @@ object RobustStats {
       .withColumn("w_avg6",
         round(col("w_total").cast("double") / col("n"), 6))
   }
+
+  /** Exact rolling LOWER median of `valueCol` over the trailing
+    * `nRows`-row window per key (ordered by `orderCol`): the element at
+    * 1-based position ceil(n/2) of the sorted window — integer-exact
+    * with no even-count averaging, so the result is engine-identical.
+    * Partial windows at the partition head use however many rows exist
+    * (min_periods = 1 semantics).
+    *
+    * Scale shape: one key exchange + one in-partition sort serve the
+    * window; each row sorts its own <= nRows element array (constant
+    * work per row — meant for small smoothing windows, not unbounded
+    * frames). The robust alternative to a rolling MEAN, which a single
+    * corrupt spike owns.
+    */
+  def rollingLowerMedian(df: DataFrame, keys: Seq[String],
+                         orderCol: String, valueCol: String,
+                         nRows: Int): DataFrame = {
+    require(nRows >= 1, "rollingLowerMedian: nRows must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    df.withColumn("_arr", sort_array(collect_list(col(valueCol)).over(w)))
+      .withColumn(s"med$nRows",
+        element_at(col("_arr"),
+          expr("(size(_arr) + 1) div 2").cast("int")))
+      .drop("_arr")
+  }
 }

@@ -76,6 +76,27 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("w_total") === (10 to 80 by 10).sum + 2 * 80L)
   }
 
+  test("rollingLowerMedian: exact lower median, partial head windows") {
+    val df = Seq(("u", 1L, 10L), ("u", 2L, 90L), ("u", 3L, 20L),
+      ("u", 4L, 80L), ("v", 1L, 5L))
+      .toDF("k", "d", "v")
+    val got = RobustStats.rollingLowerMedian(df, Seq("k"), "d", "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // u d=1: {10} -> 10; d=2: {10,90} lower median = 10;
+    // d=3: {10,20,90} -> 20; d=4 window {90,20,80} sorted {20,80,90} -> 80
+    assert(got === Map(("u", 1L) -> 10L, ("u", 2L) -> 10L,
+      ("u", 3L) -> 20L, ("u", 4L) -> 80L, ("v", 1L) -> 5L))
+  }
+
+  test("rollingLowerMedian resists a spike a rolling mean would absorb") {
+    val df = (1L to 9L).map(d => ("u", d, if (d == 5) 1000000L else 10L))
+      .toDF("k", "d", "v")
+    val med = RobustStats.rollingLowerMedian(df, Seq("k"), "d", "v", 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(med.values.toSet === Set(10L)) // the spike never wins a window
+  }
+
   test("winsorizedStats ties break by id — deterministic bounds") {
     // equal values: rank order falls back to id, bounds still unique
     val df = Seq(("g", 5L, 2L), ("g", 5L, 1L), ("g", 9L, 3L), ("g", 1L, 4L))
