@@ -599,15 +599,63 @@ object Graphs {
     * round-synchronous distributed peel, the driver queue peel, and the
     * oracle's unrolled rounds all agree exactly.
     *
-    * Scale shape: each distributed round recomputes alive-degrees with
-    * one equi-join + aggregate over frontier-adjacent edges (two
-    * shuffles), lineage-truncated like every iterative operator here;
-    * rounds = peel depth (up to O(V) on pathological chains — the
-    * conf-bounded driver fast path `spark.graft.kCoreSmallGraphEdges`
-    * (default 2^18, 0 disables) absorbs contracted graphs with the
-    * classic O(E) queue peel instead of paying per-round job latency,
-    * the [[connectedComponents]]/[[pageRank]] precedent).
+    * Strategy ladder, all three landing on the same unique fixpoint:
+    *  1. whole graph under `spark.graft.kCoreSmallGraphEdges` (default
+    *     2^20, 0 disables) — driver O(E) queue peel, zero rounds;
+    *  2. else, if every CONNECTED COMPONENT's edge count fits
+    *     `spark.graft.kCoreComponentEdges` (default 2^22, 0 disables) —
+    *     a CC pass (log-depth rounds) + one flatMapGroups kernel that
+    *     queue-peels each component where it sits (components are
+    *     vertex-disjoint, so the global fixpoint is their union);
+    *  3. else the round-synchronous distributed peel (one equi-join +
+    *     aggregate per round, lineage-truncated), whose round count is
+    *     the graph's PEEL DEPTH — with a hybrid driver finish once the
+    *     alive remainder fits bound 1.
     */
+  /** O(E) queue peel over an in-memory undirected edge list: CSR
+    * adjacency + deletion queue. Returns (id, in-core degree) for
+    * surviving nodes. Shared by the driver fast path, the hybrid loop
+    * finish, and the per-component executor kernel (it runs inside
+    * flatMapGroups, so it must not touch the session).
+    */
+  private def peelPairs(pairs: Array[(Long, Long)], k: Int)
+  : Seq[(Long, Long)] = {
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val ai = pairs.map(p => id(p._1)); val bi = pairs.map(p => id(p._2))
+    val n = ids.length
+    val deg = new Array[Int](n)
+    ai.foreach(deg(_) += 1); bi.foreach(deg(_) += 1)
+    val adjOff = new Array[Int](n + 1)
+    deg.indices.foreach(i => adjOff(i + 1) = adjOff(i) + deg(i))
+    val adj = new Array[Int](pairs.length * 2)
+    val fill = adjOff.clone()
+    var e = 0
+    while (e < pairs.length) {
+      adj(fill(ai(e))) = bi(e); fill(ai(e)) += 1
+      adj(fill(bi(e))) = ai(e); fill(bi(e)) += 1
+      e += 1
+    }
+    val alive = Array.fill(n)(true)
+    val live = deg.clone()
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    (0 until n).foreach(i => if (live(i) < k) { queue += i; alive(i) = false })
+    while (queue.nonEmpty) {
+      val x = queue.dequeue()
+      var j = adjOff(x)
+      while (j < adjOff(x + 1)) {
+        val y = adj(j)
+        if (alive(y)) {
+          live(y) -= 1
+          if (live(y) < k) { alive(y) = false; queue += y }
+        }
+        j += 1
+      }
+    }
+    (0 until n).filter(alive).map(i => (ids(i), live(i).toLong))
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 1000): DataFrame = {
     require(k >= 1, "kCore: k must be >= 1")
@@ -618,8 +666,14 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct())
     val spark = edges.sparkSession
+    // default 2^20 (the pageRank precedent, ~32 MB of edge pairs): the
+    // peel's round count is the graph's peel DEPTH, so the latency cost
+    // of staying distributed is far steeper here than for the ~4-round
+    // CC loop — a bigger driver bound buys disproportionate wall-clock
+    // (x100 co-purchase smoke: 68 s of rounds at 2^18 vs the cutover
+    // firing on round 2 at 2^20)
     val bound = spark.conf.getOption("spark.graft.kCoreSmallGraphEdges")
-      .map(_.toLong).getOrElse(1L << 18)
+      .map(_.toLong).getOrElse(1L << 20)
     // O(E) queue peel over a collected (u, v) edge list — the classic
     // sequential algorithm. Used (a) up front when the whole contracted
     // graph fits under the conf bound, and (b) as the HYBRID FINISH of
@@ -632,46 +686,49 @@ object Graphs {
     // distributed (KCoreSpec pins all three).
     def queuePeel(pairs: Array[(Long, Long)]): DataFrame = {
       import spark.implicits._
-      val idx = new scala.collection.mutable.LongMap[Int]()
-      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      def id(x: Long): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-      val ai = pairs.map(p => id(p._1)); val bi = pairs.map(p => id(p._2))
-      val n = ids.length
-      val deg = new Array[Int](n)
-      ai.foreach(deg(_) += 1); bi.foreach(deg(_) += 1)
-      val adjOff = new Array[Int](n + 1)
-      deg.indices.foreach(i => adjOff(i + 1) = adjOff(i) + deg(i))
-      val adj = new Array[Int](pairs.length * 2)
-      val fill = adjOff.clone()
-      var e = 0
-      while (e < pairs.length) {
-        adj(fill(ai(e))) = bi(e); fill(ai(e)) += 1
-        adj(fill(bi(e))) = ai(e); fill(bi(e)) += 1
-        e += 1
-      }
-      val alive = Array.fill(n)(true)
-      val live = deg.clone()
-      val queue = scala.collection.mutable.Queue.empty[Int]
-      (0 until n).foreach(i => if (live(i) < k) { queue += i; alive(i) = false })
-      while (queue.nonEmpty) {
-        val x = queue.dequeue()
-        var j = adjOff(x)
-        while (j < adjOff(x + 1)) {
-          val y = adj(j)
-          if (alive(y)) {
-            live(y) -= 1
-            if (live(y) < k) { alive(y) = false; queue += y }
-          }
-          j += 1
-        }
-      }
-      val rows = (0 until n).filter(alive)
-        .map(i => (ids(i), live(i).toLong))
-      rows.toDF("id", "core_deg")
+      peelPairs(pairs, k).toDF("id", "core_deg")
     }
     if (bound > 0 && dedup.count() <= bound) {
       import spark.implicits._
       return queuePeel(dedup.as[(Long, Long)].collect())
+    }
+    // Per-component kernel peel: components are vertex-disjoint, so the
+    // global fixpoint is exactly the union of per-component fixpoints. A
+    // CC pass (log-depth rounds) plus ONE flatMapGroups kernel replaces
+    // peel-DEPTH synchronous rounds — the same bounded-kernel idiom as
+    // the per-user DBSCAN. Guard: if any single component's edge count
+    // exceeds `spark.graft.kCoreComponentEdges` (default 2^22 ≈ one
+    // ~128 MB task; 0 disables), fall back to the round loop for the
+    // whole graph — coarse but correct, and a contracted similarity /
+    // co-purchase graph rarely carries a component that size. Measured:
+    // the x100 co-purchase peel (4.8M edges, stable core ~2M edges, so
+    // the hybrid finish never fires) went 48 s of rounds -> ~8 s.
+    val compBound = spark.conf.getOption("spark.graft.kCoreComponentEdges")
+      .map(_.toLong).getOrElse(1L << 22)
+    if (compBound > 0) {
+      val nodes = dedup.select(col("u").as("id"))
+        .union(dedup.select(col("v"))).distinct()
+      val cc = connectedComponents(dedup, "u", "v", nodes, "id")
+      val byComp = truncate(dedup
+        .join(cc.select(col("id").as("u"), col("component")), "u"))
+      val maxComp = Option(byComp.groupBy("component")
+        .agg(count(lit(1)).as("ne"))
+        .agg(max("ne")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (maxComp <= compBound) {
+        import spark.implicits._
+        return byComp.select(col("component"), col("u"), col("v"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (_, it) =>
+            val pairs = it.map(t => (t._2, t._3)).toArray
+            peelPairs(pairs, k).iterator
+          }
+          .toDF("id", "core_deg")
+      }
+      // a component is over the kernel bound: fall through to the
+      // round-synchronous loop (byComp's checkpoint is dropped with
+      // the reference)
     }
     val sym = truncate(dedup
       .union(dedup.select(col("v").as("u"), col("u").as("v"))))

@@ -604,7 +604,18 @@ class KCoreSpec extends SparkSpec {
     Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  // zero BOTH fast-path bounds: the pure round-synchronous loop
   private def withDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.kCoreSmallGraphEdges", "0")
+    spark.conf.set("spark.graft.kCoreComponentEdges", "0")
+    try body finally {
+      spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
+      spark.conf.unset("spark.graft.kCoreComponentEdges")
+    }
+  }
+
+  // driver bound off, component kernel on: the flatMapGroups peel path
+  private def withKernel[T](body: => T): T = {
     spark.conf.set("spark.graft.kCoreSmallGraphEdges", "0")
     try body finally spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
   }
@@ -631,15 +642,20 @@ class KCoreSpec extends SparkSpec {
     assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
-  test("driver fast path equals the distributed round peel") {
+  test("driver fast path, component kernel, and round loop all agree") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
+      // two disjoint random blobs -> a real multi-component kernel case
       val edges = Seq.fill(80 + trial * 40)(
-        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+        Seq.fill(60)(
+          (100L + rnd.nextInt(15), 100L + rnd.nextInt(15)))
       for (k <- Seq(2, 3)) {
         val fast = core(edges, k)
         val loop = withDistributed { core(edges, k) }
+        val kernel = withKernel { core(edges, k) }
         assert(fast === loop, s"trial $trial k=$k")
+        assert(kernel === fast, s"kernel trial $trial k=$k")
       }
     }
   }
@@ -658,10 +674,16 @@ class KCoreSpec extends SparkSpec {
     val edges = k8 ++ parents ++ leaves
     val pureDriver = core(edges, 3)
     val pureLoop = withDistributed { core(edges, 3) }
+    // component kernel off too, so the loop (not the kernel) runs and
+    // the mid-loop cutover is what's exercised
     spark.conf.set("spark.graft.kCoreSmallGraphEdges", "35")
+    spark.conf.set("spark.graft.kCoreComponentEdges", "0")
     val hybrid =
       try core(edges, 3)
-      finally spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
+      finally {
+        spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
+        spark.conf.unset("spark.graft.kCoreComponentEdges")
+      }
     val want = (0L to 7L).map(_ -> 7L).toMap
     assert(hybrid === want)
     assert(pureDriver === want)
