@@ -2142,7 +2142,52 @@ object SparkEntry {
             round(col("value") * 100, 0).cast("long").as("cents"))
           .groupBy("user_id", "day")
           .agg(sum("cents").as("cents")),
-        Seq("user_id"), "day", "cents", 7))
+        Seq("user_id"), "day", "cents", 7)),
+
+    // SCD type 2: each user's daily activity tier collapsed into
+    // versioned validity rows — a version opens at every tier CHANGE
+    // (null-safe lag compare), valid_to = next version's start, open
+    // version flagged is_current. One user exchange serves both window
+    // passes.
+    "q139_scd2" -> ((s, d) =>
+      graft.operators.MergeOps.scd2(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tier",
+            when(col("n") >= 6, "high")
+              .when(col("n") >= 3, "mid").otherwise("low"))
+          .drop("n"),
+        Seq("user_id"), "day", Seq("tier"))),
+
+    // Last-touch attribution: each purchase credits the latest
+    // click/view by the same user at-or-before it within 7 days
+    // (AsofJoin.lastValue with tolerance — the bounded-staleness ASOF);
+    // revenue then aggregates per touch type, un-attributed purchases
+    // under 'none'. Touches are deduped per (user, ts) by max event_id
+    // first (the ASOF right-side uniqueness contract).
+    "q140_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts_us")
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("ts_us"),
+          col("m.event_type").as("touch_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "cents")
+      graft.operators.AsofJoin.lastValue(
+        purchases, touches, Seq("user_id"), "ts_us", Seq("touch_type"),
+        tolerance = Some(7L * 86400L * 1000000L))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("cents_total"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4322,6 +4367,61 @@ object SparkEntry {
         |FROM m
         |WINDOW ord AS (PARTITION BY cluster
         |  ORDER BY n_chars DESC, doc_id)""".stripMargin,
+
+    // Same null-safe change flags (IS DISTINCT FROM) and close-out lead.
+    "q139_scd2" ->
+      """WITH snap AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tiers AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN n >= 6 THEN 'high' WHEN n >= 3 THEN 'mid'
+        |      ELSE 'low' END AS tier
+        |  FROM snap),
+        |c AS (
+        |  SELECT user_id, day, tier,
+        |    lag(day) OVER w AS pd, lag(tier) OVER w AS pt
+        |  FROM tiers WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |s AS (
+        |  SELECT user_id, tier, day AS valid_from FROM c
+        |  WHERE pd IS NULL OR tier IS DISTINCT FROM pt)
+        |SELECT user_id, tier, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM s WINDOW w2 AS (PARTITION BY user_id
+        |  ORDER BY valid_from)""".stripMargin,
+
+    // The at-or-before + 7-day bound re-expressed as a range join with
+    // arg_max (latest-touch pick over unique (user, ts) touches);
+    // touch dedup mirrors the struct-max (event_id first).
+    "q140_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |t0 AS (
+        |  SELECT user_id, ts_us, event_id, event_type FROM ev
+        |  WHERE event_type IN ('click', 'view')),
+        |t AS (
+        |  SELECT user_id, ts_us, arg_max(event_type, event_id)
+        |    AS touch_type
+        |  FROM t0 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, ts_us, event_id, cents FROM ev
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.event_id AS pid, any_value(p.cents) AS cents,
+        |    arg_max(t.touch_type, t.ts_us) AS touch_type
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND t.ts_us <= p.ts_us
+        |    AND p.ts_us - t.ts_us <= 604800000000
+        |  GROUP BY p.event_id)
+        |SELECT coalesce(touch_type, 'none') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM m GROUP BY 1""".stripMargin,
 
     // Same trailing-window list, same sort, same ceil(n/2) pick.
     "q138_rolling_median" ->

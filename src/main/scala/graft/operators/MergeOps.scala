@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational MERGE INTO and golden-record survivorship — the keyed
@@ -81,5 +82,33 @@ object MergeOps {
     }
     df.groupBy(col(key))
       .agg(picks.head, picks.tail: _*)
+  }
+
+  /** Slowly-changing-dimension type 2: collapse a keyed snapshot
+    * timeline into versioned validity rows. A version starts at every
+    * observation where ANY tracked attribute differs from the previous
+    * observation (null-safe compare, so a first-null attribute still
+    * opens a version); `valid_from` = that observation's order value,
+    * `valid_to` = the next version's start (null on the open version,
+    * flagged `is_current`). Input contract: one row per (keys, order) —
+    * pre-aggregate snapshots first.
+    *
+    * Scale shape: one key exchange serves both window passes (the
+    * change-flag lag and the close-out lead are on the same
+    * partitioning); no joins, no state beyond the windows.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], orderCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val isFirst = lag(col(orderCol), 1).over(w).isNull
+    val changed = attrCols.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    df.withColumn("_start", isFirst || changed)
+      .filter(col("_start"))
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select(keys.map(col) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 }

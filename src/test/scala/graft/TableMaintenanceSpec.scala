@@ -154,4 +154,33 @@ class MergeOpsSpec extends SparkSpec {
       .collect().head
     assert(got.getLong(1) === 200L)
   }
+
+  test("scd2: versions open on change, close on the next, flag current") {
+    val snaps = Seq(
+      (1L, 10L, "a"), (1L, 11L, "a"), (1L, 12L, "b"), (1L, 13L, "b"),
+      (1L, 14L, "a"), // back to a — MUST open a NEW version, not merge
+      (2L, 10L, "x"))
+      .toDF("k", "d", "attr")
+    val got = MergeOps.scd2(snaps, Seq("k"), "d", Seq("attr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(got === Seq(
+      (1L, "a", 10L, Some(12L), 0L),
+      (1L, "b", 12L, Some(14L), 0L),
+      (1L, "a", 14L, None, 1L),
+      (2L, "x", 10L, None, 1L)))
+  }
+
+  test("scd2: a null attribute still opens and closes versions") {
+    val snaps = Seq(
+      (1L, 1L, Option("a")), (1L, 2L, None: Option[String]),
+      (1L, 3L, None), (1L, 4L, Option("a")))
+      .toDF("k", "d", "attr")
+    val got = MergeOps.scd2(snaps, Seq("k"), "d", Seq("attr"))
+      .collect().map(r => (r.getLong(2), Option(r.getString(1)))).sorted
+    // versions at d=1 (a), d=2 (null, spans 2 rows), d=4 (a)
+    assert(got === Seq((1L, Some("a")), (2L, None), (4L, Some("a"))))
+  }
 }
