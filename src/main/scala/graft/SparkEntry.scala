@@ -2187,7 +2187,50 @@ object SparkEntry {
         .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
         .agg(count(lit(1)).as("n_purchases"),
           sum("cents").as("cents_total"))
-    })
+    }),
+
+    // Declarative data-quality expectations: seven rules over ONE scan
+    // of events (pairs of observed/verdict aggregates in a single agg
+    // row, exploded to report rows) plus a referential-integrity check
+    // over the anti-join frame. Reports instead of aborting — the
+    // quarantine-a-batch admission gate; the report itself is the
+    // oracled result.
+    "q141_expectations" -> ((s, d) => {
+      import graft.operators.Expectations
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"), round(col("value") * 100, 0).cast("long").as("cents"))
+      val nNullV = sum(when(col("value").isNull, 1L).otherwise(0L))
+      val nRange =
+        sum(when(col("cents") < 1 || col("cents") > 50000, 1L).otherwise(0L))
+      val nDom = sum(when(!col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"), 1L).otherwise(0L))
+      val base = Expectations.evaluate(e, Seq(
+        ("row_count_positive", count(lit(1)), count(lit(1)) > 0),
+        ("event_id_unique", count(lit(1)) - countDistinct(col("event_id")),
+          count(lit(1)) === countDistinct(col("event_id"))),
+        ("value_nonnull", nNullV, nNullV === 0),
+        ("value_in_range", nRange, nRange === 0),
+        ("type_domain", nDom, nDom === 0),
+        ("type_cardinality", countDistinct(col("event_type")),
+          countDistinct(col("event_type")) === 5),
+        ("day_span_month", max("day") - min("day"),
+          max("day") - min("day") === 29)))
+      val orphans = e.join(
+        Tables.customer(s, d).select(col("c_custkey")),
+        col("user_id") === col("c_custkey"), "left_anti")
+      base.unionByName(Expectations.evaluate(orphans, Seq(
+        ("user_ref_integrity", count(lit(1)), count(lit(1)) === 0))))
+    }),
+
+    // Calendar completeness: per-day counts joined against the FULL
+    // min..max day range (absent days surface as n=0 — a groupBy alone
+    // can never show them); a day passes at >= half the mean daily
+    // count, cross-multiplied in integers.
+    "q142_completeness" -> ((s, d) =>
+      graft.operators.Expectations.dailyCompleteness(
+        Tables.events(s, d),
+        expr("ts div 86400000000000"), fracNum = 1, fracDen = 2))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4422,6 +4465,64 @@ object SparkEntry {
         |  count(*) AS n_purchases,
         |  CAST(sum(cents) AS BIGINT) AS cents_total
         |FROM m GROUP BY 1""".stripMargin,
+
+    // The same seven single-scan rules + the anti-join referential
+    // check, as a UNION ALL of scalar report rows.
+    "q141_expectations" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 86400000000000 AS d, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT count(*) AS n, count(DISTINCT event_id) AS nid,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nnull,
+        |    sum(CASE WHEN cents < 1 OR cents > 50000
+        |      THEN 1 ELSE 0 END) AS nrange,
+        |    sum(CASE WHEN event_type NOT IN
+        |      ('click', 'view', 'purchase', 'signup', 'error')
+        |      THEN 1 ELSE 0 END) AS ndom,
+        |    count(DISTINCT event_type) AS ntypes,
+        |    max(d) - min(d) AS dspan
+        |  FROM e),
+        |o AS (
+        |  SELECT count(*) AS orphans FROM e
+        |  LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT 'row_count_positive' AS check_name, n AS observed,
+        |  CAST(n > 0 AS BIGINT) AS passed FROM m
+        |UNION ALL SELECT 'event_id_unique', n - nid,
+        |  CAST(n = nid AS BIGINT) FROM m
+        |UNION ALL SELECT 'value_nonnull', nnull,
+        |  CAST(nnull = 0 AS BIGINT) FROM m
+        |UNION ALL SELECT 'value_in_range', nrange,
+        |  CAST(nrange = 0 AS BIGINT) FROM m
+        |UNION ALL SELECT 'type_domain', ndom,
+        |  CAST(ndom = 0 AS BIGINT) FROM m
+        |UNION ALL SELECT 'type_cardinality', ntypes,
+        |  CAST(ntypes = 5 AS BIGINT) FROM m
+        |UNION ALL SELECT 'day_span_month', dspan,
+        |  CAST(dspan = 29 AS BIGINT) FROM m
+        |UNION ALL SELECT 'user_ref_integrity', orphans,
+        |  CAST(orphans = 0 AS BIGINT) FROM o""".stripMargin,
+
+    // generate_series twin of the sequence() day range; identical
+    // integer cross-multiplied completeness verdict.
+    "q142_completeness" ->
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |span AS (
+        |  SELECT min(day) AS d0, max(day) AS d1, sum(n) AS total,
+        |    max(day) - min(day) + 1 AS n_days
+        |  FROM c),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1)) AS day, n_days, total
+        |  FROM span)
+        |SELECT days.day, coalesce(c.n, 0) AS n,
+        |  CAST(coalesce(c.n, 0) * n_days * 2 >= total * 1 AS BIGINT)
+        |    AS complete
+        |FROM days LEFT JOIN c ON c.day = days.day""".stripMargin,
 
     // Same trailing-window list, same sort, same ceil(n/2) pick.
     "q138_rolling_median" ->

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the pipeline admission gate
+  * (beyond the reference's surface — first-class per the build brief).
+  *
+  * A 100 TB ingest needs its quality checks to run as ONE pass over the
+  * batch, not one job per rule: every check here is a pair of aggregate
+  * expressions (observed metric, boolean verdict) evaluated together in
+  * a single partial-aggregable `agg` row, then exploded to one
+  * (check, observed, passed) row per rule. Adding a rule adds two
+  * columns to the same scan, not a scan.
+  *
+  * Contrast with [[graft.sources.Ingest]]'s fail-fast assertions (P12):
+  * those abort the job on violation; this REPORTS, so a scheduler can
+  * quarantine a bad batch and keep the pipeline moving — and the report
+  * itself is oracle-checkable data.
+  */
+object Expectations {
+
+  /** Evaluate `checks` = (name, observed aggregate, passed aggregate
+    * predicate) over one scan of `df`. Observed values are cast to long
+    * (the exactness contract: counts, violation counts, extrema of
+    * integer-derived columns); verdicts to 0/1.
+    */
+  def evaluate(df: DataFrame, checks: Seq[(String, Column, Column)])
+  : DataFrame = {
+    require(checks.nonEmpty, "evaluate: need at least one check")
+    val aggs = checks.zipWithIndex.flatMap { case ((_, obs, pass), i) =>
+      Seq(obs.cast("long").as(s"_o$i"), pass.cast("long").as(s"_p$i"))
+    }
+    // "check_name", not "check": CHECK is reserved in most SQL dialects
+    // and the report is meant to be queried downstream
+    val stacked = checks.zipWithIndex.map { case ((nm, _, _), i) =>
+      struct(lit(nm).as("check_name"), col(s"_o$i").as("observed"),
+        col(s"_p$i").as("passed"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stacked: _*)).as("c"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.observed").as("observed"), col("c.passed").as("passed"))
+  }
+
+  /** Calendar completeness: per-day row counts joined against the FULL
+    * day range between the batch's min and max day (a `sequence()`
+    * explode off one scalar row — absent days surface as 0, which a
+    * plain groupBy can never show). A day passes when its count
+    * reaches `fracNum/fracDen` of the batch's mean daily count,
+    * cross-multiplied in integers: n · nDays · fracDen >= total · fracNum.
+    */
+  def dailyCompleteness(df: DataFrame, dayCol: Column,
+                        fracNum: Long, fracDen: Long): DataFrame = {
+    val counts = df.select(dayCol.cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val span = counts.agg(min("day").as("d0"), max("day").as("d1"),
+      sum("n").as("total"))
+    val days = span.select(
+      explode(sequence(col("d0"), col("d1"))).as("day"),
+      (col("d1") - col("d0") + 1).as("n_days"), col("total"))
+    days.join(counts, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) * col("n_days") * fracDen >=
+          col("total") * fracNum).cast("long").as("complete"))
+  }
+}

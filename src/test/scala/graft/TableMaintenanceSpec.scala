@@ -108,6 +108,41 @@ class RobustStatsSpec extends SparkSpec {
   }
 }
 
+class ExpectationsSpec extends SparkSpec {
+  import graft.operators.Expectations
+  import spark.implicits._
+
+  test("evaluate: failing rules report observed violations, passed=0") {
+    val df = Seq((1L, Some(10L)), (1L, None), (2L, Some(-5L)))
+      .toDF("id", "v")
+    val got = Expectations.evaluate(df, Seq(
+      ("ids_unique", count(lit(1)) - countDistinct(col("id")),
+        count(lit(1)) === countDistinct(col("id"))),
+      ("v_nonnull", sum(when(col("v").isNull, 1L).otherwise(0L)),
+        sum(when(col("v").isNull, 1L).otherwise(0L)) === 0),
+      ("v_nonneg", sum(when(col("v") < 0, 1L).otherwise(0L)),
+        sum(when(col("v") < 0, 1L).otherwise(0L)) === 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(
+      "ids_unique" -> (1L, 0L),  // id 1 duplicated
+      "v_nonnull" -> (1L, 0L),
+      "v_nonneg" -> (1L, 0L)))
+  }
+
+  test("dailyCompleteness: absent days surface with n=0 and fail") {
+    // days 10, 11, 14 present (14 thin); 12-13 missing entirely
+    val df = (Seq.fill(10)(10L) ++ Seq.fill(8)(11L) :+ 14L).toDF("d")
+    val got = Expectations.dailyCompleteness(df, col("d"), 1, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // total 19 over 5 days -> mean 3.8, half-mean bar: n*5*2 >= 19
+    assert(got === Map(
+      10L -> (10L, 1L), 11L -> (8L, 1L), 12L -> (0L, 0L),
+      13L -> (0L, 0L), 14L -> (1L, 0L)))
+  }
+}
+
 class MergeOpsSpec extends SparkSpec {
   import spark.implicits._
 
