@@ -2230,7 +2230,38 @@ object SparkEntry {
     "q142_completeness" -> ((s, d) =>
       graft.operators.Expectations.dailyCompleteness(
         Tables.events(s, d),
-        expr("ts div 86400000000000"), fracNum = 1, fracDen = 2))
+        expr("ts div 86400000000000"), fracNum = 1, fracDen = 2)),
+
+    // Streaming materialized view: events replayed as four week-sliced
+    // micro-batches; foreachBatch folds each batch's partial aggregate
+    // into a versioned per-key state snapshot (version = batchId — the
+    // idempotent-replay exactly-once contract, see StreamMatView). The
+    // final snapshot must hash-equal the whole-history batch recompute.
+    "q143_stream_matview" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q143:$d") {
+          val e = Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 86400000000000").as("day"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          Seq(e.filter(col("day") < 19731),
+            e.filter(col("day") >= 19731 && col("day") < 19738),
+            e.filter(col("day") >= 19738 && col("day") < 19745),
+            e.filter(col("day") >= 19745))
+        }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("day", LongType), StructField("cents", LongType)))
+      val stateDir = graft.sources.Staging.once(s"q143state:$d") { _ => () }
+      graft.streaming.StreamMatView.runFold(
+        graft.streaming.StreamSessions
+          .readParquetStreamThrottled(s, dir, schema),
+        Seq("user_id"), "cents", stateDir,
+        prep = b => b.filter(col("event_type") === "purchase")
+          .select("user_id", "cents"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4505,6 +4536,18 @@ object SparkEntry {
         |  CAST(dspan = 29 AS BIGINT) FROM m
         |UNION ALL SELECT 'user_ref_integrity', orphans,
         |  CAST(orphans = 0 AS BIGINT) FROM o""".stripMargin,
+
+    // The whole-history recompute the four folded micro-batch
+    // snapshots must land on exactly.
+    "q143_stream_matview" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total,
+        |  min(cents) AS mn, max(cents) AS mx,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq
+        |FROM p GROUP BY user_id""".stripMargin,
 
     // generate_series twin of the sequence() day range; identical
     // integer cross-multiplied completeness verdict.
