@@ -2261,6 +2261,41 @@ object SparkEntry {
         Seq("user_id"), "cents", stateDir,
         prep = b => b.filter(col("event_type") === "purchase")
           .select("user_id", "cents"))
+    }),
+
+    // Point-in-time join over the SCD2 dimension (q139's output): each
+    // purchase is enriched with the user's activity tier AS OF the
+    // purchase day — open versions bound by +infinity via coalesce.
+    // The feature-store join that prevents temporal leakage: a row may
+    // only see dimension state valid AT its own time. Revenue then
+    // rolls up by tier. The dimension is version-count sized, so the
+    // range join broadcasts it.
+    "q144_pit_join" -> ((s, d) => {
+      val dim = graft.operators.MergeOps.scd2(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tier",
+            when(col("n") >= 6, "high")
+              .when(col("n") >= 3, "mid").otherwise("low"))
+          .drop("n"),
+        Seq("user_id"), "day", Seq("tier"))
+        .select(col("user_id"), col("tier"), col("valid_from"),
+          coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_until"))
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      p.join(broadcast(dim),
+        p("user_id") === dim("user_id") &&
+          col("day") >= col("valid_from") && col("day") < col("valid_until"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("cents_total"),
+          countDistinct(p("user_id")).as("n_users"))
     })
   )
 
@@ -4536,6 +4571,41 @@ object SparkEntry {
         |  CAST(dspan = 29 AS BIGINT) FROM m
         |UNION ALL SELECT 'user_ref_integrity', orphans,
         |  CAST(orphans = 0 AS BIGINT) FROM o""".stripMargin,
+
+    // The same SCD2 build + validity-range join, with open versions
+    // bounded by a sentinel upper day.
+    "q144_pit_join" ->
+      """WITH snap AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tiers AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN n >= 6 THEN 'high' WHEN n >= 3 THEN 'mid'
+        |      ELSE 'low' END AS tier
+        |  FROM snap),
+        |c AS (
+        |  SELECT user_id, day, tier,
+        |    lag(day) OVER w AS pd, lag(tier) OVER w AS pt
+        |  FROM tiers WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |s AS (
+        |  SELECT user_id, tier, day AS valid_from FROM c
+        |  WHERE pd IS NULL OR tier IS DISTINCT FROM pt),
+        |dim AS (
+        |  SELECT user_id, tier, valid_from,
+        |    coalesce(lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from), 9223372036854775807) AS valid_until
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT dim.tier, count(*) AS n_purchases,
+        |  CAST(sum(p.cents) AS BIGINT) AS cents_total,
+        |  count(DISTINCT p.user_id) AS n_users
+        |FROM p JOIN dim ON p.user_id = dim.user_id
+        |  AND p.day >= dim.valid_from AND p.day < dim.valid_until
+        |GROUP BY dim.tier""".stripMargin,
 
     // The whole-history recompute the four folded micro-batch
     // snapshots must land on exactly.
