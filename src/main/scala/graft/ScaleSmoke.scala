@@ -99,7 +99,8 @@ object ScaleSmoke {
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
       "q83_incremental_dedup", "q84_grid_pois", "q120_winnow",
       "q121_triangles", "q123_funnel", "q125_cohort", "q126_setsim_join",
-      "q128_kcore")
+      "q128_kcore", "q132_incremental_agg", "q140_attribution",
+      "q143_stream_matview", "q144_pit_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
