@@ -60,6 +60,24 @@ object SparkEntry {
         out)
     }
 
+  /** q139/q144's shared SCD2 dimension: each user's daily activity tier
+    * (>=6 high / >=3 mid / else low) versioned by [[graft.operators
+    * .MergeOps.scd2]]. One definition so the point-in-time join always
+    * joins exactly what the SCD2 gate verifies.
+    */
+  private def userTierScd2(s: SparkSession, d: String): DataFrame =
+    graft.operators.MergeOps.scd2(
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tier",
+          when(col("n") >= 6, "high")
+            .when(col("n") >= 3, "mid").otherwise("low"))
+        .drop("n"),
+      Seq("user_id"), "day", Seq("tier"))
+
   private def stopClusters(s: SparkSession, d: String): DataFrame =
     StopClusters.cluster(
       StopDetect.eventMedians(
@@ -2148,19 +2166,9 @@ object SparkEntry {
     // versioned validity rows — a version opens at every tier CHANGE
     // (null-safe lag compare), valid_to = next version's start, open
     // version flagged is_current. One user exchange serves both window
-    // passes.
-    "q139_scd2" -> ((s, d) =>
-      graft.operators.MergeOps.scd2(
-        Tables.events(s, d)
-          .select(col("user_id"),
-            expr("ts div 86400000000000").as("day"))
-          .groupBy("user_id", "day")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("tier",
-            when(col("n") >= 6, "high")
-              .when(col("n") >= 3, "mid").otherwise("low"))
-          .drop("n"),
-        Seq("user_id"), "day", Seq("tier"))),
+    // passes. (Dimension builder shared with the q144 point-in-time
+    // join — userTierScd2.)
+    "q139_scd2" -> ((s, d) => userTierScd2(s, d)),
 
     // Last-touch attribution: each purchase credits the latest
     // click/view by the same user at-or-before it within 7 days
@@ -2263,25 +2271,17 @@ object SparkEntry {
           .select("user_id", "cents"))
     }),
 
-    // Point-in-time join over the SCD2 dimension (q139's output): each
-    // purchase is enriched with the user's activity tier AS OF the
-    // purchase day — open versions bound by +infinity via coalesce.
-    // The feature-store join that prevents temporal leakage: a row may
-    // only see dimension state valid AT its own time. Revenue then
-    // rolls up by tier. The dimension is version-count sized, so the
-    // range join broadcasts it.
+    // Point-in-time join over the SCD2 dimension (the SAME builder as
+    // q139 — userTierScd2): each purchase is enriched with the user's
+    // activity tier AS OF the purchase day — open versions bound by
+    // +infinity via coalesce. The feature-store join that prevents
+    // temporal leakage: a row may only see dimension state valid AT
+    // its own time. The dimension is PER-USER sized (grows with the
+    // data), so the join strategy is left to Catalyst/AQE — broadcast
+    // under the threshold, shuffle on the equi-key above it; the range
+    // predicate rides the user equi-join either way.
     "q144_pit_join" -> ((s, d) => {
-      val dim = graft.operators.MergeOps.scd2(
-        Tables.events(s, d)
-          .select(col("user_id"),
-            expr("ts div 86400000000000").as("day"))
-          .groupBy("user_id", "day")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("tier",
-            when(col("n") >= 6, "high")
-              .when(col("n") >= 3, "mid").otherwise("low"))
-          .drop("n"),
-        Seq("user_id"), "day", Seq("tier"))
+      val dim = userTierScd2(s, d)
         .select(col("user_id"), col("tier"), col("valid_from"),
           coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_until"))
       val p = Tables.events(s, d)
@@ -2289,7 +2289,7 @@ object SparkEntry {
         .select(col("user_id"),
           expr("ts div 86400000000000").as("day"),
           round(col("value") * 100, 0).cast("long").as("cents"))
-      p.join(broadcast(dim),
+      p.join(dim,
         p("user_id") === dim("user_id") &&
           col("day") >= col("valid_from") && col("day") < col("valid_until"))
         .groupBy(col("tier"))

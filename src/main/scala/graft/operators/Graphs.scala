@@ -607,10 +607,12 @@ object Graphs {
     *     a CC pass (log-depth rounds) + one flatMapGroups kernel that
     *     queue-peels each component where it sits (components are
     *     vertex-disjoint, so the global fixpoint is their union);
-    *  3. else the round-synchronous distributed peel (one equi-join +
-    *     aggregate per round, lineage-truncated), whose round count is
+    *  3. components OVER bound 2 peel with the round-synchronous
+    *     distributed loop (one equi-join + aggregate per round,
+    *     lineage-truncated) on JUST their edges, whose round count is
     *     the graph's PEEL DEPTH — with a hybrid driver finish once the
-    *     alive remainder fits bound 1.
+    *     alive remainder fits bound 1. (With the component bound
+    *     disabled, the loop runs on the whole graph.)
     */
   /** O(E) queue peel over an in-memory undirected edge list: CSR
     * adjacency + deletion queue. Returns (id, in-core degree) for
@@ -618,21 +620,21 @@ object Graphs {
     * finish, and the per-component executor kernel (it runs inside
     * flatMapGroups, so it must not touch the session).
     */
-  private def peelPairs(pairs: Array[(Long, Long)], k: Int)
+  private def peelPairs(us: Array[Long], vs: Array[Long], k: Int)
   : Seq[(Long, Long)] = {
     val idx = new scala.collection.mutable.LongMap[Int]()
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     def id(x: Long): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
-    val ai = pairs.map(p => id(p._1)); val bi = pairs.map(p => id(p._2))
+    val ai = us.map(id); val bi = vs.map(id)
     val n = ids.length
     val deg = new Array[Int](n)
     ai.foreach(deg(_) += 1); bi.foreach(deg(_) += 1)
     val adjOff = new Array[Int](n + 1)
     deg.indices.foreach(i => adjOff(i + 1) = adjOff(i) + deg(i))
-    val adj = new Array[Int](pairs.length * 2)
+    val adj = new Array[Int](us.length * 2)
     val fill = adjOff.clone()
     var e = 0
-    while (e < pairs.length) {
+    while (e < us.length) {
       adj(fill(ai(e))) = bi(e); fill(ai(e)) += 1
       adj(fill(bi(e))) = ai(e); fill(bi(e)) += 1
       e += 1
@@ -686,54 +688,20 @@ object Graphs {
     // distributed (KCoreSpec pins all three).
     def queuePeel(pairs: Array[(Long, Long)]): DataFrame = {
       import spark.implicits._
-      peelPairs(pairs, k).toDF("id", "core_deg")
+      peelPairs(pairs.map(_._1), pairs.map(_._2), k).toDF("id", "core_deg")
     }
     if (bound > 0 && dedup.count() <= bound) {
       import spark.implicits._
       return queuePeel(dedup.as[(Long, Long)].collect())
     }
-    // Per-component kernel peel: components are vertex-disjoint, so the
-    // global fixpoint is exactly the union of per-component fixpoints. A
-    // CC pass (log-depth rounds) plus ONE flatMapGroups kernel replaces
-    // peel-DEPTH synchronous rounds — the same bounded-kernel idiom as
-    // the per-user DBSCAN. Guard: if any single component's edge count
-    // exceeds `spark.graft.kCoreComponentEdges` (default 2^22 ≈ one
-    // ~128 MB task; 0 disables), fall back to the round loop for the
-    // whole graph — coarse but correct, and a contracted similarity /
-    // co-purchase graph rarely carries a component that size. Measured:
-    // the x100 co-purchase peel (4.8M edges, stable core ~2M edges, so
-    // the hybrid finish never fires) went 48 s of rounds -> ~8 s.
-    val compBound = spark.conf.getOption("spark.graft.kCoreComponentEdges")
-      .map(_.toLong).getOrElse(1L << 22)
-    if (compBound > 0) {
-      val nodes = dedup.select(col("u").as("id"))
-        .union(dedup.select(col("v"))).distinct()
-      val cc = connectedComponents(dedup, "u", "v", nodes, "id")
-      val byComp = truncate(dedup
-        .join(cc.select(col("id").as("u"), col("component")), "u"))
-      val maxComp = Option(byComp.groupBy("component")
-        .agg(count(lit(1)).as("ne"))
-        .agg(max("ne")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (maxComp <= compBound) {
-        import spark.implicits._
-        return byComp.select(col("component"), col("u"), col("v"))
-          .as[(Long, Long, Long)]
-          .groupByKey(_._1)
-          .flatMapGroups { (_, it) =>
-            val pairs = it.map(t => (t._2, t._3)).toArray
-            peelPairs(pairs, k).iterator
-          }
-          .toDF("id", "core_deg")
-      }
-      // a component is over the kernel bound: fall through to the
-      // round-synchronous loop (byComp's checkpoint is dropped with
-      // the reference)
-    }
-    val sym = truncate(dedup
-      .union(dedup.select(col("v").as("u"), col("u").as("v"))))
-    var alive = truncate(sym.select(col("u").as("id")).distinct())
-    var nAlive = alive.count()
+    // the round-synchronous peel (strategy 3), defined up front so the
+    // component splitter below can aim it at just the too-big
+    // components; edges0 must be a deduped canonical (u, v) frame
+    def roundPeel(edges0: DataFrame): DataFrame = {
+      val sym = truncate(edges0
+        .union(edges0.select(col("v").as("u"), col("u").as("v"))))
+      var alive = truncate(sym.select(col("u").as("id")).distinct())
+      var nAlive = alive.count()
     // Checkpointed frames carry no statistics, so without a hint every
     // per-round join plans as a sort-merge that re-shuffles the FULL
     // edge list each iteration — the pageRank lesson
@@ -742,57 +710,106 @@ object Graphs {
     // becomes two map-side joins over the cached edge blocks plus one
     // partial-agg shuffle. Above the bound the shuffle join IS the
     // right plan — same loop, no hint.
-    val bcastNodes = spark.conf
-      .getOption("spark.graft.kCoreBroadcastNodes")
-      .map(_.toLong).getOrElse(1L << 20)
-    def hint(df: DataFrame): DataFrame =
-      if (nAlive <= bcastNodes) broadcast(df) else df
-    var rounds = 0
-    while (rounds < maxRounds) {
-      val degs = sym
-        .join(hint(alive.select(col("id").as("u"))), "u")
-        .join(hint(alive.select(col("id").as("v"))), "v")
-        .groupBy(col("u").as("id"))
-        .agg(count(lit(1)).as("d"))
-      val next = truncateFresh(degs.filter(col("d") >= k))
-      // one action for both loop controls: survivor count and survivor
-      // degree sum. sum(d)/2 upper-bounds the SURVIVING edge count (d
-      // still counts edges into just-deleted nodes), so it is a safe
-      // trigger for the hybrid driver finish below.
-      val aggRow = next.agg(count(lit(1)), sum(col("d"))).head()
-      val nNext = aggRow.getLong(0)
-      val edgeUb = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1) / 2
-      rounds += 1
-      if (nNext == nAlive) {
-        // stable: every survivor already has in-core degree >= k
-        return sym
-          .join(hint(next.select(col("id").as("u"))), "u")
-          .join(hint(next.select(col("id").as("v"))), "v")
-          .groupBy(col("u").as("id"))
-          .agg(count(lit(1)).as("core_deg"))
-      }
-      alive = next.select("id")
-      nAlive = nNext
-      if (nAlive == 0)
-        return alive.withColumn("core_deg", lit(0L)).filter(lit(false))
-      if (bound > 0 && edgeUb <= bound) {
-        // hybrid finish: the alive remainder now fits the same conf
-        // bound — collect it and queue-peel in the driver instead of
-        // paying one synchronous round per remaining peel SUBLEVEL
-        // (chains peel one node per round; measured 36+ rounds / 60+ s
-        // of pure job latency on the x10 co-purchase graph vs ~2 s to
-        // this cutover point).
-        import spark.implicits._
-        val rem = sym
+      val bcastNodes = spark.conf
+        .getOption("spark.graft.kCoreBroadcastNodes")
+        .map(_.toLong).getOrElse(1L << 20)
+      def hint(df: DataFrame): DataFrame =
+        if (nAlive <= bcastNodes) broadcast(df) else df
+      var rounds = 0
+      while (rounds < maxRounds) {
+        val degs = sym
           .join(hint(alive.select(col("id").as("u"))), "u")
           .join(hint(alive.select(col("id").as("v"))), "v")
-          .filter(col("u") < col("v"))
-          .select(col("u"), col("v"))
-        return queuePeel(rem.as[(Long, Long)].collect())
+          .groupBy(col("u").as("id"))
+          .agg(count(lit(1)).as("d"))
+        val next = truncateFresh(degs.filter(col("d") >= k))
+        // one action for both loop controls: survivor count and survivor
+        // degree sum. sum(d)/2 upper-bounds the SURVIVING edge count (d
+        // still counts edges into just-deleted nodes), so it is a safe
+        // trigger for the hybrid driver finish below.
+        val aggRow = next.agg(count(lit(1)), sum(col("d"))).head()
+        val nNext = aggRow.getLong(0)
+        val edgeUb = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1) / 2
+        rounds += 1
+        if (nNext == nAlive) {
+          // stable: every survivor already has in-core degree >= k
+          return sym
+            .join(hint(next.select(col("id").as("u"))), "u")
+            .join(hint(next.select(col("id").as("v"))), "v")
+            .groupBy(col("u").as("id"))
+            .agg(count(lit(1)).as("core_deg"))
+        }
+        alive = next.select("id")
+        nAlive = nNext
+        if (nAlive == 0)
+          return alive.withColumn("core_deg", lit(0L)).filter(lit(false))
+        if (bound > 0 && edgeUb <= bound) {
+          // hybrid finish: the alive remainder now fits the same conf
+          // bound — collect it and queue-peel in the driver instead of
+          // paying one synchronous round per remaining peel SUBLEVEL
+          // (chains peel one node per round; measured 36+ rounds / 60+ s
+          // of pure job latency on the x10 co-purchase graph vs ~2 s to
+          // this cutover point).
+          import spark.implicits._
+          val rem = sym
+            .join(hint(alive.select(col("id").as("u"))), "u")
+            .join(hint(alive.select(col("id").as("v"))), "v")
+            .filter(col("u") < col("v"))
+            .select(col("u"), col("v"))
+          return queuePeel(rem.as[(Long, Long)].collect())
+        }
       }
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds")
     }
-    throw new IllegalStateException(
-      s"kCore did not converge in $maxRounds rounds")
+    // Per-component kernel peel (strategy 2): components are
+    // vertex-disjoint, so the global fixpoint is exactly the union of
+    // per-component fixpoints. A CC pass (log-depth rounds) plus ONE
+    // flatMapGroups kernel replaces peel-DEPTH synchronous rounds — the
+    // same bounded-kernel idiom as the per-user DBSCAN. Components over
+    // `spark.graft.kCoreComponentEdges` (default 2^22; the kernel
+    // builds primitive long arrays + CSR, so a max-size component costs
+    // ~170 MB of task heap; 0 disables) are SPLIT OFF and peeled by the
+    // round loop on just their edges — the CC pass is never thrown
+    // away, and the common many-small-components case never pays round
+    // latency. Measured: the x100 co-purchase peel (4.8M edges, stable
+    // core ~2M edges, so the hybrid finish never fires) went 48 s of
+    // rounds -> ~30 s end to end.
+    val compBound = spark.conf.getOption("spark.graft.kCoreComponentEdges")
+      .map(_.toLong).getOrElse(1L << 22)
+    if (compBound > 0) {
+      val nodes = dedup.select(col("u").as("id"))
+        .union(dedup.select(col("v"))).distinct()
+      val cc = connectedComponents(dedup, "u", "v", nodes, "id")
+      val sized = truncate {
+        val byComp = dedup
+          .join(cc.select(col("id").as("u"), col("component")), "u")
+        val ne = byComp.groupBy("component").agg(count(lit(1)).as("ne"))
+        byComp.join(ne, "component")
+          .select(col("component"), col("u"), col("v"),
+            (col("ne") > compBound).as("big"))
+      }
+      import spark.implicits._
+      val kernelPart = sized.filter(!col("big"))
+        .select(col("component"), col("u"), col("v"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          // primitive builders, not an Array[Tuple2]: halves the peak
+          // per-task footprint for near-bound components
+          val us = new scala.collection.mutable.ArrayBuilder.ofLong
+          val vs = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { t => us += t._2; vs += t._3 }
+          peelPairs(us.result(), vs.result(), k).iterator
+        }
+        .toDF("id", "core_deg")
+      val hasBig =
+        sized.filter(col("big")).limit(1).count() > 0
+      return if (!hasBig) kernelPart
+      else kernelPart.unionByName(
+        roundPeel(truncate(sized.filter(col("big")).select("u", "v"))))
+    }
+    roundPeel(dedup)
   }
 
   /** Bounded-hop weighted shortest paths (synchronous Bellman-Ford

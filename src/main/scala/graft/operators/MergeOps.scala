@@ -35,6 +35,10 @@ object MergeOps {
                 insertSet: Seq[(String, Column)],
                 deleteWhen: Option[Column] = None): DataFrame = {
     val tCols = target.columns.toSeq
+    val unknown = updateSet.map(_._1).filterNot(tCols.contains) ++
+      insertSet.map(_._1).filterNot(tCols.contains)
+    require(unknown.isEmpty,
+      s"mergeInto: not target columns: ${unknown.mkString(", ")}")
     val srcPrefixed = source.columns.foldLeft(source) { (d, c) =>
       if (keys.contains(c)) d else d.withColumnRenamed(c, s"src_$c")
     }
@@ -53,8 +57,12 @@ object MergeOps {
       }
     }
     val merged = j.select(col("_t") +: col("_s") +: updated: _*)
+    // delete fires only when the condition is TRUE on the updated image
+    // (SQL MERGE semantics: an unknown/NULL condition does NOT delete) —
+    // a bare !d would silently drop rows whose tested column is null
     deleteWhen
-      .map(d => merged.filter(col("_t").isNull || col("_s").isNull || !d))
+      .map(d => merged.filter(
+        col("_t").isNull || col("_s").isNull || !(d <=> lit(true))))
       .getOrElse(merged)
       .drop("_t", "_s")
   }

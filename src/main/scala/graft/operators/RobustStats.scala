@@ -25,10 +25,13 @@ object RobustStats {
     * by a bounded key (user, day), not a 5-value enum over the corpus.
     *
     * One partial-agg pass builds the three moments per group, a second
-    * pass joins them back (broadcast — the moment frame is key-sized) and
-    * counts flagged rows. n=1 groups flag nothing (variance 0, deviation
-    * 0). Scale shape: two shuffles on the group key, no window, no skew
-    * surface beyond the key agg.
+    * pass joins them back and counts flagged rows. The moment frame is
+    * KEY-sized, not constant-sized — with a high-cardinality key it
+    * grows with the data — so the join strategy is left to Catalyst/AQE
+    * (broadcast under the threshold, shuffle hash above), never forced.
+    * n=1 groups flag nothing (variance 0, deviation 0). Scale shape:
+    * two shuffles on the group key, no window, no skew surface beyond
+    * the key agg.
     */
   def outlierCounts(df: DataFrame, keys: Seq[String], valueCol: String,
                     zNum: Long = 3, zDen: Long = 1): DataFrame = {
@@ -41,7 +44,7 @@ object RobustStats {
     val dev = col("n") * v - col("sx")
     val isOut = dev * dev * lit(zDen * zDen) >
       lit(zNum * zNum) * (col("n") * col("sxx") - col("sx") * col("sx"))
-    df.join(broadcast(moments), keys)
+    df.join(moments, keys)
       .groupBy(keyCols: _*)
       .agg(max(col("n")).as("n"),
         sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
@@ -57,8 +60,9 @@ object RobustStats {
     * Ranks, bounds, and clips are all integer-exact; pLo/pHi are
     * rationals (num/den) so ceil(p·n) is `(n·num + den − 1) div den`
     * with no float rank boundary. One window pass over the group
-    * exchange computes ranks and group sizes; the two boundary rows per
-    * group broadcast back; the clip is a branch-free least/greatest.
+    * exchange computes ranks and group sizes; the two boundary values per
+    * group join back (key-sized frame — strategy left to AQE); the
+    * clip is a branch-free least/greatest.
     */
   def winsorizedStats(df: DataFrame, keys: Seq[String], valueCol: String,
                       idCol: String, loNum: Long, hiNum: Long,
@@ -82,7 +86,7 @@ object RobustStats {
       .agg(min(when(col("rn") === ceilRank(loNum), v)).as("lo"),
         min(when(col("rn") === ceilRank(hiNum), v)).as("hi"))
     val clipped = least(greatest(v, col("lo")), col("hi"))
-    df.join(broadcast(bounds), keys)
+    df.join(bounds, keys)
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n"),
         max(col("lo")).as("lo"), max(col("hi")).as("hi"),

@@ -33,6 +33,11 @@ object StreamMatView {
   def runFold(stream: DataFrame, keys: Seq[String], valueCol: String,
               stateDir: String, prep: DataFrame => DataFrame): DataFrame = {
     val spark = stream.sparkSession
+    // the final version is THIS run's highest written batchId — never
+    // inferred from the directory listing, which may hold more versions
+    // from an earlier, longer run sharing the stateDir (a listing-max
+    // would silently return that stale snapshot)
+    val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val inc = IncrementalAgg.aggregate(prep(batch), keys, valueCol)
@@ -42,18 +47,14 @@ object StreamMatView {
             spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc, keys)
         merged.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/state_v$bid")
+        lastBid.getAndUpdate(m => math.max(m, bid))
         (): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
-    val versions = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("state_v") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("state_v").toLong)
-    require(versions.nonEmpty, s"runFold: no committed state in $stateDir")
-    spark.read.parquet(s"$stateDir/state_v${versions.max}")
+    require(lastBid.get() >= 0, s"runFold: stream produced no batches")
+    spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
   }
 }

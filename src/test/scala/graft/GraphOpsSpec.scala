@@ -660,6 +660,30 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("over-bound components split off to the round loop; small ones " +
+    "stay in the kernel — union equals the pure paths") {
+    // big blob (K8 + chain tail, 35 edges) + two small triangles; the
+    // component bound of 20 sends ONLY the blob to the round loop
+    val k8 = for (a <- 0L to 7L; b <- 0L to 7L if a < b) yield (a, b)
+    val chain = (7L to 13L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val tris = Seq((20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 30L))
+    val edges = k8 ++ chain ++ tris
+    val pure = core(edges, 2)
+    spark.conf.set("spark.graft.kCoreSmallGraphEdges", "0")
+    spark.conf.set("spark.graft.kCoreComponentEdges", "20")
+    val split =
+      try core(edges, 2)
+      finally {
+        spark.conf.unset("spark.graft.kCoreSmallGraphEdges")
+        spark.conf.unset("spark.graft.kCoreComponentEdges")
+      }
+    assert(split === pure)
+    // sanity: the triangles (kernel side) and K8 (round-loop side) are
+    // both present in the split result
+    assert(split.keySet.intersect(Set(20L, 30L, 0L)).size === 3)
+  }
+
   test("hybrid finish (distributed rounds then driver peel) matches both") {
     // K8 (28 edges) + one parent per K8 node + 2 leaves per parent
     // (52 edges total). At k=3 with bound=35 the cutover provably fires

@@ -158,6 +158,30 @@ class MergeOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 15L, 3L -> 99L, 4L -> 7L))
   }
 
+  test("mergeInto: NULL deleteWhen keeps the row (unknown is not delete)") {
+    val target = Seq((1L, Some(10L)), (2L, Some(1L))).toDF("k", "n")
+    val source = Seq((1L, None: Option[Long]), (2L, Some(1L)))
+      .toDF("k", "n")
+    // k=1's updated n is 10 + NULL = NULL -> deleteWhen(n < 3) is
+    // UNKNOWN -> must KEEP (SQL MERGE semantics); k=2 updates to 2 -> TRUE
+    // -> deleted
+    val got = MergeOps.mergeInto(target, source, Seq("k"),
+      updateSet = Seq("n" -> (col("n") + col("src_n"))),
+      insertSet = Seq("n" -> col("src_n")),
+      deleteWhen = Some(col("n") < 3))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> None))
+  }
+
+  test("mergeInto rejects an updateSet/insertSet column absent from target") {
+    val t = Seq((1L, 1L)).toDF("k", "n")
+    intercept[IllegalArgumentException] {
+      MergeOps.mergeInto(t, t, Seq("k"),
+        updateSet = Seq("totals" -> col("n")),
+        insertSet = Seq("n" -> col("src_n")))
+    }
+  }
+
   test("mergeInto without deleteWhen keeps every merged row") {
     val target = Seq((1L, 1L)).toDF("k", "n")
     val source = Seq((1L, 1L)).toDF("k", "n")
