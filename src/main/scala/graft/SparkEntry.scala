@@ -2296,7 +2296,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           sum("cents").as("cents_total"),
           countDistinct(p("user_id")).as("n_users"))
-    })
+    }),
+
+    // Integer-exact Lloyd k-means (Clustering.kMeansLloyd): quantize
+    // once to longs, then seed/assign/update are all exact integer
+    // arithmetic with deterministic tie-breaks — the whole 4-round
+    // trajectory is bit-reproducible, so the oracle re-derives it as
+    // unrolled CTEs (the q109/q128 pattern) instead of trusting a
+    // trained artifact.
+    "q145_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kMeansLloyd(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, dim = 64, rounds = 4)),
+
+    // CDC change-feed application (MergeOps.applyChanges): base = each
+    // user's purchase rollup over the first 15 days; feed = one change
+    // per (user, later day) — op 'D' on day%7==1, else 'U' with that
+    // day's rollup; only the LATEST change per user applies (the
+    // multi-change-per-key ordering q135's single-image MERGE cannot
+    // express). The split day derives from the data via a broadcast
+    // scalar (the J5 idiom), so both engines cut identically.
+    "q146_cdc_apply" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val split = p.agg((min("day") + 15L).as("split"))
+      val pp = p.crossJoin(broadcast(split))
+      // cohort carves keep the insert/keep arms live: users 0 mod 5
+      // exist only in the feed (insert), users 1 mod 5 only in the base
+      // (keep) — without them every user appears on both sides and the
+      // gate would never exercise half the operator
+      val base = pp.filter(col("day") < col("split") &&
+          pmod(col("user_id"), lit(5)) =!= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+      val feed = pp.filter(col("day") >= col("split") &&
+          pmod(col("user_id"), lit(5)) =!= 1)
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+        .select(col("user_id"), col("day").as("seq"),
+          when(pmod(col("day"), lit(7)) === 1, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("n"), col("total"))
+      graft.operators.MergeOps.applyChanges(
+        base, feed, Seq("user_id"), "seq", "op")
+    }),
+
+    // Unigram-LM quality scoring (Frequency.unigramLogProb): the
+    // perplexity-style curation filter, engine-exact via micro-nat
+    // integer log sums (round ln once per token, then pure long
+    // arithmetic — no fold-order contract).
+    "q147_unigram_logprob" -> ((s, d) =>
+      graft.operators.Frequency.unigramLogProb(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Signed random projection (Similarity.randomProjection): 16
+    // md5-parity ±1 hyperplanes over the quantized embeddings — exact
+    // integer projections + the sign-bit SRP code, zero shuffles.
+    // Gate emits the long form (one row per (vec, plane)) — the compare
+    // harness hashes scalar columns, so the array stays library-side.
+    "q148_random_projection" -> ((s, d) =>
+      graft.operators.Similarity.randomProjection(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")),
+          col("srp_code"))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("p"),
+          col("srp_code")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -2786,6 +2854,62 @@ object SparkEntry {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM adc)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q145 oracle: the integer-exact Lloyd trajectory unrolled as
+    * materialized CTEs — same quantization, same hash-ordered seed, same
+    * (dist, j) argmin tie-break, same round-half-up integer mean
+    * ((2s+n)//(2n) on non-negative sums), same keep-previous rule for
+    * empty centroids. Exact integer arithmetic end to end, so the final
+    * assignment AND distances hash-match bit-for-bit.
+    */
+  private val sqlQ145KMeans: String = {
+    val k = 8; val rounds = 4
+    def dist(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |        x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round((CAST(x AS DOUBLE) + 1) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |      vec_id) AS j, qv AS cv
+         |  FROM q QUALIFY j <= $k),
+         |""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(
+        s"""a$r AS MATERIALIZED (
+           |  SELECT vec_id, qv, j FROM (
+           |    SELECT q.vec_id, q.qv, c.j,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${dist("q.qv", "c.cv")} ASC, c.j ASC) AS rn
+           |    FROM q, c$p c) WHERE rn = 1),
+           |m$r AS (
+           |  SELECT j, list(CAST((2*s + n)//(2*n) AS BIGINT) ORDER BY d) AS cv
+           |  FROM (
+           |    SELECT j, d, sum(e) AS s, count(*) AS n FROM (
+           |      SELECT j, generate_subscripts(qv, 1) AS d, unnest(qv) AS e
+           |      FROM a$r) GROUP BY j, d)
+           |  GROUP BY j),
+           |c$r AS MATERIALIZED (
+           |  SELECT pc.j, coalesce(mv.cv, pc.cv) AS cv
+           |  FROM c$p pc LEFT JOIN m$r mv ON mv.j = pc.j),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (
+         |  SELECT q.vec_id, c.j,
+         |    ${dist("q.qv", "c.cv")} AS fdist,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dist("q.qv", "c.cv")} ASC, c.j ASC) AS rn
+         |  FROM q, c$rounds c)
+         |SELECT vec_id, j AS cluster, CAST(fdist AS BIGINT) AS dist
+         |FROM fin WHERE rn = 1""".stripMargin)
+    sb.toString
   }
 
   /** q128 oracle: the k-core peel unrolled as materialized rounds.
@@ -4606,6 +4730,90 @@ object SparkEntry {
         |FROM p JOIN dim ON p.user_id = dim.user_id
         |  AND p.day >= dim.valid_from AND p.day < dim.valid_until
         |GROUP BY dim.tier""".stripMargin,
+
+    // Unrolled integer-exact Lloyd trajectory (see sqlQ145KMeans).
+    "q145_kmeans" -> sqlQ145KMeans,
+
+    // Latest-change collapse (window twin of the struct max) + the same
+    // full-outer apply with D-drop.
+    "q146_cdc_apply" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |sp AS (SELECT min(day) + 15 AS split FROM p),
+        |base AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total
+        |  FROM p, sp WHERE day < split AND user_id % 5 <> 0
+        |  GROUP BY user_id),
+        |feed AS (
+        |  SELECT user_id, day AS seq,
+        |    CASE WHEN day % 7 = 1 THEN 'D' ELSE 'U' END AS op,
+        |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS total
+        |  FROM p, sp WHERE day >= split AND user_id % 5 <> 1
+        |  GROUP BY user_id, day),
+        |latest AS (
+        |  SELECT user_id, op, n, total FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY seq DESC) AS rn FROM feed) WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.n ELSE b.n END AS n,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.total ELSE b.total
+        |    END AS total
+        |FROM base b FULL OUTER JOIN latest l USING (user_id)
+        |WHERE l.user_id IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // Identical micro-nat integer arithmetic: round each ln once, sum
+    // longs, one rounded division at the end.
+    "q147_unigram_logprob" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY doc_id, token),
+        |vocab AS (
+        |  SELECT token, CAST(sum(tf) AS BIGINT) AS c,
+        |    CAST(round(ln(CAST(sum(tf) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS l_micro
+        |  FROM tf GROUP BY token),
+        |tot AS (
+        |  SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |    AS lt_micro
+        |  FROM vocab)
+        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(t.tf * v.l_micro) - sum(t.tf) * any_value(tot.lt_micro)
+        |    AS BIGINT) AS lp_micro,
+        |  round(CAST(sum(t.tf * v.l_micro) - sum(t.tf)
+        |      * any_value(tot.lt_micro) AS DOUBLE)
+        |    / (CAST(sum(t.tf) AS DOUBLE) * 1e6), 6) AS avg_logprob
+        |FROM tf t JOIN vocab v USING (token), tot
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // Relational twin of the unrolled sign expressions: the ±1 matrix
+    // from the same md5-hex-parity formula, the projection as an exact
+    // integer sum, the code from the same strict >0 sign bits.
+    "q148_random_projection" ->
+      """WITH sgn AS MATERIALIZED (
+        |  SELECT j, d,
+        |    CASE WHEN substr(md5(j || ':' || d), 32, 1)
+        |      IN ('0','2','4','6','8','a','c','e')
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 16)) AS j),
+        |       (SELECT unnest(range(0, 64)) AS d)),
+        |q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+        |      AS BIGINT) AS qd
+        |  FROM embeddings),
+        |pr AS MATERIALIZED (
+        |  SELECT vec_id, j, CAST(sum(qd * s) AS BIGINT) AS p
+        |  FROM q JOIN sgn USING (d) GROUP BY vec_id, j),
+        |code AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j)
+        |      ELSE 0 END) AS BIGINT) AS srp_code
+        |  FROM pr GROUP BY vec_id)
+        |SELECT pr.vec_id, CAST(pr.j AS BIGINT) AS j, pr.p, code.srp_code
+        |FROM pr JOIN code USING (vec_id)""".stripMargin,
 
     // The whole-history recompute the four folded micro-batch
     // snapshots must land on exactly.

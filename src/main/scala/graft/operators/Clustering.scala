@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over embedding vectors, made ENGINE-EXACT by running the
+  * entire iteration in integer arithmetic (beyond-reference operator,
+  * first-class per the build brief — the trained counterpart of the
+  * hash-seeded quantizers behind q40/q113).
+  *
+  * Why integers: a float k-means is not reproducible across engines (or
+  * even across partitionings of the same engine) — centroid means and
+  * distance comparisons depend on summation order, and a single 1-ulp flip
+  * near an argmin boundary cascades into different clusters from round 2
+  * on. Here every vector is quantized ONCE to longs
+  * (`round((x + offset) * scale)`, exact on widened doubles — the q100
+  * idiom), after which distances are exact integer sums, centroid updates
+  * are exact rational averages materialized with one deterministic
+  * round-half-up integer division, and every argmin breaks ties toward the
+  * smaller centroid id. The whole trajectory — seed, four assignments,
+  * four updates — is therefore bit-reproducible, and the q145 gate
+  * re-derives it in DuckDB as unrolled materialized CTEs (the q109/q128
+  * unrolled-iteration oracle pattern).
+  *
+  * Determinism contract (mirrored by the oracle):
+  *   - seed centroids = the k quantized vectors with the smallest
+  *     (md5(id), id) — the hash-ordered sample behind q40/q113;
+  *   - assignment = argmin_j sum_d (x_d - c_jd)^2, ties to smaller j;
+  *   - update     = per-dim round-half-up mean, (2*s + n) div (2*n) on
+  *     non-negative sums (offset shifts every component positive, so
+  *     truncating integer division IS floor in both engines);
+  *   - a centroid that attracts no points keeps its previous position.
+  *
+  * Scale shape: the quantized frame is persisted once (CacheScope) and
+  * scanned rounds+1 times; each assignment is a pure per-row expression —
+  * the k distances are UNROLLED integer expression trees (element_at
+  * minus a literal, squared, summed), not interpreted HOF walks, so the
+  * scan stays inside whole-stage codegen; each update is ONE hash
+  * aggregate keyed by the k cluster ids (map-side combined: k rows per
+  * partition) collecting k x (dim sums + count) to the driver — the
+  * bounded-collect family (PageRank/IVF precedent; k*dim longs, never
+  * data-sized). No shuffle anywhere grows with the corpus; the only
+  * driver traffic is k rows per round. At 100 TB the training pass runs
+  * on a sample and the trained centroids broadcast into an IVF-style
+  * assignment join — exactly the q40 structure, with these centroids
+  * replacing the hash-seeded ones.
+  */
+object Clustering {
+
+  /** Quantize a float-array column to exact longs:
+    * `round((x + offset) * scale)` per component on widened doubles.
+    */
+  def quantize(vec: Column, offset: Double, scale: Double): Column =
+    transform(vec, x =>
+      round((x.cast("double") + lit(offset)) * lit(scale)).cast("long"))
+
+  /** Exact squared L2 between a quantized vector column and a literal
+    * centroid, as an unrolled codegen-friendly integer expression.
+    */
+  private def distExpr(qv: Column, c: Array[Long]): Column =
+    c.indices.map { d =>
+      val diff = element_at(qv, d + 1) - lit(c(d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Run `rounds` Lloyd iterations with `k` centroids over `vectors`,
+    * then emit the final assignment: (vec_id, cluster, dist) with
+    * cluster in 1..k (seed-hash order) and dist the exact integer
+    * squared L2 to the final centroid.
+    *
+    * `offset` must shift every component non-negative after quantization
+    * (default +1.0 covers unit-normalized embeddings); `dim` is the
+    * vector width (the unrolled expressions need it at plan time).
+    */
+  def kMeansLloyd(vectors: DataFrame, idCol: String, vecCol: String,
+                  k: Int, dim: Int, rounds: Int = 4,
+                  offset: Double = 1.0, scale: Double = 10000.0)
+  : DataFrame = {
+    require(k >= 1 && rounds >= 1 && dim >= 1)
+    val q = graft.CacheScope.track(
+      vectors
+        .select(col(idCol).cast("long").as("vid"),
+          quantize(col(vecCol), offset, scale).as("qv"))
+        .persist())
+
+    // seed: hash-ordered quantized rows (bounded collect: k rows)
+    val seed = q
+      .orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(k)
+      .select("qv")
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    var cents: Array[Array[Long]] = seed
+
+    def akeyExpr: Column =
+      least(cents.zipWithIndex.map { case (c, j) =>
+        distExpr(col("qv"), c) * lit(k.toLong) + lit(j.toLong)
+      }: _*)
+
+    val sumCols = (0 until dim).map(d =>
+      sum(element_at(col("qv"), d + 1)).as(s"s$d"))
+
+    for (_ <- 1 to rounds) {
+      // one pass: per-row argmin + k-keyed partial aggregate; the collect
+      // is k rows of (count, dim sums) — bounded by k*dim, not the data
+      val upd = q
+        .withColumn("cl", pmod(akeyExpr, lit(k.toLong)))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach { r =>
+        val j = r.getLong(0).toInt
+        val n = r.getLong(1)
+        next(j) = Array.tabulate(dim)(d => (2L * r.getLong(2 + d) + n) / (2L * n))
+      }
+      cents = next
+    }
+
+    q.withColumn("akey", akeyExpr)
+      .select(col("vid").as("vec_id"),
+        (pmod(col("akey"), lit(k.toLong)) + 1L).as("cluster"),
+        expr(s"akey div ${k}L").as("dist"))
+  }
+}

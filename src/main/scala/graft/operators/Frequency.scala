@@ -76,6 +76,56 @@ object Frequency {
       .drop("n_docs")
   }
 
+  /** Corpus-derived unigram language-model quality score — the
+    * perplexity-style filter large-scale text curation runs before
+    * training (a document whose tokens are improbable under the corpus's
+    * own unigram distribution is boilerplate, encoding noise, or another
+    * language): per doc, the mean token log-probability
+    * avg_logprob = (1/m) * sum_i ln(c_{t_i} / T) over the m token
+    * instances, where c_t is the corpus count of token t and T the total
+    * token count.
+    *
+    * Engine-exact without any fold-order contract: each token's
+    * ln(count) is rounded ONCE to micro-nats (round(ln(c)*1e6) as a
+    * long — the q58 round-before-compare idiom), after which the per-doc
+    * sum is exact INTEGER arithmetic, associative under any partitioning
+    * or engine. The only emitted float is one one-shot division, rounded
+    * once (the q131 discipline):
+    * avg_logprob = round((sum_micro - m*round(ln(T)*1e6)) / (m*1e6), 6).
+    *
+    * Scale shape: one explode pass builds (doc, token, tf); the vocab
+    * aggregate and the score join share the token key; T and the vocab's
+    * ln table never materialize beyond the aggregate; the per-doc sum is
+    * a partial-aggregatable long. No windows, no driver state, no HOFs.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token")
+      .agg(sum("tf").as("c"))
+      .withColumn("l_micro",
+        round(log(col("c").cast("double")) * 1e6, 0).cast("long"))
+    val total = vocab
+      .agg(sum("c").as("t_tokens"))
+      .withColumn("lt_micro",
+        round(log(col("t_tokens").cast("double")) * 1e6, 0).cast("long"))
+    tf.join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("l_micro")).as("sum_micro"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_micro") - col("n_tokens") * col("lt_micro"))
+          .as("lp_micro"),
+        round((col("sum_micro") - col("n_tokens") * col("lt_micro"))
+          .cast("double") / (col("n_tokens").cast("double") * 1e6), 6)
+          .as("avg_logprob"))
+  }
+
   /** Count-min-sketch frequency estimates for the exact top-k values:
     * one distributed sketch pass (Spark's CountMinSketch aggregate —
     * counter-matrix merge is commutative addition, so the result is

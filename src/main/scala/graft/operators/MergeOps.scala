@@ -67,6 +67,47 @@ object MergeOps {
       .drop("_t", "_s")
   }
 
+  /** CDC change-feed application ("apply changes into"): collapse a
+    * multi-change-per-key feed to the LATEST change under `seqCol`, then
+    * apply it to the keyed base snapshot — latest op `D` drops the key
+    * (even if the base never had it), any other op upserts the change's
+    * image, keys without changes pass through. The one piece of CDC
+    * [[mergeInto]] cannot express: a key may arrive many times per batch
+    * (insert then update then delete), and only the feed ORDER decides.
+    *
+    * Determinism: the collapse is a max over the (seq, op, image) struct,
+    * so even a (key, seq) tie resolves by a total order rather than
+    * arrival order; the caller's CDC contract (unique (key, seq)) makes
+    * the struct tie-break unreachable in well-formed feeds.
+    *
+    * Scale shape: one partial-aggregatable struct-max keyed on the
+    * change key (executors contract each partition to one candidate per
+    * key before the shuffle — feed volume never crosses the wire), then
+    * one full-outer hash join against the base on the same key. Nothing
+    * collects; nothing windows.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   seqCol: String, opCol: String): DataFrame = {
+    val valueCols = base.columns.toSeq.filterNot(keys.contains)
+    require(valueCols.forall(changes.columns.contains),
+      "applyChanges: the feed must carry every base value column")
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col(seqCol).as("_seq") +: col(opCol).as("_op") +:
+        valueCols.map(c => col(c).as(c)): _*)).as("m"))
+      .select(keys.map(col) ++
+        Seq(col("m._op").as("_op")) ++
+        valueCols.map(c => col(s"m.$c").as(s"_chg_$c")): _*)
+    val j = base.withColumn("_t", lit(1))
+      .join(latest.withColumn("_c", lit(1)), keys, "full_outer")
+    val outCols = keys.map(col) ++ valueCols.map(c =>
+      when(col("_c").isNotNull, col(s"_chg_$c")).otherwise(col(c)).as(c))
+    // `_c IS NULL ||` keeps unchanged base rows: a bare `_op =!= 'D'`
+    // would be NULL for them and filter every one out
+    j.filter(col("_c").isNull || col("_op") =!= lit("D"))
+      .select(outCols: _*)
+  }
+
   /** Golden-record survivorship: collapse a key's rows into one record
     * where EACH column independently takes its best survivor —
     * `max_by`-style "latest non-null wins" under a caller-chosen recency

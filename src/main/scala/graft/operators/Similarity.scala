@@ -251,6 +251,53 @@ object Similarity {
     * near-duplicate mining inside a mega-cluster is exact-dedup/minhash
     * territory, not ANN's.
     */
+  /** Signed random projection (Johnson–Lindenstrauss / SimHash-for-
+    * embeddings): project each vector onto `outDim` pseudo-random ±1
+    * hyperplanes and emit the integer projections plus the sign-bit code
+    * (bit j set iff proj_j > 0) — the dimensionality-reduction /
+    * embedding-LSH primitive that feeds banded bucketing exactly like
+    * the text SimHash family (Charikar, STOC'02).
+    *
+    * Engine-exact end to end: components quantize once to longs
+    * (`round(x * scale)` — symmetric, no offset, signs preserved), and
+    * the hyperplane signs derive from the PARITY OF THE LAST md5 HEX
+    * CHAR of "j:d" — a pure string computation both engines evaluate
+    * identically — so every projection is exact integer arithmetic and
+    * the q148 oracle re-derives codes bit-for-bit.
+    *
+    * Scale shape: the sign matrix is outDim·dim literals baked into
+    * UNROLLED codegen expressions at plan time (built driver-side from
+    * the same md5 formula — no join, no explode, no HOF); the whole
+    * operator is one narrow scan pass, zero shuffles.
+    */
+  def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, dim: Int, scale: Double = 10000.0)
+  : DataFrame = {
+    require(outDim >= 1 && outDim <= 62 && dim >= 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Long = {
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.last)) 1L else -1L
+    }
+    val qv = transform(col(vecCol), x =>
+      round(x.cast("double") * lit(scale)).cast("long"))
+    val projs = (0 until outDim).map { j =>
+      (0 until dim).map { d =>
+        element_at(col("_qv"), d + 1) * lit(sign(j, d))
+      }.reduce(_ + _).as(s"p$j")
+    }
+    val withProj = vectors
+      .select(col(idCol).as("vec_id"), qv.as("_qv"))
+      .select(col("vec_id") +: projs: _*)
+    val code = (0 until outDim).map { j =>
+      when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withProj.select(col("vec_id"),
+      array((0 until outDim).map(j => col(s"p$j")): _*).as("proj"),
+      code.as("srp_code"))
+  }
+
   /** Product-quantization (PQ) ANN with asymmetric distance computation
     * (ADC) — the memory-bound scale path past int8: each corpus vector is
     * stored as `m` sub-space code ids (m·log2(codes) bits, e.g. 4 bytes

@@ -774,6 +774,52 @@ class SimilaritySpec extends SparkSpec {
     // within the quantization-collision ties
     assert(pq.count { case (a, b) => a == b } >= 8)
   }
+
+  test("randomProjection matches an independent in-memory twin exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Long = {
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.last)) 1L else -1L
+    }
+    val rnd = new scala.util.Random(11)
+    val dim = 6; val outDim = 5
+    val rows = (0L until 40L).map(i =>
+      i -> Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    val want = rows.map { case (id, v) =>
+      val q = v.map(x => new java.math.BigDecimal(x.toDouble * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      val proj = (0 until outDim).map(j =>
+        (0 until dim).map(d => q(d) * sign(j, d)).sum)
+      val code = proj.zipWithIndex
+        .map { case (p, j) => if (p > 0) 1L << j else 0L }.sum
+      id -> ((proj.toSeq, code))
+    }.toMap
+    val got = Similarity.randomProjection(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      outDim = outDim, dim = dim)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("randomProjection: negation flips every nonzero projection sign") {
+    val v = Array(0.3f, -0.2f, 0.5f, 0.1f)
+    val df = Seq(0L -> v, 1L -> v.map(-_)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding",
+      outDim = 8, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(0L) == out(1L).map(p => -p))
+  }
+
+  test("randomProjection is a zero-shuffle single-pass plan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.randomProjection(emb, "vec_id", "embedding",
+      outDim = 16, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(5).mkString)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
