@@ -2364,7 +2364,21 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")),
           col("srp_code"))
         .select(col("vec_id"), col("j").cast("long").as("j"), col("p"),
-          col("srp_code")))
+          col("srp_code"))),
+
+    // Chi-square token-vs-source association (Frequency.chi2Association):
+    // integer contingency cells, one fixed-order double expression for
+    // the statistic (long-exact products at gate scale).
+    "q149_chi2" -> ((s, d) =>
+      graft.operators.Frequency.chi2Association(
+        Tables.documents(s, d), "doc_id", "text", "source", minDf = 10L)),
+
+    // BM25 retrieval (Frequency.bm25TopK): fixed query-term set from
+    // the shared synthetic vocabulary; micro-unit integer score sums.
+    "q150_bm25" -> ((s, d) =>
+      graft.operators.Frequency.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("data", "scan", "merge"), k = 100))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4814,6 +4828,71 @@ object SparkEntry {
         |  FROM pr GROUP BY vec_id)
         |SELECT pr.vec_id, CAST(pr.j AS BIGINT) AS j, pr.p, code.srp_code
         |FROM pr JOIN code USING (vec_id)""".stripMargin,
+
+    // Identical contingency cells and the same fixed-order double
+    // expression (exact-long difference first, then three multiplies and
+    // one division, rounded once).
+    "q149_chi2" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, source AS label, token FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)),
+        |n11t AS (
+        |  SELECT token, label, count(*) AS n11
+        |  FROM pres GROUP BY token, label),
+        |dft AS (SELECT token, CAST(sum(n11) AS BIGINT) AS df
+        |        FROM n11t GROUP BY token),
+        |nl AS (SELECT source AS label, count(*) AS n_label
+        |       FROM documents GROUP BY source),
+        |nt AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, label, n11,
+        |  df - n11 AS n10, n_label - n11 AS n01,
+        |  n_docs - df - n_label + n11 AS n00,
+        |  round(CAST(n_docs AS DOUBLE)
+        |    * CAST(n11 * (n_docs - df - n_label + n11)
+        |        - (df - n11) * (n_label - n11) AS DOUBLE)
+        |    * CAST(n11 * (n_docs - df - n_label + n11)
+        |        - (df - n11) * (n_label - n11) AS DOUBLE)
+        |    / (CAST(df AS DOUBLE) * CAST(n_docs - df AS DOUBLE)
+        |      * CAST(n_label AS DOUBLE)
+        |      * CAST(n_docs - n_label AS DOUBLE)), 6) AS chi2
+        |FROM n11t JOIN dft USING (token) JOIN nl USING (label), nt
+        |WHERE df >= 10 AND df < n_docs AND n_label < n_docs""".stripMargin,
+
+    // Same fixed-order BM25 expression, micro-rounded per (doc, term),
+    // exact long sums, same (score, doc) top-k order.
+    "q150_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT)
+        |    AS sum_dl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf FROM (
+        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |      unnest(toks) AS token FROM base)
+        |  WHERE token IN ('data', 'scan', 'merge')
+        |  GROUP BY doc_id, dl, token),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(st.n_docs - d.df AS DOUBLE) + 0.5)
+        |        / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * 2.2
+        |        / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(t.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
+        |            / CAST(st.sum_dl AS DOUBLE)))))
+        |      * 1e6, 0) AS BIGINT) AS s
+        |  FROM tf t JOIN dfr d USING (token), st),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
+        |    count(*) AS n_terms
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score_micro, n_terms, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC,
+        |    doc_id ASC) AS BIGINT) AS rank FROM agg)
+        |WHERE rank <= 100""".stripMargin,
 
     // The whole-history recompute the four folded micro-batch
     // snapshots must land on exactly.

@@ -126,6 +126,109 @@ object Frequency {
           .as("avg_logprob"))
   }
 
+  /** Chi-square token-vs-label association — the feature-selection /
+    * domain-drift scan curation pipelines run to find which tokens
+    * characterize which source (Yang & Pedersen, ICML'97 feature
+    * selection): per (token, label), the 2x2 document-presence
+    * contingency table and its chi-square statistic.
+    *
+    * All four cells derive from three integer aggregates (n11 per
+    * (token, label), df per token, label sizes + N via broadcast one-row
+    * frames): n10 = df−n11, n01 = n_l−n11, n00 = N−df−n_l+n11. The
+    * statistic is assembled in ONE fixed-order double expression
+    * (difference exact in longs first, then three multiplies and one
+    * division, rounded once — the q131 discipline), so the emitted value
+    * is bit-identical cross-engine. Degenerate margins (a token in every
+    * document, a label covering every document) are filtered, not
+    * divided by zero; `minDf` bounds the emitted vocabulary.
+    *
+    * Scale shape: one explode + (doc, token, label) distinct — the only
+    * pass that sees token volume; n11 and df ride the same token-keyed
+    * contraction; label sizes and N broadcast. No windows.
+    */
+  def chi2Association(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, minDf: Long): DataFrame = {
+    val pres = docs
+      .select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+    val n11 = pres.groupBy("token", "label")
+      .agg(count(lit(1)).as("n11"))
+    val dfTok = n11.groupBy("token").agg(sum("n11").as("df"))
+    val nLab = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val nTot = docs.agg(count(lit(1)).as("n_docs"))
+    val d = col("n11") * col("n00") - col("n10") * col("n01")
+    n11.join(dfTok, "token")
+      .join(broadcast(nLab), "label")
+      .crossJoin(broadcast(nTot))
+      .withColumn("n10", col("df") - col("n11"))
+      .withColumn("n01", col("n_label") - col("n11"))
+      .withColumn("n00",
+        col("n_docs") - col("df") - col("n_label") + col("n11"))
+      .filter(col("df") >= minDf && col("df") < col("n_docs") &&
+        col("n_label") < col("n_docs"))
+      .withColumn("chi2",
+        round(col("n_docs").cast("double")
+          * d.cast("double") * d.cast("double")
+          / (col("df").cast("double")
+            * (col("n_docs") - col("df")).cast("double")
+            * col("n_label").cast("double")
+            * (col("n_docs") - col("n_label")).cast("double")), 6))
+      .select("token", "label", "n11", "n10", "n01", "n00", "chi2")
+  }
+
+  /** BM25 retrieval scoring (Robertson/Spärck Jones, with Lucene's
+    * always-positive `ln(1 + (N-df+0.5)/(df+0.5))` idf): rank the corpus
+    * against a term set — the search/retrieval primitive next to
+    * [[tfidf]]'s weighting.
+    *
+    * Per-(doc, term) scores are one-shot double expressions with a FIXED
+    * operator order (mirrored token-for-token by the q150 oracle) and are
+    * rounded ONCE to micro-units; the per-doc combination is then exact
+    * long addition — no float fold-order contract (the q147 idiom).
+    *
+    * Scale shape: doc length comes from `size(split(...))` — no explode;
+    * the explode pass is filtered to the query terms BEFORE its
+    * aggregate, so only matching tokens survive into the shuffle; df and
+    * the corpus stats are broadcast one-row/terms-sized frames; the
+    * global top-k is orderBy+limit (TakeOrdered — per-partition heaps,
+    * no global sort shuffle).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val w = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+        (col("dl").cast("double") * col("n_docs").cast("double")
+          / col("sum_dl").cast("double"))))
+    val scored = tf.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", round(idf * w * lit(1e6), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("s").as("score_micro"), count(lit(1)).as("n_terms"))
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
   /** Count-min-sketch frequency estimates for the exact top-k values:
     * one distributed sketch pass (Spark's CountMinSketch aggregate —
     * counter-matrix merge is commutative addition, so the result is

@@ -454,6 +454,70 @@ class ClusterDiameterSpec extends SparkSpec {
     assert(got === Array(
       ("u", 0L, 2L, 1L), ("u", 1L, 2L, 0L), ("v", 0L, 1L, 0L)))
   }
+
+  test("chi2Association: hand contingency table, degenerate tokens filtered") {
+    val docs = Seq(
+      (1L, "x y", "s1"), (2L, "x z", "s1"),
+      (3L, "y z", "s2"), (4L, "z w", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Frequency.chi2Association(docs, "doc_id", "text", "source", 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))))
+      .toMap
+    // x only in s1: n11=2 df=2 n_s1=2 N=4 -> cells (2,0,0,2),
+    // chi2 = 4*(2*2-0*0)^2/(2*2*2*2) = 4
+    assert(got(("x", "s1")) == ((2L, 0L, 0L, 2L, 4.0)))
+    // y: one doc in each source — perfectly independent, chi2 = 0
+    assert(got(("y", "s1"))._5 == 0.0)
+    assert(got(("y", "s2"))._5 == 0.0)
+    // z is in 3 of 4 docs (fine), but nothing with df = N may appear
+    assert(got.keys.forall { case (t, _) => t != "" })
+    val all = Seq((1L, "q a", "s1"), (2L, "q b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val tokens = Frequency.chi2Association(all, "doc_id", "text", "source", 1L)
+      .collect().map(_.getString(0)).toSet
+    assert(!tokens.contains("q")) // df = N -> zero margin, filtered
+  }
+
+  test("chi2Association: minDf bounds the emitted vocabulary") {
+    val docs = Seq(
+      (1L, "common rare1", "s1"), (2L, "common rare2", "s2"),
+      (3L, "common", "s1"))
+      .toDF("doc_id", "text", "source")
+    val toks = Frequency.chi2Association(docs, "doc_id", "text", "source", 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(toks == Set("common"))
+  }
+
+  test("bm25TopK matches a scalar twin and ranks tf up, length down") {
+    val docs = Seq(
+      (1L, "data data scan pad"),   // two query tokens, tf(data)=2
+      (2L, "data scan pad pad"),    // same length, less data
+      (3L, "data scan pad pad pad pad pad pad"), // longer -> penalized
+      (4L, "pad pad"))              // no query terms -> absent
+      .toDF("doc_id", "text")
+    val got = Frequency.bm25TopK(docs, "doc_id", "text",
+      Seq("data", "scan"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // scalar twin with the identical op order
+    val n = 4.0; val sumDl = 4.0 + 4 + 8 + 2
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl * n / sumDl)))
+    def s(tf: Double, dl: Double, df: Double) =
+      math.round(idf(df) * w(tf, dl) * 1e6)
+    val exp1 = s(2, 4, 3) + s(1, 4, 3)
+    val exp2 = s(1, 4, 3) + s(1, 4, 3)
+    val exp3 = s(1, 8, 3) + s(1, 8, 3)
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      Set((1L, exp1), (2L, exp2), (3L, exp3)))
+    // rank: doc1 (higher tf) > doc2 (same length) > doc3 (longer)
+    assert(got.sortBy(_._4).map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_._3 == 2L))
+  }
 }
 
 class TriangleCountsSpec extends SparkSpec {
