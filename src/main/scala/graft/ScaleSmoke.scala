@@ -94,13 +94,36 @@ object ScaleSmoke {
     new java.io.File(s"$dst/_OK_v3_$nCopies").createNewFile(): Unit
   }
 
+  /** Additive fixture step: `embeddings` copies for the vector operators
+    * (q145 k-means, q148 random projection). Own marker so fixtures
+    * built before this table existed gain it WITHOUT a full rebuild;
+    * [[buildSf1]]'s marker sweep still clears it on a copy-count change.
+    * vec_id shifts per copy; vectors repeat — the honest growth mode for
+    * assignment/projection cost (cluster structure is scale-invariant,
+    * every pass still reads nCopies x the rows).
+    */
+  private def ensureEmbeddings(spark: SparkSession, src: String,
+                               dst: String, nCopies: Int): Unit = {
+    if (new java.io.File(s"$dst/_OK_emb_v1_$nCopies").exists()) return
+    val copies = spark.range(0, nCopies).select(col("id").as("copy"))
+    Tables.embeddings(spark, src).crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    new java.io.File(s"$dst/_OK_emb_v1_$nCopies").createNewFile(): Unit
+  }
+
   private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
       "q83_incremental_dedup", "q84_grid_pois", "q120_winnow",
       "q121_triangles", "q123_funnel", "q125_cohort", "q126_setsim_join",
       "q128_kcore", "q132_incremental_agg", "q140_attribution",
-      "q143_stream_matview", "q144_pit_join")
+      "q143_stream_matview", "q144_pit_join", "q145_kmeans",
+      "q146_cdc_apply", "q147_unigram_logprob", "q148_random_projection",
+      "q149_chi2", "q150_bm25")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,6 +146,7 @@ object ScaleSmoke {
       .map(f => defaultTargets.filter(t => f.split(",").exists(t.startsWith)))
       .getOrElse(defaultTargets)
     buildSf1(spark, src, dst, nCopies)
+    ensureEmbeddings(spark, src, dst, nCopies)
 
     // plan-shape fingerprint: shuffle count in the returned frame's
     // physical plan, captured from the SAME df the timed pass runs —

@@ -2378,7 +2378,64 @@ object SparkEntry {
     "q150_bm25" -> ((s, d) =>
       graft.operators.Frequency.bm25TopK(
         Tables.documents(s, d), "doc_id", "text",
-        Seq("data", "scan", "merge"), k = 100))
+        Seq("data", "scan", "merge"), k = 100)),
+
+    // Stream-stream LEFT OUTER interval join gate
+    // (StreamSessions.intervalJoinLeftOuter): q110's enrichment where
+    // views with NO preceding purchase still emit (null match) — the
+    // null results are withheld until the watermark proves no match can
+    // arrive, so the replay stages two trailing pusher files per side
+    // (the q97 trick): pusher #1 advances the watermark past the real
+    // data, pusher #2's batch performs the flush. Pusher rows use the
+    // reserved user -1 and are filtered from the output.
+    "q151_stream_outer_join" -> ((s, d) => {
+      val base = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
+      def pusherTs(off: Long) = {
+        val maxTs = base.agg(max(unix_timestamp(col("ts"))))
+          .collect()(0).getLong(0)
+        maxTs + off
+      }
+      val vDir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q151v:$d") {
+          val v = base.filter(col("event_type") === "view")
+            .select("user_id", "event_id", "ts")
+          def pusher(off: Long) = s.range(1).select(
+            lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+            timestamp_seconds(lit(pusherTs(off))).as("ts"))
+          Seq(v, pusher(86400L * 30), pusher(86400L * 60))
+        }
+      val pDir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q151p:$d") {
+          val p = base.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("pts"))
+          def pusher(off: Long) = s.range(1).select(
+            lit(-1L).as("user_id"), lit(-1L).as("purchase_id"),
+            timestamp_seconds(lit(pusherTs(off))).as("pts"))
+          Seq(p, pusher(86400L * 30), pusher(86400L * 60))
+        }
+      val v = graft.streaming.StreamSessions.readParquetStreamThrottled(
+        s, vDir, s.read.parquet(vDir).schema)
+      val p = graft.streaming.StreamSessions.readParquetStreamThrottled(
+        s, pDir, s.read.parquet(pDir).schema)
+      // NOTE: the pusher filter must NOT live inside the streaming
+      // frame — Catalyst pushes it below the EventTimeWatermark node
+      // (user_id is a join key), so the pusher rows would be pruned at
+      // the scan and never advance the watermark, and the outer-null
+      // tail would never flush (found the hard way; the batch-side
+      // filter below is the correct place).
+      val joined = graft.streaming.StreamSessions.intervalJoinLeftOuter(
+        v, p, "user_id", "ts", "pts", "6 HOURS", "60 seconds")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("purchase_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
+            .as("gap_s"))
+      graft.streaming.StreamSessions.runToCompletionAppend(joined,
+        "q151_stream_outer_join")
+        .filter(col("user_id") =!= -1L)
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4893,6 +4950,22 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC,
         |    doc_id ASC) AS BIGINT) AS rank FROM agg)
         |WHERE rank <= 100""".stripMargin,
+
+    // Plain batch left range join — the contract the watermarked
+    // streaming replay must land on exactly.
+    "q151_stream_outer_join" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events),
+        |v AS (SELECT user_id, event_id, ts_s FROM base
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_s AS pts_s
+        |      FROM base WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_id, p.purchase_id,
+        |  v.ts_s - p.pts_s AS gap_s
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |  AND p.pts_s BETWEEN v.ts_s - 21600 AND v.ts_s""".stripMargin,
 
     // The whole-history recompute the four folded micro-batch
     // snapshots must land on exactly.

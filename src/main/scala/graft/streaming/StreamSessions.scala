@@ -206,6 +206,33 @@ object StreamSessions {
       .drop(rKey)
   }
 
+  /** Left-outer twin of [[intervalJoin]]: left rows with no right match
+    * in the lookback window still emit (right columns null) — but only
+    * once the watermark proves no match can arrive, i.e. when it passes
+    * the left row's event time (the window is purely backward, so a
+    * right row matching left ts must have rts <= ts). That timing is the
+    * semantic difference from the inner form: null-joined results are
+    * withheld until eviction, so a finite AvailableNow replay must push
+    * the final watermark past the real data with trailing rows
+    * (the q97 pusher-file trick — see the q151 gate) or the tail never
+    * drains. State stays bounded by the same time-range condition.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String, tsCol: String, rtsCol: String,
+                            lookback: String, watermark: String)
+  : DataFrame = {
+    val rKey = s"__r_$keyCol"
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.withColumnRenamed(keyCol, rKey)
+      .withWatermark(rtsCol, watermark)
+    l.join(r,
+      col(keyCol) === col(rKey) &&
+        col(rtsCol) >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(rtsCol) <= col(tsCol),
+      "left_outer")
+      .drop(rKey)
+  }
+
   /** Run a streaming frame to completion over existing files into an
     * in-memory table (AvailableNow = the reference's batch day-loop).
     */
