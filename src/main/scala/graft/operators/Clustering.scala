@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the quantized frame is persisted once (CacheScope) and
   * scanned rounds+1 times; each assignment is a pure per-row expression —
-  * the k distances are UNROLLED integer expression trees (element_at
-  * minus a literal, squared, summed), not interpreted HOF walks, so the
-  * scan stays inside whole-stage codegen; each update is ONE hash
+  * the fused [[graft.plans.ArgminDistance]] codegen Expression (tight
+  * integer multiply-accumulate over the referenced centroid matrix; one
+  * tiny janino unit per round instead of k·dim unrolled terms, which
+  * dominated the round at small data); each update is ONE hash
   * aggregate keyed by the k cluster ids (map-side combined: k rows per
   * partition) collecting k x (dim sums + count) to the driver — the
   * bounded-collect family (PageRank/IVF precedent; k*dim longs, never
@@ -54,14 +55,20 @@ object Clustering {
     transform(vec, x =>
       round((x.cast("double") + lit(offset)) * lit(scale)).cast("long"))
 
-  /** Exact squared L2 between a quantized vector column and a literal
-    * centroid, as an unrolled codegen-friendly integer expression.
+  /** Composed (unrolled element_at) twin of the fused
+    * [[graft.plans.ArgminDistance]] assignment key — kept for the spec
+    * parity check; janino-compilation cost makes it the wrong choice on
+    * the per-round hot path (each round is a fresh plan).
     */
-  private def distExpr(qv: Column, c: Array[Long]): Column =
-    c.indices.map { d =>
-      val diff = element_at(qv, d + 1) - lit(c(d))
-      diff * diff
-    }.reduce(_ + _)
+  private[graft] def composedAkey(qv: Column, cents: Array[Array[Long]])
+  : Column =
+    least(cents.zipWithIndex.map { case (c, j) =>
+      val dist = c.indices.map { d =>
+        val diff = element_at(qv, d + 1) - lit(c(d))
+        diff * diff
+      }.reduce(_ + _)
+      dist * lit(cents.length.toLong) + lit(j.toLong)
+    }: _*)
 
   /** Run `rounds` Lloyd iterations with `k` centroids over `vectors`,
     * then emit the final assignment: (vec_id, cluster, dist) with
@@ -93,9 +100,7 @@ object Clustering {
     var cents: Array[Array[Long]] = seed
 
     def akeyExpr: Column =
-      least(cents.zipWithIndex.map { case (c, j) =>
-        distExpr(col("qv"), c) * lit(k.toLong) + lit(j.toLong)
-      }: _*)
+      graft.plans.ArgminDistance(col("qv"), cents)
 
     val sumCols = (0 until dim).map(d =>
       sum(element_at(col("qv"), d + 1)).as(s"s$d"))

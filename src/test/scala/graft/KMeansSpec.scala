@@ -118,6 +118,32 @@ class KMeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fused ArgminDistance key matches the composed least-of-sums form") {
+    val rnd = new scala.util.Random(99)
+    val dim = 7
+    val cents = Array.fill(4)(Array.fill(dim)(rnd.nextInt(2000).toLong))
+    val rows = (0L until 100L).map(i =>
+      i -> Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+    val q = df(rows).select(col("vec_id"),
+      Clustering.quantize(col("embedding"), 1.0, 10000.0).as("qv"))
+    val both = q.select(col("vec_id"),
+      graft.plans.ArgminDistance(col("qv"), cents).as("fused"),
+      Clustering.composedAkey(col("qv"), cents).as("composed"))
+      .collect()
+    assert(both.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("ArgminDistance: null element and ragged width return null") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(Array(1L, 2L))
+    assert(graft.plans.ArgminDistance.compute(
+      new GenericArrayData(Array[Any](1L, null)), cents) == null)
+    assert(graft.plans.ArgminDistance.compute(
+      new GenericArrayData(Array[Any](1L, 2L, 3L)), cents) == null)
+    assert(graft.plans.ArgminDistance.compute(
+      new GenericArrayData(Array[Any](1L, 2L)), cents) == 0L)
+  }
+
   test("empty centroid keeps its seed position") {
     // two tight far-apart blobs, k=3: one seed centroid starves after
     // round 1 (both blobs capture everything) and must stay put — the
