@@ -2435,6 +2435,32 @@ object SparkEntry {
       graft.streaming.StreamSessions.runToCompletionAppend(joined,
         "q151_stream_outer_join")
         .filter(col("user_id") =!= -1L)
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (Journey.transitions): total (ts, event_id) order, lead
+    // pairing, explicit 'end' state, exact counts + one rounded row
+    // division.
+    "q152_markov" -> ((s, d) =>
+      graft.operators.Journey.transitions(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
+
+    // Distribution-drift report between the first and second half-month
+    // of the purchase feed (Expectations.driftReport): integer
+    // cross-multiplied drift flag at 20% relative change.
+    "q153_drift" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          pmod(col("user_id"), lit(25)).as("cohort"))
+      val split = p.agg((min("day") + 15L).as("split"))
+      val pp = p.crossJoin(broadcast(split))
+      graft.operators.Expectations.driftReport(
+        pp.filter(col("day") < col("split")),
+        pp.filter(col("day") >= col("split")),
+        "cohort", "user_id", col("cents"), num = 1L, den = 5L)
     })
   )
 
@@ -4966,6 +4992,52 @@ object SparkEntry {
         |  v.ts_s - p.pts_s AS gap_s
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
         |  AND p.pts_s BETWEEN v.ts_s - 21600 AND v.ts_s""".stripMargin,
+
+    // Identical lead pairing under the same (ts, event_id) total order,
+    // same 'end' terminal, same single rounded division.
+    "q152_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_state,
+        |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'end') AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, count(*) AS n
+        |  FROM seq GROUP BY from_state, to_state),
+        |t AS (
+        |  SELECT from_state, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM c GROUP BY from_state)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (from_state)""".stripMargin,
+
+    // Same two keyed aggregates + full-outer + integer cross-multiplied
+    // drift flag.
+    "q153_drift" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    user_id % 25 AS cohort
+        |  FROM events WHERE event_type = 'purchase'),
+        |sp AS (SELECT min(day) + 15 AS split FROM p),
+        |a AS (
+        |  SELECT cohort, count(*) AS n_a,
+        |    count(DISTINCT user_id) AS entities_a,
+        |    CAST(sum(cents) AS BIGINT) AS sum_a
+        |  FROM p, sp WHERE day < split GROUP BY cohort),
+        |b AS (
+        |  SELECT cohort, count(*) AS n_b,
+        |    count(DISTINCT user_id) AS entities_b,
+        |    CAST(sum(cents) AS BIGINT) AS sum_b
+        |  FROM p, sp WHERE day >= split GROUP BY cohort)
+        |SELECT cohort,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  coalesce(entities_a, 0) AS entities_a,
+        |  coalesce(entities_b, 0) AS entities_b,
+        |  coalesce(sum_a, 0) AS sum_a, coalesce(sum_b, 0) AS sum_b,
+        |  CAST(abs(coalesce(n_a, 0) - coalesce(n_b, 0)) * 5
+        |    > coalesce(n_a, 0) * 1 AS BIGINT) AS drifted
+        |FROM a FULL OUTER JOIN b USING (cohort)""".stripMargin,
 
     // The whole-history recompute the four folded micro-batch
     // snapshots must land on exactly.

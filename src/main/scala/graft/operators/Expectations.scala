@@ -65,4 +65,37 @@ object Expectations {
         (coalesce(col("n"), lit(0L)) * col("n_days") * fracDen >=
           col("total") * fracNum).cast("long").as("complete"))
   }
+
+  /** Distribution-drift report between two snapshots of the same keyed
+    * feed (yesterday's batch vs today's, pipeline v1 vs v2): per group,
+    * both sides' row counts, distinct-entity counts and value sums, and
+    * an integer-decided drift flag — |n_a − n_b| · den > n_a · num
+    * (relative change beyond num/den), cross-multiplied so no float
+    * boundary exists. Groups present on only one side surface with
+    * zeros on the other (full-outer), which is itself the loudest drift
+    * signal.
+    *
+    * One aggregate per side on the group key + one key-sized full-outer
+    * join — both partial-aggregatable; nothing scans twice.
+    */
+  def driftReport(a: DataFrame, b: DataFrame, groupCol: String,
+                  entityCol: String, valueCol: Column,
+                  num: Long, den: Long): DataFrame = {
+    def agg(df: DataFrame, tag: String) = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        countDistinct(col(entityCol)).as(s"entities_$tag"),
+        sum(valueCol).cast("long").as(s"sum_$tag"))
+    agg(a, "a").join(agg(b, "b"), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("entities_a"), lit(0L)).as("entities_a"),
+        coalesce(col("entities_b"), lit(0L)).as("entities_b"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"))
+      .withColumn("drifted",
+        (abs(col("n_a") - col("n_b")) * den > col("n_a") * num)
+          .cast("long"))
+  }
 }
