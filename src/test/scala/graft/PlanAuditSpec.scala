@@ -180,4 +180,33 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the two prefix-slice explodes, got $prefixGen:\n$plan")
     graft.CacheScope.releaseAll()
   }
+
+  test("q150 BM25: global top-k is TakeOrdered, never a single-partition sort") {
+    val plan = planOf(SparkEntry.queries("q150_bm25")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + merge:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      plan.indexOf("Exchange SinglePartition") >
+        plan.indexOf("TakeOrderedAndProject"),
+      s"no full-sort single-partition exchange before the top-k:\n$plan")
+  }
+
+  test("q152 Markov: one user exchange for the window, no data-sized second shuffle") {
+    // the lead window keys on user_id; the (from,to) aggregate and row
+    // totals operate on the alphabet-contracted frame (tiny) — the
+    // plan's only data-sized hashpartitioning is the user one
+    val plan = planOf(SparkEntry.queries("q152_markov")(spark, sf))
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"the window must key on user_id:\n$plan")
+  }
+
+  test("q148 SRP: zero exchanges, single codegen stage over the scan") {
+    val plan = planOf(
+      graft.operators.Similarity.randomProjection(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 16, 64))
+    assert(!plan.contains("Exchange"), s"SRP must not shuffle:\n$plan")
+    // "*(n)" is the whole-stage-codegen marker in the simple plan string
+    assert(plan.contains("*("),
+      s"SRP must stay inside codegen:\n$plan")
+  }
 }
