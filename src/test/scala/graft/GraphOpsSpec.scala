@@ -482,9 +482,11 @@ class ClusterDiameterSpec extends SparkSpec {
   }
 
   test("chi2Association: minDf bounds the emitted vocabulary") {
+    // "common" in 3 of 4 docs (df < N, so it survives the degenerate
+    // filter); every rare token is below minDf = 2
     val docs = Seq(
       (1L, "common rare1", "s1"), (2L, "common rare2", "s2"),
-      (3L, "common", "s1"))
+      (3L, "common", "s1"), (4L, "filler", "s2"))
       .toDF("doc_id", "text", "source")
     val toks = Frequency.chi2Association(docs, "doc_id", "text", "source", 2L)
       .collect().map(_.getString(0)).toSet
