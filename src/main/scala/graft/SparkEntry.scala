@@ -2461,7 +2461,17 @@ object SparkEntry {
         pp.filter(col("day") < col("split")),
         pp.filter(col("day") >= col("split")),
         "cohort", "user_id", col("cents"), num = 1L, den = 5L)
-    })
+    }),
+
+    // SemDeDup (Clustering.semDedup): q145's k-means clusters + the
+    // intra-cluster integer-cosine prune at tau = 2/5 (the synthetic
+    // embeddings' near-dup band — max pairwise cosine is ~0.6, so 0.95
+    // would leave the drop arm dead). Both kept and dropped rows are
+    // live at both scales.
+    "q154_semdedup" -> ((s, d) =>
+      graft.operators.Clustering.semDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, dim = 64, rounds = 4, tauNum = 2, tauDen = 5))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -2960,14 +2970,21 @@ object SparkEntry {
     * empty centroids. Exact integer arithmetic end to end, so the final
     * assignment AND distances hash-match bit-for-bit.
     */
-  private val sqlQ145KMeans: String = {
-    val k = 8; val rounds = 4
+  private val sqlQ145KMeans: String =
+    s"""WITH ${kmeansCtes(8, 4)}
+       |SELECT vec_id, j AS cluster, CAST(fdist AS BIGINT) AS dist
+       |FROM fin WHERE rn = 1""".stripMargin
+
+  /** Shared k-means trajectory CTEs (through `fin`) for the q145 and
+    * q154 oracles — one source of truth for the unrolled Lloyd rounds.
+    */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
     def dist(a: String, b: String) =
       s"""list_sum(list_transform(list_zip($a, $b),
          |        x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
     val sb = new StringBuilder
     sb.append(
-      s"""WITH q AS MATERIALIZED (
+      s"""q AS MATERIALIZED (
          |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(round((CAST(x AS DOUBLE) + 1) * 10000) AS BIGINT)) AS qv
          |  FROM embeddings),
@@ -3003,11 +3020,42 @@ object SparkEntry {
          |    ${dist("q.qv", "c.cv")} AS fdist,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${dist("q.qv", "c.cv")} ASC, c.j ASC) AS rn
-         |  FROM q, c$rounds c)
-         |SELECT vec_id, j AS cluster, CAST(fdist AS BIGINT) AS dist
-         |FROM fin WHERE rn = 1""".stripMargin)
+         |  FROM q, c$rounds c)""".stripMargin)
     sb.toString
   }
+
+  /** q154 oracle: the q145 trajectory's final assignment, then the
+    * intra-cluster integer-cosine prune — same signed quantization
+    * (positive-domain round, then unshift), same cross-multiplied
+    * threshold in HUGEINT (tau = 2/5: 25·dot² >= 4·|a|²·|b|², dot > 0),
+    * same smallest-id-wins drop rule.
+    */
+  private val sqlQ154SemDedup: String =
+    s"""WITH ${kmeansCtes(8, 4)},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, j AS cluster FROM fin WHERE rn = 1),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round((CAST(x AS DOUBLE) + 1) * 1000) - 1000
+       |      AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |sn AS MATERIALIZED (
+       |  SELECT s.vec_id, a.cluster, s.sv,
+       |    CAST(list_sum(list_transform(s.sv, x -> x * x)) AS BIGINT)
+       |      AS n2
+       |  FROM sv s JOIN asg a USING (vec_id)),
+       |pr AS (
+       |  SELECT b.vec_id AS bid, a.n2 AS na2, b.n2 AS nb2,
+       |    CAST(list_sum(list_transform(list_zip(a.sv, b.sv),
+       |      x -> x[1] * x[2])) AS BIGINT) AS dot
+       |  FROM sn a JOIN sn b ON a.cluster = b.cluster
+       |    AND a.vec_id < b.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT bid FROM pr
+       |  WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
+       |    >= 4 * CAST(na2 AS HUGEINT) * nb2)
+       |SELECT a.vec_id, a.cluster, d.bid IS NULL AS kept
+       |FROM asg a LEFT JOIN dups d ON d.bid = a.vec_id""".stripMargin
 
   /** q128 oracle: the k-core peel unrolled as materialized rounds.
     * Peeling converges in ~36 rounds on this graph at both scales; 48
@@ -4830,6 +4878,9 @@ object SparkEntry {
 
     // Unrolled integer-exact Lloyd trajectory (see sqlQ145KMeans).
     "q145_kmeans" -> sqlQ145KMeans,
+
+    // The q145 trajectory + intra-cluster integer-cosine prune.
+    "q154_semdedup" -> sqlQ154SemDedup,
 
     // Latest-change collapse (window twin of the struct max) + the same
     // full-outer apply with D-drop.

@@ -127,4 +127,76 @@ object Clustering {
         (pmod(col("akey"), lit(k.toLong)) + 1L).as("cluster"),
         expr(s"akey div ${k}L").as("dist"))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space with k-means, then prune near-duplicate pairs
+    * INSIDE each cluster only — the clustering is what turns the O(N^2)
+    * all-pairs cosine check into O(sum c_i^2) with bounded c_i. Emits
+    * every vector with its cluster and `kept`: false iff some
+    * smaller-id vector in the same cluster has cosine >= tauNum/tauDen
+    * (the paper keeps one representative per semantic duplicate group;
+    * smallest-id-wins is the deterministic instance of that rule, the
+    * q56/q137 canonical-pick convention).
+    *
+    * Engine-exact like everything in this file: vectors are quantized
+    * ONCE to signed longs under the q145 positive-domain rounding
+    * (`round((x+1)*scale) - scale`, so the tie regime matches the
+    * cluster trajectory's), after which dot products and squared norms
+    * are exact integers and the cosine threshold is decided by the
+    * cross-multiplied integer comparison
+    * `tauDen^2 * dot^2 >= tauNum^2 * |a|^2 * |b|^2` (dot > 0) in
+    * DECIMAL(38,0) — no float boundary anywhere, so the DuckDB oracle
+    * reproduces every keep/drop decision bit for bit (the q126/q133
+    * cross-multiplication idiom).
+    *
+    * Scale shape: one persisted (cluster, sv, n2) frame (CacheScope)
+    * serves both sides of the intra-cluster self-join and the final
+    * output; the join shuffles on cluster only. Pair fan-out is bounded
+    * by the largest cluster, which a cheap persisted-frame aggregate
+    * certifies against `maxClusterSize` before the join runs — at
+    * 100 TB, k grows with N to hold cluster sizes flat (the paper runs
+    * k = N/5000), so the pair volume stays O(N * c_max), never O(N^2).
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, dim: Int, rounds: Int = 4,
+               tauNum: Long = 2, tauDen: Long = 5,
+               simScale: Long = 1000, maxClusterSize: Long = 200000)
+  : DataFrame = {
+    require(tauNum > 0 && tauDen > 0, "threshold must be positive")
+    val asg = kMeansLloyd(vectors, idCol, vecCol, k, dim, rounds)
+      .select("vec_id", "cluster")
+    val sv = vectors.select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x =>
+        (round((x.cast("double") + lit(1.0)) * lit(simScale.toDouble))
+          - lit(simScale)).cast("long")).as("sv"))
+    val side = graft.CacheScope.track(
+      asg.join(sv, "vec_id")
+        .withColumn("n2",
+          aggregate(col("sv"), lit(0L), (a, x) => a + x * x))
+        .persist())
+    val worst = side.groupBy("cluster").count()
+      .agg(max("count")).first().getLong(0)
+    require(worst <= maxClusterSize,
+      s"semDedup: largest cluster has $worst > $maxClusterSize vectors; " +
+        "raise k so clusters stay bounded (pair fan-out is O(c_max^2))")
+    val a = side.select(col("cluster"), col("vec_id").as("aid"),
+      col("sv").as("sva"), col("n2").as("na2"))
+    val b = side.select(col("cluster"), col("vec_id").as("bid"),
+      col("sv").as("svb"), col("n2").as("nb2"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("aid") < col("bid"))
+      .withColumn("dot", aggregate(
+        zip_with(col("sva"), col("svb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("dot") > 0 &&
+        dec(lit(tauDen * tauDen)) * dec(col("dot")) * dec(col("dot")) >=
+          dec(lit(tauNum * tauNum)) * dec(col("na2")) * dec(col("nb2")))
+      .select(col("bid").as("vec_id")).distinct()
+    side.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup").isNull.as("kept"))
+  }
 }
