@@ -2471,7 +2471,17 @@ object SparkEntry {
     "q154_semdedup" -> ((s, d) =>
       graft.operators.Clustering.semDedup(
         Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, dim = 64, rounds = 4, tauNum = 2, tauDen = 5))
+        k = 8, dim = 64, rounds = 4, tauNum = 2, tauDen = 5)),
+
+    // Cross-document segment dedup (Dedup.crossDocChunkDedup): the
+    // C4-style boilerplate pass — 5-token chunks appearing in more than
+    // 2 distinct docs are removed everywhere, docs reassembled in
+    // position order. 5/2 keeps both arms live at both scales (35 and
+    // 222 banned chunk texts at sf0.01/sf0.1).
+    "q155_crossdoc_dedup" -> ((s, d) =>
+      graft.operators.Dedup.crossDocChunkDedup(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 5, maxDocFreq = 2))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4881,6 +4891,32 @@ object SparkEntry {
 
     // The q145 trajectory + intra-cluster integer-cosine prune.
     "q154_semdedup" -> sqlQ154SemDedup,
+
+    // The q85 chunking, banned on corpus document frequency instead of
+    // intra-doc position; NOT IN is null-safe here (chunk is never null).
+    "q155_crossdoc_dedup" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[i * 5 + 1 : i * 5 + 5], ' ') AS chunk
+        |  FROM toks, unnest(range(0, greatest(
+        |    CAST(ceil(len(t) / 5.0) AS BIGINT), 1))) u(i)),
+        |banned AS (
+        |  SELECT chunk FROM (
+        |    SELECT chunk, count(DISTINCT doc_id) AS df
+        |    FROM chunks GROUP BY chunk)
+        |  WHERE df > 2),
+        |agg AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM banned)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  greatest(CAST(ceil(len(t.t) / 5.0) AS BIGINT), 1) AS n_chunks,
+        |  coalesce(a.n_kept, 0) AS n_kept
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
 
     // Latest-change collapse (window twin of the struct max) + the same
     // full-outer apply with D-drop.

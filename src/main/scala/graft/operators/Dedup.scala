@@ -307,11 +307,13 @@ object Dedup {
     * the rebuild is one (doc_id) agg. The only lambda HOF runs over the
     * per-doc KEPT-CHUNK array (small) to restore order.
     */
-  def intraDocChunkDedup(docs: DataFrame, idCol: String, textCol: String,
-                         chunkTokens: Int): DataFrame = {
-    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
-    val n = chunkTokens
-    val chunks = docs
+  /** (doc_id, i, chunk): the text split into fixed n-token chunks with
+    * their 0-based positions — the shared front half of the intra-doc
+    * and cross-doc chunk dedups.
+    */
+  private def chunkFrame(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0L),
@@ -320,6 +322,12 @@ object Dedup {
       .select(col("doc_id"), col("col").as("i"),
         concat_ws(" ", slice(col("toks"), col("col") * n + 1, lit(n)))
           .as("chunk"))
+
+  def intraDocChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                         chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val n = chunkTokens
+    val chunks = chunkFrame(docs, idCol, textCol, n)
     val kept = chunks.groupBy("doc_id", "chunk").agg(min("i").as("i"))
     // n_chunks is a closed form of the token count — computed from the
     // pruned source scan, NOT a second pass over the generate (trap: two
@@ -336,6 +344,57 @@ object Dedup {
       .join(counts, "doc_id")
       .select(col("doc_id"), col("clean_text"), col("n_chunks"),
         col("n_kept"))
+  }
+
+  /** Cross-document segment dedup — the C4/RefinedWeb "remove lines
+    * repeated across the corpus" curation pass (Raffel et al. 2020 §2.2
+    * drop three-sentence spans occurring more than once; Penedo et al.
+    * 2023 line-level variant), on the same fixed n-token chunking as
+    * [[intraDocChunkDedup]]: a chunk whose DOCUMENT frequency exceeds
+    * `maxDocFreq` is boilerplate and is removed from every doc; each doc
+    * is reassembled from its surviving chunks in position order. Unlike
+    * the intra-doc pass, repeats WITHIN one doc are kept (that is q85's
+    * job) — the ban key is corpus-wide document frequency only. Docs
+    * whose every chunk is banned survive with empty `clean_text` and
+    * `n_kept` 0 — dropping them is a policy for a downstream filter, not
+    * this operator.
+    *
+    * Scale shape: document frequency is one chunk-keyed partial
+    * aggregate (count-distinct over (chunk, doc_id) — two exchanges,
+    * both map-side combined); the banned set is df > maxDocFreq, a tiny
+    * frame that broadcasts into the anti-join, so the chunk stream is
+    * never shuffled on the skewed chunk key (a boilerplate chunk in
+    * half the corpus is exactly the key you must not hash-partition
+    * on). Reassembly reuses the doc_id exchange the final aggregate
+    * needs anyway. State per doc is its own chunks — linear in corpus
+    * tokens, no pairwise anything.
+    */
+  def crossDocChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                         chunkTokens: Int, maxDocFreq: Long): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val n = chunkTokens
+    val chunks = chunkFrame(docs, idCol, textCol, n)
+    val banned = chunks
+      .groupBy("chunk").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("chunk")
+    val kept = chunks.join(broadcast(banned), Seq("chunk"), "left_anti")
+    val counts = docs.select(col(idCol).as("doc_id"),
+      greatest(ceil(size(split(col(textCol), " ")) / lit(n.toDouble))
+        .cast("long"), lit(1L)).as("n_chunks"))
+    counts.join(
+      kept.groupBy("doc_id")
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("i"), col("chunk")))),
+            s => s.getField("chunk"))).as("clean_text"),
+          count(lit(1)).as("n_kept")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Cross-batch near-dup check: for each incoming doc, the smallest
