@@ -2481,7 +2481,15 @@ object SparkEntry {
     "q155_crossdoc_dedup" -> ((s, d) =>
       graft.operators.Dedup.crossDocChunkDedup(
         Tables.documents(s, d), "doc_id", "text",
-        chunkTokens = 5, maxDocFreq = 2))
+        chunkTokens = 5, maxDocFreq = 2)),
+
+    // Temperature-scaled language rebalancing (Sampling.temperatureMix):
+    // quotas proportional to sqrt(count) with the head language capped
+    // at 150 — en is clipped, the tail languages keep more of their mass
+    // (whole sources at sf0.01, scaled quotas at sf0.1).
+    "q156_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(
+        Tables.documents(s, d), "lang", "doc_id", cap = 150))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4917,6 +4925,26 @@ object SparkEntry {
         |  greatest(CAST(ceil(len(t.t) / 5.0) AS BIGINT), 1) AS n_chunks,
         |  coalesce(a.n_kept, 0) AS n_kept
         |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+
+    // Identical quota formula: sqrt/divide/multiply/floor are all
+    // IEEE-correctly-rounded, so the quota boundary is engine-exact.
+    "q156_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS src_n FROM documents GROUP BY lang),
+        |m AS (SELECT max(src_n) AS cmax FROM c),
+        |q AS (
+        |  SELECT lang, src_n,
+        |    CAST(floor(150 * sqrt(CAST(src_n AS DOUBLE))
+        |      / sqrt(CAST(cmax AS DOUBLE))) AS BIGINT) AS quota
+        |  FROM c, m),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, q.src_n, q.quota
+        |FROM r JOIN q ON q.lang = r.lang
+        |WHERE r.rk <= q.quota""".stripMargin,
 
     // Latest-change collapse (window twin of the struct max) + the same
     // full-outer apply with D-drop.

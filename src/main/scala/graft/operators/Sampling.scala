@@ -116,6 +116,52 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature-scaled source rebalancing — the multilingual sampling
+    * rule of mT5/XLM-R (sample source s with p_s proportional to
+    * c_s^tau, tau < 1, so head languages shrink and tail languages
+    * survive), materialized as exact per-source quotas plus a
+    * deterministic hash-ranked take. tau is restricted to 1/2^halvings
+    * (0.5, 0.25, ...) ON PURPOSE: x^tau is then `halvings` nested
+    * sqrt() calls, and IEEE-754 guarantees sqrt, *, / and floor are
+    * correctly rounded — bit-identical on the JVM and in DuckDB —
+    * whereas a general pow() is a libm call whose last ulp differs
+    * across engines and would make quota boundaries
+    * engine-dependent. Quota_s = floor(cap * w(c_s) / w(c_max)) with
+    * w = sqrt^halvings: the largest source gets exactly `cap` rows,
+    * every other source cap scaled by (c_s/c_max)^tau; a source smaller
+    * than its quota is taken whole.
+    *
+    * Scale shape: per-source counts are one partial aggregate; the
+    * quota frame is |sources| rows and broadcasts. The md5-ranked take
+    * is one exchange on the source key; row_number short-circuits at
+    * the quota, so per-partition state is the kept prefix. A single
+    * 100 TB source makes that source's rank a hot partition — at that
+    * scale pre-filter with the [[hashSample]] bucket trick to ~quota
+    * expected rows first and rank only the survivors; the take stays
+    * deterministic because both stages key on the same md5.
+    *
+    * Output: the kept rows as (keyCol, sourceCol, src_n, quota).
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     cap: Long, halvings: Int = 1): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(halvings >= 1 && halvings <= 8,
+      s"halvings must be in [1, 8], got $halvings")
+    def w(c: Column): Column =
+      (1 to halvings).foldLeft(c.cast("double"))((x, _) => sqrt(x))
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("src_n"))
+    val cmax = counts.agg(max("src_n").as("cmax"))
+    val quotas = counts.crossJoin(broadcast(cmax))
+      .select(col(sourceCol), col("src_n"),
+        floor(lit(cap) * w(col("src_n")) / w(col("cmax"))).as("quota"))
+    val rk = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(rk))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("__rk") <= col("quota"))
+      .select(col(keyCol), col(sourceCol), col("src_n"), col("quota"))
+  }
+
   /** Token-budget corpus selection: deterministically shuffle the corpus
     * (seeded hash order — a stable "random" training order that survives
     * retries and engine swaps, same rationale as the split ops above) and

@@ -273,6 +273,41 @@ class CohortSpec extends SparkSpec {
       (11L, 0L, 1L, 1L), (11L, 2L, 1L, 1L)))
   }
 
+  test("temperatureMix: sqrt quotas, whole-source arm, head cap") {
+    // counts: a=100, b=25, c=4. cap=10, tau=1/2:
+    //   quota_a = floor(10*sqrt(100)/sqrt(100)) = 10 (clipped, 100 > 10)
+    //   quota_b = floor(10*5/10) = 5  (clipped)
+    //   quota_c = floor(10*2/10) = 2  (clipped)
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++
+      (126 to 129).map(i => (i.toLong, "c"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "src", "id", cap = 10)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc === Map("a" -> 10, "b" -> 5, "c" -> 2))
+    assert(out.filter(_._1 == "b").forall(t => t._2 == 25L && t._3 == 5L))
+    // cap 60: b's quota 30 > 25 rows -> whole source kept.
+    val whole = Sampling.temperatureMix(df, "src", "id", cap = 60)
+      .collect().map(r => r.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(whole("b") === 25)
+  }
+
+  test("temperatureMix: halvings=2 is tau=1/4; takes nest as cap grows") {
+    // counts 16 vs 1: tau=1/4 quota_small = floor(8 * (1/16)^(1/4)) = 4.
+    val df = ((1 to 16).map(i => (i.toLong, "big")) ++
+      Seq((100L, "tiny"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "src", "id", cap = 8, halvings = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.count(_._1 == "big") === 8)
+    assert(out.count(_._1 == "tiny") === 1) // quota 4 but only 1 row
+    // Monotone nesting: the cap-4 take is a subset of the cap-8 take.
+    val small = Sampling.temperatureMix(df, "src", "id", cap = 4, halvings = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    val large = out.map(_._2).toSet
+    assert(small.subsetOf(large))
+  }
+
   test("offset-0 row always counts the whole cohort") {
     val rnd = new scala.util.Random(5)
     val ev = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(12).toLong))
