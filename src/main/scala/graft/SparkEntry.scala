@@ -2489,7 +2489,22 @@ object SparkEntry {
     // (whole sources at sf0.01, scaled quotas at sf0.1).
     "q156_temperature_mix" -> ((s, d) =>
       graft.operators.Sampling.temperatureMix(
-        Tables.documents(s, d), "lang", "doc_id", cap = 150))
+        Tables.documents(s, d), "lang", "doc_id", cap = 150)),
+
+    // Common-neighbors link prediction over the q121 co-purchase graph
+    // (Graphs.commonNeighborCandidates): non-adjacent part pairs sharing
+    // >= 2 co-purchase neighbors, with integer degrees for downstream
+    // Jaccard / preferential-attachment scoring.
+    "q157_link_prediction" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
+      graft.operators.Graphs.commonNeighborCandidates(
+        pairs, "pa", "pb", minCommon = 2)
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4945,6 +4960,34 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, q.src_n, q.quota
         |FROM r JOIN q ON q.lang = r.lang
         |WHERE r.rk <= q.quota""".stripMargin,
+
+    // Naive wedge enumeration over the same deduped co-purchase graph;
+    // NOT EXISTS is the anti-join (no nulls in the edge list).
+    "q157_link_prediction" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey FROM lineitem
+        |  WHERE l_quantity <= 10),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok
+        |  WHERE a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS MATERIALIZED (
+        |  SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+        |cand AS MATERIALIZED (
+        |  SELECT n1.v AS a, n2.v AS b, count(*) AS common
+        |  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+        |  GROUP BY n1.v, n2.v
+        |  HAVING count(*) >= 2)
+        |SELECT c.a AS u, c.b AS v, c.common,
+        |  da.d AS deg_u, db.d AS deg_v
+        |FROM cand c
+        |JOIN deg da ON da.id = c.a
+        |JOIN deg db ON db.id = c.b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM und e WHERE e.u = c.a AND e.v = c.b)""".stripMargin,
 
     // Latest-change collapse (window twin of the struct max) + the same
     // full-outer apply with D-drop.

@@ -588,6 +588,61 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Common-neighbors link prediction (Liben-Nowell & Kleinberg 2003's
+    * strongest simple baseline): for every NON-adjacent pair (u, v)
+    * sharing at least `minCommon` neighbors, the shared-neighbor count
+    * plus both endpoint degrees — enough for any of the classic scores
+    * downstream (common-neighbors = `common`, Jaccard =
+    * common/(deg_u + deg_v − common), preferential attachment =
+    * deg_u·deg_v) without this operator emitting a float.
+    *
+    * Shape: wedges are one self-join of the symmetrized adjacency on
+    * the center (a < b kills the mirror), counted with a map-side
+    * partial aggregate; existing edges leave via an anti-join against
+    * the deduped canonical edge list; degrees attach with two key
+    * joins. Candidate volume is sum over centers of d_c^2 — the
+    * statistic IS the wedge count, so no orientation trick can shrink
+    * it (q121's trick works because each triangle needs ONE wedge;
+    * here every wedge contributes to its pair's count). At 100 TB the
+    * standard mitigations compose upstream: cap super-hub degrees
+    * (drop centers above a percentile — their wedges are
+    * uninformative "everyone co-occurs with everyone" pairs) or
+    * demote to the MinHash neighborhood-similarity estimate (q29's
+    * machinery over adjacency sets). minCommon only prunes AFTER the
+    * aggregate; it bounds the output, not the shuffle.
+    */
+  def commonNeighborCandidates(edges: DataFrame, srcCol: String,
+                               dstCol: String, minCommon: Long)
+  : DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val und = graft.CacheScope.track(
+      edges
+        .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .persist())
+    val sym = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val n1 = sym.select(col("u").as("c"), col("v").as("a"))
+    val n2 = sym.select(col("u").as("c"), col("v").as("b"))
+    val cand = n1.join(n2, "c")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    cand
+      .join(und, cand("a") === und("u") && cand("b") === und("v"),
+        "left_anti")
+      .join(deg.select(col("id").as("a"), col("d").as("deg_u")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("deg_v")), "b")
+      .select(col("a").as("u"), col("b").as("v"), col("common"),
+        col("deg_u"), col("deg_v"))
+  }
+
   /** k-core: the maximal subgraph in which every node has degree >= k
     * (Seidman's coreness; the "dense cohesive core" extractor — spam
     * farms, community nuclei, the canonical prune before expensive graph

@@ -810,3 +810,61 @@ class WeightedHopSpec extends SparkSpec {
     assert(dists(e, Seq(0L), 2) === Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
   }
 }
+
+class LinkPredictionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cands(edges: Seq[(Long, Long)], minCommon: Long = 1)
+  : Map[(Long, Long), (Long, Long, Long)] =
+    Graphs.commonNeighborCandidates(
+      edges.toDF("src", "dst"), "src", "dst", minCommon)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("path predicts the endpoints; square predicts both diagonals") {
+    // path 0-1-2: only (0,2) shares a neighbor and is non-adjacent
+    assert(cands(Seq((0L, 1L), (1L, 2L))) ===
+      Map((0L, 2L) -> ((1L, 1L, 1L))))
+    // 4-cycle: diagonals (0,2) and (1,3) each share BOTH off-diagonal
+    // nodes; all adjacent pairs are excluded
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(cands(sq) === Map(
+      (0L, 2L) -> ((2L, 2L, 2L)), (1L, 3L) -> ((2L, 2L, 2L))))
+  }
+
+  test("complete graphs predict nothing; minCommon prunes") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(cands(k4) === Map.empty)
+    // star: every leaf pair shares exactly the hub (common = 1)
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    assert(cands(star).keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(cands(star, minCommon = 2) === Map.empty)
+  }
+
+  test("duplicate, reversed, and self-loop edges do not change candidates") {
+    val path = Seq((0L, 1L), (1L, 2L))
+    val noisy = path ++ Seq((1L, 0L), (2L, 1L), (1L, 1L), (0L, 1L))
+    assert(cands(noisy) === cands(path))
+  }
+
+  test("matches naive enumeration on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(50 + trial * 25)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+      val adj = und.toSeq.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val naive = (for {
+        a <- adj.keys; b <- adj.keys
+        if a < b && !und((a, b))
+        common = (adj(a) & adj(b)).size.toLong
+        if common >= 1
+      } yield (a, b) -> ((common, adj(a).size.toLong, adj(b).size.toLong)))
+        .toMap
+      assert(cands(edges) === naive, s"trial $trial")
+    }
+  }
+}
