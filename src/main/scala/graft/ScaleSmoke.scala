@@ -123,7 +123,8 @@ object ScaleSmoke {
       "q128_kcore", "q132_incremental_agg", "q140_attribution",
       "q143_stream_matview", "q144_pit_join", "q145_kmeans",
       "q146_cdc_apply", "q147_unigram_logprob", "q148_random_projection",
-      "q149_chi2", "q150_bm25")
+      "q149_chi2", "q150_bm25", "q154_semdedup", "q155_crossdoc_dedup",
+      "q156_temperature_mix", "q157_link_prediction")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

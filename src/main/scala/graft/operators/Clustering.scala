@@ -145,9 +145,11 @@ object Clustering {
     * cluster trajectory's), after which dot products and squared norms
     * are exact integers and the cosine threshold is decided by the
     * cross-multiplied integer comparison
-    * `tauDen^2 * dot^2 >= tauNum^2 * |a|^2 * |b|^2` (dot > 0) in
-    * DECIMAL(38,0) — no float boundary anywhere, so the DuckDB oracle
-    * reproduces every keep/drop decision bit for bit (the q126/q133
+    * `tauDen^2 * dot^2 >= tauNum^2 * |a|^2 * |b|^2` (dot > 0), fused
+    * into the single codegen predicate [[graft.plans.CosineGE]]
+    * (arbitrary-precision boundary compare, dot computed ONCE per pair)
+    * — no float boundary anywhere, so the DuckDB oracle reproduces
+    * every keep/drop decision bit for bit (the q126/q133
     * cross-multiplication idiom).
     *
     * Scale shape: one persisted (cluster, sv, n2) frame (CacheScope)
@@ -173,8 +175,7 @@ object Clustering {
           - lit(simScale)).cast("long")).as("sv"))
     val side = graft.CacheScope.track(
       asg.join(sv, "vec_id")
-        .withColumn("n2",
-          aggregate(col("sv"), lit(0L), (a, x) => a + x * x))
+        .withColumn("n2", graft.plans.LongDot(col("sv"), col("sv")))
         .persist())
     val worst = side.groupBy("cluster").count()
       .agg(max("count")).first().getLong(0)
@@ -185,15 +186,9 @@ object Clustering {
       col("sv").as("sva"), col("n2").as("na2"))
     val b = side.select(col("cluster"), col("vec_id").as("bid"),
       col("sv").as("svb"), col("n2").as("nb2"))
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val dups = a.join(b, Seq("cluster"))
-      .filter(col("aid") < col("bid"))
-      .withColumn("dot", aggregate(
-        zip_with(col("sva"), col("svb"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x))
-      .filter(col("dot") > 0 &&
-        dec(lit(tauDen * tauDen)) * dec(col("dot")) * dec(col("dot")) >=
-          dec(lit(tauNum * tauNum)) * dec(col("na2")) * dec(col("nb2")))
+      .filter(col("aid") < col("bid") && graft.plans.CosineGE(
+        col("sva"), col("svb"), col("na2"), col("nb2"), tauNum, tauDen))
       .select(col("bid").as("vec_id")).distinct()
     side.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),

@@ -209,4 +209,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("),
       s"SRP must stay inside codegen:\n$plan")
   }
+
+  test("q154 SemDeDup: fused predicates, no interpreted HOF, " +
+    "pair join keys on the cluster") {
+    val plan = planOf(SparkEntry.queries("q154_semdedup")(spark, sf))
+    assert(plan.contains("long_dot"),
+      s"the squared norm must be the fused dot expression:\n$plan")
+    assert(plan.contains("cosine_ge"),
+      s"the pair threshold must be the fused predicate:\n$plan")
+    // the per-ROW quantize transform keeps its lambda (one pass over the
+    // scan); the per-PAIR path must not: no zipped intermediate array
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate(zip"),
+      s"no interpreted higher-order function on the pair path:\n$plan")
+    // The pair self-join's ONLY equi-key is cluster (broadcast at this
+    // fixture's size; a cluster-keyed shuffle once the persisted side
+    // outgrows the threshold — either way no wider key, no cross join).
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster"
+      .r.findFirstIn(plan).isDefined,
+      s"the candidate join must key on cluster:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay an equi-join:\n$plan")
+  }
+
+  test("q155 cross-doc dedup: banned set broadcasts into the anti-join " +
+    "(the skewed chunk key is never hash-partitioned for the ban)") {
+    val plan = planOf(SparkEntry.queries("q155_crossdoc_dedup")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"the ban must be a broadcast anti-join:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"reassembly keys on doc_id:\n$plan")
+  }
+
+  test("q156 temperature mix: quota frame broadcasts, rank keys on the source") {
+    val plan = planOf(SparkEntry.queries("q156_temperature_mix")(spark, sf))
+    assert(plan.contains("hashpartitioning(lang"),
+      s"the md5 rank must key on the source column:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row quota frame must broadcast:\n$plan")
+  }
+
+  test("q157 link prediction: wedge counts partially aggregate before the shuffle") {
+    val plan = planOf(SparkEntry.queries("q157_link_prediction")(spark, sf))
+    // two HashAggregates around the (a,b) exchange = map-side combine
+    val pairAgg = "HashAggregate\\(keys=\\[a#\\d+L?, b#\\d+L?\\]".r
+      .findAllIn(plan).size
+    assert(pairAgg >= 2,
+      s"wedge counting must be a partial+final hash aggregate:\n$plan")
+  }
 }

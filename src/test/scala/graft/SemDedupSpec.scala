@@ -90,6 +90,89 @@ class SemDedupSpec extends SparkSpec {
     assert(keptMap(above) === Map(1L -> true, 2L -> true))
   }
 
+  test("LongDot equals the composed zip_with/aggregate form; null rules") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(200) { i =>
+      Row(i.toLong,
+        Seq.fill(16)(rnd.nextInt(4001).toLong - 2000L),
+        Seq.fill(16)(rnd.nextInt(4001).toLong - 2000L))
+    }
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(LongType)),
+      StructField("b", ArrayType(LongType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), sch)
+    val both = df.select(col("id"),
+      graft.plans.LongDot(col("a"), col("b")).as("fused"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() === 0L)
+    // null array, null element, length mismatch => null
+    val edge = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null, Seq(1L, 2L), null),
+        Row(2L, Seq(1L, null), Seq(1L, 2L), null),
+        Row(3L, Seq(1L, 2L, 3L), Seq(1L, 2L), null)), 1),
+      StructType(sch.fields :+ StructField("exp", LongType)))
+    val out = edge.select(
+      graft.plans.LongDot(col("a"), col("b")).as("d")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("CosineGE equals the composed decimal cross-multiplication") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300) { i =>
+      Row(i.toLong,
+        Seq.fill(16)(rnd.nextInt(2001).toLong - 1000L),
+        Seq.fill(16)(rnd.nextInt(2001).toLong - 1000L))
+    }
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(LongType)),
+      StructField("b", ArrayType(LongType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), sch)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // random taus straddle the observed cosine range, including exact hits
+    for ((tn, td) <- Seq((1L, 100L), (1L, 5L), (2L, 5L), (9L, 10L))) {
+      val na2 = graft.plans.LongDot(col("a"), col("a"))
+      val nb2 = graft.plans.LongDot(col("b"), col("b"))
+      val dot = graft.plans.LongDot(col("a"), col("b"))
+      val both = df.select(
+        graft.plans.CosineGE(col("a"), col("b"), na2, nb2, tn, td)
+          .as("fused"),
+        (dot > 0 &&
+          dec(lit(td * td)) * dec(dot) * dec(dot) >=
+            dec(lit(tn * tn)) * dec(na2) * dec(nb2)).as("composed"))
+      assert(both.filter(col("fused") =!= col("composed")).count() === 0L,
+        s"tau = $tn/$td")
+      assert(both.filter(col("fused")).count() > 0L ||
+        tn * 10 >= td * 9, s"dead accept arm at tau = $tn/$td")
+    }
+    // ragged/null-element pairs are FALSE (join predicate semantics);
+    // null arrays are NULL
+    val edge = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1L, 2L, 3L), Seq(1L, 2L), java.lang.Boolean.FALSE),
+        Row(2L, Seq(1L, null), Seq(1L, 2L), java.lang.Boolean.FALSE),
+        Row(3L, null, Seq(1L, 2L), null)), 1),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("a", ArrayType(LongType)),
+        StructField("b", ArrayType(LongType)),
+        StructField("exp", BooleanType))))
+    val out = edge.select(col("exp"),
+      graft.plans.CosineGE(col("a"), col("b"), lit(14L), lit(5L), 1L, 2L)
+        .as("got")).collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getBoolean(0) === r.getBoolean(1))
+    }
+  }
+
   test("maxClusterSize guard trips before the pair join") {
     val d = df((1L to 10L).map(i => i -> Seq(1.0f, 0.0f, 0.0f, 0.0f)))
     val ex = intercept[IllegalArgumentException] {
