@@ -124,7 +124,8 @@ object ScaleSmoke {
       "q143_stream_matview", "q144_pit_join", "q145_kmeans",
       "q146_cdc_apply", "q147_unigram_logprob", "q148_random_projection",
       "q149_chi2", "q150_bm25", "q154_semdedup", "q155_crossdoc_dedup",
-      "q156_temperature_mix", "q157_link_prediction")
+      "q156_temperature_mix", "q157_link_prediction",
+      "q159_inverted_index", "q160_collocations", "q161_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

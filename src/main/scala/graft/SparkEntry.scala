@@ -2468,10 +2468,19 @@ object SparkEntry {
     // embeddings' near-dup band — max pairwise cosine is ~0.6, so 0.95
     // would leave the drop arm dead). Both kept and dropped rows are
     // live at both scales.
-    "q154_semdedup" -> ((s, d) =>
-      graft.operators.Clustering.semDedup(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, dim = 64, rounds = 4, tauNum = 2, tauDen = 5)),
+    //
+    // k scales with the corpus (k = max(8, n/250), the paper's k ∝ N
+    // rule): a PINNED k makes the intra-cluster pair join quadratic —
+    // the first ×100 smoke ran 8 clusters of 25k vectors each and blew
+    // up ×142. The floor keeps k = 8 at BOTH oracle scales (n = 500 and
+    // 2000), so the static kmeansCtes(8) oracle is exact; the count() is
+    // one metadata-cheap job.
+    "q154_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(8L, emb.count() / 250L).toInt
+      graft.operators.Clustering.semDedup(emb, "vec_id", "embedding",
+        k = k, dim = 64, rounds = 4, tauNum = 2, tauDen = 5)
+    }),
 
     // Cross-document segment dedup (Dedup.crossDocChunkDedup): the
     // C4-style boilerplate pass — 5-token chunks appearing in more than
@@ -2504,7 +2513,59 @@ object SparkEntry {
       val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
       graft.operators.Graphs.commonNeighborCandidates(
         pairs, "pa", "pb", minCommon = 2)
-    })
+    }),
+
+    // Sliding-window streaming aggregate (q104's tumbling twin): 2 h
+    // windows sliding 1 h, so every event belongs to exactly two windows
+    // — the overlap is what the batch oracle unrolls (event × k∈{0,1}).
+    "q158_stream_sliding" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val fileSchema = Tables.table(s, d, "events").schema
+      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, srcDir, fileSchema)
+      val tsec = fileSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("ts div 1000000000")
+        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      }
+      val ev = raw.select(col("user_id"),
+        timestamp_seconds(tsec).as("ts"),
+        round(col("value") * 100, 0).as("value"))
+      val agg = graft.streaming.StreamSessions
+        .slidingCounts(ev, "7200 seconds", "3600 seconds", "3650 days")
+        .select(col("user_id"),
+          unix_timestamp(col("w_start")).as("w_start"),
+          unix_timestamp(col("w_end")).as("w_end"),
+          col("n_events"), col("sum_value").cast("long").as("sum_cents"))
+      graft.streaming.StreamSessions.runToCompletion(agg,
+        "q158_stream_sliding")
+    }),
+
+    // Inverted-index build (Frequency.invertedIndex): capped posting
+    // lists (top 10 docs per token by tf, doc_id tie-break) + per-token
+    // df/cf — the retrieval artifact behind q150's BM25. The salted
+    // two-phase cap bounds the hottest token's window at cap·salts rows.
+    "q159_inverted_index" -> ((s, d) =>
+      graft.operators.Frequency.invertedIndex(
+        Tables.documents(s, d), "doc_id", "text", cap = 10)),
+
+    // Bigram collocation detection (Frequency.collocations): integer
+    // cross-multiplied lift >= 21/20 with minCount 5. The near-uniform
+    // synthetic corpus concentrates lift around 1.0, so the rational
+    // threshold is what keeps both arms live (344 of 900 candidate
+    // bigrams accepted at sf0.01, 200 of 927 at sf0.1).
+    "q160_collocations" -> ((s, d) =>
+      graft.operators.Frequency.collocations(
+        Tables.documents(s, d), "doc_id", "text",
+        liftNum = 21, liftDen = 20, minCount = 5)),
+
+    // Dataset card (Expectations.corpusCard): per-(source, lang) corpus
+    // profile — doc/token/char volumes, length extremes, normalized-
+    // exact duplicate rate in integer basis points.
+    "q161_dataset_card" -> ((s, d) =>
+      graft.operators.Expectations.corpusCard(
+        Tables.documents(s, d), Seq("source", "lang"), "text"))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -4988,6 +5049,78 @@ object SparkEntry {
         |JOIN deg db ON db.id = c.b
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM und e WHERE e.u = c.a AND e.v = c.b)""".stripMargin,
+
+    // Each event contributes to both covering windows (k = 0 shares the
+    // event's own hour-start; k = 1 the hour before).
+    "q158_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |k AS (SELECT unnest([0, 1]) AS k)
+        |SELECT user_id,
+        |  (tsec // 3600 - k) * 3600 AS w_start,
+        |  (tsec // 3600 - k) * 3600 + 7200 AS w_end,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e, k GROUP BY 1, 2, 3""".stripMargin,
+
+    // The two-phase salted cap is lossless, so the oracle ranks plainly.
+    "q159_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT token,
+        |  count(*) OVER (PARTITION BY token) AS df,
+        |  CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS cf,
+        |  row_number() OVER (PARTITION BY token
+        |    ORDER BY tf DESC, doc_id ASC) AS rank,
+        |  doc_id, tf
+        |FROM tf
+        |QUALIFY rank <= 10""".stripMargin,
+
+    "q160_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tot AS (
+        |  SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
+        |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_big
+        |  FROM toks),
+        |uni AS MATERIALIZED (
+        |  SELECT token, count(*) AS c FROM (
+        |    SELECT unnest(t) AS token FROM toks) GROUP BY 1),
+        |bgc AS (
+        |  SELECT s, count(*) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS s FROM toks)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |sp AS (
+        |  SELECT string_split(s, ' ')[1] AS a, string_split(s, ' ')[2] AS b,
+        |    c_ab FROM bgc)
+        |SELECT sp.a, sp.b, sp.c_ab, ua.c AS c_a, ub.c AS c_b
+        |FROM sp
+        |JOIN uni ua ON ua.token = sp.a
+        |JOIN uni ub ON ub.token = sp.b, tot
+        |WHERE CAST(sp.c_ab AS HUGEINT) * n_uni * n_uni * 20
+        |  >= 21 * CAST(n_big AS HUGEINT) * ua.c * ub.c""".stripMargin,
+
+    // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
+    // 16-byte key is an agg-state optimization, not a semantic change).
+    "q161_dataset_card" ->
+      """WITH n AS (
+        |  SELECT source, lang, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(min(len(text)) AS BIGINT) AS min_chars,
+        |  CAST(max(len(text)) AS BIGINT) AS max_chars,
+        |  count(DISTINCT norm) AS n_unique,
+        |  (count(*) - count(DISTINCT norm)) * 10000 // count(*) AS dup_bp
+        |FROM n GROUP BY 1, 2""".stripMargin,
 
     // Latest-change collapse (window twin of the struct max) + the same
     // full-outer apply with D-drop.

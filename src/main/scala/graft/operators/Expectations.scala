@@ -98,4 +98,33 @@ object Expectations {
         (abs(col("n_a") - col("n_b")) * den > col("n_a") * num)
           .cast("long"))
   }
+
+  /** Dataset card: the per-(source, lang) corpus profile a training-data
+    * release ships — document/token/char volumes, length extremes, and
+    * the normalized-exact duplicate rate (the q56 normalization, counted
+    * as distinct 16-byte md5 keys so the agg state never holds text).
+    * dup_bp is the duplicate rate in integer basis points
+    * (floor((n_docs − n_unique) · 10000 / n_docs)): the one ratio is
+    * integer division, engine-exact, no float.
+    *
+    * One pass, one partial-aggregatable shuffle on the group key;
+    * count_distinct's expand dedups (group, md5) map-side first, so the
+    * duplicate counter ships distinct keys, not documents.
+    */
+  def corpusCard(docs: DataFrame, groupCols: Seq[String],
+                 textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    docs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(length(col(textCol)).cast("long")).as("min_chars"),
+        max(length(col(textCol)).cast("long")).as("max_chars"),
+        countDistinct(md5(norm.cast("binary"))).as("n_unique"))
+      .withColumn("dup_bp",
+        expr("(n_docs - n_unique) * 10000L div n_docs"))
+  }
 }

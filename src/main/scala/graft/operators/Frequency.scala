@@ -296,4 +296,100 @@ object Frequency {
           hll_union_agg(col("sketch"), lit(true))).as("approx_distinct"),
         sum("n_rows").as("n_rows"),
         count(lit(1)).as("n_sketches"))
+
+  /** Inverted-index build with capped posting lists — the retrieval-side
+    * artifact [[bm25TopK]] queries ad hoc: one relational row per
+    * (token, rank, doc_id, tf) with rank <= cap under the total order
+    * (tf desc, doc_id asc), plus per-token df (posting-list length before
+    * the cap) and cf (corpus frequency). Row form, not arrays: postings
+    * stay partial-aggregatable, parquet-pruned, and mergeable across
+    * index shards.
+    *
+    * The cap is taken in TWO phases to dodge this file's header trap
+    * (a bare per-token window funnels ~n_docs "the"-rows into one
+    * reducer): phase 1 ranks within (token, doc_id % salts) and keeps
+    * cap per salt bucket — the global top cap under a total order is
+    * contained in the union of its buckets' top caps, so the prune is
+    * lossless — and phase 2 ranks the <= cap·salts survivors per token.
+    * The hottest token's final window sees cap·salts rows, not its df.
+    * df/cf come from a hash aggregate over the same tf exchange
+    * (ReuseExchange, the termDocStats `tf > 0` idiom), never a window.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.where(col("tf") > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val order = Seq(col("tf").desc, col("doc_id").asc)
+    val pre = tf
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("token", "salt").orderBy(order: _*)))
+      .filter(col("prk") <= cap)
+      .drop("salt", "prk")
+    pre
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("token").orderBy(order: _*)).cast("long"))
+      .filter(col("rank") <= cap)
+      .join(stats, "token")
+      .select("token", "df", "cf", "rank", "doc_id", "tf")
+  }
+
+  /** Bigram collocation detection (pointwise-mutual-information family),
+    * decided entirely in integer arithmetic: a bigram (a, b) is a
+    * collocation iff its lift P(ab) / (P(a)·P(b)) >= liftNum/liftDen and
+    * it occurs at least `minCount` times. With P(ab) = c_ab/N_big and
+    * P(t) = c_t/N_uni, the threshold cross-multiplies to
+    * `c_ab · N_uni² · liftDen >= liftNum · N_big · c_a · c_b` — compared
+    * in DECIMAL(38,0) (the q126/q133 idiom), so there is no log() or
+    * float boundary and the DuckDB twin (HUGEINT) reproduces the accept
+    * set exactly. The rational threshold matters in both regimes:
+    * real-text collocation cuts are lift >= 3..10 (PMI >= ln lift), while
+    * near-uniform corpora need cuts just above 1 (e.g. 21/20) for the
+    * decision to split anything at all.
+    *
+    * Scale shape: corpus totals (N_uni, N_big) come from ONE scan-level
+    * aggregate over token-array lengths — never from re-aggregating the
+    * exploded frames — and broadcast as a single row. Unigram and bigram
+    * counts are hash aggregates (map-side combine); the minCount cut
+    * happens BEFORE the two vocab joins, so only candidate bigrams —
+    * not the long tail — are ever joined, and AQE handles the hot-token
+    * join skew.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   liftNum: Long, liftDen: Long, minCount: Long)
+  : DataFrame = {
+    require(liftNum > 0 && liftDen > 0 && minCount > 0,
+      "lift and minCount must be positive")
+    val toks = docs.select(split(col(textCol), " ").as("toks"))
+    val totals = toks.agg(
+      sum(size(col("toks")).cast("long")).as("n_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_big"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val cand = graft.functions.TextFunctions
+      .explodedShingles(docs, idCol, textCol, 2)
+      .groupBy("shingle").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(element_at(split(col("shingle"), " "), 1).as("a"),
+        element_at(split(col("shingle"), " "), 2).as("b"),
+        col("c_ab"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    cand
+      .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .filter(
+        dec(col("c_ab")) * dec(col("n_uni")) * dec(col("n_uni")) *
+          dec(lit(liftDen)) >=
+        dec(lit(liftNum)) * dec(col("n_big")) * dec(col("c_a")) *
+          dec(col("c_b")))
+      .select("a", "b", "c_ab", "c_a", "c_b")
+  }
 }

@@ -149,6 +149,25 @@ object StreamSessions {
         col("window.end").as("w_end"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window twin of [[windowedCounts]]: each event lands in
+    * width/slide overlapping windows (Spark expands the row once per
+    * covering window BEFORE the aggregate, so partial aggregation and
+    * watermark-bounded state both apply per window copy — state is
+    * width/slide × the tumbling case, still bounded). Tumbling is the
+    * `slide == width` special case; the q158 gate runs 2h windows
+    * sliding 1h, where every event belongs to exactly two windows.
+    */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: first occurrence per key within the watermark
     * horizon survives (the streaming twin of Dedup.exact — state is
     * bounded by the watermark, the scale requirement for an unbounded

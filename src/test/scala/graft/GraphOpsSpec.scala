@@ -371,6 +371,80 @@ class FrequencySpec extends SparkSpec {
       .toSet
     assert(got === Set(("a", 300L, 600L, 4L), ("b", 40L, 40L, 4L)))
   }
+
+  test("invertedIndex: rank order, cap, df/cf; hand-checkable corpus") {
+    val docs = Seq(
+      (1L, "x x x y"), (2L, "x x z"), (3L, "x y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = Frequency.invertedIndex(docs, "doc_id", "text", cap = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      // x: df 3, cf 6; top-2 = doc 1 (tf 3), doc 2 (tf 2)
+      ("x", 3L, 6L, 1L, 1L, 3L), ("x", 3L, 6L, 2L, 2L, 2L),
+      // y: tf ties at 1 -> doc_id ascending
+      ("y", 2L, 2L, 1L, 1L, 1L), ("y", 2L, 2L, 2L, 3L, 1L),
+      ("z", 2L, 2L, 1L, 2L, 1L), ("z", 2L, 2L, 2L, 4L, 1L)))
+  }
+
+  test("invertedIndex: salted two-phase cap is lossless vs a plain rank") {
+    // 400 docs all containing the hot token with distinct tfs; a lossy
+    // salt prune would drop some global-top row for SOME salt layout.
+    val docs = spark.range(400L).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("u"), col("id")),
+        expr("array_join(array_repeat('hot', cast(id % 7 + 1 as int)), ' ')"))
+        .as("text"))
+    val got = Frequency.invertedIndex(docs, "doc_id", "text",
+        cap = 10, salts = 4)
+      .filter(col("token") === "hot")
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+    val naive = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === "hot")
+      .groupBy("doc_id").count()
+      .orderBy(col("count").desc, col("doc_id").asc)
+      .limit(10)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getLong(0), r.getLong(1)) }
+    assert(got === naive)
+  }
+
+  test("collocations: exact rational lift boundary and minCount cut") {
+    // corpus: "a b" x 6, "a c" x 2, interleaved into docs; unigrams:
+    // a 8, b 6, c 2; bigrams (within docs only): "a b" 6, "a c" 2,
+    // plus junk "b a"/"c a" crossings inside the concatenated docs.
+    val docs = Seq(
+      (1L, "a b a b a b a c"),
+      (2L, "a b a b a b a c")).toDF("doc_id", "text")
+    // n_uni = 16, n_big = 14. lift(a,b) = (6*16*16)/(14*8*6) = 16/7.
+    // At threshold exactly 16/7 the pair passes; at 16/7 + eps it fails.
+    val at = Frequency.collocations(docs, "doc_id", "text",
+        liftNum = 16, liftDen = 7, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(at.contains(("a", "b")))
+    val above = Frequency.collocations(docs, "doc_id", "text",
+        liftNum = 161, liftDen = 70, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!above.contains(("a", "b")))
+    // minCount removes "a c" (c_ab = 2) at minCount 3 even though its
+    // lift (2*256)/(14*8*2) = 16/7 matches a-b's.
+    val mc = Frequency.collocations(docs, "doc_id", "text",
+        liftNum = 1, liftDen = 1, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mc.contains(("a", "b")) && !mc.contains(("a", "c")))
+  }
+
+  test("collocations: bigrams never cross document boundaries") {
+    val docs = Seq((1L, "p q"), (2L, "q p")).toDF("doc_id", "text")
+    // only "p q" and "q p" exist (once each); no "q q" from doc1|doc2.
+    val got = Frequency.collocations(docs, "doc_id", "text",
+        liftNum = 1, liftDen = 100, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("p", "q"), ("q", "p")))
+  }
 }
 
 class PageRankSpec extends SparkSpec {

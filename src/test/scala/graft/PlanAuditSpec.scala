@@ -250,6 +250,42 @@ class PlanAuditSpec extends SparkSpec {
       s"the |sources|-row quota frame must broadcast:\n$plan")
   }
 
+  test("q159 inverted index: df/cf from a hash aggregate (never a raw " +
+    "per-token window), corpus scanned once, windows only post-cap") {
+    val df = SparkEntry.queries("q159_inverted_index")(spark, sf)
+    df.collect() // finalize AQE so ReuseExchange is visible
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // the df/cf branch must partially aggregate, not window over raw tf
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"df/cf must come from a partial-agg hash aggregate:\n$plan")
+    // phase-1 window is salted: its exchange keys on (token, salt)
+    assert("hashpartitioning\\(token#\\d+, salt".r.findFirstIn(plan)
+      .isDefined, s"the first cap window must partition on (token, salt):\n$plan")
+    // one corpus scan: the tf exchange feeds both the rank and stats sides
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"corpus must scan once, saw $scans:\n$plan")
+  }
+
+  test("q160 collocations: totals broadcast as one row, counts partially " +
+    "aggregate, no windows anywhere") {
+    val plan = planOf(SparkEntry.queries("q160_collocations")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"collocations must be pure aggregates + joins:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the one-row totals frame must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"bigram/unigram counts must combine map-side:\n$plan")
+  }
+
+  test("q161 dataset card: one pass, no window, group-keyed exchanges only") {
+    val plan = planOf(SparkEntry.queries("q161_dataset_card")(spark, sf))
+    assert(!plan.contains("Window"), s"card must not window:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size === 1,
+      s"card must be a single pass:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"exchanges must key on the group columns:\n$plan")
+  }
+
   test("q157 link prediction: wedge counts partially aggregate before the shuffle") {
     val plan = planOf(SparkEntry.queries("q157_link_prediction")(spark, sf))
     // two HashAggregates around the (a,b) exchange = map-side combine

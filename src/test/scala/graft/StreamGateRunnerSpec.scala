@@ -167,4 +167,28 @@ class StreamGateRunnerSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got === Set((2L, 10L), (3L, 11L), (3L, 12L)))
   }
+
+  test("slidingCounts: each event lands in exactly width/slide windows") {
+    val dir = StreamSessions.stageFrameAsDir("spec-slide") {
+      // t=30 -> windows [-60,60) and [0,120); t=70 -> [0,120)/[60,180);
+      // t=100 -> same pair as 70; values sum per window copy
+      Seq(("a", 30L, 1L), ("a", 70L, 2L), ("a", 100L, 4L))
+        .toDF("user_id", "tsec", "value")
+        .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+          col("value"))
+    }
+    val ev = StreamSessions.readParquetStream(spark, dir,
+      spark.read.parquet(dir).schema)
+    val got = StreamSessions.runToCompletion(
+      StreamSessions.slidingCounts(
+        ev, "120 seconds", "60 seconds", "1 hour")
+        .select(col("user_id"),
+          unix_timestamp(col("w_start")).as("ws"),
+          col("n_events"), col("sum_value").cast("long").as("sv")),
+      "spec_slide")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      ("a", -60L, 1L, 1L), ("a", 0L, 3L, 7L), ("a", 60L, 2L, 6L)))
+  }
 }

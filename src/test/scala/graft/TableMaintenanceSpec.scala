@@ -141,6 +141,27 @@ class ExpectationsSpec extends SparkSpec {
       10L -> (10L, 1L), 11L -> (8L, 1L), 12L -> (0L, 0L),
       13L -> (0L, 0L), 14L -> (1L, 0L)))
   }
+
+  test("corpusCard: volumes, extremes, normalized dups, integer dup_bp") {
+    // group (s1, en): 4 docs, two of which normalize identically
+    // ("Hello  World!" ~ "hello world") -> 3 unique, dup_bp = 2500.
+    val docs = Seq(
+      ("s1", "en", "Hello  World!"),
+      ("s1", "en", "hello world"),
+      ("s1", "en", "aa bb cc"),
+      ("s1", "en", "zz"),
+      ("s2", "fr", "un deux")).toDF("source", "lang", "text")
+    val got = Expectations.corpusCard(docs, Seq("source", "lang"), "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    // s1/en tokens: "Hello  World!" splits to 3 on single spaces
+    // (empty middle token), others 2/3/1 -> 9; chars 13+11+8+2 = 34.
+    assert(got(("s1", "en")) === (4L, 9L, 34L, 2L, 13L, 3L, 2500L))
+    assert(got(("s2", "fr")) === (1L, 2L, 7L, 7L, 7L, 1L, 0L))
+  }
 }
 
 class MergeOpsSpec extends SparkSpec {
