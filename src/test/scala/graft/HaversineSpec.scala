@@ -71,4 +71,47 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(o) < 1e-12)
   }
+
+  test("vector/dedup expressions available from SQL; SQL = Column API") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT
+        long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        cosine_ge(array(3L, 4L), array(3L, 4L), 25L, 25L, 1L, 1L) AS exact1,
+        cosine_ge(array(3L, 4L), array(4L, -3L), 25L, 25L, 1L, 10L) AS orth,
+        int8_cosine(array(127, 0), array(127, 0)) AS i8
+      """).collect().head
+    assert(r.getLong(0) === 32L)
+    assert(r.getBoolean(1))   // cos = 1 >= 1
+    assert(!r.getBoolean(2))  // dot = 0 -> false
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // SQL minhash/lsh/shingles equal the Column-API expressions the
+    // dedup/ANN operators run — same class, same literals
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(("w1 w2 w3 w4 w5", Seq(0.3, -0.7, 0.2)),
+      ("a b c d e f", Seq(-0.1, 0.9, 0.4))).toDF("text", "emb")
+    docs.createOrReplaceTempView("graft_ext_docs")
+    val viaSql = spark.sql("""
+      SELECT minhash_signature(text, 3, 8) AS sig,
+             lsh_bucket(emb, 2, 7L) AS b,
+             word_shingle_hashes(split(text, ' '), 2) AS sh
+      FROM graft_ext_docs""").collect()
+    val viaCol = docs.select(
+      graft.plans.MinhashSignature(col("text"), 3, 8).as("sig"),
+      graft.plans.LshBucket(col("emb"), 2, 7L).as("b"),
+      graft.plans.WordShingleHashes(split(col("text"), " "), 2).as("sh"))
+      .collect()
+    assert(viaSql.map(_.toString) === viaCol.map(_.toString))
+    spark.catalog.dropTempView("graft_ext_docs")
+  }
+
+  test("config parameters must be literals: clear resolution error") {
+    graft.plans.GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT minhash_signature('x', cast(rand() * 3 as int), 8)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+  }
 }
