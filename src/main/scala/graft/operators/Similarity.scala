@@ -265,10 +265,14 @@ object Similarity {
     * identically — so every projection is exact integer arithmetic and
     * the q148 oracle re-derives codes bit-for-bit.
     *
-    * Scale shape: the sign matrix is outDim·dim literals baked into
-    * UNROLLED codegen expressions at plan time (built driver-side from
-    * the same md5 formula — no join, no explode, no HOF); the whole
-    * operator is one narrow scan pass, zero shuffles.
+    * Scale shape: the sign matrix is ONE referenced object inside the
+    * fused codegen expression [[graft.plans.SignedProjection]] (built
+    * driver-side from the same md5 formula — no join, no explode, no
+    * HOF); the whole operator is one narrow scan pass, zero shuffles.
+    * (The first form unrolled outDim·dim element_at literals — ~2k
+    * expression nodes at 16×64 whose janino compile dominated the gate
+    * at 2.8 s; the fused expression is the [[graft.plans.ArgminDistance]]
+    * fix applied again.)
     */
   def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
                        outDim: Int, dim: Int, scale: Double = 10000.0)
@@ -280,22 +284,17 @@ object Similarity {
         .map("%02x".format(_)).mkString
       if ("02468ace".contains(hex.last)) 1L else -1L
     }
+    val signs = Array.tabulate(outDim, dim)((j, d) => sign(j, d))
     val qv = transform(col(vecCol), x =>
       round(x.cast("double") * lit(scale)).cast("long"))
-    val projs = (0 until outDim).map { j =>
-      (0 until dim).map { d =>
-        element_at(col("_qv"), d + 1) * lit(sign(j, d))
-      }.reduce(_ + _).as(s"p$j")
-    }
-    val withProj = vectors
-      .select(col(idCol).as("vec_id"), qv.as("_qv"))
-      .select(col("vec_id") +: projs: _*)
     val code = (0 until outDim).map { j =>
-      when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(col("proj"), j + 1) > 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
-    withProj.select(col("vec_id"),
-      array((0 until outDim).map(j => col(s"p$j")): _*).as("proj"),
-      code.as("srp_code"))
+    vectors
+      .select(col(idCol).as("vec_id"),
+        graft.plans.SignedProjection(qv, signs).as("proj"))
+      .select(col("vec_id"), col("proj"), code.as("srp_code"))
   }
 
   /** Product-quantization (PQ) ANN with asymmetric distance computation

@@ -820,6 +820,26 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.linesIterator.take(5).mkString)
   }
+
+  test("SignedProjection: null array, null element, ragged width => null") {
+    import org.apache.spark.sql.types._
+    val signs = Array(Array(1L, -1L), Array(-1L, -1L))
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(LongType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, Seq(3L, 4L)),
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, Seq(3L, null)),
+        org.apache.spark.sql.Row(3L, Seq(1L, 2L, 3L))), 1), sch)
+    val out = df.select(col("id"),
+      graft.plans.SignedProjection(col("a"), signs).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(0L) === Seq(-1L, -7L))
+    assert(out(1L) == null && out(2L) == null && out(3L) == null)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
