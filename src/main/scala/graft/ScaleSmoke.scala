@@ -125,7 +125,8 @@ object ScaleSmoke {
       "q146_cdc_apply", "q147_unigram_logprob", "q148_random_projection",
       "q149_chi2", "q150_bm25", "q154_semdedup", "q155_crossdoc_dedup",
       "q156_temperature_mix", "q157_link_prediction",
-      "q159_inverted_index", "q160_collocations", "q161_dataset_card")
+      "q159_inverted_index", "q160_collocations", "q161_dataset_card",
+      "q163_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -2565,7 +2565,36 @@ object SparkEntry {
     // exact duplicate rate in integer basis points.
     "q161_dataset_card" -> ((s, d) =>
       graft.operators.Expectations.corpusCard(
-        Tables.documents(s, d), Seq("source", "lang"), "text"))
+        Tables.documents(s, d), Seq("source", "lang"), "text")),
+
+    // Streaming model scoring (Clustering.lloydCentroids +
+    // assignWithModel): train the q145 Lloyd trajectory on the BATCH
+    // table, then score the same vectors arriving as a STREAM — pure
+    // per-row expressions (quantize + fused argmin), stateless, no
+    // watermark; the model rides inside the codegen'd expression. The
+    // oracle is q145's: stream scoring must equal the batch assignment
+    // bit for bit.
+    "q162_stream_score" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.Clustering.lloydCentroids(
+        emb, "vec_id", "embedding", k = 8, dim = 64, rounds = 4)
+      val fileSchema = Tables.table(s, d, "embeddings").schema
+      val srcDir = graft.streaming.StreamSessions
+        .stageFileAsDir(s"$d/embeddings.parquet")
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, srcDir, fileSchema)
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        graft.operators.Clustering.assignWithModel(
+          raw, "vec_id", "embedding", cents),
+        "q162_stream_score")
+    }),
+
+    // Bigram conditional LM score (Frequency.bigramLogProb): q147's
+    // order-2 upgrade — per-doc mean ln P(b|a) in exact micro-nat
+    // integer sums, one rounded division.
+    "q163_bigram_lm" -> ((s, d) =>
+      graft.operators.Frequency.bigramLogProb(
+        Tables.documents(s, d), "doc_id", "text"))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -5104,6 +5133,39 @@ object SparkEntry {
         |JOIN uni ub ON ub.token = sp.b, tot
         |WHERE CAST(sp.c_ab AS HUGEINT) * n_uni * n_uni * 20
         |  >= 21 * CAST(n_big AS HUGEINT) * ua.c * ub.c""".stripMargin,
+
+    // Stream scoring against the batch-trained model must equal the
+    // batch assignment bit for bit — the oracle IS q145's.
+    "q162_stream_score" -> sqlQ145KMeans,
+
+    // Same micro-nat discipline as q147, at order 2: conditional
+    // ln(c_ab / c_a-prefix), each ln rounded once, exact integer sums.
+    "q163_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tf AS (
+        |  SELECT doc_id, s, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS s FROM toks)
+        |  GROUP BY doc_id, s),
+        |bg AS (
+        |  SELECT s, CAST(sum(tf) AS BIGINT) AS c_ab FROM tf GROUP BY s),
+        |pre AS (
+        |  SELECT string_split(s, ' ')[1] AS a,
+        |    CAST(sum(c_ab) AS BIGINT) AS c_a
+        |  FROM bg GROUP BY 1),
+        |cond AS (
+        |  SELECT s,
+        |    CAST(round(ln(CAST(c_ab AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      - CAST(round(ln(CAST(c_a AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS cond_micro
+        |  FROM bg JOIN pre ON pre.a = string_split(bg.s, ' ')[1])
+        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(t.tf * c.cond_micro) AS BIGINT) AS lp_micro,
+        |  round(CAST(sum(t.tf * c.cond_micro) AS DOUBLE)
+        |    / (CAST(sum(t.tf) AS DOUBLE) * 1e6), 6) AS avg_logprob
+        |FROM tf t JOIN cond c USING (s)
+        |GROUP BY t.doc_id""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

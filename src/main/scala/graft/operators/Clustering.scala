@@ -83,13 +83,39 @@ object Clustering {
                   k: Int, dim: Int, rounds: Int = 4,
                   offset: Double = 1.0, scale: Double = 10000.0)
   : DataFrame = {
-    require(k >= 1 && rounds >= 1 && dim >= 1)
     val q = graft.CacheScope.track(
       vectors
         .select(col(idCol).cast("long").as("vid"),
           quantize(col(vecCol), offset, scale).as("qv"))
         .persist())
+    val cents = lloydCentroidsQuantized(q, k, dim, rounds)
+    q.withColumn("akey", graft.plans.ArgminDistance(col("qv"), cents))
+      .select(col("vid").as("vec_id"),
+        (pmod(col("akey"), lit(k.toLong)) + 1L).as("cluster"),
+        expr(s"akey div ${k}L").as("dist"))
+  }
 
+  /** Train-only entry: run the Lloyd trajectory and return the final
+    * quantized centroid matrix — the MODEL, for callers that score a
+    * different frame than they trained on (a held-out batch, or a
+    * STREAM via [[assignWithModel]]). Bit-identical trajectory to
+    * [[kMeansLloyd]] (same seed, same rounds).
+    */
+  def lloydCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, dim: Int, rounds: Int = 4,
+                     offset: Double = 1.0, scale: Double = 10000.0)
+  : Array[Array[Long]] = {
+    val q = graft.CacheScope.track(
+      vectors
+        .select(col(idCol).cast("long").as("vid"),
+          quantize(col(vecCol), offset, scale).as("qv"))
+        .persist())
+    lloydCentroidsQuantized(q, k, dim, rounds)
+  }
+
+  private def lloydCentroidsQuantized(q: DataFrame, k: Int, dim: Int,
+                                      rounds: Int): Array[Array[Long]] = {
+    require(k >= 1 && rounds >= 1 && dim >= 1)
     // seed: hash-ordered quantized rows (bounded collect: k rows)
     val seed = q
       .orderBy(md5(col("vid").cast("string")), col("vid"))
@@ -121,9 +147,28 @@ object Clustering {
       }
       cents = next
     }
+    cents
+  }
 
-    q.withColumn("akey", akeyExpr)
-      .select(col("vid").as("vec_id"),
+  /** Score an arbitrary frame — batch OR stream — against a trained
+    * centroid matrix: (id, cluster, dist), same decode as
+    * [[kMeansLloyd]]'s final assignment. Pure per-row expressions
+    * (quantize + the fused argmin), so it is legal under Structured
+    * Streaming with no state and no watermark: the model broadcasts
+    * inside the codegen'd expression, the streaming twin of the q40
+    * broadcast-centroid probe — train on yesterday's batch, score
+    * today's stream.
+    */
+  def assignWithModel(vectors: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Long]],
+                      offset: Double = 1.0, scale: Double = 10000.0)
+  : DataFrame = {
+    val k = cents.length
+    vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        graft.plans.ArgminDistance(
+          quantize(col(vecCol), offset, scale), cents).as("akey"))
+      .select(col("vec_id"),
         (pmod(col("akey"), lit(k.toLong)) + 1L).as("cluster"),
         expr(s"akey div ${k}L").as("dist"))
   }

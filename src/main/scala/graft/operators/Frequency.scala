@@ -126,6 +126,52 @@ object Frequency {
           .as("avg_logprob"))
   }
 
+  /** Bigram conditional language-model score — [[unigramLogProb]]'s
+    * next-token upgrade (the KenLM-style fluency filter at order 2):
+    * per doc, the mean conditional log-probability
+    * avg_logprob = (1/m) · Σ ln(c_ab / c_a•) over the doc's m bigram
+    * occurrences, where c_ab is the corpus count of bigram (a, b) and
+    * c_a• = Σ_b c_ab the count of bigrams starting with a — so the
+    * conditionals per prefix sum to exactly 1. Word salad scores far
+    * below fluent text even when every unigram is common — the signal
+    * order-1 cannot see.
+    *
+    * Engine-exact by the q147 discipline: each count's ln is rounded
+    * ONCE to micro-nats, per-doc sums are exact longs under any
+    * partitioning, and the single emitted float is one rounded division.
+    * Docs with < 2 tokens have no bigrams and drop out (the q120
+    * short-doc rule).
+    *
+    * Scale shape: one bigram explode pass; the conditional micro-nat
+    * table is assembled on the vocab contraction (bigram counts → prefix
+    * counts → ONE vocab-sized join), so the doc-volume path joins once
+    * on the bigram key and partially aggregates per doc. No windows.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val tf = graft.functions.TextFunctions
+      .explodedShingles(docs, idCol, textCol, 2)
+      .groupBy("id", "shingle")
+      .agg(count(lit(1)).as("tf"))
+    val bg = tf.groupBy("shingle").agg(sum("tf").as("c_ab"))
+      .withColumn("a", element_at(split(col("shingle"), " "), 1))
+    val pre = bg.groupBy("a").agg(sum("c_ab").as("c_a"))
+      .withColumn("la_micro",
+        round(log(col("c_a").cast("double")) * 1e6, 0).cast("long"))
+    val cond = bg.join(pre, "a")
+      .withColumn("l_micro",
+        round(log(col("c_ab").cast("double")) * 1e6, 0).cast("long"))
+      .select(col("shingle"),
+        (col("l_micro") - col("la_micro")).as("cond_micro"))
+    tf.join(cond, "shingle")
+      .groupBy("id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("cond_micro")).as("lp_micro"))
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lp_micro"),
+        round(col("lp_micro").cast("double")
+          / (col("n_bigrams").cast("double") * 1e6), 6).as("avg_logprob"))
+  }
+
   /** Chi-square token-vs-label association — the feature-selection /
     * domain-drift scan curation pipelines run to find which tokens
     * characterize which source (Yang & Pedersen, ICML'97 feature

@@ -437,6 +437,43 @@ class FrequencySpec extends SparkSpec {
     assert(mc.contains(("a", "b")) && !mc.contains(("a", "c")))
   }
 
+  test("bigramLogProb: exact conditionals; order signal unigrams miss") {
+    // corpus bigrams: "a b" x3, "b a" x2, "b c" x1, "c a" x1 (within
+    // doc 1: a b a b a b c a => pairs ab, ba, ab, ba, bc, ca, ab? no —
+    // enumerate: (a,b)(b,a)(a,b)(b,a)(a,b)(b,c)(c,a) = ab x3, ba x2,
+    // bc x1, ca x1). doc 2 = "b a" alone contributes its own pair.
+    val docs = Seq(
+      (1L, "a b a b a b c a"),
+      (2L, "b a")).toDF("doc_id", "text")
+    // prefix counts: a• = 3 (ab); b• = 3+1 = ... recompute from both
+    // docs: doc2 adds (b,a) => ab 3, ba 3, bc 1, ca 1.
+    // a• = 3, b• = 4, c• = 1.
+    def micro(c: Long) = math.round(math.log(c.toDouble) * 1e6)
+    val condAB = micro(3) - micro(3)  // ln(3/3) = 0
+    val condBA = micro(3) - micro(4)
+    val condBC = micro(1) - micro(4)
+    val condCA = micro(1) - micro(1)
+    val got = Frequency.bigramLogProb(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) ===
+      (7L, 3 * condAB + 2 * condBA + condBC + condCA))
+    assert(got(2L) === (1L, condBA))
+    // single-token doc has no bigrams and drops out
+    val short = Frequency.bigramLogProb(
+      Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(short === Set(1L))
+    // the order-2 signal: same unigram bag, scrambled order scores lower
+    val fluent = "the cat sat the cat sat the cat sat"
+    val salad = "cat the cat sat sat the sat cat the"
+    val pair = Frequency.bigramLogProb(
+      Seq((1L, fluent), (2L, salad), (3L, fluent)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(pair(1L) > pair(2L))
+  }
+
   test("collocations: bigrams never cross document boundaries") {
     val docs = Seq((1L, "p q"), (2L, "q p")).toDF("doc_id", "text")
     // only "p q" and "q p" exist (once each); no "q q" from doc1|doc2.

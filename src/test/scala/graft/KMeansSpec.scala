@@ -118,6 +118,32 @@ class KMeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("train/apply split: assignWithModel on the training frame equals " +
+    "kMeansLloyd; a held-out vector scores against the trained model") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 80L).map(i =>
+      i -> Seq.fill(4)(rnd.nextFloat() - 0.5f))
+    val fitted = run(rows, k = 3, dim = 4, rounds = 3)
+    val cents = Clustering.lloydCentroids(df(rows), "vec_id", "embedding",
+      k = 3, dim = 4, rounds = 3)
+    CacheScope.releaseAll()
+    val applied = Clustering.assignWithModel(
+        df(rows), "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(applied === fitted)
+    // a held-out vector equal to centroid 0 (de-quantized) must land in
+    // a cluster at distance <= the quantization residual bound: dim *
+    // ceil(scale-rounding error)^2 — with components taken EXACTLY on
+    // the grid, distance 0 at its own centroid or a tie-winner
+    val c0 = cents(0).map(q => (q / 10000.0 - 1.0).toFloat).toSeq
+    val held = Clustering.assignWithModel(
+        df(Seq(999L -> c0)), "vec_id", "embedding", cents)
+      .collect().head
+    assert(held.getLong(0) === 999L)
+    assert(held.getLong(2) <= 4L) // per-dim re-quantize residual <= 1
+  }
+
   test("fused ArgminDistance key matches the composed least-of-sums form") {
     val rnd = new scala.util.Random(99)
     val dim = 7

@@ -286,6 +286,15 @@ class PlanAuditSpec extends SparkSpec {
       s"exchanges must key on the group columns:\n$plan")
   }
 
+  test("q163 bigram LM: no windows, partial aggs; the conditional table " +
+    "is assembled on the vocab contraction, not the doc-volume path") {
+    val plan = planOf(SparkEntry.queries("q163_bigram_lm")(spark, sf))
+    assert(!plan.contains("Window"), s"LM scoring must not window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"counts must combine map-side:\n$plan")
+  }
+
   test("q157 link prediction: wedge counts partially aggregate before the shuffle") {
     val plan = planOf(SparkEntry.queries("q157_link_prediction")(spark, sf))
     // two HashAggregates around the (a,b) exchange = map-side combine
