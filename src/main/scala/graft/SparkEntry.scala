@@ -2594,7 +2594,28 @@ object SparkEntry {
     // integer sums, one rounded division.
     "q163_bigram_lm" -> ((s, d) =>
       graft.operators.Frequency.bigramLogProb(
-        Tables.documents(s, d), "doc_id", "text"))
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Perceptual image hash (Multimodal.perceptualHashes): 8×8 aHash
+    // over the decoded synthetic images — integer luma, strict-mean
+    // bits, two-long packing. Every bit oracle-derived in closed form.
+    "q164_image_phash" -> ((s, d) =>
+      graft.operators.Multimodal.perceptualHashes(
+        graft.operators.Multimodal.synthImages(
+          Tables.documents(s, d).select("doc_id"), "doc_id"))),
+
+    // Image near-dup keep/drop (Dedup.hammingNearDupKept over q164's
+    // hashes): exact-hash collapse first (the synthetic corpus has
+    // identical-hash groups of 400+ — the hot-bucket case the operator
+    // is built for), then 4×16-bit banded pairs over DISTINCT hashes
+    // with exact popcount verify at Hamming <= 3. 322 kept / 4678
+    // dropped at sf0.1.
+    "q165_image_neardup" -> ((s, d) =>
+      graft.operators.Dedup.hammingNearDupKept(
+        graft.operators.Multimodal.perceptualHashes(
+          graft.operators.Multimodal.synthImages(
+            Tables.documents(s, d).select("doc_id"), "doc_id")),
+        "media_id", "hash_hi", "hash_lo", maxDist = 3))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -3097,6 +3118,43 @@ object SparkEntry {
     s"""WITH ${kmeansCtes(8, 4)}
        |SELECT vec_id, j AS cluster, CAST(fdist AS BIGINT) AS dist
        |FROM fin WHERE rn = 1""".stripMargin
+
+  /** Shared q164/q165 CTEs: the synthetic image's channel formulas
+    * (Multimodal.synthImages) fed through the 8×8 aHash — sample grid
+    * (x·w div 8, y·h div 8), integer ITU-601 luma, strict-mean bits,
+    * bits packed into two BIGINT halves (bit p of a half contributes
+    * 2^p with p <= 31 — no sign-bit arithmetic anywhere).
+    */
+  private val sqlPhashCtes: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, p,
+      |    (doc_id + 3 * (((p % 8) * w) // 8)
+      |      + 7 * (((p // 8) * h) // 8)) % 256 AS r,
+      |    (2 * doc_id + 5 * (((p % 8) * w) // 8)
+      |      + (((p // 8) * h) // 8)) % 256 AS g,
+      |    (3 * doc_id + (((p % 8) * w) // 8)
+      |      + 2 * (((p // 8) * h) // 8)) % 256 AS b
+      |  FROM dims, unnest(range(64)) AS t(p)),
+      |lum AS (
+      |  SELECT doc_id, p, 299 * r + 587 * g + 114 * b AS l FROM px),
+      |tot AS (
+      |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS s FROM lum GROUP BY 1),
+      |bits AS (
+      |  SELECT l.doc_id, l.p,
+      |    CASE WHEN l.l * 64 > t.s THEN 1 ELSE 0 END AS bit
+      |  FROM lum l JOIN tot t USING (doc_id)),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN p >= 32
+      |      THEN bit * (CAST(2 AS BIGINT) ^ CAST(p - 32 AS BIGINT))
+      |      ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN p < 32
+      |      THEN bit * (CAST(2 AS BIGINT) ^ CAST(p AS BIGINT))
+      |      ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   /** Shared k-means trajectory CTEs (through `fin`) for the q145 and
     * q154 oracles — one source of truth for the unrolled Lloyd rounds.
@@ -5137,6 +5195,25 @@ object SparkEntry {
     // Stream scoring against the batch-trained model must equal the
     // batch assignment bit for bit — the oracle IS q145's.
     "q162_stream_score" -> sqlQ145KMeans,
+
+    // The synthetic pixel channels in closed form through the 8×8 floor
+    // map, ITU-601 integer luma, strict-mean bits, two-long packing
+    // (2^p sums never touch bit 31 of a half, so BIGINT is exact).
+    "q164_image_phash" -> (sqlPhashCtes +
+      "\nSELECT doc_id AS media_id, hi AS hash_hi, lo AS hash_lo FROM hh"),
+
+    // Same hash derivation + ALL-pairs over distinct hashes (no bands —
+    // the oracle verifies every pair) + the smallest-rep domination rule.
+    "q165_image_neardup" -> (sqlPhashCtes +
+      """,
+        |g AS (SELECT hi, lo, min(doc_id) AS rep FROM hh GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT DISTINCT b.rep FROM g a JOIN g b ON a.rep < b.rep
+        |  WHERE bit_count(xor(CAST(a.hi AS BIT), CAST(b.hi AS BIT)))
+        |      + bit_count(xor(CAST(a.lo AS BIT), CAST(b.lo AS BIT))) <= 3)
+        |SELECT h.doc_id AS media_id, h.hi AS hash_hi, h.lo AS hash_lo,
+        |  (h.doc_id = g.rep AND g.rep NOT IN (SELECT rep FROM dom)) AS kept
+        |FROM hh h JOIN g USING (hi, lo)""".stripMargin),
 
     // Same micro-nat discipline as q147, at order 2: conditional
     // ln(c_ab / c_a-prefix), each ln rounded once, exact integer sums.

@@ -675,4 +675,55 @@ object Dedup {
         round(col("c").cast("double") /
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
   }
+
+  /** Near-dup keep/drop over 64-bit Hamming hashes (perceptual image
+    * hashes, SimHash digests): an item is kept iff no smaller-id item
+    * lies within Hamming distance `maxDist` of it — the smallest-id-wins
+    * representative rule (q56/q154).
+    *
+    * EXACT, in two skew-proof stages:
+    *  1. identical hashes collapse by ONE hash aggregate (min id + count
+    *     per hash) — every non-minimum member has a distance-0 smaller
+    *     dup, so only group minima ever need pair evidence, and because
+    *     all members share the hash, the smallest POSSIBLE dominator of
+    *     a group minimum is another group's minimum. The q31 synthetic
+    *     corpus has identical-hash groups of 400+ — banding raw items
+    *     would put c² pairs in one bucket; banding DISTINCT hashes
+    *     bounds every bucket by distinct-hash cardinality.
+    *  2. the distinct representatives pair by 4×16-bit band equality
+    *     (pigeonhole: ≤ 3 differing bits leave ≥ 1 of 4 bands intact, so
+    *     recall is guaranteed for maxDist ≤ 3), verified by the exact
+    *     popcount bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b).
+    *
+    * Output: (id, hash_hi, hash_lo, kept). One hash-keyed aggregate
+    * (persisted — it serves both band sides and the final re-join), a
+    * band-bucket equi-join over representatives, one broadcast-scale
+    * dominated set.
+    */
+  def hammingNearDupKept(hashes: DataFrame, idCol: String,
+                         hiCol: String, loCol: String,
+                         maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"4 bands of 16 bits guarantee recall only for maxDist in [1, 3]: $maxDist")
+    val h = hashes.select(col(idCol).cast("long").as("id"),
+      col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+    val groups = graft.CacheScope.track(
+      h.groupBy("hi", "lo").agg(min("id").as("rep")).persist())
+    def banded(tag: String) = (0 until 4).map { j =>
+      val src = if (j < 2) col("lo") else col("hi")
+      groups.select(col("rep").as(s"rep_$tag"), col("hi").as(s"hi_$tag"),
+        col("lo").as(s"lo_$tag"), lit(j).as("bj"),
+        shiftright(src, 16 * (j % 2)).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }.reduce(_ unionAll _)
+    val dist = bit_count(col("hi_a").bitwiseXOR(col("hi_b"))).cast("long") +
+      bit_count(col("lo_a").bitwiseXOR(col("lo_b"))).cast("long")
+    val dominated = banded("a").join(banded("b"), Seq("bj", "bv"))
+      .filter(col("rep_a") < col("rep_b") && dist <= maxDist)
+      .select(col("rep_b").as("rep")).distinct()
+    h.join(groups, Seq("hi", "lo"))
+      .join(dominated.withColumn("dom", lit(true)), Seq("rep"), "left")
+      .select(col("id").as(idCol),
+        col("hi").as("hash_hi"), col("lo").as("hash_lo"),
+        (col("id") === col("rep") && col("dom").isNull).as("kept"))
+  }
 }

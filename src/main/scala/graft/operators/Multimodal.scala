@@ -257,4 +257,52 @@ object Multimodal {
         MediaItem(id, kind, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
   }
+
+  /** Perceptual hash (aHash) per image: decode, sample an 8×8 grid of
+    * source pixels by the floor map (x·w div 8, y·h div 8) — the q91
+    * resize map at fixed 8×8 — take the integer ITU-R 601 luma
+    * 299r + 587g + 114b per sample, and set bit p (p = y·8 + x) iff
+    * luma_p · 64 > Σ lumas (strictly above the mean, integer
+    * cross-multiplied — no division). The 64 bits pack into two longs
+    * (hash_lo = bits 0–31, hash_hi = 32–63), the [[graft.functions
+    * .TextFunctions.portableHash64]] halves convention so the oracle
+    * never touches the sign bit.
+    *
+    * Deterministic end to end: integer pixel reads, integer luma,
+    * integer mean compare — the oracle re-derives every bit from the
+    * synthetic channel formulas in closed form. Undecodable payloads are
+    * quarantined (dropped), the [[decodeImages]] contract.
+    */
+  def perceptualHashes(media: Dataset[MediaItem]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        img.map { im =>
+          val w = im.getWidth; val h = im.getHeight
+          val lum = new Array[Long](64)
+          var sum = 0L
+          var p = 0
+          while (p < 64) {
+            val rgb = im.getRGB((p % 8) * w / 8, (p / 8) * h / 8)
+            val l = 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            lum(p) = l; sum += l; p += 1
+          }
+          var hi = 0L; var lo = 0L
+          p = 0
+          while (p < 64) {
+            if (lum(p) * 64L > sum) {
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+            }
+            p += 1
+          }
+          (m.media_id, hi, lo)
+        }
+      }
+    }.toDF("media_id", "hash_hi", "hash_lo")
+  }
 }

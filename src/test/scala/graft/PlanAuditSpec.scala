@@ -295,6 +295,19 @@ class PlanAuditSpec extends SparkSpec {
       s"counts must combine map-side:\n$plan")
   }
 
+  test("q165 image near-dup: exact hashes collapse BEFORE banding, " +
+    "pairs verify with popcount on an equi-join") {
+    val plan = planOf(SparkEntry.queries("q165_image_neardup")(spark, sf))
+    assert("HashAggregate\\(keys=\\[hi#\\d+L, lo#\\d+L\\]".r
+      .findFirstIn(plan).isDefined,
+      s"identical hashes must collapse in a hash aggregate first:\n$plan")
+    assert(plan.contains("bit_count"),
+      s"the distance must be the exact popcount verify:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must pair via an equi-join:\n$plan")
+  }
+
   test("q157 link prediction: wedge counts partially aggregate before the shuffle") {
     val plan = planOf(SparkEntry.queries("q157_link_prediction")(spark, sf))
     // two HashAggregates around the (a,b) exchange = map-side combine

@@ -375,6 +375,78 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width === 2L && f.height === 2L)
     assert(f.mean_r === 255.0 / 4 && f.mean_b === 255.0 / 4)
   }
+
+  test("perceptualHashes: closed-form bit parity through a real codec") {
+    // derive the expected aHash for id=11 directly from the synthetic
+    // channel formulas (9x4 image), through the same 8x8 floor map,
+    // integer luma, strict-mean bits, two-long packing.
+    val id = 11L
+    val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
+    val lum = (0 until 64).map { p =>
+      val x = (p % 8) * w / 8; val y = (p / 8) * h / 8
+      299L * ((id + 3 * x + 7 * y) % 256) +
+        587L * ((2 * id + 5 * x + y) % 256) +
+        114L * ((3 * id + x + 2 * y) % 256)
+    }
+    val s = lum.sum
+    var hi = 0L; var lo = 0L
+    lum.zipWithIndex.foreach { case (l, p) =>
+      if (l * 64 > s) { if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32) }
+    }
+    val got = Multimodal.perceptualHashes(
+      Multimodal.synthImages(Seq(id).toDF("doc_id"), "doc_id"))
+      .collect().head
+    assert(got.getLong(0) === id)
+    assert(got.getLong(1) === hi && got.getLong(2) === lo)
+    // undecodable payload is quarantined, not a failure
+    val junk = Seq(Multimodal.MediaItem(9L, "image/png",
+      Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.perceptualHashes(junk).count() === 0L)
+  }
+}
+
+class HammingNearDupSpec extends SparkSpec {
+  import graft.operators.Dedup
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Long)], maxDist: Int = 3)
+  : Map[Long, Boolean] =
+    Dedup.hammingNearDupKept(rows.toDF("id", "hi", "lo"),
+        "id", "hi", "lo", maxDist)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+  test("identical hashes collapse to the smallest id") {
+    val got = run(Seq((5L, 7L, 9L), (2L, 7L, 9L), (8L, 7L, 9L),
+      (1L, 1024L, 0L)))
+    assert(got === Map(2L -> true, 5L -> false, 8L -> false, 1L -> true))
+  }
+
+  test("worst-case band spread at Hamming 3 is still found; " +
+    "distance above the threshold is kept") {
+    // base hash 0; three flipped bits land in three DIFFERENT bands
+    // (bit 0 -> lo band 0, bit 16 -> lo band 1, bit 32 -> hi band 0):
+    // only the fourth band (hi bits 16-31) is intact — the pigeonhole
+    // minimum. Distance-4 spread across all four bands has no matching
+    // band and stays kept (maxDist=3 semantics are exact regardless).
+    val d3 = (1L << 16) | 1L // lo bits 0 and 16
+    val got = run(Seq(
+      (1L, 0L, 0L),
+      (2L, 1L, d3),                  // distance 3 from id 1 -> dropped
+      (3L, (1L << 16) | 1L, d3)))    // distance 5 from id 1, 2 from id 2
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    val far = run(Seq(
+      (1L, 0L, 0L),
+      (2L, (1L << 16) | 1L, (1L << 16) | 1L))) // distance 4, all 4 bands
+    assert(far === Map(1L -> true, 2L -> true))
+  }
+
+  test("domination needs a SMALLER id: the min id survives whichever " +
+    "hash it carries") {
+    val got = run(Seq((10L, 0L, 0L), (20L, 0L, 1L), (30L, 0L, 3L)))
+    assert(got === Map(10L -> true, 20L -> false, 30L -> false))
+    val rev = run(Seq((30L, 0L, 0L), (20L, 0L, 1L), (10L, 0L, 3L)))
+    assert(rev === Map(10L -> true, 20L -> false, 30L -> false))
+  }
 }
 
 class ShardedExportSpec extends SparkSpec {
