@@ -2615,7 +2615,71 @@ object SparkEntry {
         graft.operators.Multimodal.perceptualHashes(
           graft.operators.Multimodal.synthImages(
             Tables.documents(s, d).select("doc_id"), "doc_id")),
-        "media_id", "hash_hi", "hash_lo", maxDist = 3))
+        "media_id", "hash_hi", "hash_lo", maxDist = 3)),
+
+    // Streaming image-ingest dedup gate (q94's multimodal twin): even
+    // doc_ids form the historical hash index (distinct-hash reps —
+    // identical-hash groups of 400+ collapse before banding); odd
+    // doc_ids arrive as a PAYLOAD stream, hash statelessly per row
+    // (perceptualHashStream through the real codec), and flag via the
+    // banded stream-static join + exact popcount at Hamming <= 3.
+    // 2384 of 2500 incoming images flag at sf0.1 — both arms live.
+    "q166_stream_image_gate" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, d).select("doc_id")
+      val index = graft.streaming.StreamIngestGate.imageHashIndex(
+        graft.operators.Multimodal.perceptualHashes(
+          graft.operators.Multimodal.synthImages(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id")))
+      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q166:$d") {
+        graft.operators.Multimodal.synthImages(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id")
+          .toDF()
+          .select(col("media_id"), col("payload"),
+            timestamp_seconds(col("media_id")).as("ts"))
+      }
+      val schema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("ts", TimestampType)))
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, dir, schema)
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        graft.streaming.StreamIngestGate.imageFlagStream(
+          graft.operators.Multimodal.perceptualHashStream(
+            raw, "media_id", "payload", "ts"),
+          index, "3650 days"),
+        "q166_stream_image_gate")
+        .select("in_id", "hist_id")
+    }),
+
+    // HTML boilerplate extraction (TextFunctions.extractHtmlText): each
+    // document wrapped in a deterministic HTML template (title/script/
+    // style chrome, nav and footer divs, entity-escaped second
+    // paragraph), then extracted by the regex chain. matches_original
+    // certifies per row that extraction recovers exactly the known
+    // content — and the oracle re-runs the identical chain in RE2.
+    "q167_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>.x{color:red}</style><script>var n="),
+        col("doc_id"), lit(";</script></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">home</a> | "),
+        lit("<a href=\"/about\">about</a></div><p>"), col("text"),
+        lit("</p><p>fish &amp; chips &lt;tag&gt; &quot;q&quot;</p>"),
+        lit("<div class=\"footer\">site "), col("doc_id"),
+        lit("</div></body></html>"))
+      val expected = concat(col("text"),
+        lit(" fish & chips <tag> \"q\""))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.extractHtmlText(html)
+            .as("extracted"),
+          expected.as("expected"))
+        .select(col("doc_id"), col("extracted"),
+          length(col("extracted")).cast("long").as("n_chars"),
+          (col("extracted") === col("expected")).as("matches_original"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -5215,6 +5279,23 @@ object SparkEntry {
         |  (h.doc_id = g.rep AND g.rep NOT IN (SELECT rep FROM dom)) AS kept
         |FROM hh h JOIN g USING (hi, lo)""".stripMargin),
 
+    // Stream hashing = batch hashing bit for bit, so the gate's flagged
+    // set is the plain batch join: odd-half images vs the even-half
+    // distinct-hash representative index at Hamming <= 3 (the banded
+    // candidates are recall-lossless there by pigeonhole).
+    "q166_stream_image_gate" -> (sqlPhashCtes +
+      """,
+        |idx AS (
+        |  SELECT hi, lo, min(doc_id) AS hist_id FROM hh
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT doc_id AS in_id, hi, lo FROM hh WHERE doc_id % 2 = 1)
+        |SELECT i.in_id, x.hist_id
+        |FROM inc i JOIN idx x
+        |ON bit_count(xor(CAST(i.hi AS BIT), CAST(x.hi AS BIT)))
+        |  + bit_count(xor(CAST(i.lo AS BIT), CAST(x.lo AS BIT))) <= 3"""
+        .stripMargin),
+
     // Same micro-nat discipline as q147, at order 2: conditional
     // ln(c_ab / c_a-prefix), each ln rounded once, exact integer sums.
     "q163_bigram_lm" ->
@@ -5243,6 +5324,41 @@ object SparkEntry {
         |    / (CAST(sum(t.tf) AS DOUBLE) * 1e6), 6) AS avg_logprob
         |FROM tf t JOIN cond c USING (s)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // The identical wrap + strip chain in RE2 ('g' = global, inline
+    // (?s) dotall); &amp; unescapes last on both sides.
+    "q167_html_extract" ->
+      """WITH wrapped AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>.x{color:red}</style><script>var n=' ||
+        |    doc_id || ';</script></head><body>' ||
+        |    '<div class="nav"><a href="/">home</a> | ' ||
+        |    '<a href="/about">about</a></div><p>' || text ||
+        |    '</p><p>fish &amp; chips &lt;tag&gt; &quot;q&quot;</p>' ||
+        |    '<div class="footer">site ' || doc_id ||
+        |    '</div></body></html>' AS html,
+        |    text || ' fish & chips <tag> "q"' AS expected
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, expected,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(
+        |          regexp_replace(regexp_replace(html,
+        |            '(?s)<script.*?</script>', ' ', 'g'),
+        |          '(?s)<style.*?</style>', ' ', 'g'),
+        |          '(?s)<title.*?</title>', ' ', 'g'),
+        |          '(?s)<div class="(nav|footer)">.*?</div>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM wrapped)
+        |SELECT doc_id, extracted,
+        |  CAST(len(extracted) AS BIGINT) AS n_chars,
+        |  extracted = expected AS matches_original
+        |FROM ext""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

@@ -88,6 +88,34 @@ object TextFunctions {
       case (c, (regex, tag)) => regexp_replace(c, regex, tag)
     }
 
+  /** HTML → text extraction (the C4/CommonCrawl-style boilerplate
+    * strip): drop script and style blocks, drop chrome containers
+    * (nav/footer-class divs), strip remaining tags, unescape the core
+    * entities, collapse whitespace. A pure codegen'd regexp_replace
+    * chain — no parser, no UDF — using the RE2-safe subset (inline
+    * `(?s)` dotall, non-greedy spans, no lookarounds), so an engine-twin
+    * reproduces the extraction byte for byte. Entity order matters:
+    * `&amp;` unescapes LAST, or `&amp;lt;` would double-decode.
+    *
+    * A regex chain is the honest 100 TB shape for MACHINE-GENERATED
+    * wrappers (fixed template classes); arbitrary wild HTML needs a real
+    * parser behind the [[graft.operators.Multimodal]] quarantine seam.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val structural = Seq(
+      "(?s)<script.*?</script>",
+      "(?s)<style.*?</style>",
+      "(?s)<title.*?</title>",
+      "(?s)<div class=\"(nav|footer)\">.*?</div>",
+      "<[^>]*>")
+    val stripped = structural.foldLeft(html)(
+      (c, p) => regexp_replace(c, p, " "))
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Email, phone-ish digit runs, and IPv4 literals. Deliberately
     * conservative: favors precision (a training corpus survives a missed
     * phone number; aggressive patterns eat code and dates).

@@ -276,33 +276,59 @@ object Multimodal {
   def perceptualHashes(media: Dataset[MediaItem]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.flatMap { m =>
-        val img = try {
-          Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.payload)))
-        } catch { case scala.util.control.NonFatal(_) => None }
-        img.map { im =>
-          val w = im.getWidth; val h = im.getHeight
-          val lum = new Array[Long](64)
-          var sum = 0L
-          var p = 0
-          while (p < 64) {
-            val rgb = im.getRGB((p % 8) * w / 8, (p / 8) * h / 8)
-            val l = 299L * ((rgb >> 16) & 0xFF) +
-              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
-            lum(p) = l; sum += l; p += 1
-          }
-          var hi = 0L; var lo = 0L
-          p = 0
-          while (p < 64) {
-            if (lum(p) * 64L > sum) {
-              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
-            }
-            p += 1
-          }
-          (m.media_id, hi, lo)
-        }
-      }
+      it.flatMap(m => aHash(m.payload).map { case (hi, lo) =>
+        (m.media_id, hi, lo)
+      })
     }.toDF("media_id", "hash_hi", "hash_lo")
+  }
+
+  /** Streaming-compatible twin of [[perceptualHashes]] that carries the
+    * event-time column through (mapPartitions drops non-selected
+    * columns, and a stream cannot re-join its own hashes without state):
+    * (media_id, ts, hash_hi, hash_lo). Stateless — legal in a streaming
+    * plan with no watermark of its own.
+    */
+  def perceptualHashStream(df: DataFrame, idCol: String,
+                           payloadCol: String, tsCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload, ts) =>
+          aHash(payload).map { case (hi, lo) => (id, ts, hi, lo) }
+        }
+      }.toDF("media_id", "ts", "hash_hi", "hash_lo")
+  }
+
+  /** The shared aHash kernel: decode, 8×8 floor-map sample, integer
+    * luma, strict-mean bits, two-long packing. None = quarantine.
+    */
+  private def aHash(payload: Array[Byte]): Option[(Long, Long)] = {
+    val img = try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val lum = new Array[Long](64)
+      var sum = 0L
+      var p = 0
+      while (p < 64) {
+        val rgb = im.getRGB((p % 8) * w / 8, (p / 8) * h / 8)
+        val l = 299L * ((rgb >> 16) & 0xFF) +
+          587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+        lum(p) = l; sum += l; p += 1
+      }
+      var hi = 0L; var lo = 0L
+      p = 0
+      while (p < 64) {
+        if (lum(p) * 64L > sum) {
+          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+        }
+        p += 1
+      }
+      (hi, lo)
+    }
   }
 }

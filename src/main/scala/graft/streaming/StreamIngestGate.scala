@@ -52,6 +52,59 @@ object StreamIngestGate {
     * drops short docs), and the filter keeps the gate correct even if an
     * index is ever built from the fused per-row expression instead.
     */
+  /** Static banded index over historical image hashes for
+    * [[imageFlagStream]] — [[Dedup.hammingNearDupKept]]'s layout logic:
+    * identical hashes collapse to their min id FIRST (the synthetic
+    * corpus has 400+-member identical-hash groups; banding raw images
+    * would put c² pairs in one bucket and re-flag the same duplicate
+    * relationship c times), then each distinct hash emits its 4×16-bit
+    * band values.
+    */
+  def imageHashIndex(histHashes: DataFrame): DataFrame = {
+    val reps = histHashes
+      .groupBy("hash_hi", "hash_lo")
+      .agg(min(col("media_id")).as("hist_id"))
+    (0 until 4).map { j =>
+      val src = if (j < 2) col("hash_lo") else col("hash_hi")
+      reps.select(col("hist_id"), col("hash_hi").as("h_hi"),
+        col("hash_lo").as("h_lo"), lit(j).as("bj"),
+        shiftright(src, 16 * (j % 2)).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Image-ingest dedup gate: flag arriving images whose perceptual hash
+    * lies within Hamming `maxDist` of a historical representative. The
+    * stream side is stateless per row (4 band values per image via ONE
+    * posexplode); candidates come from the stream-static equi-join on
+    * (band, value) with the exact popcount verify; the only streaming
+    * state is the watermark-bounded flagged-pair dedup (a pair can match
+    * on several bands). Recall is the pigeonhole guarantee for
+    * maxDist <= 3. `incoming` = (media_id, ts, hash_hi, hash_lo) — the
+    * [[graft.operators.Multimodal.perceptualHashStream]] shape.
+    */
+  def imageFlagStream(incoming: DataFrame, index: DataFrame,
+                      watermark: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"4 bands of 16 bits guarantee recall only for maxDist in [1, 3]: $maxDist")
+    val banded = incoming
+      .select(col("media_id").as("in_id"), col("ts"),
+        col("hash_hi"), col("hash_lo"),
+        posexplode(array((0 until 4).map { j =>
+          val src = if (j < 2) col("hash_lo") else col("hash_hi")
+          shiftright(src, 16 * (j % 2)).bitwiseAND(lit(0xFFFFL))
+        }: _*)))
+      .select(col("in_id"), col("ts"), col("hash_hi"), col("hash_lo"),
+        col("pos").as("bj"), col("col").as("bv"))
+    val dist =
+      bit_count(col("hash_hi").bitwiseXOR(col("h_hi"))).cast("long") +
+        bit_count(col("hash_lo").bitwiseXOR(col("h_lo"))).cast("long")
+    banded.join(index, Seq("bj", "bv"))
+      .filter(dist <= maxDist)
+      .select(col("in_id"), col("hist_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("in_id", "hist_id")
+  }
+
   def flagStream(incoming: DataFrame, index: DataFrame, textCol: String,
                  idCol: String, watermark: String, shingleN: Int = 3,
                  k: Int = 32, bands: Int = 8,

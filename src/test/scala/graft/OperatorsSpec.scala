@@ -902,6 +902,23 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq("en", "es", "und"))
   }
+
+  test("extractHtmlText: chrome stripped, entities decoded in safe order") {
+    def ex(s: String): String = Seq(s).toDF("h")
+      .select(TextFunctions.extractHtmlText(col("h")))
+      .collect().head.getString(0)
+    assert(ex("<html><head><title>T</title><script>if(1<2){}</script>" +
+      "<style>a{x:&quot;}</style></head><body><p>hello   world</p>" +
+      "<div class=\"nav\"><a href=\"/\">menu</a></div>" +
+      "<div class=\"footer\">foot</div></body></html>") === "hello world")
+    // entity order: &amp;lt; is the LITERAL text "&lt;", never "<"
+    assert(ex("<p>a &amp;lt; b &lt; c &amp; d &quot;e&quot;</p>") ===
+      "a &lt; b < c & d \"e\"")
+    // a content div (no nav/footer class) survives
+    assert(ex("<div class=\"main\">real text</div>") === "real text")
+    // multiple script blocks, non-greedy spans
+    assert(ex("<script>a</script>keep<script>b</script>") === "keep")
+  }
 }
 
 class DecontaminateSpec extends SparkSpec {

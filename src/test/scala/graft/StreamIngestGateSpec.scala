@@ -62,4 +62,33 @@ class StreamIngestGateSpec extends SparkSpec {
     assert(viaIndex.exceptAll(viaColumn).count() === 0L)
     assert(viaColumn.exceptAll(viaIndex).count() === 0L)
   }
+
+  test("image gate: identical-hash history collapses to one rep; " +
+    "near and exact arrivals flag, distant ones pass") {
+    // history: ids 10/12 share a hash (rep 10), id 14 distinct
+    val hist = Seq((10L, 0L, 0L), (12L, 0L, 0L), (14L, 1L << 40, 255L))
+      .toDF("media_id", "hash_hi", "hash_lo")
+    val index = StreamIngestGate.imageHashIndex(hist)
+    // the collapsed index carries ONE rep for the shared hash
+    assert(index.select("hist_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(10L, 14L))
+    val dir = StreamSessions.stageFrameAsDir("spec-imgate") {
+      Seq(
+        (100L, 0L, 1L),          // d=1 from rep 10 -> flag
+        (101L, 1L << 40, 255L),  // exact dup of 14 -> flag
+        (102L, -1L, -1L))        // far from both -> pass
+        .toDF("media_id", "hash_hi", "hash_lo")
+        .select(col("media_id"),
+          org.apache.spark.sql.functions.timestamp_seconds(
+            col("media_id")).as("ts"),
+          col("hash_hi"), col("hash_lo"))
+    }
+    val raw = StreamSessions.readParquetStream(spark, dir,
+      spark.read.parquet(dir).schema)
+    val got = StreamSessions.runToCompletionAppend(
+      StreamIngestGate.imageFlagStream(raw, index, "1 hour"),
+      "spec_imgate")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 10L), (101L, 14L)))
+  }
 }
