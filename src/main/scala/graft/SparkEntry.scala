@@ -2679,6 +2679,87 @@ object SparkEntry {
         .select(col("doc_id"), col("extracted"),
           length(col("extracted")).cast("long").as("n_chars"),
           (col("extracted") === col("expected")).as("matches_original"))
+    }),
+
+    // Edit-distance-1 fuzzy join (EditDistance.fuzzyPairs): deletion-
+    // neighborhood blocking (FastSS/SymSpell) over a noisy-name
+    // universe — part names with a digit suffix plus three planted
+    // typo classes (delete 3rd char / substitute 4th / insert after
+    // 4th), derived by identical integer-cased string arithmetic on
+    // both engines. Candidates are linear in vocabulary bytes; the
+    // oracle is the quadratic all-pairs under the sound ±1 length
+    // band that distance <= 1 implies.
+    "q168_fuzzy_join" -> ((s, d) => {
+      val base = concat(col("p_name"), lit(" "),
+        (col("p_partkey") % 10).cast("string"))
+      val m = col("p_partkey") % 11
+      val noisy = when(m === 0,
+          concat(base.substr(lit(1), lit(2)), base.substr(lit(4), lit(1000))))
+        .when(m === 1,
+          concat(base.substr(lit(1), lit(3)), lit("x"),
+            base.substr(lit(5), lit(1000))))
+        .when(m === 2,
+          concat(base.substr(lit(1), lit(4)), lit("q"),
+            base.substr(lit(5), lit(1000))))
+        .otherwise(base)
+      graft.operators.EditDistance.fuzzyPairs(
+        Tables.part(s, d).select(noisy.as("noisy")), "noisy")
+    }),
+
+    // k-anonymity ladder (Anonymize.kAnonymityLevels): level 0 =
+    // (nation, segment, 500-wide balance bucket), level 1 = (nation,
+    // 2000-wide bucket), else suppressed; k = 4, local recode (level-1
+    // counts only the rows level 0 rejected, so the count IS the
+    // published group size). The input pre-partitions on the shared
+    // `nation` prefix so both window passes reuse one exchange. All
+    // three outcomes live at both scales (29/1441/30 rows at sf0.01).
+    "q169_kanonymity" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("b0", floor(col("c_acctbal") / 500))
+        .withColumn("b1", floor(col("c_acctbal") / 2000))
+        .repartition(col("c_nationkey"))
+      graft.operators.Anonymize.kAnonymityLevels(c, k = 4,
+        Seq(Seq(col("c_nationkey"), col("c_mktsegment"), col("b0")),
+          Seq(col("c_nationkey"), col("b1"))))
+        .select(col("c_custkey"), col("gen_level"),
+          when(col("gen_level") < 2, col("c_nationkey").cast("long"))
+            .as("qi_nation"),
+          when(col("gen_level") === 0, col("c_mktsegment"))
+            .as("qi_segment"),
+          when(col("gen_level") === 0, col("b0") * 500)
+            .when(col("gen_level") === 1, col("b1") * 2000)
+            .as("qi_bal_lo"),
+          when(col("gen_level") === 0, 500L)
+            .when(col("gen_level") === 1, 2000L)
+            .cast("long").as("qi_bal_w"))
+    }),
+
+    // Z-order layout (Layout.zOrderBuckets over InterleaveBits): both
+    // lineitem key dims scaled linearly into the full 16-bit range
+    // (locality-preserving, deterministic at every sf), bucketed by
+    // the top 3 bit-pairs of the 32-bit Morton key = a fixed 8x8
+    // curve grid — stateless per-row bucketing, no sampled range
+    // boundaries, one aggregate for the per-file min/max stats the
+    // write path would put in parquet footers.
+    "q170_zorder" -> ((s, d) =>
+      graft.sources.Layout.zOrderBuckets(
+        Tables.lineitem(s, d),
+        (col("l_partkey") % 2000) * 32,
+        (col("l_suppkey") % 100) * 640,
+        bucketBits = 3)),
+
+    // Semantic decontamination (Decontaminate.semanticOverlap): the
+    // paraphrase net over embeddings — every 50th vector is the held-
+    // out benchmark (broadcast), the rest is the corpus; one fused
+    // cosine scan + one per-id max. tau = 0.35 sits at the observed
+    // ~p97 of the max-sim distribution, so both arms of the flag are
+    // populated.
+    "q171_semantic_decontam" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Decontaminate.semanticOverlap(
+        e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 50 === 0), "embedding",
+        tau = 0.35)
     })
   )
 
@@ -5359,6 +5440,91 @@ object SparkEntry {
         |  CAST(len(extracted) AS BIGINT) AS n_chars,
         |  extracted = expected AS matches_original
         |FROM ext""".stripMargin,
+
+    // Quadratic all-pairs under the SOUND ±1 length band (Levenshtein
+    // distance <= 1 implies |len(a)-len(b)| <= 1) — no blocking
+    // assumption shared with the Spark side's deletion-neighborhood
+    // join; identical noisy-name derivation.
+    "q168_fuzzy_join" ->
+      """WITH b AS (
+        |  SELECT p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS base,
+        |    p_partkey % 11 AS m FROM part),
+        |u AS (SELECT DISTINCT CASE
+        |    WHEN m = 0 THEN substr(base, 1, 2) || substr(base, 4, 1000)
+        |    WHEN m = 1 THEN substr(base, 1, 3) || 'x' || substr(base, 5, 1000)
+        |    WHEN m = 2 THEN substr(base, 1, 4) || 'q' || substr(base, 5, 1000)
+        |    ELSE base END AS s FROM b)
+        |SELECT a.s AS name_a, b2.s AS name_b,
+        |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
+        |FROM u a JOIN u b2
+        |  ON a.s < b2.s AND abs(len(a.s) - len(b2.s)) <= 1
+        |WHERE levenshtein(a.s, b2.s) <= 1""".stripMargin,
+
+    // The same local-recode ladder as two window passes: level-1
+    // counts only the rows level 0 rejected (FILTER c0 < k), so the
+    // count is the published group size.
+    "q169_kanonymity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS b0,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b1
+        |  FROM customer),
+        |l0 AS (SELECT *, count(*) OVER
+        |  (PARTITION BY c_nationkey, c_mktsegment, b0) AS c0 FROM c),
+        |l1 AS (SELECT *, count(*) FILTER (WHERE c0 < 4) OVER
+        |  (PARTITION BY c_nationkey, b1) AS c1 FROM l0),
+        |lv AS (SELECT *, CASE WHEN c0 >= 4 THEN 0
+        |  WHEN c1 >= 4 THEN 1 ELSE 2 END AS gen_level FROM l1)
+        |SELECT c_custkey, CAST(gen_level AS BIGINT) AS gen_level,
+        |  CASE WHEN gen_level < 2 THEN CAST(c_nationkey AS BIGINT) END
+        |    AS qi_nation,
+        |  CASE WHEN gen_level = 0 THEN c_mktsegment END AS qi_segment,
+        |  CASE WHEN gen_level = 0 THEN b0 * 500
+        |    WHEN gen_level = 1 THEN b1 * 2000 END AS qi_bal_lo,
+        |  CAST(CASE WHEN gen_level = 0 THEN 500
+        |    WHEN gen_level = 1 THEN 2000 END AS BIGINT) AS qi_bal_w
+        |FROM lv""".stripMargin,
+
+    // The identical magic-number bit-spread ladder on BIGINTs
+    // (0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555 in decimal), then
+    // the same top-6-bit bucket aggregate.
+    "q170_zorder" ->
+      """WITH pts AS (
+        |  SELECT (l_partkey % 2000) * 32 AS qx,
+        |    (l_suppkey % 100) * 640 AS qy FROM lineitem),
+        |s1 AS (SELECT qx, qy, (qx | (qx << 8)) & 16711935 AS x1,
+        |  (qy | (qy << 8)) & 16711935 AS y1 FROM pts),
+        |s2 AS (SELECT qx, qy, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT qx, qy, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT qx, qy, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+        |z AS (SELECT qx, qy, x4 | (y4 << 1) AS zval FROM s4)
+        |SELECT zval >> 26 AS bucket, count(*) AS cnt,
+        |  min(qx) AS x_min, max(qx) AS x_max,
+        |  min(qy) AS y_min, max(qy) AS y_max,
+        |  min(zval) AS z_min, max(zval) AS z_max
+        |FROM z GROUP BY 1""".stripMargin,
+
+    // q24's cosine expression verbatim (round 6 before the max; round
+    // is monotone so max(round) = round(max)), grouped to the per-id
+    // flag.
+    "q171_semantic_decontam" ->
+      """WITH b AS (
+        |  SELECT embedding AS bq FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    round(list_sum(list_transform(list_zip(e.embedding, b.bq),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.bq,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e, b WHERE e.vec_id % 50 <> 0)
+        |SELECT vec_id, max(sim) AS max_sim,
+        |  max(sim) >= 0.35 AS contaminated
+        |FROM s GROUP BY 1""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

@@ -56,4 +56,31 @@ object Decontaminate {
       .withColumn("contaminated",
         (col("n_hit") >= minOverlap).cast("long"))
   }
+
+  /** Semantic decontamination: flag corpus rows whose embedding is
+    * within cosine `tau` of ANY benchmark embedding — the paraphrase
+    * net that n-gram overlap misses. Same scale shape as [[overlap]]:
+    * the benchmark side broadcasts, the corpus streams through one
+    * fused-codegen cosine scan ([[graft.plans.CosineSimilarity]]) and
+    * one hash aggregate on the corpus id — no corpus shuffle before
+    * the final per-id max.
+    *
+    * Every corpus row appears in the output with its `max_sim`
+    * (rounded to 6 dp BEFORE the max so the score is reproducible
+    * across engines; rounding is monotone, so the rounded max equals
+    * the max of rounded sims) and the keep/drop flag.
+    */
+  def semanticOverlap(corpus: DataFrame, idCol: String, vecCol: String,
+                      bench: DataFrame, benchVecCol: String,
+                      tau: Double): DataFrame = {
+    val b = broadcast(bench.select(col(benchVecCol).as("__b_emb")))
+    corpus.select(col(idCol), col(vecCol).as("__c_emb"))
+      .crossJoin(b)
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.cosine(
+          col("__c_emb"), col("__b_emb")), 6).as("__sim"))
+      .groupBy(idCol)
+      .agg(max(col("__sim")).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= tau)
+  }
 }

@@ -97,6 +97,10 @@ object GraftExtensions {
         arity("word_shingle_hashes", args, 2)
         WordShingleHashes(args(0),
           litLong("word_shingle_hashes", args, 1).toInt)
+      }),
+      descriptor("interleave_bits", classOf[InterleaveBits], { args =>
+        arity("interleave_bits", args, 2)
+        InterleaveBits(args(0), args(1))
       }))
 
   /** Imperative registration on an existing session. */

@@ -33,11 +33,15 @@ object Layout {
   }
 
   /** Morton interleave of two `bits`-bit non-negative ints: x occupies the
-    * even result bits, y the odd ones. 2·bits ≤ 63.
+    * even result bits, y the odd ones. 2·bits ≤ 63. Up to 16 bits this is
+    * the fused [[graft.plans.InterleaveBits]] magic-number ladder (one
+    * codegen'd expression instead of a 2·bits-term Column tree); wider
+    * keys keep the composed per-bit form.
     */
   def interleave(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && 2 * bits <= 63, s"bits out of range: $bits")
-    (0 until bits).map { k =>
+    if (bits <= 16) graft.plans.InterleaveBits(x, y, bits)
+    else (0 until bits).map { k =>
       shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k)
         .bitwiseOR(
           shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1))
@@ -60,4 +64,30 @@ object Layout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** Per-bucket layout stats over FIXED curve cells: bucket = the top
+    * `bucketBits` bit-pairs of the 32-bit z-key over (x, y) — both must
+    * already be quantized into [0, 65536). Unlike [[zorderByRange]]
+    * (sampled boundaries, one range exchange), the curve-cell bucket is
+    * a stateless per-row expression — data-independent file assignment,
+    * no global sort — and the returned min/max row per occupied bucket
+    * is exactly the footer stats a parquet write of that cell would
+    * carry: the bbox IS the proof the layout prunes two-dimensional
+    * range predicates.
+    */
+  def zOrderBuckets(df: DataFrame, x: Column, y: Column,
+                    bucketBits: Int = 3): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"bucketBits must be in [1,16], got $bucketBits")
+    val z = graft.plans.InterleaveBits(x.cast("long"), y.cast("long"))
+    df.select(x.cast("long").as("qx"), y.cast("long").as("qy"),
+        z.as("zval"))
+      .withColumn("bucket",
+        shiftright(col("zval"), 32 - 2 * bucketBits))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("qx").as("x_min"), max("qx").as("x_max"),
+        min("qy").as("y_min"), max("qy").as("y_max"),
+        min("zval").as("z_min"), max("zval").as("z_max"))
+  }
 }

@@ -316,4 +316,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairAgg >= 2,
       s"wedge counting must be a partial+final hash aggregate:\n$plan")
   }
+
+  test("q169 k-anonymity: both ladder windows reuse the ONE nation exchange") {
+    // HashPartitioning(nation) satisfies each window's
+    // ClusteredDistribution (subset clustering), so the two-level
+    // ladder is exchange-once, sort-per-level — the property that keeps
+    // the ladder one-pass at 100 TB.
+    val plan = planOf(SparkEntry.queries("q169_kanonymity")(spark, sf))
+    assert(exchanges(plan) === 1,
+      s"ladder must shuffle exactly once, on the shared prefix:\n$plan")
+    assert(plan.contains("hashpartitioning(c_nationkey"),
+      s"the single exchange must key on nation:\n$plan")
+  }
+
+  test("q170 z-order stats: fused key, one bucket aggregate, no global sort") {
+    val plan = planOf(SparkEntry.queries("q170_zorder")(spark, sf))
+    assert(plan.contains("interleave_bits"),
+      s"the z-key must be the fused expression:\n$plan")
+    assert(exchanges(plan) === 1,
+      s"curve-cell bucketing is stateless; only the stats agg shuffles:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"fixed curve cells need no range sort:\n$plan")
+    // map-side combine on the bucket key
+    val bucketAgg = "HashAggregate\\(keys=\\[bucket#\\d+L?\\]".r
+      .findAllIn(plan).size
+    assert(bucketAgg >= 2, s"bucket stats must partial-aggregate:\n$plan")
+  }
+
+  test("q171 semantic decontam: benchmark broadcasts, ONE corpus shuffle") {
+    val plan = planOf(
+      SparkEntry.queries("q171_semantic_decontam")(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"the benchmark side must broadcast:\n$plan")
+    assert(exchanges(plan) === 1,
+      s"corpus shuffles once, for the per-id max:\n$plan")
+    assert(plan.contains("cosine_sim"),
+      s"scoring must be the fused cosine expression:\n$plan")
+  }
+
+  test("q168 fuzzy join: candidates equi-join on the variant, never cross") {
+    val plan = planOf(SparkEntry.queries("q168_fuzzy_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood join must stay an equi-join:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"the exact verify must be the native codegen levenshtein:\n$plan")
+  }
 }
