@@ -161,7 +161,8 @@ object ScaleSmoke {
       "q156_temperature_mix", "q157_link_prediction",
       "q159_inverted_index", "q160_collocations", "q161_dataset_card",
       "q163_bigram_lm", "q168_fuzzy_join", "q169_kanonymity",
-      "q170_zorder", "q171_semantic_decontam")
+      "q170_zorder", "q171_semantic_decontam", "q172_bpe_train",
+      "q173_audio_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -2762,6 +2762,64 @@ object SparkEntry {
         e.filter(col("vec_id") >= 40), "vec_id", "embedding",
         e.filter(col("vec_id") < 40), "embedding",
         tau = 0.35)
+    }),
+
+    // BPE merge-rule training (Frequency.bpeMerges): the first 3
+    // data-DEPENDENT merges — each round's winner shapes the next
+    // round's pair counts, the tokenizer-training loop. One corpus
+    // pass (word→freq vocabulary contraction), then vocab-sized
+    // rounds; the oracle replays the identical 3-round scalar-
+    // subquery chain, so a wrong winner in ANY round cascades into a
+    // hash mismatch.
+    "q172_bpe_train" -> ((s, d) =>
+      graft.operators.Frequency.bpeMerges(
+        Tables.documents(s, d), "doc_id", "text", rounds = 3)),
+
+    // Audio fingerprinting (Multimodal.synthAudio + audioFrames): a
+    // full RIFF/WAVE container round trip — synthetic 16-bit mono PCM
+    // whose every sample is a closed-form integer of the id, decoded
+    // by a real chunk walker; per-frame integer band energies + peak
+    // band in mapPartitions, then the Shazam-style adjacent-peak
+    // fingerprint as a relational lead() — frames, not samples, cross
+    // into the window (1/256 of decoded volume).
+    "q173_audio_fingerprint" -> ((s, d) => {
+      val fr = graft.operators.Multimodal.audioFrames(
+        graft.operators.Multimodal.synthAudio(
+          Tables.documents(s, d).select("doc_id"), "doc_id")).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("frame_idx")
+      fr.withColumn("fp",
+        col("peak_band") * 4 + lead(col("peak_band"), 1).over(w))
+    }),
+
+    // Streaming row-level quarantine gate (Expectations.rowGate): the
+    // streaming-safe complement of q141's batch report — pure per-row
+    // verdicts, failing rows tagged with every failed check name, so
+    // the sink splits clean rows from the dead-letter stream with one
+    // filter. Stateless projection: no watermark, no state store;
+    // oracle = the identical predicates in batch SQL. Both arms live
+    // (cents_range and type_domain each quarantine rows).
+    "q174_stream_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q174:$d") {
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val raw = graft.streaming.StreamSessions.readParquetStream(s, dir, schema)
+      val gated = graft.operators.Expectations.rowGate(
+        raw.withColumn("cents", round(col("value") * 100, 0).cast("long")),
+        Seq(
+          ("value_nonnull", col("value").isNotNull),
+          ("cents_range", col("cents").between(100, 20000)),
+          ("type_domain",
+            col("event_type").isin("click", "view", "purchase", "signup"))))
+        .select(col("event_id"), col("reasons"), col("quarantined"))
+      graft.streaming.StreamSessions.runToCompletionAppend(
+        gated, "q174_stream_quarantine")
     })
   )
 
@@ -5527,6 +5585,90 @@ object SparkEntry {
         |SELECT vec_id, max(sim) AS max_sim,
         |  max(sim) >= 0.35 AS contaminated
         |FROM s GROUP BY 1""".stripMargin,
+
+    // The identical 3-round merge chain as scalar-subquery CTEs: each
+    // round's (count -> top-1 -> literal replace) feeds the next, so a
+    // wrong winner in any round cascades. ·x· wrapping as in the Spark
+    // side (each symbol owns both delimiters — back-to-back merges).
+    "q172_bpe_train" ->
+      """WITH w AS (
+        |  SELECT tok AS w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY 1),
+        |s0 AS (SELECT regexp_replace(w, '(.)', '·\1·', 'g') AS seq, freq FROM w),
+        |c0 AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
+        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
+        |                 freq FROM s0))
+        |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(seq,
+        |         '·' || (SELECT a FROM c0) || '··' || (SELECT b FROM c0) || '·',
+        |         '·' || (SELECT a FROM c0) || (SELECT b FROM c0) || '·') AS seq,
+        |         freq FROM s0),
+        |c1 AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
+        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
+        |                 freq FROM s1))
+        |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(seq,
+        |         '·' || (SELECT a FROM c1) || '··' || (SELECT b FROM c1) || '·',
+        |         '·' || (SELECT a FROM c1) || (SELECT b FROM c1) || '·') AS seq,
+        |         freq FROM s1),
+        |c2 AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
+        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
+        |                 freq FROM s2))
+        |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+        |  a || b AS merged, cnt FROM c0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), a, b, a || b, cnt FROM c1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM c2""".stripMargin,
+
+    // Every decoded sample re-derived in closed form from the synthetic
+    // PCM formula (the q164 discipline for audio): band energies,
+    // >=-chain peak, and the adjacent-peak fingerprint via lead().
+    "q173_audio_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 1024 + (doc_id % 7) * 256 AS n
+        |  FROM documents),
+        |idx AS (SELECT media_id, unnest(range(0, n)) AS i FROM d),
+        |s AS (SELECT media_id, i // 256 AS frame_idx, (i % 256) // 64 AS band,
+        |        abs((media_id * 31 + i * i * 7) % 4096 - 2048) AS a FROM idx),
+        |e AS (SELECT media_id, frame_idx,
+        |        CAST(sum(CASE WHEN band = 0 THEN a ELSE 0 END) AS BIGINT) AS e0,
+        |        CAST(sum(CASE WHEN band = 1 THEN a ELSE 0 END) AS BIGINT) AS e1,
+        |        CAST(sum(CASE WHEN band = 2 THEN a ELSE 0 END) AS BIGINT) AS e2,
+        |        CAST(sum(CASE WHEN band = 3 THEN a ELSE 0 END) AS BIGINT) AS e3
+        |      FROM s GROUP BY 1, 2),
+        |p AS (SELECT *, CAST(CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0
+        |        WHEN e1 >= e2 AND e1 >= e3 THEN 1
+        |        WHEN e2 >= e3 THEN 2 ELSE 3 END AS BIGINT) AS peak_band FROM e)
+        |SELECT media_id, frame_idx, e0, e1, e2, e3, peak_band,
+        |  peak_band * 4 + lead(peak_band) OVER
+        |    (PARTITION BY media_id ORDER BY frame_idx) AS fp
+        |FROM p""".stripMargin,
+
+    // The identical per-row verdicts in batch: NULL verdicts count as
+    // failed (NOT coalesce(valid, FALSE)), concat_ws skips passing
+    // checks' null slots.
+    "q174_stream_quarantine" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_id, concat_ws(',',
+        |    CASE WHEN NOT coalesce(value IS NOT NULL, FALSE)
+        |      THEN 'value_nonnull' END,
+        |    CASE WHEN NOT coalesce(cents BETWEEN 100 AND 20000, FALSE)
+        |      THEN 'cents_range' END,
+        |    CASE WHEN NOT coalesce(event_type IN
+        |        ('click', 'view', 'purchase', 'signup'), FALSE)
+        |      THEN 'type_domain' END) AS reasons
+        |  FROM e)
+        |SELECT event_id, reasons, reasons <> '' AS quarantined
+        |FROM r""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

@@ -43,6 +43,28 @@ object Expectations {
         col("c.observed").as("observed"), col("c.passed").as("passed"))
   }
 
+  /** Row-level expectation router — the STREAMING-safe complement of
+    * [[evaluate]] (whose aggregates need the whole batch): each check is
+    * a per-row validity predicate; failing rows carry the
+    * comma-joined names of every failed check in `reasons` and
+    * `quarantined = true`, so a sink can split good rows from the
+    * dead-letter stream with one filter. Pure projection — no state, no
+    * watermark, safe under any output mode, and the identical Column
+    * expressions run in batch for the oracle.
+    *
+    * A NULL verdict counts as FAILED (three-valued logic: a check that
+    * cannot evaluate has not passed). Reason order = declaration order;
+    * `concat_ws` skips the null slots of passing checks.
+    */
+  def rowGate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowGate: need at least one check")
+    val reasons = concat_ws(",", checks.map { case (nm, valid) =>
+      when(!coalesce(valid, lit(false)), lit(nm))
+    }: _*)
+    df.withColumn("reasons", reasons)
+      .withColumn("quarantined", col("reasons") =!= "")
+  }
+
   /** Calendar completeness: per-day row counts joined against the FULL
     * day range between the batch's min and max day (a `sequence()`
     * explode off one scalar row — absent days surface as 0, which a

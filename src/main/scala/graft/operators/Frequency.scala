@@ -28,6 +28,73 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
+  /** BPE merge-rule training: learn the first `rounds` byte-pair-encoding
+    * merges from a space-tokenized corpus. Returns the merge TABLE
+    * (round, sym_a, sym_b, merged, cnt) — like
+    * [[Clustering.lloydCentroids]], training yields a small model
+    * artifact, so the per-round winner (ONE row) is collected and
+    * inlined as a literal into the next round's rewrite.
+    *
+    * Scale shape: the corpus is scanned ONCE (word → frequency — the
+    * vocabulary contraction); every round after that is vocab-sized:
+    * pair counts ride on distinct words weighted by frequency, the
+    * winner is a TakeOrdered top-1 (never a single-partition sort), and
+    * the merge is applied as a literal string rewrite on the persisted
+    * vocab frame.
+    *
+    * Symbol sequences are represented as `·x·` wrapped tokens
+    * ("hello" → "·h··e··l··l··o·"): each symbol owns BOTH its
+    * delimiters, so replacing `·a··b·` with `·ab·` is exactly the
+    * greedy leftmost non-overlapping BPE merge even for back-to-back
+    * occurrences (`abab`) — a SHARED delimiter would swallow the next
+    * occurrence's boundary. Precondition: tokens must not contain '·'
+    * (U+00B7). Ties break (cnt desc, sym_a asc, sym_b asc).
+    */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    val vocab = graft.CacheScope.track(
+      docs.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", "·$1·").as("seq"),
+          col("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var cur = vocab.toDF()
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val syms = expr("split(substring(seq, 2, char_length(seq) - 2), '··')")
+      val top = cur
+        .withColumn("__s", syms)
+        .withColumn("__a", slice(col("__s"), lit(1), size(col("__s")) - 1))
+        .withColumn("__b", slice(col("__s"), lit(2), size(col("__s")) - 1))
+        .select(explode(arrays_zip(col("__a"), col("__b"))).as("p"),
+          col("freq"))
+        .groupBy(col("p.__a").as("sym_a"), col("p.__b").as("sym_b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, cnt))
+        // symbols are corpus-derived text: quote them SQL-literally
+        def q(s: String) = s.replace("'", "''")
+        cur = cur.withColumn("seq",
+          expr(s"replace(seq, '·${q(a)}··${q(b)}·', '·${q(a)}${q(b)}·')"))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "cnt")
+  }
+
   /** Exact top-k values by frequency with deterministic tie-break. */
   def topK(df: DataFrame, valueCol: Column, k: Int): DataFrame =
     df.select(valueCol.as("value"))

@@ -331,4 +331,131 @@ object Multimodal {
       (hi, lo)
     }
   }
+
+  /** Per-frame band energies decoded from a WAV payload — the audio
+    * analog of [[ImageFeatures]]: the SQL-checkable integer subset.
+    */
+  final case class AudioFrame(media_id: Long, frame_idx: Long,
+                              e0: Long, e1: Long, e2: Long, e3: Long,
+                              peak_band: Long)
+
+  /** Deterministic synthetic WAV payloads (16-bit mono PCM, 8 kHz):
+    * sample i of id is `floorMod(id·31 + i²·7, 4096) − 2048`, length
+    * `1024 + (id mod 7)·256` samples — a full RIFF/WAVE container, so
+    * [[audioFrames]]' chunk walker exercises the real byte path, and a
+    * SQL oracle re-derives every decoded sample in closed form (the
+    * audio twin of [[synthImages]]' pixel formulas).
+    */
+  def synthAudio(df: DataFrame, idCol: String): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val n = (1024 + java.lang.Math.floorMod(id, 7L) * 256).toInt
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)       // PCM, mono
+        .putInt(8000).putInt(16000)    // sample rate, byte rate
+        .putShort(2).putShort(16)      // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0L
+      while (i < n) {
+        bb.putShort(
+          (java.lang.Math.floorMod(id * 31L + i * i * 7L, 4096L) - 2048L)
+            .toShort)
+        i += 1
+      }
+      MediaItem(id, "audio/wav", bb.array())
+    }
+  }
+
+  /** Decode WAV payloads and emit one row per non-overlapping
+    * `frameLen`-sample frame with 4 integer band energies (sum |s| over
+    * each quarter — the codec-honest stand-in for spectral bands) and
+    * the peak band (ties to the lowest index). A real RIFF chunk walker
+    * — fmt parsed wherever it sits, unknown chunks skipped — restricted
+    * to 16-bit mono PCM; unparseable payloads quarantine to zero rows
+    * (the [[perceptualHashes]] contract). Trailing partial frames drop.
+    *
+    * Scale shape: mapPartitions decode (per-batch codec seam), output
+    * is frames not samples — ~1/256 of the decoded volume crosses into
+    * the relational stage.
+    */
+  def audioFrames(media: Dataset[MediaItem],
+                  frameLen: Int = 256): Dataset[AudioFrame] = {
+    require(frameLen >= 4 && frameLen % 4 == 0,
+      s"frameLen must be a positive multiple of 4, got $frameLen")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavPcm16Mono(m.payload).toSeq.flatMap { samples =>
+          val nFrames = samples.length / frameLen
+          val quarter = frameLen / 4
+          (0 until nFrames).map { f =>
+            val e = new Array[Long](4)
+            var i = 0
+            while (i < frameLen) {
+              e(i / quarter) += math.abs(samples(f * frameLen + i).toLong)
+              i += 1
+            }
+            // >= chain = lowest index wins ties (oracle mirrors it)
+            val peak =
+              if (e(0) >= e(1) && e(0) >= e(2) && e(0) >= e(3)) 0L
+              else if (e(1) >= e(2) && e(1) >= e(3)) 1L
+              else if (e(2) >= e(3)) 2L
+              else 3L
+            AudioFrame(m.media_id, f.toLong, e(0), e(1), e(2), e(3), peak)
+          }
+        }
+      }
+    }
+  }
+
+  /** RIFF walker: returns the PCM16-mono sample array, or None for
+    * anything it cannot strictly parse (truncated, compressed, stereo,
+    * non-16-bit, missing chunks).
+    */
+  private[graft] def decodeWavPcm16Mono(
+      payload: Array[Byte]): Option[Array[Short]] = {
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.remaining() < 12) return None
+      val riff = new Array[Byte](4); bb.get(riff)
+      if (!java.util.Arrays.equals(riff, "RIFF".getBytes("US-ASCII")))
+        return None
+      bb.getInt // declared riff size; chunk walk below is authoritative
+      val wave = new Array[Byte](4); bb.get(wave)
+      if (!java.util.Arrays.equals(wave, "WAVE".getBytes("US-ASCII")))
+        return None
+      var fmtOk = false
+      var samples: Option[Array[Short]] = None
+      while (bb.remaining() >= 8 && samples.isEmpty) {
+        val tag = new Array[Byte](4); bb.get(tag)
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return None
+        val name = new String(tag, "US-ASCII")
+        if (name == "fmt ") {
+          if (len < 16) return None
+          val p0 = bb.position()
+          val fmt = bb.getShort; val ch = bb.getShort
+          bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          if (fmt != 1 || ch != 1 || bits != 16) return None
+          fmtOk = true
+          bb.position(p0 + len + (len & 1)) // chunks are word-aligned
+        } else if (name == "data") {
+          if (!fmtOk) return None
+          val out = new Array[Short](len / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort; i += 1 }
+          samples = Some(out)
+        } else {
+          bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      samples
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

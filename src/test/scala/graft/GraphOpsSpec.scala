@@ -979,3 +979,48 @@ class LinkPredictionSpec extends SparkSpec {
     }
   }
 }
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(docs: Seq[(Long, String)], rounds: Int) =
+    graft.operators.Frequency
+      .bpeMerges(docs.toDF("doc_id", "text"), "doc_id", "text", rounds)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+
+  test("frequency-weighted merges with deterministic tie-break") {
+    // vocab: abab freq 3, ab freq 1, cd freq 3
+    // r0: (a,b) = 2*3 + 1 = 7 beats (b,a) = 3 and (c,d) = 3
+    // r1: abab -> [ab, ab] so (ab,ab) = 3 TIES (c,d) = 3; 'ab' < 'c'
+    // r2: only (c,d) remains
+    val got = merges(
+      Seq((1L, "abab abab cd"), (2L, "abab ab cd cd")), 3)
+    assert(got === Seq(
+      (0L, "a", "b", "ab", 7L),
+      (1L, "ab", "ab", "abab", 3L),
+      (2L, "c", "d", "cd", 3L)))
+  }
+
+  test("back-to-back occurrences both merge (the shared-delimiter trap)") {
+    // 'aaaa': r0 counts (a,a) = 3; greedy-left application must yield
+    // [aa, aa] — a rewrite whose pattern shares one delimiter between
+    // adjacent occurrences would leave [aa, a, a] and r1 would find
+    // (aa,a) instead of (aa,aa)
+    val got = merges(Seq((1L, "aaaa")), 2)
+    assert(got === Seq(
+      (0L, "a", "a", "aa", 3L),
+      (1L, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("triple 'aaa' merges leftmost pair only") {
+    // greedy-left BPE: [aa, a], so r1 pairs (aa, a) — never (a, aa)
+    val got = merges(Seq((1L, "aaa")), 2)
+    assert(got === Seq(
+      (0L, "a", "a", "aa", 2L),
+      (1L, "aa", "a", "aaa", 1L)))
+  }
+
+  test("corpus with no pairs stops early and empty tokens are ignored") {
+    assert(merges(Seq((1L, "a b  c")), 3) === Seq.empty)
+  }
+}

@@ -533,3 +533,76 @@ class CsvRoundTripSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === src)
   }
 }
+
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  /** Hand WAV builder (independent of synthAudio): optional junk chunk
+    * before fmt, configurable channels/bits for the negative cases.
+    */
+  private def wav(samples: Seq[Short], channels: Short = 1,
+                  bits: Short = 16, junkLen: Int = 0): Array[Byte] = {
+    val junk = if (junkLen > 0) 8 + junkLen + (junkLen & 1) else 0
+    val n = 2 * samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + junk + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + junk + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (junkLen > 0) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(junkLen)
+      (0 until junkLen + (junkLen & 1)).foreach(_ => bb.put(0x7F.toByte))
+    }
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels).putInt(8000).putInt(16000)
+      .putShort(2).putShort(bits)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("synthAudio round-trips through the RIFF walker to the closed form") {
+    val item = Multimodal.synthAudio(Seq(5L).toDF("id"), "id")
+      .collect().head
+    val s = Multimodal.decodeWavPcm16Mono(item.payload).get
+    assert(s.length === 1024 + (5 % 7) * 256)
+    s.indices.foreach { i =>
+      val want =
+        java.lang.Math.floorMod(5L * 31 + i.toLong * i * 7, 4096L) - 2048L
+      assert(s(i) === want.toShort, s"sample $i")
+    }
+  }
+
+  test("chunk walker: junk chunk skipped; stereo/8-bit/truncated quarantine") {
+    val good = Seq.tabulate(16)(i => (i * 3 - 20).toShort)
+    assert(Multimodal.decodeWavPcm16Mono(wav(good, junkLen = 7)).get
+      .toSeq === good)
+    assert(Multimodal.decodeWavPcm16Mono(wav(good, channels = 2)).isEmpty)
+    assert(Multimodal.decodeWavPcm16Mono(wav(good, bits = 8)).isEmpty)
+    assert(Multimodal.decodeWavPcm16Mono(
+      wav(good).dropRight(5)).isEmpty)
+    assert(Multimodal.decodeWavPcm16Mono(
+      Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Multimodal.decodeWavPcm16Mono(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioFrames: band energies, peak ties to lowest, partial frame drops") {
+    // frameLen 8 (quarter 2): bands e0=2, e1=4, e2=2, e3=4 — peak must
+    // be 1, NOT 3 (tie to the lowest index). 10 samples -> the 2-sample
+    // tail frame drops.
+    val samples = Seq[Short](1, 1, -2, 2, 1, -1, 2, 2, 99, 99)
+    val frames = Multimodal.audioFrames(
+      Seq(Multimodal.MediaItem(7L, "audio/wav", wav(samples))).toDS(),
+      frameLen = 8).collect()
+    assert(frames.length === 1)
+    val f = frames.head
+    assert((f.e0, f.e1, f.e2, f.e3) === ((2L, 4L, 2L, 4L)))
+    assert(f.peak_band === 1L)
+    // junk payloads contribute zero rows, not failures
+    val mixed = Multimodal.audioFrames(
+      Seq(Multimodal.MediaItem(1L, "audio/wav", wav(samples)),
+        Multimodal.MediaItem(2L, "junk", Array[Byte](1, 2, 3))).toDS(),
+      frameLen = 8).collect()
+    assert(mixed.map(_.media_id).toSeq === Seq(1L))
+  }
+}

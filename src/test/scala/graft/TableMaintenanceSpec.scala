@@ -264,3 +264,26 @@ class MergeOpsSpec extends SparkSpec {
     assert(got === Seq((1L, Some("a")), (2L, None), (4L, Some("a"))))
   }
 }
+
+class RowGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rowGate: declaration-order reasons, null verdicts fail, clean rows pass") {
+    val df = Seq(
+      (1L, Some(5L), "ok"),
+      (2L, Some(-1L), "no"),
+      (3L, Option.empty[Long], "ok")
+    ).toDF("id", "x", "y")
+    val got = graft.operators.Expectations.rowGate(df, Seq(
+        ("x_positive", col("x") > 0),
+        ("y_domain", col("y") === "ok")))
+      .select($"id", $"reasons", $"quarantined")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("", false)))
+    assert(got(2L) === (("x_positive,y_domain", true)))
+    // x is NULL: 'x > 0' is NULL, and a check that cannot evaluate has
+    // not passed
+    assert(got(3L) === (("x_positive", true)))
+  }
+}
