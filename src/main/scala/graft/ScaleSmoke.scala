@@ -162,7 +162,8 @@ object ScaleSmoke {
       "q159_inverted_index", "q160_collocations", "q161_dataset_card",
       "q163_bigram_lm", "q168_fuzzy_join", "q169_kanonymity",
       "q170_zorder", "q171_semantic_decontam", "q172_bpe_train",
-      "q173_audio_fingerprint")
+      "q173_audio_fingerprint", "q175_hybrid_retrieval",
+      "q176_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

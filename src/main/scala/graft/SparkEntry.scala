@@ -2820,7 +2820,37 @@ object SparkEntry {
         .select(col("event_id"), col("reasons"), col("quarantined"))
       graft.streaming.StreamSessions.runToCompletionAppend(
         gated, "q174_stream_quarantine")
-    })
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Retrieval.rrfFuse):
+    // q150's lexical BM25 top-100 and a q24-style cosine top-100 (query
+    // = vec_id 0's embedding, joined on doc_id = vec_id) fused as exact
+    // integer micro-RRF — no comparable scores needed, no float
+    // accumulation. The expensive work stays in the two rankers; fusion
+    // is a union + one hash agg over <= 200 rows.
+    "q175_hybrid_retrieval" -> ((s, d) => {
+      val bm = graft.operators.Frequency.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("data", "scan", "merge"), k = 100)
+        .select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val cos = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        e, k = 100)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(bm, cos), "doc_id", "rank")
+    }),
+
+    // Content-defined chunking (Dedup.contentDefinedChunks): Rabin-
+    // style rolling-hash boundaries (trailing-4 polynomial, mod 32) —
+    // shift-stable chunks, so repeated passages re-align to identical
+    // fingerprints where fixed grids (q85) cannot. Only 16-byte md5
+    // fps cross the dedup shuffle; `shared` marks cross-document
+    // chunks. The char explode is the q120/q161 byte-linear budget.
+    "q176_cdc_chunks" -> ((s, d) =>
+      graft.operators.Dedup.contentDefinedChunks(
+        Tables.documents(s, d), "doc_id", "text"))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -5669,6 +5699,93 @@ object SparkEntry {
         |  FROM e)
         |SELECT event_id, reasons, reasons <> '' AS quarantined
         |FROM r""".stripMargin,
+
+    // q150's BM25 chain + a q24-style single-query cosine ranking,
+    // fused with exact integer micro-RRF (1000000 // (60 + rank)).
+    "q175_hybrid_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT)
+        |    AS sum_dl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf FROM (
+        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |      unnest(toks) AS token FROM base)
+        |  WHERE token IN ('data', 'scan', 'merge')
+        |  GROUP BY doc_id, dl, token),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(st.n_docs - d.df AS DOUBLE) + 0.5)
+        |        / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * 2.2
+        |        / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(t.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
+        |            / CAST(st.sum_dl AS DOUBLE)))))
+        |      * 1e6, 0) AS BIGINT) AS s
+        |  FROM tf t JOIN dfr d USING (token), st),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY doc_id),
+        |bm AS (SELECT doc_id, r FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro
+        |    DESC, doc_id ASC) AS BIGINT) AS r FROM agg) WHERE r <= 100),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e, q),
+        |cos AS (SELECT doc_id, r FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC,
+        |    doc_id ASC) AS BIGINT) AS r FROM cs) WHERE r <= 100),
+        |u AS (SELECT * FROM bm UNION ALL SELECT * FROM cos),
+        |f AS (SELECT doc_id, count(*) AS n_lists,
+        |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micro
+        |  FROM u GROUP BY 1)
+        |SELECT doc_id, n_lists, rrf_micro,
+        |  CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+        |    AS BIGINT) AS rank
+        |FROM f""".stripMargin,
+
+    // The identical rolling polynomial, boundary rule, and interval
+    // reconstruction; md5 fingerprints compare byte-for-byte.
+    "q176_cdc_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text AS t FROM documents
+        |  WHERE len(text) > 0),
+        |codes AS (
+        |  SELECT id, len, pos,
+        |    CAST(ascii(substr(t, CAST(pos AS INT), 1)) AS BIGINT) AS c
+        |  FROM (SELECT id, t, len(t) AS len,
+        |          unnest(range(1, len(t) + 1)) AS pos FROM base)),
+        |r AS (
+        |  SELECT id, len, pos,
+        |    c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
+        |      + 29791 * lag(c, 3) OVER w AS h
+        |  FROM codes WINDOW w AS (PARTITION BY id ORDER BY pos)),
+        |b AS (SELECT DISTINCT id, pos FROM r
+        |      WHERE (pos >= 4 AND h % 32 = 0) OR pos = len),
+        |ch AS (
+        |  SELECT id, pos,
+        |    coalesce(lag(pos, 1) OVER v, 0) + 1 AS start,
+        |    CAST(row_number() OVER v AS BIGINT) AS chunk_idx
+        |  FROM b WINDOW v AS (PARTITION BY id ORDER BY pos)),
+        |cf AS (
+        |  SELECT id, chunk_idx,
+        |    CAST(pos - start + 1 AS BIGINT) AS chunk_len,
+        |    md5(substr(t, CAST(start AS INT),
+        |      CAST(pos - start + 1 AS INT))) AS fp
+        |  FROM ch JOIN base USING (id)),
+        |sh AS (SELECT fp, count(DISTINCT id) AS nd FROM cf GROUP BY 1)
+        |SELECT id AS doc_id, chunk_idx, chunk_len, cf.fp, nd > 1 AS shared
+        |FROM cf JOIN sh USING (fp)""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

@@ -726,4 +726,68 @@ object Dedup {
         col("hi").as("hash_hi"), col("lo").as("hash_lo"),
         (col("id") === col("rep") && col("dom").isNull).as("kept"))
   }
+
+  /** Content-defined chunking (the Rabin/FastCDC family): chunk
+    * boundaries are placed where a rolling hash of the trailing
+    * `window` characters hits 0 mod `modulus` — so an insertion early
+    * in a document only perturbs the chunks it touches, and every
+    * repeated passage re-aligns to the SAME chunk fingerprints (the
+    * property fixed-width chunking — [[intraDocChunkDedup]]'s grid —
+    * cannot give across shifted copies).
+    *
+    * The rolling hash is the plain polynomial
+    * `Σ c(pos−j)·31^j, j = 0..window−1` over character codes — exact
+    * integer arithmetic, identical in SQL. Boundary at
+    * `hash mod modulus = 0` (positions ≥ window), and the document end
+    * always closes the final chunk.
+    *
+    * Output: (idCol, chunk_idx 1-based, chunk_len, fp = md5(chunk),
+    * shared = fp appears in more than one document). Chunk TEXT never
+    * leaves the substring stage — only 16-byte fingerprints cross the
+    * dedup shuffle.
+    *
+    * Scale shape: the char explode is byte-linear (the q120/q161
+    * budget); boundary detection is one lag window per doc (one doc
+    * exchange), chunk extraction joins the boundary intervals back to
+    * the doc text (same doc key — exchange reused), and the shared
+    * flag is one fp-keyed aggregate joined back. Empty docs yield no
+    * chunks.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int = 4, modulus: Int = 32): DataFrame = {
+    require(window >= 2 && window <= 8,
+      s"window must be in [2,8], got $window")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) > 0)
+    val codes = base
+      .select(col("id"), col("t"), length(col("t")).as("len"),
+        explode(sequence(lit(1), length(col("t")))).as("pos"))
+      .select(col("id"), col("len"), col("pos"),
+        ascii(col("t").substr(col("pos"), lit(1))).cast("long").as("c"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val roll = (0 until window).map { j =>
+      lag(col("c"), j).over(w) * lit(math.pow(31, j).toLong)
+    }.reduce(_ + _)
+    val bounds = codes
+      .withColumn("h", roll)
+      .filter((col("pos") >= window && col("h") % modulus === 0) ||
+        col("pos") === col("len"))
+      .select(col("id"), col("pos")).distinct()
+    val chunks = bounds
+      .withColumn("start",
+        coalesce(lag(col("pos"), 1).over(w), lit(0L)) + 1)
+      .withColumn("chunk_idx",
+        row_number().over(w).cast("long"))
+      .join(base, Seq("id"))
+      .select(col("id"), col("chunk_idx"),
+        (col("pos") - col("start") + 1).cast("long").as("chunk_len"),
+        md5(col("t").substr(col("start").cast("int"),
+          (col("pos") - col("start") + 1).cast("int"))).as("fp"))
+    val sharedFps = chunks.groupBy("fp")
+      .agg(count_distinct(col("id")).as("__nd"))
+    chunks.join(sharedFps, Seq("fp"))
+      .select(col("id").as(idCol), col("chunk_idx"), col("chunk_len"),
+        col("fp"), (col("__nd") > 1).as("shared"))
+  }
 }
