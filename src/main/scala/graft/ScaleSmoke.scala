@@ -163,7 +163,7 @@ object ScaleSmoke {
       "q163_bigram_lm", "q168_fuzzy_join", "q169_kanonymity",
       "q170_zorder", "q171_semantic_decontam", "q172_bpe_train",
       "q173_audio_fingerprint", "q175_hybrid_retrieval",
-      "q176_cdc_chunks")
+      "q176_cdc_chunks", "q177_ewma", "q178_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -2850,7 +2850,34 @@ object SparkEntry {
     // chunks. The char explode is the q120/q161 byte-linear budget.
     "q176_cdc_chunks" -> ((s, d) =>
       graft.operators.Dedup.contentDefinedChunks(
-        Tables.documents(s, d), "doc_id", "text"))
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Exact integer EWMA features (RobustStats.ewmaFeatures): α = 1/2
+    // over a trailing 16-row lookback per user — dyadic weights make
+    // the weighted sum exact in longs, head truncation renormalizes
+    // against the weights actually present, and the single division is
+    // micro-scaled integer div. One user exchange; 16 lag terms inside
+    // one codegen'd window stage.
+    "q177_ewma" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.RobustStats.ewmaFeatures(
+        e, Seq("user_id"), Seq(col("ts"), col("event_id")), "cents")
+        .select("user_id", "event_id", "cents", "ws", "wt", "ewma_micro")
+    }),
+
+    // BPE train -> apply (Frequency.bpeTrainApply): q172's three
+    // learned merges applied to every DOCUMENT (not just the vocab),
+    // reporting the per-doc unit inventory before/after — the deploy
+    // half of the tokenizer loop. In-place ·x· wrapping leaves spaces
+    // bare, so merges can never cross token boundaries; the after
+    // count is pure arithmetic on '··' occurrences, no second
+    // tokenize.
+    "q178_bpe_apply" -> ((s, d) =>
+      graft.operators.Frequency.bpeTrainApply(
+        Tables.documents(s, d), "doc_id", "text", rounds = 3))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -5786,6 +5813,83 @@ object SparkEntry {
         |sh AS (SELECT fp, count(DISTINCT id) AS nd FROM cf GROUP BY 1)
         |SELECT id AS doc_id, chunk_idx, chunk_len, cf.fp, nd > 1 AS shared
         |FROM cf JOIN sh USING (fp)""".stripMargin,
+
+    // The identical 16-term dyadic lag sum (terms generated, not
+    // hand-kept) and the one micro-scaled integer division.
+    "q177_ewma" -> {
+      val ws = (0 until 16).map { j =>
+        s"coalesce(lag(cents, $j) OVER w * ${1L << (15 - j)}, 0)"
+      }.mkString("\n      + ")
+      val wt = (0 until 16).map { j =>
+        s"CASE WHEN lag(cents, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END"
+      }.mkString("\n      + ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |r AS (
+         |  SELECT user_id, event_id, cents,
+         |    CAST($ws AS BIGINT) AS ws,
+         |    CAST($wt AS BIGINT) AS wt
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
+         |SELECT user_id, event_id, cents, ws, wt,
+         |  (ws * 1000000) // wt AS ewma_micro
+         |FROM r""".stripMargin
+    },
+
+    // q172's merge chain (c0/c1/c2 verbatim) applied to the DOCUMENTS:
+    // in-place wrapping, three scalar-subquery rewrites, arithmetic
+    // unit count.
+    "q178_bpe_apply" ->
+      """WITH w AS (
+        |  SELECT tok AS w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY 1),
+        |s0 AS (SELECT regexp_replace(w, '(.)', '·\1·', 'g') AS seq, freq FROM w),
+        |c0 AS (SELECT p[1] AS a, p[2] AS b FROM (
+        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
+        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
+        |                 freq FROM s0))
+        |       GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(seq,
+        |         '·' || (SELECT a FROM c0) || '··' || (SELECT b FROM c0) || '·',
+        |         '·' || (SELECT a FROM c0) || (SELECT b FROM c0) || '·') AS seq,
+        |         freq FROM s0),
+        |c1 AS (SELECT p[1] AS a, p[2] AS b FROM (
+        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
+        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
+        |                 freq FROM s1))
+        |       GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(seq,
+        |         '·' || (SELECT a FROM c1) || '··' || (SELECT b FROM c1) || '·',
+        |         '·' || (SELECT a FROM c1) || (SELECT b FROM c1) || '·') AS seq,
+        |         freq FROM s1),
+        |c2 AS (SELECT p[1] AS a, p[2] AS b FROM (
+        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
+        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
+        |                 freq FROM s2))
+        |       GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
+        |d0 AS (SELECT doc_id, text,
+        |         regexp_replace(text, '(\S)', '·\1·', 'g') AS sx
+        |       FROM documents),
+        |d1 AS (SELECT doc_id, text, replace(sx,
+        |         '·' || (SELECT a FROM c0) || '··' || (SELECT b FROM c0) || '·',
+        |         '·' || (SELECT a FROM c0) || (SELECT b FROM c0) || '·') AS sx
+        |       FROM d0),
+        |d2 AS (SELECT doc_id, text, replace(sx,
+        |         '·' || (SELECT a FROM c1) || '··' || (SELECT b FROM c1) || '·',
+        |         '·' || (SELECT a FROM c1) || (SELECT b FROM c1) || '·') AS sx
+        |       FROM d1),
+        |d3 AS (SELECT doc_id, text, replace(sx,
+        |         '·' || (SELECT a FROM c2) || '··' || (SELECT b FROM c2) || '·',
+        |         '·' || (SELECT a FROM c2) || (SELECT b FROM c2) || '·') AS sx
+        |       FROM d2)
+        |SELECT doc_id,
+        |  CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_units_before,
+        |  CAST(len(string_split(text, ' '))
+        |    + (len(sx) - len(replace(sx, '··', ''))) // 2 AS BIGINT)
+        |    AS n_units_after
+        |FROM d3""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

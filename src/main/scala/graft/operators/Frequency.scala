@@ -52,8 +52,23 @@ object Frequency {
     */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
                 rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, rounds)
+      .toDF("round", "sym_a", "sym_b", "merged", "cnt")
+  }
+
+  /** [[bpeMerges]] + [[bpeApply]] in one call: train `rounds` merges,
+    * apply them to the SAME corpus, report per-doc unit counts.
+    */
+  def bpeTrainApply(docs: DataFrame, idCol: String, textCol: String,
+                    rounds: Int): DataFrame =
+    bpeApply(docs, idCol, textCol,
+      trainMerges(docs, textCol, rounds).map(m => (m._2, m._3)))
+
+  private def trainMerges(docs: DataFrame, textCol: String, rounds: Int)
+  : Seq[(Long, String, String, String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val vocab = graft.CacheScope.track(
       docs.select(explode(split(col(textCol), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -91,8 +106,40 @@ object Frequency {
         r += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "cnt")
+    merges.toSeq
+  }
+
+  /** Apply learned BPE merges to every document and report the token
+    * inventory before/after — the train → apply half of the tokenizer
+    * loop ([[bpeMerges]] is train; this is the deploy path, the q162
+    * model-application pattern for text).
+    *
+    * Every non-space character is `·x·` wrapped IN PLACE (spaces stay
+    * bare, so a merge pattern `·a··b·` can never cross a token
+    * boundary — `·a· ·b·` does not contain it), then the merge list is
+    * applied as chained literal rewrites in training order. Symbol
+    * counts come from arithmetic, not a second tokenize:
+    * `n_units_after = n_tokens + occurrences("··")`, and occurrences =
+    * (len − len(remove("··"))) / 2 — `··` can only appear at a symbol
+    * boundary, never overlapping.
+    */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    var seq: Column = regexp_replace(col(textCol), "(\\S)", "·$1·")
+    merges.foreach { case (a, b) =>
+      seq = call_function("replace", seq,
+        lit(s"·${a}··${b}·"), lit(s"·${a}${b}·"))
+    }
+    val toks = size(split(col(textCol), " "))
+    docs.select(col(idCol),
+        toks.as("__nt"), seq.as("__s"),
+        length(regexp_replace(col(textCol), " ", "")).cast("long")
+          .as("n_units_before"))
+      .select(col(idCol), col("n_units_before"),
+        (col("__nt") +
+          (length(col("__s")) -
+            length(call_function("replace", col("__s"), lit("··"), lit("")))
+          ) / 2).cast("long").as("n_units_after"))
   }
 
   /** Exact top-k values by frequency with deterministic tie-break. */

@@ -122,4 +122,35 @@ object RobustStats {
           expr("(size(_arr) + 1) div 2").cast("int")))
       .drop("_arr")
   }
+
+  /** Exact integer EWMA (α = 1/2) over a trailing `window`-row
+    * lookback: weight of the j-th most recent value is 2^(window−1−j),
+    * truncated at the series head with the normalizer reduced to the
+    * weights actually present — so `ewma_micro = ws·1e6 div wt` is
+    * EXACT integer arithmetic end to end (the q147 micro-unit
+    * discipline for the one division). An UNBOUNDED α = 1/2 EWMA needs
+    * 2^n weights — overflow by row ~60 — so the bounded lookback is
+    * not a shortcut, it is the only exact distributed form; the tail
+    * it drops is < 2^−window of the mass.
+    *
+    * One exchange on the partition keys; the `window` lag terms stay
+    * inside a single codegen'd window stage (the q176 rolling-hash
+    * pattern at feature width).
+    */
+  def ewmaFeatures(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                   valueCol: String, window: Int = 16): DataFrame = {
+    require(window >= 2 && window <= 32,
+      s"window must be in [2,32], got $window")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val terms = (0 until window).map { j =>
+      val wj = 1L << (window - 1 - j)
+      val x = lag(col(valueCol), j).over(w)
+      (coalesce(x * lit(wj), lit(0L)),
+        when(x.isNotNull, lit(wj)).otherwise(lit(0L)))
+    }
+    df.withColumn("ws", terms.map(_._1).reduce(_ + _).cast("long"))
+      .withColumn("wt", terms.map(_._2).reduce(_ + _).cast("long"))
+      .withColumn("ewma_micro",
+        expr("(ws * 1000000) div wt"))
+  }
 }

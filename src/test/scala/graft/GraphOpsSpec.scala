@@ -1024,3 +1024,40 @@ class BpeSpec extends SparkSpec {
     assert(merges(Seq((1L, "a b  c")), 3) === Seq.empty)
   }
 }
+
+class BpeApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learned merges compress documents; unit math is exact") {
+    val docs = Seq((1L, "abab ab"), (2L, "cd")).toDF("doc_id", "text")
+    val got = graft.operators.Frequency
+      .bpeTrainApply(docs, "doc_id", "text", rounds = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // round 0 learns (a,b): doc 1 = [ab,ab] + [ab] -> 2 tokens + 1
+    // internal boundary = 3 units (from 6 chars)
+    assert(got(1L) === ((6L, 3L)))
+    // doc 2 untouched by the merge: [c,d] stays 2 units
+    assert(got(2L) === ((2L, 2L)))
+  }
+
+  test("applying zero merges is the identity inventory") {
+    val docs = Seq((1L, "hello big world")).toDF("doc_id", "text")
+    val got = graft.operators.Frequency
+      .bpeApply(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((1L, 13L, 13L)))
+  }
+
+  test("merges never cross token boundaries") {
+    // corpus forces merge (a,b); 'xa by' has the pair split across a
+    // space and must stay 4 units
+    val docs = Seq((1L, "ab ab ab"), (2L, "xa by")).toDF("doc_id", "text")
+    val got = graft.operators.Frequency
+      .bpeTrainApply(docs, "doc_id", "text", rounds = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((6L, 3L)))
+    assert(got(2L) === ((4L, 4L)))
+  }
+}

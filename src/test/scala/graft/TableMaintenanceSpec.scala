@@ -287,3 +287,46 @@ class RowGateSpec extends SparkSpec {
     assert(got(3L) === (("x_positive", true)))
   }
 }
+
+class EwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Long)], window: Int = 16) =
+    graft.operators.RobustStats.ewmaFeatures(
+      rows.toDF("user_id", "seq", "cents"),
+      Seq("user_id"), Seq(col("seq")), "cents", window)
+      .select($"user_id", $"seq", $"ws", $"wt", $"ewma_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+  test("hand-computed dyadic weights with head renormalization") {
+    val got = run(Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L)))
+    // row 1: only weight 2^15 present
+    assert(got((1L, 1L)) === ((100L * 32768, 32768L, 100000000L)))
+    // row 2: 200*2^15 + 100*2^14, wt = 49152 -> 166666666 micro
+    assert(got((1L, 2L)) === ((8192000L, 49152L, 166666666L)))
+    // row 3: 400*2^15 + 200*2^14 + 100*2^13, wt = 57344 -> exactly 300
+    assert(got((1L, 3L)) === ((17203200L, 57344L, 300000000L)))
+  }
+
+  test("constant series converges to the value; old rows leave the window") {
+    val rows = (1L to 20L).map(i => (7L, i, 500L))
+    val got = run(rows)
+    // full window: wt = 2^16 - 1 = 65535 and ewma = exactly 500
+    assert(got((7L, 20L))._2 === 65535L)
+    assert(got((7L, 20L))._3 === 500000000L)
+    // row 17 must not include row 1: a spike at row 1 cannot leak
+    val spiked = run((1L to 20L).map(i =>
+      (7L, i, if (i == 1L) 999999L else 500L)))
+    assert(spiked((7L, 17L)) === got((7L, 17L)),
+      "row 1 must have aged out of row 17's window")
+    assert(spiked((7L, 16L)) !== got((7L, 16L)),
+      "row 1 is still inside row 16's window")
+  }
+
+  test("users are independent") {
+    val got = run(Seq((1L, 1L, 100L), (2L, 1L, 900L)))
+    assert(got((1L, 1L))._3 === 100000000L)
+    assert(got((2L, 1L))._3 === 900000000L)
+  }
+}
