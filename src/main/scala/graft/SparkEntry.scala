@@ -2877,7 +2877,177 @@ object SparkEntry {
     // tokenize.
     "q178_bpe_apply" -> ((s, d) =>
       graft.operators.Frequency.bpeTrainApply(
-        Tables.documents(s, d), "doc_id", "text", rounds = 3))
+        Tables.documents(s, d), "doc_id", "text", rounds = 3)),
+
+    // Gopher-style repetition battery (Frequency.gopherRepetition):
+    // top-{2,3,4}-gram character coverage + duplicated-gram coverage
+    // per doc, exact integer basis points, one doc-keyed exchange for
+    // both aggregates (posexplode once, all gram widths per position).
+    // dupN = 3 (not Gopher's 5): the synthetic 30-token vocabulary has
+    // no within-doc 5-gram repeats at all, while ~5% of docs repeat a
+    // 3-gram — the narrower width keeps the dup arm live. Thresholds
+    // sit inside the corpus's bps distribution at both scales.
+    "q179_gopher_rep" -> ((s, d) =>
+      graft.operators.Frequency.gopherRepetition(
+        Tables.documents(s, d), "doc_id", "text",
+        dupMax = 800, dupN = 3)),
+
+    // MAD outlier report (RobustStats.madOutliers): per-user purchase
+    // cents, lower-median + MAD under deterministic (value, id) ranks,
+    // flag |x − med| > 2·mad — all exact longs (k = 2: a uniform value
+    // distribution has max dev ≈ 2·MAD, so the 3σ-style k = 3 would
+    // flag nothing anywhere; k = 2 splits the tail — 142/8 users with
+    // and without outliers at sf0.01).
+    "q180_mad" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.RobustStats.madOutliers(
+        e, Seq("user_id"), "cents", "event_id", kNum = 2, kDen = 1)
+    }),
+
+    // Association rules (Association.basketRules): brand-level baskets
+    // (order x p_brand via the part dim join), directed pair rules under
+    // exact integer support/confidence/lift cuts (lift in DECIMAL(38,0),
+    // the q160 discipline). Pair fan-out is bounded by distinct brands
+    // per order, not the corpus. Brands co-occur independently in this
+    // fixture, so observed lift concentrates toward 1.0 as N grows
+    // (p99 = 1.077 at sf0.01, 1.010 at sf0.1) — the cut must sit just
+    // above 1 (1001/1000) for the accept arm to survive both scales;
+    // conf >= 1/7 sits mid-distribution at both.
+    "q181_assoc_rules" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.operators.Association.basketRules(b, "basket", "item",
+        minSupport = 5, confNum = 1, confDen = 7,
+        liftNum = 1001, liftDen = 1000)
+    }),
+
+    // l-diversity (Anonymize.lDiversity) over a k-anonymous release: the
+    // q169 ladder WITHOUT segment in the QI (segment is the sensitive
+    // attribute here), published groups must carry >= 3 distinct
+    // segments or the homogeneity attack reads them off. One group
+    // aggregate over the published frame; the ladder reuses the shared
+    // `nation` prefix exchange.
+    "q182_ldiversity" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("b0", floor(col("c_acctbal") / 500))
+        .withColumn("b1", floor(col("c_acctbal") / 2000))
+        .repartition(col("c_nationkey"))
+      val pub = graft.operators.Anonymize.kAnonymityLevels(c, k = 4,
+        Seq(Seq(col("c_nationkey"), col("b0")),
+          Seq(col("c_nationkey"), col("b1"))))
+        .filter(col("gen_level") < 2)
+        .select(col("gen_level"),
+          col("c_nationkey").cast("long").as("qi_nation"),
+          when(col("gen_level") === 0, col("b0") * 500)
+            .otherwise(col("b1") * 2000).cast("long").as("qi_bal_lo"),
+          when(col("gen_level") === 0, 500L).otherwise(2000L)
+            .cast("long").as("qi_bal_w"),
+          col("c_mktsegment"))
+      graft.operators.Anonymize.lDiversity(pub,
+        Seq(col("gen_level"), col("qi_nation"), col("qi_bal_lo"),
+          col("qi_bal_w")),
+        col("c_mktsegment"), l = 3)
+    }),
+
+    // URL canonicalization + dedup (TextFunctions.canonicalizeUrl +
+    // Dedup.urlDedup): deterministic synthetic URLs per doc (mixed-case
+    // scheme/host, default ports, doubled trailing slashes, tracking
+    // params, fragments — every rule the canonicalizer owns is
+    // exercised), collapsed to the whitelisted canonical form with
+    // smallest-id-wins keep marks. Canonicalization is a pure per-row
+    // regex projection; the only shuffle is the md5-keyed group.
+    "q183_url_dedup" -> ((s, d) => {
+      val withH = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("__h", graft.functions.TextFunctions.portableHash32(
+          concat(lit("url"), col("doc_id").cast("string"))))
+      val h = col("__h")
+      val idp = pmod(col("doc_id"), lit(10L)).cast("string")
+      val qcase = expr("(__h div 16) % 4")
+      val url = concat(
+        when(h % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(expr("(__h div 2) % 2") === 0, lit("www.Site"))
+          .otherwise(lit("WWW.site")),
+        pmod(h, lit(5L)).cast("string"), lit(".Com"),
+        when(h % 2 === 0 && expr("(__h div 4) % 3") === 0, lit(":80"))
+          .when(h % 2 === 1 && expr("(__h div 4) % 3") === 1, lit(":443"))
+          .otherwise(lit("")),
+        lit("/Docs/"), idp,
+        when(expr("(__h div 8) % 3") === 0, lit("/"))
+          .when(expr("(__h div 8) % 3") === 1, lit("//"))
+          .otherwise(lit("")),
+        when(qcase === 0, concat(lit("?utm_source=feed&id="), idp))
+          .when(qcase === 1, concat(lit("?id="), idp, lit("&ref=tw")))
+          .when(qcase === 2, lit("?utm_campaign=x"))
+          .otherwise(lit("")),
+        when(expr("(__h div 64) % 2") === 0,
+          concat(lit("#sec"), pmod(h, lit(3L)).cast("string")))
+          .otherwise(lit("")))
+      graft.operators.Dedup.urlDedup(
+        withH.withColumn("url", url).drop("__h"), "url", "doc_id")
+        .select("doc_id", "url", "canonical_url", "n_urls", "keep")
+    }),
+
+    // Vocabulary coverage / OOV gate (Frequency.vocabCoverage): top-28
+    // token vocab trained on the corpus (count desc, token asc), every
+    // doc scored for out-of-vocab rate in integer bps — the
+    // tokenizer-fit check before committing a vocab (q162's
+    // train-then-apply pattern at the vocabulary level). k = 28 of the
+    // corpus's 31 distinct tokens puts the fully-covered arm at 45/455
+    // (sf0.01) — smaller k kills it, k = 31 kills the OOV arm.
+    "q184_vocab_coverage" -> ((s, d) =>
+      graft.operators.Frequency.vocabCoverage(
+        Tables.documents(s, d), "doc_id", "text", k = 28)),
+
+    // Robust feature scaling (RobustStats.robustScale): per-DIMENSION
+    // median/IQR scaling of the embedding components (quantized to
+    // exact longs, the q145 discipline), scaled_micro = (q−med)·1e6 div
+    // iqr — integer-exact including negative deviations (Spark div and
+    // DuckDB // both truncate toward zero). One window pass per dim
+    // exchange; bounds key-sized.
+    "q185_robust_scale" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          round((col("col").cast("double") + lit(1.0)) * 1000000)
+            .cast("long").as("q"))
+      graft.operators.RobustStats.robustScale(
+        e, Seq("dim"), "q", "vec_id")
+        .select("dim", "vec_id", "q", "med", "q1", "q3", "iqr",
+          "scaled_micro")
+    }),
+
+    // Duplicate-cluster profile (Dedup.dupClusterProfile): the dedup
+    // decision report — corpus share per exact-dup cluster size on the
+    // q71 normalization key. The raw corpus is nearly dup-free (8 pairs
+    // at sf0.1), so the gate injects two deterministic copy tiers
+    // (every 3rd doc once, every 9th twice) to populate sizes 2-4 —
+    // the profile shape a real crawl shows. Two nested hash aggregates
+    // + a broadcast total.
+    "q186_dup_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def tier(m: Long, off: Long) =
+        docs.filter(pmod(col("doc_id"), lit(m)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(off))
+      graft.operators.Dedup.dupClusterProfile(
+        docs.unionAll(tier(3L, 1000000L)).unionAll(tier(9L, 2000000L)),
+        "doc_id", "text")
+    }),
+
+    // Exact containment join (Dedup.containmentJoin): ordered pairs
+    // where >= 4/5 of doc a's trigram shingles appear in doc b — the
+    // asymmetric excerpt/quotation structure Jaccard misses. Probe-side
+    // rarest-first prefix filter (index side exposes all elements —
+    // containment admits no index prefix), exact array-intersect
+    // verify; the oracle re-verifies EVERY ordered pair with no filter.
+    "q187_containment" -> ((s, d) =>
+      graft.operators.Dedup.containmentJoin(
+        Tables.documents(s, d), "doc_id", "text",
+        tNum = 4, tDen = 5, shingleN = 3))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -5890,6 +6060,281 @@ object SparkEntry {
         |    + (len(sx) - len(replace(sx, '··', ''))) // 2 AS BIGINT)
         |    AS n_units_after
         |FROM d3""".stripMargin,
+
+    // The identical gram enumeration (positions x widths), arg-max by
+    // (count, gram) per width, duplicated-5-gram char sum, and integer
+    // bps divisions.
+    "q179_gopher_rep" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars, toks,
+        |    unnest(range(1, len(toks) + 1)) AS pos FROM base),
+        |g AS (
+        |  SELECT doc_id, n_chars, v.n AS n,
+        |    array_to_string(toks[pos:pos + v.n - 1], ' ') AS gram
+        |  FROM p, (VALUES (2), (3), (4)) v(n)
+        |  WHERE pos + v.n - 1 <= len(toks)),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt
+        |      FROM g GROUP BY 1, 2, 3),
+        |tops AS (
+        |  SELECT doc_id, n, cnt * len(gram) AS chars FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rk
+        |    FROM c)
+        |  WHERE rk = 1),
+        |dup AS (
+        |  SELECT doc_id, sum(cnt * len(gram)) AS chars
+        |  FROM c WHERE n = 3 AND cnt > 1 GROUP BY 1),
+        |a AS (
+        |  SELECT base.doc_id, base.n_chars,
+        |    coalesce(t2.chars, 0) * 10000 // base.n_chars AS top2_bps,
+        |    coalesce(t3.chars, 0) * 10000 // base.n_chars AS top3_bps,
+        |    coalesce(t4.chars, 0) * 10000 // base.n_chars AS top4_bps,
+        |    coalesce(dup.chars, 0) * 10000 // base.n_chars AS dup_bps
+        |  FROM base
+        |  LEFT JOIN tops t2 ON t2.doc_id = base.doc_id AND t2.n = 2
+        |  LEFT JOIN tops t3 ON t3.doc_id = base.doc_id AND t3.n = 3
+        |  LEFT JOIN tops t4 ON t4.doc_id = base.doc_id AND t4.n = 4
+        |  LEFT JOIN dup ON dup.doc_id = base.doc_id)
+        |SELECT doc_id, n_chars,
+        |  CAST(top2_bps AS BIGINT) AS top2_bps,
+        |  CAST(top3_bps AS BIGINT) AS top3_bps,
+        |  CAST(top4_bps AS BIGINT) AS top4_bps,
+        |  CAST(dup_bps AS BIGINT) AS dup_bps,
+        |  top2_bps <= 2000 AND top3_bps <= 1800 AND top4_bps <= 1600
+        |    AND dup_bps <= 800 AS pass
+        |FROM a""".stripMargin,
+
+    // The identical two lower-median rank extractions ((gn+1)//2 under
+    // (value, id) / (dev, id) orders) and the cross-multiplied flag.
+    "q180_mad" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |r1 AS (
+        |  SELECT *, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS gn FROM e),
+        |m AS (SELECT user_id, cents AS med FROM r1 WHERE rn = (gn + 1) // 2),
+        |dv AS (
+        |  SELECT e.user_id, e.event_id, e.cents, m.med,
+        |    abs(e.cents - m.med) AS dev
+        |  FROM e JOIN m USING (user_id)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS gn FROM dv),
+        |md AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (gn + 1) // 2)
+        |SELECT d.user_id, count(*) AS n, max(d.med) AS med,
+        |  max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 2 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN d.dev > 2 * md.mad THEN d.cents END)
+        |    AS BIGINT) AS outlier_total
+        |FROM dv d JOIN md USING (user_id)
+        |GROUP BY d.user_id""".stripMargin,
+
+    // The identical basket collapse, pair self-join, direction union,
+    // and integer threshold cuts (lift in HUGEINT, the DECIMAL twin).
+    "q181_assoc_rules" ->
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
+        |pc AS (
+        |  SELECT a.item AS ia, b.item AS ib, count(*) AS c_ab
+        |  FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ic AS (SELECT item, count(*) AS c FROM it GROUP BY 1),
+        |dr AS (
+        |  SELECT ia AS ante, ib AS cons, c_ab FROM pc
+        |  UNION ALL SELECT ib AS ante, ia AS cons, c_ab FROM pc),
+        |j AS (
+        |  SELECT dr.ante, dr.cons, dr.c_ab, a.c AS c_ante, b.c AS c_cons,
+        |    tot.n_baskets
+        |  FROM dr JOIN ic a ON a.item = dr.ante
+        |    JOIN ic b ON b.item = dr.cons, tot
+        |  WHERE dr.c_ab * 7 >= a.c
+        |    AND CAST(dr.c_ab AS HUGEINT) * tot.n_baskets * 1000
+        |      >= CAST(1001 AS HUGEINT) * a.c * b.c)
+        |SELECT ante, cons, c_ab, CAST(c_ante AS BIGINT) AS c_ante,
+        |  CAST(c_cons AS BIGINT) AS c_cons,
+        |  CAST(n_baskets AS BIGINT) AS n_baskets,
+        |  c_ab * 10000 // c_ante AS conf_bps,
+        |  CAST(CAST(c_ab AS HUGEINT) * n_baskets * 1000
+        |    // (CAST(c_ante AS HUGEINT) * c_cons) AS BIGINT) AS lift_milli
+        |FROM j""".stripMargin,
+
+    // The q169 local-recode ladder (segment NOT in the QI), published
+    // levels only, then exact distinct-sensitive per group.
+    "q182_ldiversity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS b0,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b1
+        |  FROM customer),
+        |l0 AS (SELECT *, count(*) OVER
+        |  (PARTITION BY c_nationkey, b0) AS c0 FROM c),
+        |l1 AS (SELECT *, count(*) FILTER (WHERE c0 < 4) OVER
+        |  (PARTITION BY c_nationkey, b1) AS c1 FROM l0),
+        |lv AS (SELECT *, CASE WHEN c0 >= 4 THEN 0
+        |  WHEN c1 >= 4 THEN 1 ELSE 2 END AS gen_level FROM l1),
+        |pub AS (
+        |  SELECT CAST(gen_level AS BIGINT) AS gen_level,
+        |    CAST(c_nationkey AS BIGINT) AS qi_nation,
+        |    CASE WHEN gen_level = 0 THEN b0 * 500
+        |      ELSE b1 * 2000 END AS qi_bal_lo,
+        |    CAST(CASE WHEN gen_level = 0 THEN 500 ELSE 2000 END AS BIGINT)
+        |      AS qi_bal_w,
+        |    c_mktsegment
+        |  FROM lv WHERE gen_level < 2)
+        |SELECT gen_level, qi_nation, qi_bal_lo, qi_bal_w,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT c_mktsegment) >= 3 AS diverse
+        |FROM pub GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // The identical URL synthesis (every branch off the same md5-derived
+    // h), regex canonicalization chain, and smallest-id-wins group.
+    "q183_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('url' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN h % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+        |    || (CASE WHEN (h // 2) % 2 = 0 THEN 'www.Site'
+        |        ELSE 'WWW.site' END)
+        |    || CAST(h % 5 AS VARCHAR) || '.Com'
+        |    || (CASE WHEN h % 2 = 0 AND (h // 4) % 3 = 0 THEN ':80'
+        |        WHEN h % 2 = 1 AND (h // 4) % 3 = 1 THEN ':443'
+        |        ELSE '' END)
+        |    || '/Docs/' || CAST(doc_id % 10 AS VARCHAR)
+        |    || (CASE WHEN (h // 8) % 3 = 0 THEN '/'
+        |        WHEN (h // 8) % 3 = 1 THEN '//' ELSE '' END)
+        |    || (CASE WHEN (h // 16) % 4 = 0
+        |          THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+        |        WHEN (h // 16) % 4 = 1
+        |          THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&ref=tw'
+        |        WHEN (h // 16) % 4 = 2 THEN '?utm_campaign=x'
+        |        ELSE '' END)
+        |    || (CASE WHEN (h // 64) % 2 = 0
+        |          THEN '#sec' || CAST(h % 3 AS VARCHAR) ELSE '' END) AS url
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+        |    || regexp_replace(lower(regexp_extract(url,
+        |         '^[A-Za-z]+://([^/?#]*)', 1)), ':(80|443)$', '')
+        |    || regexp_replace(regexp_extract(url,
+        |         '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/+$', '')
+        |    || (CASE WHEN regexp_extract(regexp_extract(url, '\?([^#]*)', 1),
+        |           '(^|&)id=([^&]*)', 2) <> ''
+        |         THEN '?id=' || regexp_extract(regexp_extract(url,
+        |           '\?([^#]*)', 1), '(^|&)id=([^&]*)', 2)
+        |         ELSE '' END) AS canonical_url
+        |  FROM raw),
+        |g AS (SELECT canonical_url, min(doc_id) AS keep_id,
+        |        count(*) AS n_urls
+        |      FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.url, c.canonical_url, g.n_urls,
+        |  c.doc_id = g.keep_id AS keep
+        |FROM c JOIN g USING (canonical_url)""".stripMargin,
+
+    // The identical top-k vocab cut (count desc, token asc) and per-doc
+    // OOV aggregate.
+    "q184_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |v AS (
+        |  SELECT token, 1 AS in_vocab FROM (
+        |    SELECT token, count(*) AS c FROM tf GROUP BY 1)
+        |  QUALIFY row_number() OVER (ORDER BY c DESC, token ASC) <= 28)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000 // count(*) AS oov_bps
+        |FROM tf LEFT JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
+
+    // The identical quantization, three disc-rank extractions, and the
+    // toward-zero integer division.
+    "q185_robust_scale" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000000, 0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |      (PARTITION BY dim ORDER BY q, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY dim) AS gn FROM x),
+        |b AS (
+        |  SELECT dim,
+        |    min(q) FILTER (rn = (gn + 1) // 2) AS med,
+        |    min(q) FILTER (rn = (gn + 3) // 4) AS q1,
+        |    min(q) FILTER (rn = (3 * gn + 3) // 4) AS q3
+        |  FROM r
+        |  WHERE rn = (gn + 1) // 2 OR rn = (gn + 3) // 4
+        |    OR rn = (3 * gn + 3) // 4
+        |  GROUP BY 1)
+        |SELECT x.dim, x.vec_id, x.q, b.med, b.q1, b.q3,
+        |  b.q3 - b.q1 AS iqr,
+        |  CASE WHEN b.q3 - b.q1 > 0
+        |    THEN ((x.q - b.med) * 1000000) // (b.q3 - b.q1)
+        |    ELSE 0 END AS scaled_micro
+        |FROM x JOIN b USING (dim)""".stripMargin,
+
+    // The identical normalization, nested cluster-size counts, and
+    // integer share.
+    "q186_dup_profile" ->
+      """WITH alltexts AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 9 = 0),
+        |n AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM alltexts),
+        |cl AS (SELECT count(*) AS cluster_size FROM n GROUP BY norm),
+        |tot AS (SELECT count(*) AS n_total FROM n)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  cluster_size * count(*) AS n_docs, tot.n_total,
+        |  cluster_size * count(*) * 10000 // tot.n_total AS docs_bps
+        |FROM cl, tot GROUP BY cluster_size, tot.n_total""".stripMargin,
+
+    // Every ordered pair re-verified from the element equi-join (pairs
+    // sharing zero elements cannot pass a positive threshold), no
+    // prefix filter — the operator's candidate pruning must be lossless
+    // against this.
+    "q187_containment" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |el AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
+        |  FROM toks),
+        |sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, sa.n AS na, sb.n AS nb, i.c,
+        |  i.c * 10000 // sa.n AS cont_bps
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE i.c * 5 >= 4 * sa.n""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

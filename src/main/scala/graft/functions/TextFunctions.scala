@@ -213,4 +213,33 @@ object TextFunctions {
     shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
   }
+
+  /** URL canonicalization — the CommonCrawl-style pre-dedup normalizer:
+    * two fetches of the same page must map to one key before content
+    * ever loads. The rules, each a codegen'd regexp step (RE2-safe
+    * subset, no lookarounds, engine-twin reproducible):
+    *
+    *  1. scheme and host lowercase (path/query case is significant);
+    *  2. default ports stripped (`:80`, `:443`);
+    *  3. fragment dropped (never sent to the server);
+    *  4. trailing path slashes stripped (empty path == "/");
+    *  5. query reduced to the WHITELISTED content parameter `id` —
+    *     tracking params (utm_*, ref, fbclid, ...) are unbounded vendor
+    *     noise, so the whitelist is the stable canonical form (the
+    *     blacklist alternative churns with every new tracker).
+    *
+    * Pure per-row projection: no shuffle, no state — canonicalization
+    * cost is scan-linear and embarrassingly parallel at any corpus size.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
+    val hostNoPort = regexp_replace(host, ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val idVal = regexp_extract(query, "(^|&)id=([^&]*)", 2)
+    concat(scheme, lit("://"), hostNoPort, path,
+      when(idVal =!= "", concat(lit("?id="), idVal)).otherwise(lit("")))
+  }
 }

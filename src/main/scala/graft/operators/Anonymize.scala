@@ -52,4 +52,26 @@ object Anonymize {
         coalesce(col("__lvl"), lit(levels.size)).cast("long"))
       .drop("__lvl")
   }
+
+  /** l-diversity report over a PUBLISHED (already generalized) frame —
+    * the second privacy bar after k-anonymity: a k-sized group whose
+    * sensitive attribute is constant still leaks it (homogeneity
+    * attack), so every published QI group must carry at least `l`
+    * DISTINCT sensitive values.
+    *
+    * One hash aggregate per QI group: size, exact distinct-sensitive
+    * count, and the `diverse` certificate — checkable directly on the
+    * output, like [[kAnonymityLevels]]'s group-size contract. Exact
+    * count-distinct inside a group aggregate expands to the standard
+    * two-phase plan (partial on (group, sensitive), final on group);
+    * both phases are partial-agg friendly and share the group exchange.
+    */
+  def lDiversity(published: DataFrame, groupCols: Seq[Column],
+                 sensitiveCol: Column, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    published.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(sensitiveCol).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= l)
+  }
 }

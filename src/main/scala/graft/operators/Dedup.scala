@@ -790,4 +790,129 @@ object Dedup {
       .select(col("id").as(idCol), col("chunk_idx"), col("chunk_len"),
         col("fp"), (col("__nd") > 1).as("shared"))
   }
+
+  /** Duplicate-cluster profile — the curation report behind a dedup
+    * decision: how much of the corpus sits in exact-duplicate clusters
+    * of each size (the long tail of 2x copies vs a handful of
+    * boilerplate monsters need different treatments). Grouping key is
+    * the 16-byte md5 of the q71 normalization (lowercase, alnum+space,
+    * collapsed whitespace), so the profile counts NEAR-VERBATIM copies.
+    *
+    * Output: one row per observed cluster size with the number of
+    * clusters, docs covered, and the exact share in basis points
+    * (`docs_bps = n_docs·10000 div corpus_total`). Two nested hash
+    * aggregates (doc-count per key, then key-count per size — the
+    * second input is cluster-sized, tiny) + the corpus total broadcast
+    * as one row (J5 pattern).
+    */
+  def dupClusterProfile(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val clusters = docs
+      .select(md5(norm.cast("binary")).as("norm_key"))
+      .groupBy("norm_key")
+      .agg(count(lit(1)).as("cluster_size"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    clusters.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .withColumn("docs_bps", expr("n_docs * 10000 div n_total"))
+  }
+
+  /** Exact set-CONTAINMENT join: ordered pairs (id_a, id_b) where at
+    * least `tNum/tDen` of doc a's shingle set also appears in doc b —
+    * the asymmetric complement of [[setSimilarityJoin]]'s Jaccard: a
+    * short quote embedded in a long page has tiny Jaccard but
+    * containment ~1, which is exactly the excerpt/quotation structure a
+    * dedup pass must see.
+    *
+    * Candidate generation is the SSJoin containment variant of the
+    * prefix filter: only the PROBE side (a) prefixes — its rarest-first
+    * prefix has length na − ceil(t·na) + 1, and any qualifying pair
+    * shares an element inside it (pigeonhole: the suffix holds only
+    * ceil(t·na) − 1 elements, fewer than the required overlap) — while
+    * the index side (b) exposes all elements (containment admits no
+    * index-side prefix: b's extra elements are free). The length filter
+    * is the one containment supports: nb·tDen ≥ tNum·na. Verification
+    * is the q126 per-doc-array intersect on candidates only. Thresholds
+    * cross-multiply in integers; `cont_bps` is one integer division.
+    *
+    * Scale shape: one persisted element frame feeds sizes, dfs, the
+    * prefix, and both verify arrays; the candidate join fans out by
+    * prefix-element document frequency — a HIGH threshold keeps probe
+    * prefixes short, and rare-first ordering puts the rarest elements
+    * in them (the PPJoin insight, unchanged under asymmetry).
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      tNum: Int, tDen: Int,
+                      shingleN: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "containmentJoin: threshold must be a rational in (0, 1]")
+    val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val el = graft.CacheScope.track(TextFunctions.explodedShingles(
+      docs.repartition(spread, col(idCol)), idCol, textCol, shingleN)
+      .select(col("id").as("doc_id"), col("shingle").as("e"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
+    val pref = el.join(dfreq, "e")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("e"))))
+        .as("elems"))
+      .join(sz, "doc_id")
+      .select(col("doc_id").as("id_a"), col("n").as("na"),
+        explode(slice(col("elems"), lit(1),
+          (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+            .cast("int"))).as("s"))
+      .select(col("id_a"), col("na"), col("s.e").as("e"))
+    val full = el.join(sz, "doc_id")
+      .select(col("doc_id").as("id_b"), col("n").as("nb"), col("e"))
+    val cand = pref.join(full, "e")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("nb") * tDen >= lit(tNum) * col("na"))
+      .select("id_a", "id_b", "na", "nb")
+      .distinct()
+    val arrs = el.groupBy("doc_id").agg(collect_list(col("e")).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("ea")),
+        "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("arr").as("eb")),
+        "id_b")
+      .withColumn("c", size(array_intersect(col("ea"), col("eb")))
+        .cast("long"))
+      .filter(col("c") * tDen >= lit(tNum) * col("na"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("c"),
+        expr("c * 10000 div na").as("cont_bps"))
+  }
+
+  /** URL-level dedup — the cheapest dedup tier in a crawl pipeline, run
+    * BEFORE any content loads: canonicalize each row's URL
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]] — scheme/host
+    * case, default ports, fragments, trailing slashes, tracking params)
+    * and keep the smallest id per canonical form (the [[exact]]
+    * smallest-id-wins contract, row-level output like q56).
+    *
+    * Returns every input row with (canonical_url, n_urls, keep) — `keep`
+    * marks the canonical group's minimum id. One hash-aggregate shuffle
+    * on the 16-byte md5 of the canonical form (the q15 discipline: the
+    * URL string itself never crosses the exchange), then a key-sized
+    * join back; strategy left to AQE.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df.withColumn("canonical_url",
+      TextFunctions.canonicalizeUrl(col(urlCol)))
+    val groups = canon
+      .select(md5(col("canonical_url").cast("binary")).as("__ck"),
+        col(idCol).as("__id"))
+      .groupBy("__ck")
+      .agg(min(col("__id")).as("__keep_id"), count(lit(1)).as("n_urls"))
+    canon
+      .withColumn("__ck", md5(col("canonical_url").cast("binary")))
+      .join(groups, "__ck")
+      .withColumn("keep", col(idCol) === col("__keep_id"))
+      .drop("__ck", "__keep_id")
+  }
 }

@@ -552,4 +552,112 @@ object Frequency {
           dec(col("c_b")))
       .select("a", "b", "c_ab", "c_a", "c_b")
   }
+
+  /** Vocabulary coverage / OOV-rate gate — the tokenizer-fit check a
+    * pretraining pipeline runs before committing a vocab: train the
+    * top-`k` token vocabulary on the corpus (deterministic total order:
+    * count desc, token asc — the q150 TakeOrdered discipline, no global
+    * sort), then score every document's out-of-vocabulary token rate in
+    * exact integer basis points.
+    *
+    * Scale shape: one explode pass feeds BOTH the vocabulary aggregate
+    * and the per-doc scoring; the trained vocab is k rows — broadcast
+    * into the scoring join (the q162 trained-model pattern: the model is
+    * an artifact, the apply path is stateless). Per-doc totals are one
+    * hash aggregate on the doc id.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bps", expr("n_oov * 10000 div n_tokens"))
+  }
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    * the pretraining-curation repetition battery), computed EXACTLY in
+    * integer basis points so the pass/fail decision is engine-identical:
+    *
+    *  - `top{2,3,4}_bps`: characters covered by the single most frequent
+    *    word n-gram (occurrences × gram length, including its internal
+    *    spaces) as bps of the document's character length. Tie-break:
+    *    lexicographically greatest gram (arg-max by (count, gram), one
+    *    struct max — no window).
+    *  - `dup_bps`: characters covered by all `dupN`-grams occurring more
+    *    than once (sum of count × length over duplicated grams).
+    *    Overlapping occurrences count each time, so values above 10000
+    *    are possible for degenerate loops — the signal saturates exactly
+    *    where Gopher's does. Gopher uses widths 5–10; corpora with tiny
+    *    vocabularies need a narrower width for the signal to exist at
+    *    all (the gate uses 3 — at width 5 the synthetic corpus is
+    *    duplicate-free).
+    *
+    * `pass` applies the caps (defaults are Gopher's table-A1 cuts in bps).
+    *
+    * Scale shape: ONE pass — posexplode the token array once, emit the
+    * (n, gram) candidates per position as a pre-built 4-struct array
+    * (codegen explode, no interpreted lambda), then two hash aggregates
+    * that SHARE one doc-keyed exchange: the input is pre-partitioned on
+    * the doc id, which satisfies ClusteredDistribution for both the
+    * (id, n, gram) count and the per-id assembly (the q169 prefix trick).
+    * Short docs join back from `docs` with zero signals.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+                       top2Max: Long = 2000, top3Max: Long = 1800,
+                       top4Max: Long = 1600, dupMax: Long = 1500,
+                       dupN: Int = 5): DataFrame = {
+    require(dupN >= 2, s"dupN must be >= 2, got $dupN")
+    val ns = (Seq(2, 3, 4) :+ dupN).distinct
+    val base = docs
+      .select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("nch"),
+        split(col(textCol), " ").as("toks"))
+      .repartition(col("id"))
+      .select(col("id"), col("nch"), col("toks"),
+        posexplode(col("toks")))
+    val grams = base.select(col("id"), col("nch"),
+      explode(array(ns.map { n =>
+        val gram = concat_ws(" ",
+          (1 to n).map(k => element_at(col("toks"), col("pos") + k)): _*)
+        when(col("pos") <= size(col("toks")) - n,
+          struct(lit(n).as("n"), gram.as("gram")))
+      }: _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("id"), col("nch"), col("g.n").as("n"),
+        col("g.gram").as("gram"))
+    val counts = grams.groupBy("id", "nch", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    def topChars(n: Int): Column = {
+      val t = max(when(col("n") === n,
+        struct(col("cnt"), col("gram"))))
+      t.getField("cnt") * length(t.getField("gram"))
+    }
+    val perDoc = counts.groupBy("id", "nch")
+      .agg(topChars(2).as("t2c"), topChars(3).as("t3c"),
+        topChars(4).as("t4c"),
+        sum(when(col("n") === dupN && col("cnt") > 1,
+          col("cnt") * length(col("gram"))).otherwise(0L)).as("dc"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc.withColumnRenamed("id", "doc_id").drop("nch"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"coalesce(t2c, 0) * 10000 div n_chars").as("top2_bps"),
+        expr(s"coalesce(t3c, 0) * 10000 div n_chars").as("top3_bps"),
+        expr(s"coalesce(t4c, 0) * 10000 div n_chars").as("top4_bps"),
+        expr(s"coalesce(dc, 0) * 10000 div n_chars").as("dup_bps"))
+      .withColumn("pass",
+        col("top2_bps") <= top2Max && col("top3_bps") <= top3Max &&
+          col("top4_bps") <= top4Max && col("dup_bps") <= dupMax)
+  }
 }

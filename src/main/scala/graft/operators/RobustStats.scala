@@ -153,4 +153,96 @@ object RobustStats {
       .withColumn("ewma_micro",
         expr("(ws * 1000000) div wt"))
   }
+
+  /** Robust (median/IQR) feature scaling per group — the outlier-proof
+    * alternative to mean/σ standardization for feature preparation: a
+    * corrupt spike moves a mean-scaled feature's entire column, but the
+    * median and the quartile span only move when a quarter of the data
+    * does.
+    *
+    * Exactness: `med`/`q1`/`q3` are the values at 1-based ranks
+    * ceil(n/2), ceil(n/4), ceil(3n/4) of the deterministic (value, id)
+    * total order (percentile_disc semantics, the q134 rank discipline);
+    * `scaled_micro = (v − med)·1e6 div iqr` is one integer division —
+    * Spark's `div` and DuckDB's `//` both truncate toward zero, so
+    * negative deviations agree bit-for-bit. Zero-IQR groups (over half
+    * the span identical) scale to 0 — flat features carry no signal.
+    *
+    * Scale shape: one window pass over the group exchange computes all
+    * three ranks; the per-group bound frame is key-sized and joins back
+    * under AQE's strategy choice.
+    */
+  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String,
+                  idCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    val w = Window.partitionBy(keyCols: _*).orderBy(v, col(idCol))
+    val cw = Window.partitionBy(keyCols: _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__gn", count(lit(1)).over(cw))
+    def rank(num: Int, den: Int): Column =
+      expr(s"(__gn * $num + ${den - 1}) div $den")
+    val bounds = ranked
+      .filter(col("__rn") === rank(1, 2) || col("__rn") === rank(1, 4) ||
+        col("__rn") === rank(3, 4))
+      .groupBy(keyCols: _*)
+      .agg(min(when(col("__rn") === rank(1, 2), v)).as("med"),
+        min(when(col("__rn") === rank(1, 4), v)).as("q1"),
+        min(when(col("__rn") === rank(3, 4), v)).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    df.join(bounds, keys)
+      .withColumn("scaled_micro",
+        when(col("iqr") > 0,
+          expr(s"(($valueCol - med) * 1000000) div iqr"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Median-absolute-deviation outlier report per group — the robust
+    * companion to [[outlierCounts]]'s z-sigma rule: a handful of extreme
+    * values inflate σ and hide themselves, while the MAD boundary moves
+    * only when HALF the group moves.
+    *
+    * Exactness contract: `med` is the group's LOWER median — the value at
+    * 1-based rank ceil(n/2) of the deterministic (value, id) total order
+    * — and `mad` the lower median of |x − med| under the (deviation, id)
+    * order; both are exact integers, and the flag
+    * `|x − med| · kDen > kNum · mad` is a pure long comparison. No
+    * averaging, no sqrt, no float boundary anywhere — the q133/q134
+    * discipline.
+    *
+    * Scale shape: two window passes and two key-sized join-backs, all
+    * keyed on the same group columns, so one hash exchange feeds the
+    * whole chain; the median frames are key-sized and their join strategy
+    * is left to AQE. MAD = 0 groups (over half the values identical) flag
+    * every row off the spike — the correct degenerate reading.
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  idCol: String, kNum: Long = 3, kDen: Long = 1)
+  : DataFrame = {
+    require(kNum > 0 && kDen > 0, "madOutliers: kNum/kDen must be positive")
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    def lowerMedian(in: DataFrame, orderCol: Column, out: String)
+    : DataFrame = {
+      val w = Window.partitionBy(keyCols: _*).orderBy(orderCol, col(idCol))
+      val cw = Window.partitionBy(keyCols: _*)
+      in.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__gn", count(lit(1)).over(cw))
+        .filter(col("__rn") === expr("(__gn + 1) div 2"))
+        .select(keyCols :+ orderCol.as(out): _*)
+    }
+    val med = lowerMedian(df, v, "med")
+    val withMed = df.join(med, keys)
+      .withColumn("dev", abs(v - col("med")))
+    val mad = lowerMedian(withMed, col("dev"), "mad")
+    withMed.join(mad, keys)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") * kDen > lit(kNum) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        sum(when(col("dev") * kDen > lit(kNum) * col("mad"), v))
+          .as("outlier_total"))
+  }
 }

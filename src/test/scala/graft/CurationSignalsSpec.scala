@@ -1,0 +1,309 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Anonymize, Association, Dedup, Frequency, RobustStats}
+import org.apache.spark.sql.functions._
+
+/** The q179-q183 wave: Gopher repetition signals, MAD outliers,
+  * association rules, l-diversity, URL canonicalization + dedup.
+  */
+class CurationSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- gopherRepetition -------------------------------------------------
+
+  test("gopherRepetition: hand-computed bps on a degenerate doc") {
+    // "a b a b a b": 16 chars incl spaces... actually len = 11.
+    // 2-grams: "a b" x3, "b a" x2 -> top2 = 3 * 3 = 9 chars -> 9*10000/11
+    // 3-grams: "a b a" x2, "b a b" x2 -> tie -> lexicographically
+    //          greatest gram wins: "b a b", chars = 2 * 5 = 10
+    // dup (n=3): both grams duplicated: (2+2) * 5 = 20 chars
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = Frequency.gopherRepetition(df, "doc_id", "text", dupN = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_chars") === 11L)
+    assert(r.getAs[Long]("top2_bps") === 9L * 10000 / 11)
+    assert(r.getAs[Long]("top3_bps") === 10L * 10000 / 11)
+    assert(r.getAs[Long]("dup_bps") === 20L * 10000 / 11)
+  }
+
+  test("gopherRepetition: short docs survive with zero signals") {
+    val df = Seq((1L, "hello"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Frequency.gopherRepetition(df, "doc_id", "text")
+      .select($"doc_id", $"top4_bps", $"dup_bps", $"pass")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, t4, d, p) => id -> ((t4, d, p)) }.toMap
+    assert(got(1L) === ((0L, 0L, true)), "1-token doc: no grams at all")
+    assert(got(2L)._1 === 0L, "2-token doc has no 4-grams")
+  }
+
+  test("gopherRepetition: pass arms split on a mixed corpus") {
+    val df = Seq(
+      // diverse and long enough that a unique 4-gram is < 16% of chars
+      (1L, (0 until 60).map(i => s"w$i").mkString(" ")),
+      (2L, "spam spam spam spam spam spam") // one 2-gram owns it -> fail
+    ).toDF("doc_id", "text")
+    val got = Frequency.gopherRepetition(df, "doc_id", "text")
+      .select($"doc_id", $"pass").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) === true)
+    assert(got(2L) === false)
+  }
+
+  // ---- madOutliers ------------------------------------------------------
+
+  test("madOutliers: hand example with lower medians and exact flag") {
+    // values [1,2,3,100]: med = rank ceil(4/2)=2 -> 2; devs [1,0,1,98]
+    // sorted [0,1,1,98] -> mad = 1; flag dev > 2*1: only 98 (value 100).
+    val df = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (1L, 13L, 100L)).toDF("k", "id", "v")
+    val r = RobustStats.madOutliers(df, Seq("k"), "v", "id",
+      kNum = 2, kDen = 1).collect().head
+    assert(r.getAs[Long]("med") === 2L)
+    assert(r.getAs[Long]("mad") === 1L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Long]("outlier_total") === 100L)
+  }
+
+  test("madOutliers: MAD=0 group flags exactly the off-spike rows") {
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 9L))
+      .toDF("k", "id", "v")
+    val r = RobustStats.madOutliers(df, Seq("k"), "v", "id").collect().head
+    assert(r.getAs[Long]("mad") === 0L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("madOutliers matches a naive in-memory twin on random groups") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 0 until 8
+      i <- 0 until (3 + rnd.nextInt(20))
+    } yield (g.toLong, (g * 1000 + i).toLong,
+      rnd.nextInt(200).toLong - 50L)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.size + 1) / 2 - 1)
+    }
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._3)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      val out = vs.filter(v => math.abs(v - med) * 2 > 3 * mad)
+      g -> (med, mad, out.size.toLong)
+    }
+    val got = RobustStats.madOutliers(rows.toDF("g", "id", "v"),
+        Seq("g"), "v", "id", kNum = 3, kDen = 2)
+      .select($"g", $"med", $"mad", $"n_outliers")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === expect.size)
+    got.foreach { case (g, med, mad, n) =>
+      assert((med, mad, n) === expect(g), s"group $g")
+    }
+  }
+
+  // ---- basketRules ------------------------------------------------------
+
+  test("basketRules: exact counts, both directions, lift/conf cuts") {
+    // B1-B3 {a,b}, B4 {a}, B5 {b,c}, B6 {c}: N=6, c_a=4, c_b=4, c_c=2,
+    // c_ab=3, c_bc=1. lift(ab) = 3*6/16 = 1.125; lift(bc) = 6/8 = 0.75.
+    val b = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+      (4, "a"), (5, "b"), (5, "c"), (6, "c")).toDF("basket", "item")
+    val got = Association.basketRules(b, "basket", "item",
+        minSupport = 1, confNum = 1, confDen = 2,
+        liftNum = 1, liftDen = 1)
+      .select($"ante", $"cons", $"c_ab", $"conf_bps", $"lift_milli")
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // b->c (conf 1/4) fails conf; c->b (conf 1/2) passes conf, fails lift.
+    assert(got.toSeq === Seq(
+      ("a", "b", 3L, 7500L, 1125L), ("b", "a", 3L, 7500L, 1125L)))
+  }
+
+  test("basketRules: confidence is direction-specific") {
+    // c_a=3, c_b=4, c_ab=3: a->b conf = 1, b->a conf = 3/4.
+    val b = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+      (4, "b")).toDF("basket", "item")
+    val got = Association.basketRules(b, "basket", "item",
+        minSupport = 1, confNum = 4, confDen = 5,
+        liftNum = 1, liftDen = 1)
+      .select($"ante", $"cons").as[(String, String)].collect()
+    assert(got.toSeq === Seq(("a", "b")))
+  }
+
+  test("basketRules: duplicate items within a basket collapse first") {
+    val b = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"))
+      .toDF("basket", "item")
+    val got = Association.basketRules(b, "basket", "item",
+        minSupport = 1, confNum = 0, confDen = 1, liftNum = 0, liftDen = 1)
+      .filter($"ante" === "a").select($"c_ab", $"c_ante")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((2L, 2L)), "dup 'a' in basket 1 counted once")
+  }
+
+  // ---- lDiversity -------------------------------------------------------
+
+  test("lDiversity: homogeneous group fails, diverse group passes") {
+    val pub = Seq(("g1", "s1"), ("g1", "s1"), ("g1", "s1"),
+      ("g2", "s1"), ("g2", "s2"), ("g2", "s3")).toDF("g", "sens")
+    val got = Anonymize.lDiversity(pub, Seq(col("g")), col("sens"), l = 2)
+      .select($"g", $"n", $"l_distinct", $"diverse")
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("g1") === (("g1", 3L, 1L, false)))
+    assert(got("g2") === (("g2", 3L, 3L, true)))
+  }
+
+  test("l-diversity certificate holds on the q182 output at sf0.001") {
+    val out = SparkEntry.queries("q182_ldiversity")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.select($"l_distinct", $"diverse")
+      .as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ld, d) => assert(d === (ld >= 3)) }
+  }
+
+  // ---- canonicalizeUrl / urlDedup ----------------------------------------
+
+  test("canonicalizeUrl: every rule fires") {
+    val cases = Seq(
+      // scheme+host case, default port, fragment
+      ("HTTP://WWW.Ex.COM:80/a#frag", "http://www.ex.com/a"),
+      (("HTTPS://ex.com:443/a"), "https://ex.com/a"),
+      // non-default port survives
+      ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+      // trailing slashes; empty path
+      ("http://ex.com/a//", "http://ex.com/a"),
+      ("http://ex.com/", "http://ex.com"),
+      // tracking params dropped, id whitelisted regardless of position
+      ("http://ex.com/a?utm_source=x&id=7&ref=y", "http://ex.com/a?id=7"),
+      ("http://ex.com/a?id=7", "http://ex.com/a?id=7"),
+      ("http://ex.com/a?utm_campaign=z", "http://ex.com/a"),
+      // query param case matters (id vs ID), value case preserved
+      ("http://ex.com/a?ID=7", "http://ex.com/a"),
+      ("http://ex.com/A?id=Xy", "http://ex.com/A?id=Xy"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFunctions.canonicalizeUrl($"url").as("c"))
+      .as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g === want, s"input $in")
+    }
+  }
+
+  // ---- vocabCoverage ------------------------------------------------------
+
+  test("vocabCoverage: top-k cut with (count desc, token asc) tie-break") {
+    // counts: x=3, b=2, c=2, z=1. k=2 -> vocab {x, b} (b beats c on the
+    // tie alphabetically). doc1 = "x b" fully covered; doc2 = "c z x" has
+    // 2 OOV of 3.
+    val df = Seq((1L, "x b"), (2L, "c z x"), (3L, "b c x"))
+      .toDF("doc_id", "text")
+    val got = Frequency.vocabCoverage(df, "doc_id", "text", k = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_bps")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 0L, 0L)))
+    assert(got(2L) === ((2L, 3L, 2L, 6666L)))
+    assert(got(3L) === ((3L, 3L, 1L, 3333L)))
+  }
+
+  // ---- robustScale --------------------------------------------------------
+
+  test("robustScale: disc quartiles and toward-zero division") {
+    // group values 10,20,30,40 (n=4): med rank (4+1)div2=2 -> 20;
+    // q1 rank (4+3)div4=1 -> 10; q3 rank (12+3)div4=3 -> 30; iqr=20.
+    // scaled(10) = (10-20)*1e6 div 20 = -500000 (exact divide);
+    // scaled(40) = 20*1e6 div 20 = 1000000.
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (1L, 4L, 40L)).toDF("g", "id", "v")
+    val got = RobustStats.robustScale(df, Seq("g"), "v", "id")
+      .select($"id", $"med", $"q1", $"q3", $"scaled_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 20L, 10L, 30L, -500000L)))
+    assert(got(4L) === ((4L, 20L, 10L, 30L, 1000000L)))
+    // truncation toward zero on a non-exact negative: v=15 in the same
+    // group ordering... separate group: 0,10,100 -> med 10, q1 0 (rank 1),
+    // q3 100 (rank 3): scaled(0) = -10e6 div 100 = -100000
+    val df2 = Seq((2L, 1L, 0L), (2L, 2L, 7L), (2L, 3L, 100L))
+      .toDF("g", "id", "v")
+    val got2 = RobustStats.robustScale(df2, Seq("g"), "v", "id")
+      .select($"id", $"scaled_micro").as[(Long, Long)].collect().toMap
+    // med=7, q1=0, q3=100, iqr=100: scaled(0) = -7000000 div 100 = -70000
+    assert(got2(1L) === -70000L)
+    assert(got2(3L) === (93L * 1000000L) / 100L)
+  }
+
+  test("robustScale: zero-IQR group scales to 0") {
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 99L))
+      .toDF("g", "id", "v")
+    // ranks over [5,5,5,99]: q1 rank 1 -> 5, q3 rank 3 -> 5, iqr 0
+    val got = RobustStats.robustScale(df, Seq("g"), "v", "id")
+      .select($"scaled_micro").as[Long].collect()
+    assert(got.forall(_ === 0L))
+  }
+
+  // ---- dupClusterProfile --------------------------------------------------
+
+  test("dupClusterProfile: exact sizes, shares, and normalization collapse") {
+    val df = Seq((1L, "The cat!"), (2L, "the CAT"), (3L, "the  cat"),
+      (4L, "a dog"), (5L, "a dog"), (6L, "unique one")).toDF("id", "t")
+    val got = Dedup.dupClusterProfile(df, "id", "t")
+      .select($"cluster_size", $"n_clusters", $"n_docs", $"docs_bps")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L) === ((3L, 1L, 3L, 5000L)), "the-cat triple")
+    assert(got(2L) === ((2L, 1L, 2L, 3333L)), "a-dog pair")
+    assert(got(1L) === ((1L, 1L, 1L, 1666L)))
+  }
+
+  // ---- containmentJoin ----------------------------------------------------
+
+  test("containmentJoin: asymmetric — the excerpt is caught, not the host") {
+    // a = 4-token excerpt (2 trigrams), b = host containing a verbatim
+    // plus more (7 trigrams): containment(a in b) = 1, (b in a) = 2/7.
+    val df = Seq(
+      (1L, "q w e r"),
+      (2L, "x y q w e r t z u")).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(df, "doc_id", "text",
+        tNum = 4, tDen = 5, shingleN = 3)
+      .select($"id_a", $"id_b", $"c", $"na", $"cont_bps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.CacheScope.releaseAll()
+    assert(got.toSeq === Seq((1L, 2L, 2L, 2L, 10000L)))
+  }
+
+  test("containmentJoin: prefix filter is lossless vs a naive twin") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"t$i")
+    val docs = (0 until 60).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def tris(s: String): Set[String] = {
+      val t = s.split(" ")
+      (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val expect = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia != ib
+      sa = tris(ta); sb = tris(tb)
+      if sa.nonEmpty
+      c = (sa & sb).size
+      if c * 5 >= 3 * sa.size
+    } yield (ia, ib, c.toLong)).toSet
+    val got = Dedup.containmentJoin(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tNum = 3, tDen = 5, shingleN = 3)
+      .select($"id_a", $"id_b", $"c")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.CacheScope.releaseAll()
+    assert(got === expect)
+  }
+
+  test("urlDedup: smallest id wins per canonical group") {
+    val df = Seq(
+      (3L, "http://EX.com/a?utm_source=t"),
+      (1L, "http://ex.com/a/"),
+      (2L, "http://ex.com/b"))
+      .toDF("id", "url")
+    val got = Dedup.urlDedup(df, "url", "id")
+      .select($"id", $"canonical_url", $"n_urls", $"keep")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "http://ex.com/a", 2L, true)))
+    assert(got(1) === ((2L, "http://ex.com/b", 1L, true)))
+    assert(got(2) === ((3L, "http://ex.com/a", 2L, false)))
+  }
+}
