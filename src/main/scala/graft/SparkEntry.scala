@@ -3047,7 +3047,83 @@ object SparkEntry {
     "q187_containment" -> ((s, d) =>
       graft.operators.Dedup.containmentJoin(
         Tables.documents(s, d), "doc_id", "text",
-        tNum = 4, tDen = 5, shingleN = 3))
+        tNum = 4, tDen = 5, shingleN = 3)),
+
+    // Shazam-style audio retrieval (Multimodal.fingerprintMatch): query
+    // clips are time-shifted EXCERPTS of the corpus tracks, re-encoded
+    // through the real WAV container (synthAudioClips); fingerprints =
+    // q173's adjacent-peak pairs enriched with the frame energy mod 2^16;
+    // the matcher joins on fp value, histograms dt = track − query
+    // frame, and keeps each query's offset-coherent best — recovering
+    // (source track, shift) from audio bytes alone. Every energy is
+    // re-derived in closed form by the oracle (the q173 discipline), so
+    // the whole retrieval is hash-exact. All 43 queries recover their
+    // source at sf0.01; at sf0.1 the synthetic signal itself repeats
+    // (ids congruent mod 4096 share samples), so ~79 queries tie with
+    // a genuine content-duplicate track and the deterministic
+    // tie-break picks the smaller id — correct retrieval of duplicate
+    // content, not a collision artifact.
+    "q188_audio_match" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = graft.operators.Multimodal
+      def fps(frames: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("media_id").orderBy("frame_idx")
+        frames.withColumn("fp",
+          (col("peak_band") * 4 + lead(col("peak_band"), 1).over(w))
+            * 65536 + pmod(col("e0") + col("e1") + col("e2") + col("e3"),
+              lit(65536L)))
+          .filter(col("fp").isNotNull)
+          .select("media_id", "frame_idx", "fp")
+      }
+      val docs = Tables.documents(s, d).select("doc_id")
+      val tracks = fps(M.audioFrames(M.synthAudio(docs, "doc_id")).toDF())
+      // queries: every 5th doc with >= 8 track frames; clip = 4 frames
+      // starting at frame 1 + id%3 (so the clip always fits)
+      val clipsIn = docs
+        .filter(pmod(col("doc_id"), lit(5L)) === 0 &&
+          pmod(col("doc_id"), lit(7L)) >= 4)
+        .select(col("doc_id").as("id"),
+          ((pmod(col("doc_id"), lit(3L)) + 1) * 256).as("off"),
+          lit(1024L).as("n"))
+      val queries = fps(M.audioFrames(M.synthAudioClips(clipsIn)).toDF())
+      M.fingerprintMatch(queries, tracks)
+    }),
+
+    // Window-function breadth over the per-customer order sequence:
+    // percent_rank / cume_dist / ntile / nth_value / frame-bounded
+    // last_value in ONE window pass (all six share the customer
+    // exchange and sort). The unique (date, key) order makes rank =
+    // row_number, so the rank ratios are the exact same small-integer
+    // divisions in both engines.
+    "q189_window_breadth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        last_value(col("o_totalprice")).over(wAll).as("last_price"))
+    }),
+
+    // Dedup-tier evaluation (Dedup.pairSetEval): q29's MinHash-LSH
+    // candidates priced against q126's EXACT trigram-Jaccard >= 1/2
+    // ground truth — precision/recall in integer bps. The
+    // measure-don't-guess gate: banding (4-row bands x 8) passes a
+    // J = 1/2 pair with p = 1-(1-J^4)^8 ~ 0.40, and this query pins the
+    // realized numbers on the actual corpus in both engines.
+    "q190_dedup_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = graft.operators.Dedup.minhashCandidates(
+        docs, "text", "doc_id", 3, 32, 8)
+      val truth = graft.operators.Dedup.setSimilarityJoin(
+          docs, "doc_id", "text", tNum = 1, tDen = 2, shingleN = 3)
+        .select("id_a", "id_b")
+      graft.operators.Dedup.pairSetEval(cand, truth)
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -3082,6 +3158,31 @@ object SparkEntry {
     * hash. Parameters mirror the q29 call exactly: 3-gram shingles, k=32
     * permutations, 8 bands of 4 rows, bucket cap 64.
     */
+  /** q126 oracle: exact trigram-Jaccard self-join, every candidate pair
+    * verified via the element equi-join intersection (no prefix filter —
+    * the operator's pruning must be lossless against this). Shared with
+    * q190's evaluation gate as its exact ground truth.
+    */
+  private val sqlQ126SetSim: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |el AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
+      |  FROM toks),
+      |sz AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT i.id_a, i.id_b,
+      |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+      |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+      |JOIN sz sb ON sb.doc_id = i.id_b
+      |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin
+
   private val sqlQ29Minhash: String = {
     val k = 32; val bands = 8; val rows = k / bands; val maxBucket = 64
     val p = 2147483647L
@@ -5102,25 +5203,7 @@ object SparkEntry {
     // Ground truth with NO prefix filter: every pair's exact bigram-set
     // intersection, relationally (token equi-join + group count), with
     // the identical integer cross-multiplied accept test.
-    "q126_setsim_join" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |el AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
-        |  FROM toks),
-        |sz AS MATERIALIZED (
-        |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT i.id_a, i.id_b,
-        |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
-        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
-        |JOIN sz sb ON sb.doc_id = i.id_b
-        |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin,
+    "q126_setsim_join" -> sqlQ126SetSim,
 
     "q128_kcore" -> sqlQ128KCore,
 
@@ -6335,6 +6418,88 @@ object SparkEntry {
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
         |JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE i.c * 5 >= 4 * sa.n""".stripMargin,
+
+    // Track energies/peaks re-derived in closed form (the q173 CTEs);
+    // clip fingerprints ARE the track fingerprints at frames
+    // off..off+2 (same samples), re-indexed to clip frames; then the
+    // identical join + offset histogram + (votes desc, track, dt)
+    // winner.
+    "q188_audio_match" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 1024 + (doc_id % 7) * 256 AS n
+        |  FROM documents),
+        |idx AS (SELECT media_id, unnest(range(0, n)) AS i FROM d),
+        |s AS (SELECT media_id, i // 256 AS frame_idx, (i % 256) // 64 AS band,
+        |        abs((media_id * 31 + i * i * 7) % 4096 - 2048) AS a FROM idx),
+        |e AS (SELECT media_id, frame_idx,
+        |        CAST(sum(CASE WHEN band = 0 THEN a ELSE 0 END) AS BIGINT) AS e0,
+        |        CAST(sum(CASE WHEN band = 1 THEN a ELSE 0 END) AS BIGINT) AS e1,
+        |        CAST(sum(CASE WHEN band = 2 THEN a ELSE 0 END) AS BIGINT) AS e2,
+        |        CAST(sum(CASE WHEN band = 3 THEN a ELSE 0 END) AS BIGINT) AS e3
+        |      FROM s GROUP BY 1, 2),
+        |p AS (SELECT *, CAST(CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0
+        |        WHEN e1 >= e2 AND e1 >= e3 THEN 1
+        |        WHEN e2 >= e3 THEN 2 ELSE 3 END AS BIGINT) AS peak_band FROM e),
+        |tf AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |        (peak_band * 4 + lead(peak_band) OVER
+        |          (PARTITION BY media_id ORDER BY frame_idx)) * 65536
+        |          + (e0 + e1 + e2 + e3) % 65536 AS fp
+        |      FROM p),
+        |tfv AS (SELECT * FROM tf WHERE fp IS NOT NULL),
+        |qf AS (SELECT media_id AS query_id,
+        |        frame_idx - (1 + media_id % 3) AS qf, fp
+        |      FROM tfv
+        |      WHERE media_id % 5 = 0 AND media_id % 7 >= 4
+        |        AND frame_idx BETWEEN (1 + media_id % 3)
+        |          AND (3 + media_id % 3)),
+        |h AS (SELECT q.query_id, t.media_id AS track_id,
+        |        t.frame_idx - q.qf AS dt, count(*) AS n_matches
+        |      FROM qf q JOIN tfv t USING (fp) GROUP BY 1, 2, 3)
+        |SELECT query_id, track_id, dt, n_matches FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n_matches DESC, track_id, dt) AS rk FROM h)
+        |WHERE rk = 1""".stripMargin,
+
+    // The identical six window functions; rank = row_number under the
+    // unique (date, key) order, so every ratio is the same
+    // small-integer division.
+    "q189_window_breadth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  last_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // q29's candidate SQL and q126's exact-truth SQL verbatim, full
+    // outer joined on the pair key; counts and bps are exact integers.
+    "q190_dedup_eval" ->
+      s"""WITH cand AS (SELECT id_a, id_b FROM ($sqlQ29Minhash)),
+         |truth AS (SELECT id_a, id_b FROM ($sqlQ126SetSim)),
+         |j AS (
+         |  SELECT c.id_a IS NOT NULL AS in_p, t.id_a IS NOT NULL AS in_t
+         |  FROM cand c FULL JOIN truth t
+         |    ON c.id_a = t.id_a AND c.id_b = t.id_b),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fpos,
+         |    CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fneg
+         |  FROM j)
+         |SELECT tp, fpos, fneg,
+         |  CASE WHEN tp + fpos > 0 THEN tp * 10000 // (tp + fpos) END
+         |    AS precision_bps,
+         |  CASE WHEN tp + fneg > 0 THEN tp * 10000 // (tp + fneg) END
+         |    AS recall_bps
+         |FROM agg""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

@@ -888,6 +888,35 @@ object Dedup {
         expr("c * 10000 div na").as("cont_bps"))
   }
 
+  /** Pair-set evaluation — precision/recall of a CANDIDATE pair set
+    * (e.g. [[minhashCandidates]]) against an exact ground truth (e.g.
+    * [[setSimilarityJoin]]), the measure-don't-guess gate for choosing
+    * a dedup tier: LSH banding trades recall for cost, and this is the
+    * operator that prices the trade on the actual corpus.
+    *
+    * Both inputs are (id_a, id_b) with id_a < id_b. One full-outer join
+    * on the pair key + one global aggregate; precision/recall are exact
+    * integer basis points (null when the denominator is empty — no
+    * division by zero in either engine).
+    */
+  def pairSetEval(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val p = pred.select(col("id_a"), col("id_b"), lit(1).as("__p"))
+    val t = truth.select(col("id_a"), col("id_b"), lit(1).as("__t"))
+    p.join(t, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+          .otherwise(0L)).as("fpos"),
+        sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("fneg"))
+      .select(col("tp"), col("fpos"), col("fneg"),
+        when(col("tp") + col("fpos") > 0,
+          expr("tp * 10000 div (tp + fpos)")).as("precision_bps"),
+        when(col("tp") + col("fneg") > 0,
+          expr("tp * 10000 div (tp + fneg)")).as("recall_bps"))
+  }
+
   /** URL-level dedup — the cheapest dedup tier in a crawl pipeline, run
     * BEFORE any content loads: canonicalize each row's URL
     * ([[graft.functions.TextFunctions.canonicalizeUrl]] — scheme/host

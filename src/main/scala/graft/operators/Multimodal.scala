@@ -412,6 +412,73 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic query CLIPS of the [[synthAudio]] signal:
+    * each input row (id, offsetSamples, nSamples) becomes a WAV whose
+    * sample i is the SOURCE track's sample offsetSamples + i — a
+    * time-shifted excerpt through the same real RIFF container, so a
+    * fingerprint matcher must recover (source id, shift) from audio
+    * bytes alone. Columns are read by NAME: `id`, `off`, `n`.
+    */
+  def synthAudioClips(df: DataFrame): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col("id").cast("long"), col("off").cast("long"),
+        col("n").cast("long"))
+      .as[(Long, Long, Long)].map { case (id, off, n) =>
+        val len = n.toInt
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * len)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * len)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)
+          .putInt(8000).putInt(16000)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(2 * len)
+        var i = 0L
+        while (i < len) {
+          val j = off + i
+          bb.putShort(
+            (java.lang.Math.floorMod(id * 31L + j * j * 7L, 4096L) - 2048L)
+              .toShort)
+          i += 1
+        }
+        MediaItem(id, "audio/wav", bb.array())
+      }
+  }
+
+  /** Shazam-style offset-coherent fingerprint matching: join query
+    * fingerprints to track fingerprints by VALUE, histogram the frame
+    * offset `dt = track_frame − query_frame` per (query, track), and
+    * keep each query's best (n_matches desc, track asc, dt asc) — a
+    * time-INCOHERENT fingerprint collision scatters across dt values
+    * and never outvotes the true source, whose matches all land on one
+    * dt. Inputs need (media_id, frame_idx, fp); `dt` and the vote are
+    * exact integers, so the winner is engine-deterministic.
+    *
+    * Scale shape: one equi-join on fp (the index side is the track
+    * fingerprint table — precomputed once, the retrieval artifact), one
+    * (query, track, dt) hash aggregate, one per-query top-1 window over
+    * the candidate histogram (query-keyed — candidate counts per query
+    * are bounded by clip length × bucket collisions, not the corpus).
+    */
+  def fingerprintMatch(queryFps: DataFrame, trackFps: DataFrame)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queryFps.select(col("media_id").as("query_id"),
+      col("frame_idx").as("qf"), col("fp"))
+    val t = trackFps.select(col("media_id").as("track_id"),
+      col("frame_idx").as("tf"), col("fp"))
+    val hist = q.join(t, "fp")
+      .groupBy(col("query_id"), col("track_id"),
+        (col("tf") - col("qf")).as("dt"))
+      .agg(count(lit(1)).as("n_matches"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_matches").desc, col("track_id").asc, col("dt").asc)
+    hist.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** RIFF walker: returns the PCM16-mono sample array, or None for
     * anything it cannot strictly parse (truncated, compressed, stereo,
     * non-16-bit, missing chunks).

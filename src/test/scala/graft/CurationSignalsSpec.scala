@@ -293,6 +293,54 @@ class CurationSignalsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // ---- fingerprintMatch / pairSetEval --------------------------------------
+
+  test("fingerprintMatch: offset coherence outvotes scattered collisions") {
+    // query q shares fps with track 1 at a CONSISTENT dt=2 (3 votes) and
+    // with track 2 at scattered dts (1 vote each) — track 1 must win.
+    val queries = Seq((9L, 0L, 100L), (9L, 1L, 101L), (9L, 2L, 102L))
+      .toDF("media_id", "frame_idx", "fp")
+    val tracks = Seq(
+      (1L, 2L, 100L), (1L, 3L, 101L), (1L, 4L, 102L), // coherent dt=2
+      (2L, 0L, 100L), (2L, 5L, 101L), (2L, 9L, 102L)) // scattered
+      .toDF("media_id", "frame_idx", "fp")
+    val got = graft.operators.Multimodal.fingerprintMatch(queries, tracks)
+      .select($"query_id", $"track_id", $"dt", $"n_matches")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((9L, 1L, 2L, 3L)))
+  }
+
+  test("synthAudioClips: clip frames equal source frames shifted") {
+    val M = graft.operators.Multimodal
+    val src = M.audioFrames(M.synthAudio(Seq(11L).toDF("id"), "id")).toDF()
+      .select($"frame_idx", $"e0", $"e1", $"e2", $"e3", $"peak_band")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // clip = frames 2..5 of track 11 (offset 512 samples, 1024 samples)
+    val clip = M.audioFrames(M.synthAudioClips(
+        Seq((11L, 512L, 1024L)).toDF("id", "off", "n"))).toDF()
+      .select($"frame_idx", $"e0", $"e1", $"e2", $"e3", $"peak_band")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(clip.length === 4)
+    clip.foreach { case (f, e0, e1, e2, e3, p) =>
+      val s = src(f + 2)
+      assert((e0, e1, e2, e3, p) === ((s._2, s._3, s._4, s._5, s._6)),
+        s"clip frame $f != source frame ${f + 2}")
+    }
+  }
+
+  test("pairSetEval: exact confusion counts and bps") {
+    val pred = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.pairSetEval(pred, truth).collect().head
+    assert(r.getAs[Long]("tp") === 2L)
+    assert(r.getAs[Long]("fpos") === 1L)
+    assert(r.getAs[Long]("fneg") === 2L)
+    assert(r.getAs[Long]("precision_bps") === 6666L)
+    assert(r.getAs[Long]("recall_bps") === 5000L)
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
