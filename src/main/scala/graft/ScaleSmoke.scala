@@ -163,7 +163,11 @@ object ScaleSmoke {
       "q163_bigram_lm", "q168_fuzzy_join", "q169_kanonymity",
       "q170_zorder", "q171_semantic_decontam", "q172_bpe_train",
       "q173_audio_fingerprint", "q175_hybrid_retrieval",
-      "q176_cdc_chunks", "q177_ewma", "q178_bpe_apply")
+      "q176_cdc_chunks", "q177_ewma", "q178_bpe_apply",
+      "q179_gopher_rep", "q180_mad", "q181_assoc_rules",
+      "q183_url_dedup", "q184_vocab_coverage", "q185_robust_scale",
+      "q187_containment", "q188_audio_match", "q190_dedup_eval",
+      "q191_bom_rollup", "q192_skyline", "q193_trend")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

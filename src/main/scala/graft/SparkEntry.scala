@@ -3123,7 +3123,70 @@ object SparkEntry {
           docs, "doc_id", "text", tNum = 1, tDen = 2, shingleN = 3)
         .select("id_a", "id_b")
       graft.operators.Dedup.pairSetEval(cand, truth)
-    })
+    }),
+
+    // Bill-of-materials rollup (Graphs.bomExtend): bounded-depth
+    // ancestor closure with per-path quantity products summed across
+    // paths. Synthetic DAG over parts: p -> p div 10 (qty 1 + p%4)
+    // plus a second parent p div 10 + 1 (qty 2) for p%3==0 — the
+    // diamond edges keep the multi-path sum arm (n_paths > 1) live.
+    "q191_bom_rollup" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey").as("pk"))
+        .filter(col("pk") >= 10)
+      val e1 = p.select(col("pk").as("child"),
+        expr("pk div 10").as("parent"),
+        (pmod(col("pk"), lit(4L)) + 1).as("qty"))
+      val e2 = p.filter(pmod(col("pk"), lit(3L)) === 0)
+        .select(col("pk").as("child"),
+          (expr("pk div 10") + 1).as("parent"), lit(2L).as("qty"))
+      graft.operators.Graphs.bomExtend(
+        e1.unionAll(e2), "child", "parent", "qty", maxDepth = 4)
+    }),
+
+    // 2-D skyline per brand (Skyline.skyline2D): the Pareto frontier
+    // of (price minimized, size maximized) within each brand — two
+    // window maxima over one group exchange, no pair join. Exact
+    // integer dominance; duplicate points stay on the frontier.
+    "q192_skyline" -> ((s, d) =>
+      graft.operators.Skyline.skyline2D(
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100, 0).cast("long")
+            .as("price_cents"),
+          col("p_size").cast("long").as("size")),
+        Seq(col("p_brand")), "price_cents", "size")),
+
+    // Per-user purchase trend (RobustStats.groupTrend): OLS slope of
+    // cents on day index from five exact integer moments, one
+    // DECIMAL(38,0) integral division to micro units (the q131
+    // discipline for regression). Day index is corpus-relative via a
+    // broadcast scalar (J5), so x stays small and both engines cut
+    // identically.
+    "q193_trend" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val m = p.agg(min("day").as("day0"))
+      val px = p.crossJoin(broadcast(m))
+        .select(col("user_id"), (col("day") - col("day0")).as("x"),
+          col("cents").as("y"))
+      graft.operators.RobustStats.groupTrend(px, Seq("user_id"), "x", "y")
+    }),
+
+    // VARIANT ingestion (Spark 4's semi-structured type): parse_json →
+    // try_variant_get typed extraction, then the q115 aggregate — the
+    // modern path for schema-on-read JSON columns (shredded storage,
+    // no inference scan, malformed rows null out instead of failing).
+    "q194_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          try_variant_get(parse_json(col("props")), "$.k", "int")
+            .as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count_distinct(col("k")).as("n_k")))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -6500,6 +6563,87 @@ object SparkEntry {
          |  CASE WHEN tp + fneg > 0 THEN tp * 10000 // (tp + fneg) END
          |    AS recall_bps
          |FROM agg""".stripMargin,
+
+    // Four unrolled depth CTEs (tree walk with the diamond edges), sum
+    // of per-path products, min depth, path count.
+    "q191_bom_rollup" ->
+      """WITH e AS (
+        |  SELECT p_partkey AS child, p_partkey // 10 AS parent,
+        |    p_partkey % 4 + 1 AS q
+        |  FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT p_partkey, p_partkey // 10 + 1, 2
+        |  FROM part WHERE p_partkey >= 10 AND p_partkey % 3 = 0),
+        |d1 AS (SELECT parent AS anc, child AS dsc, 1 AS depth, q AS ext
+        |       FROM e),
+        |d2 AS (SELECT e.parent AS anc, d1.dsc, 2 AS depth,
+        |         d1.ext * e.q AS ext
+        |       FROM d1 JOIN e ON d1.anc = e.child),
+        |d3 AS (SELECT e.parent AS anc, d2.dsc, 3 AS depth,
+        |         d2.ext * e.q AS ext
+        |       FROM d2 JOIN e ON d2.anc = e.child),
+        |d4 AS (SELECT e.parent AS anc, d3.dsc, 4 AS depth,
+        |         d3.ext * e.q AS ext
+        |       FROM d3 JOIN e ON d3.anc = e.child),
+        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |      UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
+        |SELECT anc AS ancestor, dsc AS descendant,
+        |  CAST(sum(ext) AS BIGINT) AS ext_qty,
+        |  CAST(min(depth) AS BIGINT) AS min_depth,
+        |  count(*) AS n_paths
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // The identical two-window dominance test (strict-x range frame +
+    // same-x partition max).
+    "q192_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, p_brand, price_cents, size,
+        |  NOT (coalesce(max(size) OVER (PARTITION BY p_brand
+        |      ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      >= size, FALSE)
+        |    OR coalesce(max(size) OVER (PARTITION BY p_brand, price_cents)
+        |      > size, FALSE)) AS on_frontier
+        |FROM p""".stripMargin,
+
+    // The identical five integer moments and HUGEINT integral division
+    // to micro units; zero-variance x emits null.
+    "q193_trend" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |d0 AS (SELECT min(day) AS day0 FROM p),
+        |x AS (SELECT user_id, day - d0.day0 AS x, cents AS y FROM p, d0),
+        |m AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT user_id, n, sx, sy, sxy, sxx,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |      * 1000000 // (CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |  END AS slope_micro
+        |FROM m""".stripMargin,
+
+    // Same aggregate as q115 — VARIANT extraction must agree with the
+    // schema'd from_json path bit for bit.
+    "q194_variant" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS n_k
+        |FROM e GROUP BY event_type""".stripMargin,
 
     // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
     // 16-byte key is an agg-state optimization, not a semantic change).

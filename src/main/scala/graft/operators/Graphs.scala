@@ -975,4 +975,48 @@ object Graphs {
     }
     visited
   }
+
+  /** Bill-of-materials transitive rollup: extend the (child, parent,
+    * qty) edge list to the bounded-depth ancestor closure with the
+    * per-path quantity PRODUCT summed across paths — "how many of part
+    * x does one assembly y ultimately consume", the ERP/hierarchy
+    * aggregation a relational engine needs a recursive CTE for.
+    *
+    * Exact integers throughout: each path's extended quantity is a
+    * product of edge quantities (caller bounds qty^maxDepth within a
+    * long — depth is a structural constant, qtys are small counts),
+    * multi-path (diamond) totals are sums of products, and `n_paths` /
+    * `min_depth` certify the DAG structure the rollup walked.
+    *
+    * Scale shape: maxDepth − 1 equi-joins child←ancestor (each one
+    * shuffle on the join key, the bounded-round BFS discipline — depth
+    * is a BOM's structural constant, never data-sized), then ONE hash
+    * aggregate over all depths. No driver state, no collect.
+    */
+  def bomExtend(edges: DataFrame, childCol: String, parentCol: String,
+                qtyCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, "bomExtend: maxDepth must be >= 1")
+    val e = edges.select(col(childCol).cast("long").as("desc"),
+      col(parentCol).cast("long").as("anc"),
+      col(qtyCol).cast("long").as("q"))
+    val up = e.select(col("desc").as("hop_from"), col("anc").as("hop_to"),
+      col("q").as("hop_q"))
+    var level = e.select(col("anc"), col("desc"),
+      lit(1L).as("depth"), col("q").as("ext"))
+    var all = level
+    for (_ <- 2 to maxDepth) {
+      level = level
+        .join(up, level("anc") === up("hop_from"))
+        .select(col("hop_to").as("anc"), col("desc"),
+          (col("depth") + 1L).as("depth"),
+          (col("ext") * col("hop_q")).as("ext"))
+      all = all.unionAll(level)
+    }
+    all.groupBy("anc", "desc")
+      .agg(sum(col("ext")).as("ext_qty"),
+        min(col("depth")).as("min_depth"),
+        count(lit(1)).as("n_paths"))
+      .withColumnRenamed("anc", "ancestor")
+      .withColumnRenamed("desc", "descendant")
+  }
 }

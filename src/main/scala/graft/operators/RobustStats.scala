@@ -154,6 +154,33 @@ object RobustStats {
         expr("(ws * 1000000) div wt"))
   }
 
+  /** Per-group OLS trend (slope of y on x) from exact integer moments —
+    * the q131 correlation discipline applied to trend detection: one
+    * partial-agg pass collects (n, Σx, Σy, Σxy, Σx²) as exact longs,
+    * and the slope
+    *   β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is emitted in micro units via ONE integral division with both
+    * operands in DECIMAL(38,0) (no long overflow at any group size, no
+    * float accumulation — DuckDB twin uses HUGEINT). Zero-variance-x
+    * groups (all observations the same instant) emit null slope.
+    *
+    * One shuffle on the group key, map-side combined; nothing else.
+    */
+  def groupTrend(df: DataFrame, keys: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("slope_micro",
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxy
+                   - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+                 div (CAST(n AS DECIMAL(38,0)) * sxx
+                   - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")))
+  }
+
   /** Robust (median/IQR) feature scaling per group — the outlier-proof
     * alternative to mean/σ standardization for feature preparation: a
     * corrupt spike moves a mean-scaled feature's entire column, but the

@@ -341,6 +341,64 @@ class CurationSignalsSpec extends SparkSpec {
     assert(r.getAs[Long]("recall_bps") === 5000L)
   }
 
+  // ---- bomExtend ----------------------------------------------------------
+
+  test("bomExtend: diamond paths sum products, min depth, path count") {
+    // d -> b (5), d -> c (7), b -> a (2), c -> a (3): one d per a via b
+    // costs 5*2, via c costs 7*3 -> ext 31 over 2 paths at depth 2.
+    val e = Seq((10L, 2L, 5L), (10L, 3L, 7L), (2L, 1L, 2L), (3L, 1L, 3L))
+      .toDF("child", "parent", "qty")
+    val got = graft.operators.Graphs.bomExtend(e, "child", "parent",
+        "qty", maxDepth = 3)
+      .select($"ancestor", $"descendant", $"ext_qty", $"min_depth",
+        $"n_paths")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 10L)) === ((31L, 2L, 2L)))
+    assert(got((2L, 10L)) === ((5L, 1L, 1L)))
+    assert(got((1L, 2L)) === ((2L, 1L, 1L)))
+  }
+
+  // ---- skyline2D ----------------------------------------------------------
+
+  test("skyline2D: matches naive dominance on random points with dups") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 120).map(i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(10).toLong,
+        rnd.nextInt(10).toLong))
+    val expect = pts.map { case (id, g, x, y) =>
+      val dominated = pts.exists { case (_, g2, x2, y2) =>
+        g2 == g && x2 <= x && y2 >= y && (x2 < x || y2 > y)
+      }
+      id -> !dominated
+    }.toMap
+    val got = graft.operators.Skyline.skyline2D(
+        pts.toDF("id", "g", "x", "y"), Seq(col("g")), "x", "y")
+      .select($"id", $"on_frontier").as[(Long, Boolean)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("skyline2D: duplicate points all stay on the frontier") {
+    val df = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 6L, 4L))
+      .toDF("id", "x", "y").withColumn("g", lit("a"))
+    val got = graft.operators.Skyline.skyline2D(df, Seq(col("g")), "x", "y")
+      .select($"id", $"on_frontier").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && got(2L), "identical points dominate neither")
+    assert(!got(3L), "worse on both axes")
+  }
+
+  // ---- groupTrend ---------------------------------------------------------
+
+  test("groupTrend: exact slope in micro units; zero-variance x is null") {
+    val df = Seq((1L, 0L, 0L), (1L, 1L, 1000L), (1L, 2L, 2000L),
+      (2L, 4L, 7L), (2L, 4L, 9L)).toDF("g", "x", "y")
+    val got = graft.operators.RobustStats.groupTrend(df, Seq("g"), "x", "y")
+      .select($"g", $"slope_micro").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L) === Some(1000000000L), "slope 1000/day in micro")
+    assert(got(2L) === None, "all x equal: undefined slope")
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
