@@ -3186,7 +3186,67 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"),
-          count_distinct(col("k")).as("n_k")))
+          count_distinct(col("k")).as("n_k"))),
+
+    // Explicit GROUPING SETS — the arbitrary-sets member of the q46
+    // rollup / q127 cube family: per-status, per-priority, and grand
+    // totals in ONE pass (no self-union re-scan), grouping_id
+    // disambiguating real nulls from subtotal rows.
+    "q195_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("total"))),
+
+    // HLL audience overlap (Frequency.hllIntersectEstimate):
+    // inclusion-exclusion over mergeable per-event-type user sketches +
+    // the exact twin and a per-row error certificate — rows-only (HLL
+    // estimates are engine-specific) but self-certifying, the q114
+    // discipline for sketch artifacts. Every user touches every type
+    // in this fixture, so memberships are carved per (user, type-len)
+    // to make the ten pairwise overlaps genuinely differ.
+    "q196_hll_intersect" -> ((s, d) =>
+      graft.operators.Frequency.hllIntersectEstimate(
+        Tables.events(s, d)
+          .filter(pmod(col("user_id") + length(col("event_type")),
+            lit(4L)) =!= 0),
+        "event_type", "user_id")),
+
+    // Top journey paths (Journey.topPaths): each user's first-4 event
+    // prefix counted corpus-wide, top 10 with exact share bps — the
+    // Sankey query q152's pairwise matrix cannot answer. One
+    // sort_array(collect_list) hash aggregate per user (no window),
+    // path-vocabulary-sized count, TakeOrdered top-k.
+    "q197_top_paths" -> ((s, d) =>
+      graft.operators.Journey.topPaths(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        prefixLen = 4, k = 10)),
+
+    // Robust null imputation (RobustStats.imputeLowerMedian):
+    // deterministic null injection (every 7th event, plus every 50th
+    // user entirely) filled with the user's lower median of observed
+    // cents; all-null users STAY null with was_imputed = false — the
+    // unobserved-group contract.
+    "q198_impute" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          when(pmod(col("event_id"), lit(7L)) === 0 ||
+            pmod(col("user_id"), lit(50L)) === 0, lit(null))
+            .otherwise(round(col("value") * 100, 0).cast("long"))
+            .as("cents_raw"))
+      graft.operators.RobustStats.imputeLowerMedian(
+        e, Seq("user_id"), "cents_raw", "event_id")
+        .select("user_id", "event_id", "cents_raw", "imputed",
+          "was_imputed")
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -6938,6 +6998,56 @@ object SparkEntry {
         |  min(k) AS min_k, max(k) AS max_k,
         |  count(DISTINCT k) AS n_k
         |FROM e GROUP BY event_type""".stripMargin,
+
+    // The identical three grouping sets; gid = 2*GROUPING(status) +
+    // GROUPING(priority), the q127 mapping.
+    "q195_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(2 * GROUPING(o_orderstatus)
+        |    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |""".stripMargin,
+
+    // The identical first-4 prefix assembly (string_agg under the same
+    // total order), count, and deterministic top-10.
+    "q197_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n_users FROM p),
+        |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
+        |SELECT path, n, tot.n_users, n * 10000 // tot.n_users AS share_bps
+        |FROM c, tot
+        |ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
+
+    // The identical injection, per-user lower-median of the observed
+    // values, left-join fill; all-null users keep null.
+    "q198_impute" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 7 = 0 OR user_id % 50 = 0 THEN NULL
+        |      ELSE CAST(round(value * 100, 0) AS BIGINT) END AS cents_raw
+        |  FROM events WHERE event_type = 'purchase'),
+        |nn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cents_raw, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS gn
+        |  FROM e WHERE cents_raw IS NOT NULL),
+        |m AS (SELECT user_id, cents_raw AS med FROM nn
+        |      WHERE rn = (gn + 1) // 2)
+        |SELECT e.user_id, e.event_id, e.cents_raw,
+        |  coalesce(e.cents_raw, m.med) AS imputed,
+        |  e.cents_raw IS NULL AND m.med IS NOT NULL AS was_imputed
+        |FROM e LEFT JOIN m USING (user_id)""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

@@ -457,6 +457,62 @@ object Frequency {
         sum("n_rows").as("n_rows"),
         count(lit(1)).as("n_sketches"))
 
+  /** Audience-overlap estimation from mergeable HLL sketches —
+    * inclusion–exclusion on the q114 artifact family: for every
+    * unordered label pair, `approx_overlap = est(A) + est(B) −
+    * est(A ∪ B)`, where the union estimate comes from the scalar
+    * `hll_union` of the two per-label sketches (never a re-scan of the
+    * fact rows). The operator also computes the EXACT overlap (distinct
+    * value equi-join) and an `in_bounds` certificate — the q114
+    * self-certification discipline: sketch estimates are
+    * engine-specific, so the gate is rows-only, but every row carries
+    * its own machine-checkable error bound (3× the standard HLL
+    * relative error of lgK, compounded over the three estimates, floor
+    * 16 for the sparse regime).
+    *
+    * Scale shape: sketches are one partial-agg pass (k-byte state per
+    * label); the pair frame is label²-sized (labels are an enum, not
+    * data); the exact twin is the only data-sized join and exists to
+    * certify — a production pipeline runs the sketch side alone.
+    */
+  def hllIntersectEstimate(df: DataFrame, labelCol: String,
+                           valueCol: String, lgK: Int = 12): DataFrame = {
+    val sk = df.groupBy(col(labelCol).as("label"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count_distinct(col(valueCol)).as("exact_n"))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.exact_n").as("exact_a"), col("b.exact_n").as("exact_b"),
+        hll_sketch_estimate(col("a.sketch")).as("est_a"),
+        hll_sketch_estimate(col("b.sketch")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("a.sketch"), col("b.sketch")))
+          .as("est_u"))
+    val dv = df.select(col(labelCol).as("label"), col(valueCol).as("v"))
+      .distinct()
+    val exact = dv.as("a").join(dv.as("b"),
+        col("a.v") === col("b.v") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    // 3 sigma of the HLL relative standard error (1.04 / sqrt(2^lgK))
+    // per estimate, compounded over the three terms; floor 16 covers
+    // the sparse-mode-to-dense seam.
+    val tolPerMille = math.max(1L,
+      math.round(3 * 3 * 1.04 / math.sqrt((1L << lgK).toDouble) * 1000))
+    pairs.join(exact, Seq("label_a", "label_b"), "left")
+      .withColumn("exact_overlap",
+        coalesce(col("exact_overlap"), lit(0L)))
+      .withColumn("approx_overlap",
+        (col("est_a") + col("est_b") - col("est_u")).cast("long"))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_overlap"))
+      .withColumn("in_bounds",
+        abs(col("approx_overlap") - col("exact_overlap")) * 1000 <=
+          greatest(col("exact_union") * tolPerMille, lit(16000L)))
+      .select("label_a", "label_b", "exact_a", "exact_b", "exact_overlap",
+        "approx_overlap", "exact_union", "in_bounds")
+  }
+
   /** Inverted-index build with capped posting lists — the retrieval-side
     * artifact [[bm25TopK]] queries ad hoc: one relational row per
     * (token, rank, doc_id, tf) with rank <= cap under the total order

@@ -42,4 +42,37 @@ object Journey {
         round(col("n").cast("double") / col("row_total").cast("double"), 6)
           .as("p"))
   }
+
+  /** Top-k FULL journey prefixes ([[transitions]]' pairwise matrix
+    * can't distinguish A→B→C from A→B→D beyond one hop): each user's
+    * first `prefixLen` states in (ts, tieBreak) order joined with '>',
+    * counted across users, top k by (count desc, path asc) with the
+    * exact share in basis points — the Sankey/top-paths product
+    * analytics staple.
+    *
+    * Deterministic: the per-user sequence is assembled by ONE
+    * sort_array(collect_list(struct(ts, tie, state))) hash aggregate
+    * (struct order = the total order — no window, no sort exchange),
+    * and top-k is TakeOrdered under a total order. Scale: the path
+    * aggregate is path-vocabulary-sized; user count rides a broadcast
+    * single-row total (J5).
+    */
+  def topPaths(events: DataFrame, userCol: String, stateCol: String,
+               tsCol: String, tieBreakCol: String,
+               prefixLen: Int, k: Int): DataFrame = {
+    require(prefixLen >= 1 && k >= 1, "prefixLen and k must be >= 1")
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(tieBreakCol),
+        col(stateCol).as("s")))).as("seq"))
+      .select(concat_ws(">",
+        transform(slice(col("seq"), 1, prefixLen), x => x.getField("s")))
+        .as("path"))
+    val totals = perUser.agg(count(lit(1)).as("n_users"))
+    perUser.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+      .crossJoin(broadcast(totals))
+      .withColumn("share_bps", expr("n * 10000 div n_users"))
+  }
 }

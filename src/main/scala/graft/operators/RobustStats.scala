@@ -154,6 +154,36 @@ object RobustStats {
         expr("(ws * 1000000) div wt"))
   }
 
+  /** Null imputation by the group's lower median — the feature-prep
+    * fill that a corrupt spike cannot drag (mean imputation moves with
+    * any single outlier). The median is computed over the group's
+    * NON-NULL values at the deterministic ceil(n/2) rank under
+    * (value, id); rows in groups with no observed value stay null and
+    * carry `was_imputed = false` alongside a null fill — silently
+    * inventing a value for an unobserved group is the bug, not the
+    * feature.
+    *
+    * One window pass over non-null rows + a key-sized join back (AQE
+    * strategy), the [[madOutliers]] shape at fill time.
+    */
+  def imputeLowerMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                        idCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    val nn = df.filter(v.isNotNull)
+    val w = Window.partitionBy(keyCols: _*).orderBy(v, col(idCol))
+    val cw = Window.partitionBy(keyCols: _*)
+    val med = nn
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__gn", count(lit(1)).over(cw))
+      .filter(col("__rn") === expr("(__gn + 1) div 2"))
+      .select(keyCols :+ v.as("__med"): _*)
+    df.join(med, keys, "left")
+      .withColumn("imputed", coalesce(v, col("__med")))
+      .withColumn("was_imputed", v.isNull && col("__med").isNotNull)
+      .drop("__med")
+  }
+
   /** Per-group OLS trend (slope of y on x) from exact integer moments —
     * the q131 correlation discipline applied to trend detection: one
     * partial-agg pass collects (n, Σx, Σy, Σxy, Σx²) as exact longs,

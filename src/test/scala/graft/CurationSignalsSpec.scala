@@ -399,6 +399,62 @@ class CurationSignalsSpec extends SparkSpec {
     assert(got(2L) === None, "all x equal: undefined slope")
   }
 
+  // ---- topPaths -----------------------------------------------------------
+
+  test("topPaths: ordered prefix assembly and deterministic top-k") {
+    val e = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (2L, 10L, 1L, "a"), (2L, 20L, 2L, "b"), (2L, 30L, 3L, "c"),
+      (3L, 10L, 1L, "a"), (3L, 20L, 2L, "x"),
+      (4L, 5L, 1L, "z")).toDF("u", "ts", "eid", "state")
+    val got = graft.operators.Journey.topPaths(e, "u", "state", "ts",
+        "eid", prefixLen = 2, k = 2)
+      .select($"path", $"n", $"share_bps").as[(String, Long, Long)]
+      .collect()
+    assert(got.toSeq === Seq(("a>b", 2L, 5000L), ("a>x", 1L, 2500L)))
+  }
+
+  test("topPaths: tie on count breaks by path ascending") {
+    val e = Seq((1L, 1L, 1L, "b"), (2L, 1L, 1L, "a"), (3L, 1L, 1L, "c"))
+      .toDF("u", "ts", "eid", "state")
+    val got = graft.operators.Journey.topPaths(e, "u", "state", "ts",
+        "eid", prefixLen = 1, k = 2)
+      .select($"path").as[String].collect()
+    assert(got.toSeq === Seq("a", "b"))
+  }
+
+  // ---- imputeLowerMedian --------------------------------------------------
+
+  test("imputeLowerMedian: fills with group median, all-null stays null") {
+    val df = Seq(
+      (1L, 1L, Some(10L)), (1L, 2L, Some(30L)), (1L, 3L, Some(20L)),
+      (1L, 4L, None),
+      (2L, 5L, None), (2L, 6L, None)).toDF("g", "id", "v")
+    val got = graft.operators.RobustStats.imputeLowerMedian(
+        df, Seq("g"), "v", "id")
+      .select($"id", $"imputed", $"was_imputed")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(4L) === ((4L, Some(20L), true)), "lower median of 10,20,30")
+    assert(got(1L) === ((1L, Some(10L), false)))
+    assert(got(5L) === ((5L, None, false)), "unobserved group stays null")
+  }
+
+  // ---- hllIntersectEstimate -----------------------------------------------
+
+  test("hllIntersectEstimate: exact twin and certificate on small sets") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("c", 9L)).toDF("lab", "v")
+    val got = graft.operators.Frequency.hllIntersectEstimate(df, "lab", "v")
+      .select($"label_a", $"label_b", $"exact_overlap", $"approx_overlap",
+        $"in_bounds")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", "b"))._3 === 2L)
+    assert(got(("a", "c"))._3 === 0L)
+    // sparse-regime sketches are exact at this cardinality
+    assert(got.values.forall(r => r._4 === r._3 && r._5))
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
