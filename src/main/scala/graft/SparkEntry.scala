@@ -2960,37 +2960,11 @@ object SparkEntry {
     // exercised), collapsed to the whitelisted canonical form with
     // smallest-id-wins keep marks. Canonicalization is a pure per-row
     // regex projection; the only shuffle is the md5-keyed group.
-    "q183_url_dedup" -> ((s, d) => {
-      val withH = Tables.documents(s, d).select(col("doc_id"))
-        .withColumn("__h", graft.functions.TextFunctions.portableHash32(
-          concat(lit("url"), col("doc_id").cast("string"))))
-      val h = col("__h")
-      val idp = pmod(col("doc_id"), lit(10L)).cast("string")
-      val qcase = expr("(__h div 16) % 4")
-      val url = concat(
-        when(h % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-        lit("://"),
-        when(expr("(__h div 2) % 2") === 0, lit("www.Site"))
-          .otherwise(lit("WWW.site")),
-        pmod(h, lit(5L)).cast("string"), lit(".Com"),
-        when(h % 2 === 0 && expr("(__h div 4) % 3") === 0, lit(":80"))
-          .when(h % 2 === 1 && expr("(__h div 4) % 3") === 1, lit(":443"))
-          .otherwise(lit("")),
-        lit("/Docs/"), idp,
-        when(expr("(__h div 8) % 3") === 0, lit("/"))
-          .when(expr("(__h div 8) % 3") === 1, lit("//"))
-          .otherwise(lit("")),
-        when(qcase === 0, concat(lit("?utm_source=feed&id="), idp))
-          .when(qcase === 1, concat(lit("?id="), idp, lit("&ref=tw")))
-          .when(qcase === 2, lit("?utm_campaign=x"))
-          .otherwise(lit("")),
-        when(expr("(__h div 64) % 2") === 0,
-          concat(lit("#sec"), pmod(h, lit(3L)).cast("string")))
-          .otherwise(lit("")))
+    "q183_url_dedup" -> ((s, d) =>
       graft.operators.Dedup.urlDedup(
-        withH.withColumn("url", url).drop("__h"), "url", "doc_id")
-        .select("doc_id", "url", "canonical_url", "n_urls", "keep")
-    }),
+        synthUrlFrame(Tables.documents(s, d).select(col("doc_id"))),
+        "url", "doc_id")
+        .select("doc_id", "url", "canonical_url", "n_urls", "keep")),
 
     // Vocabulary coverage / OOV gate (Frequency.vocabCoverage): top-28
     // token vocab trained on the corpus (count desc, token asc), every
@@ -3246,6 +3220,171 @@ object SparkEntry {
         e, Seq("user_id"), "cents_raw", "event_id")
         .select("user_id", "event_id", "cents_raw", "imputed",
           "was_imputed")
+    }),
+
+    // Activity bitmaps (Cohort.activityBitmap): 60 days of per-user
+    // activity packed into ONE long by a partial-aggregatable bit_or —
+    // active days, week-over-week retention, and weekday mix all
+    // answer by shift/AND/popcount on 8 bytes per user, never
+    // re-touching the event table. Day index is corpus-relative via
+    // the broadcast scalar (J5).
+    "q199_activity_bitmap" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val m = e.agg(min("day").as("day0"))
+      val idx = e.crossJoin(broadcast(m))
+        .select(col("user_id"), (col("day") - col("day0")).as("day"))
+      graft.operators.Cohort.activityBitmap(idx, "user_id", "day")
+        .withColumnRenamed("user", "user_id")
+    }),
+
+    // Geohash encoding (GeoFunctions.geohash over the fused
+    // InterleaveBits): the portable, prefix-hierarchical spatial cell
+    // id — 6-char cells over the ping trajectories, aggregated to a
+    // per-cell density report. Pure per-row projection + one cell
+    // aggregate.
+    "q200_geohash" -> ((s, d) =>
+      Tables.pings(s, d)
+        .select(graft.functions.GeoFunctions.geohash(
+          col("latitude"), col("longitude"), 6).as("gh"), col("uid"))
+        .groupBy("gh")
+        .agg(count(lit(1)).as("n_pings"),
+          count_distinct(col("uid")).as("n_users"))),
+
+    // TPC-H Q5-shaped six-table star join: lineitem ⋈ orders ⋈
+    // customer ⋈ supplier (the LOCAL condition c_nation = s_nation) ⋈
+    // nation ⋈ region, revenue per (region, nation, year) in exact
+    // integer cents·percent units — Catalyst's join-reorder/broadcast
+    // showcase gate; dims broadcast, the fact table shuffles once per
+    // join key.
+    "q201_tpch_like" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        round(col("l_discount") * 100, 0).cast("long").as("disc"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, d).select(col("r_regionkey"),
+        col("r_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+          col("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("cents * (100 - disc)")).as("rev_c100"))
+    }),
+
+    // Rolling distinct-cardinality (the engagement-diversity window):
+    // distinct event types per user over a trailing 3-day RANGE frame,
+    // computed exactly at day grain (per-day type sets collected once,
+    // flattened across the range) — one user exchange serves both the
+    // day-grain contraction and the window.
+    "q202_rolling_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"), col("event_type"))
+        .distinct()
+      val dayGrain = t.repartition(col("user_id"))
+        .groupBy("user_id", "day")
+        .agg(collect_set(col("event_type")).as("types"))
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+        .rangeBetween(-3, Window.currentRow)
+      dayGrain.select(col("user_id"), col("day"),
+        size(array_distinct(flatten(collect_list(col("types")).over(w))))
+          .cast("long").as("n_types_3d"))
+    }),
+
+    // Streaming engagement-bitmap materialized view
+    // (StreamMatView.runFoldBitmap over IncrementalAgg's bitmap
+    // algebra): day-sliced micro-batches OR-fold each user's activity
+    // bitmap into versioned snapshots — idempotent merge state, 8
+    // bytes per user, replay-safe beyond the version contract. The
+    // final snapshot must equal the batch q199 fold exactly.
+    "q203_stream_bitmap" -> ((s, d) => {
+      val day0 = Tables.events(s, d)
+        .agg(min(expr("ts div 86400000000000"))).head().getLong(0)
+      val dir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q203:$d") {
+          val e = Tables.events(s, d)
+            .select(col("user_id"),
+              (expr("ts div 86400000000000") - lit(day0)).as("day"))
+          Seq(e.filter(col("day") < 10),
+            e.filter(col("day") >= 10 && col("day") < 20),
+            e.filter(col("day") >= 20))
+        }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("day", LongType)))
+      val stateDir = graft.sources.Staging.once(s"q203state:$d") { _ => () }
+      graft.streaming.StreamMatView.runFoldBitmap(
+        graft.streaming.StreamSessions
+          .readParquetStreamThrottled(s, dir, schema),
+        Seq("user_id"), "day", stateDir, prep = identity)
+        .select(col("user_id"), col("bmp"),
+          expr("bit_count(bmp)").cast("long").as("n_active_days"))
+    }),
+
+    // RFM segmentation (Cohort.rfmSegments): recency/frequency/monetary
+    // quintile scores via the closed-form ntile (quantileBins — no
+    // global window), combined into the 3-digit segment code. One user
+    // aggregate + three bounded index passes.
+    "q204_rfm" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Cohort.rfmSegments(p, "user_id", "day", "cents")
+        .withColumnRenamed("user", "user_id")
+    }),
+
+    // Day-of-week seasonality profile (Cohort.weekdayProfile): per-dow
+    // purchase volume and the exact deviation-from-mean in bps decided
+    // in DECIMAL(38,0) cross-multiplication. Two tiny aggregates.
+    "q205_dow_profile" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Cohort.weekdayProfile(p, "day", "cents")
+    }),
+
+    // Tiered dedup cascade — the production order: cheap URL dedup
+    // first (q183's canonicalizer), content-level normalized-exact
+    // dedup ONLY on URL survivors. The injected copy tier (every 3rd
+    // doc re-id'd at +1e6) gets fresh URLs (hash-derived), so it
+    // passes tier 1 and dies at tier 2 — both cascade arms live by
+    // construction. Per-doc verdict: url_dup | content_dup | kept.
+    "q206_dedup_cascade" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dd = docs.unionAll(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val urlKeep = graft.operators.Dedup.urlDedup(
+          synthUrlFrame(dd.select("doc_id"), siteMod = 5, pathMod = 40,
+            idMod = 23), "url", "doc_id")
+        .select(col("doc_id"), col("keep").as("url_keep"))
+      val keyed = dd.join(urlKeep, "doc_id")
+        .withColumn("nk", md5(
+          graft.operators.Dedup.normalizeText(col("text")).cast("binary")))
+      val contentKeep = keyed.filter(col("url_keep"))
+        .groupBy("nk").agg(min("doc_id").as("ck"))
+      keyed.join(contentKeep, Seq("nk"), "left")
+        .select(col("doc_id"),
+          when(!col("url_keep"), lit("url_dup"))
+            .when(col("doc_id") =!= col("ck"), lit("content_dup"))
+            .otherwise(lit("kept")).as("verdict"))
     })
   )
 
@@ -3281,6 +3420,92 @@ object SparkEntry {
     * hash. Parameters mirror the q29 call exactly: 3-gram shingles, k=32
     * permutations, 8 bands of 4 rows, bucket cap 64.
     */
+  /** Deterministic synthetic URL per doc id (shared by q183/q206):
+    * every canonicalization rule is exercised — mixed-case scheme/host,
+    * default ports, doubled trailing slashes, tracking params,
+    * fragments — and every branch derives from the same md5 hash, so
+    * the oracle reproduces each byte.
+    */
+  private def synthUrlFrame(ids: org.apache.spark.sql.DataFrame,
+                            siteMod: Long = 5, pathMod: Long = 10,
+                            idMod: Long = 10)
+  : org.apache.spark.sql.DataFrame = {
+    val withH = ids
+      .withColumn("__h", graft.functions.TextFunctions.portableHash32(
+        concat(lit("url"), col("doc_id").cast("string"))))
+    val h = col("__h")
+    val idp = pmod(col("doc_id"), lit(idMod)).cast("string")
+    val qcase = expr("(__h div 16) % 4")
+    val url = concat(
+      when(h % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(expr("(__h div 2) % 2") === 0, lit("www.Site"))
+        .otherwise(lit("WWW.site")),
+      pmod(h, lit(siteMod)).cast("string"), lit(".Com"),
+      when(h % 2 === 0 && expr("(__h div 4) % 3") === 0, lit(":80"))
+        .when(h % 2 === 1 && expr("(__h div 4) % 3") === 1, lit(":443"))
+        .otherwise(lit("")),
+      lit("/Docs/"), pmod(col("doc_id"), lit(pathMod)).cast("string"),
+      when(expr("(__h div 8) % 3") === 0, lit("/"))
+        .when(expr("(__h div 8) % 3") === 1, lit("//"))
+        .otherwise(lit("")),
+      when(qcase === 0, concat(lit("?utm_source=feed&id="), idp))
+        .when(qcase === 1, concat(lit("?id="), idp, lit("&ref=tw")))
+        .when(qcase === 2, lit("?utm_campaign=x"))
+        .otherwise(lit("")),
+      when(expr("(__h div 64) % 2") === 0,
+        concat(lit("#sec"), pmod(h, lit(3L)).cast("string")))
+        .otherwise(lit("")))
+    withH.withColumn("url", url).drop("__h")
+  }
+
+  /** The u/raw/c oracle CTEs for [[synthUrlFrame]]'s synthesis +
+    * canonicalization, parameterized over the doc-id source relation
+    * (q183 runs it on `documents`, q206 on the dup-injected union).
+    */
+  private def sqlUrlCanonCtes(src: String, siteMod: Long = 5,
+                              pathMod: Long = 10, idMod: Long = 10)
+  : String =
+    s"""u AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('url' || CAST(doc_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) AS h
+       |  FROM $src),
+       |raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN h % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+       |    || (CASE WHEN (h // 2) % 2 = 0 THEN 'www.Site'
+       |        ELSE 'WWW.site' END)
+       |    || CAST(h % $siteMod AS VARCHAR) || '.Com'
+       |    || (CASE WHEN h % 2 = 0 AND (h // 4) % 3 = 0 THEN ':80'
+       |        WHEN h % 2 = 1 AND (h // 4) % 3 = 1 THEN ':443'
+       |        ELSE '' END)
+       |    || '/Docs/' || CAST(doc_id % $pathMod AS VARCHAR)
+       |    || (CASE WHEN (h // 8) % 3 = 0 THEN '/'
+       |        WHEN (h // 8) % 3 = 1 THEN '//' ELSE '' END)
+       |    || (CASE WHEN (h // 16) % 4 = 0
+       |          THEN '?utm_source=feed&id=' || CAST(doc_id % $idMod AS VARCHAR)
+       |        WHEN (h // 16) % 4 = 1
+       |          THEN '?id=' || CAST(doc_id % $idMod AS VARCHAR) || '&ref=tw'
+       |        WHEN (h // 16) % 4 = 2 THEN '?utm_campaign=x'
+       |        ELSE '' END)
+       |    || (CASE WHEN (h // 64) % 2 = 0
+       |          THEN '#sec' || CAST(h % 3 AS VARCHAR) ELSE '' END) AS url
+       |  FROM u),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+       |    || regexp_replace(lower(regexp_extract(url,
+       |         '^[A-Za-z]+://([^/?#]*)', 1)), ':(80|443)$$', '')
+       |    || regexp_replace(regexp_extract(url,
+       |         '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/+$$', '')
+       |    || (CASE WHEN regexp_extract(regexp_extract(url, '\\?([^#]*)', 1),
+       |           '(^|&)id=([^&]*)', 2) <> ''
+       |         THEN '?id=' || regexp_extract(regexp_extract(url,
+       |           '\\?([^#]*)', 1), '(^|&)id=([^&]*)', 2)
+       |         ELSE '' END) AS canonical_url
+       |  FROM raw)"""
+
   /** q126 oracle: exact trigram-Jaccard self-join, every candidate pair
     * verified via the element equi-join intersection (no prefix filter —
     * the operator's pruning must be lossless against this). Shared with
@@ -6406,51 +6631,13 @@ object SparkEntry {
     // The identical URL synthesis (every branch off the same md5-derived
     // h), regex canonicalization chain, and smallest-id-wins group.
     "q183_url_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5('url' || CAST(doc_id AS VARCHAR)),
-        |      1, 8)) AS BIGINT) AS h
-        |  FROM documents),
-        |raw AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN h % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
-        |    || (CASE WHEN (h // 2) % 2 = 0 THEN 'www.Site'
-        |        ELSE 'WWW.site' END)
-        |    || CAST(h % 5 AS VARCHAR) || '.Com'
-        |    || (CASE WHEN h % 2 = 0 AND (h // 4) % 3 = 0 THEN ':80'
-        |        WHEN h % 2 = 1 AND (h // 4) % 3 = 1 THEN ':443'
-        |        ELSE '' END)
-        |    || '/Docs/' || CAST(doc_id % 10 AS VARCHAR)
-        |    || (CASE WHEN (h // 8) % 3 = 0 THEN '/'
-        |        WHEN (h // 8) % 3 = 1 THEN '//' ELSE '' END)
-        |    || (CASE WHEN (h // 16) % 4 = 0
-        |          THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
-        |        WHEN (h // 16) % 4 = 1
-        |          THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&ref=tw'
-        |        WHEN (h // 16) % 4 = 2 THEN '?utm_campaign=x'
-        |        ELSE '' END)
-        |    || (CASE WHEN (h // 64) % 2 = 0
-        |          THEN '#sec' || CAST(h % 3 AS VARCHAR) ELSE '' END) AS url
-        |  FROM u),
-        |c AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
-        |    || regexp_replace(lower(regexp_extract(url,
-        |         '^[A-Za-z]+://([^/?#]*)', 1)), ':(80|443)$', '')
-        |    || regexp_replace(regexp_extract(url,
-        |         '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/+$', '')
-        |    || (CASE WHEN regexp_extract(regexp_extract(url, '\?([^#]*)', 1),
-        |           '(^|&)id=([^&]*)', 2) <> ''
-        |         THEN '?id=' || regexp_extract(regexp_extract(url,
-        |           '\?([^#]*)', 1), '(^|&)id=([^&]*)', 2)
-        |         ELSE '' END) AS canonical_url
-        |  FROM raw),
+      (s"""WITH ${sqlUrlCanonCtes("documents")},
         |g AS (SELECT canonical_url, min(doc_id) AS keep_id,
         |        count(*) AS n_urls
         |      FROM c GROUP BY 1)
         |SELECT c.doc_id, c.url, c.canonical_url, g.n_urls,
         |  c.doc_id = g.keep_id AS keep
-        |FROM c JOIN g USING (canonical_url)""".stripMargin,
+        |FROM c JOIN g USING (canonical_url)""").stripMargin,
 
     // The identical top-k vocab cut (count desc, token asc) and per-doc
     // OOV aggregate.
@@ -7048,6 +7235,185 @@ object SparkEntry {
         |  coalesce(e.cents_raw, m.med) AS imputed,
         |  e.cents_raw IS NULL AND m.med IS NOT NULL AS was_imputed
         |FROM e LEFT JOIN m USING (user_id)""".stripMargin,
+
+    // The identical bit_or fold and popcount projections; the weekday
+    // mask is the same plan-time constant.
+    "q199_activity_bitmap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS day0 FROM e),
+        |idx AS (
+        |  SELECT user_id, day - d0.day0 AS day FROM e, d0
+        |  WHERE day - d0.day0 >= 0 AND day - d0.day0 < 60),
+        |b AS (
+        |  SELECT user_id,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bmp
+        |  FROM idx GROUP BY 1)
+        |SELECT user_id, bmp,
+        |  CAST(bit_count(bmp) AS BIGINT) AS n_active_days,
+        |  CAST(bit_count(bmp & (bmp >> 7)) AS BIGINT)
+        |    AS wow_retained_days,
+        |  CAST(bit_count(bmp & 1098452772105736095) AS BIGINT)
+        |    AS n_weekdays
+        |FROM b""".stripMargin,
+
+    // The identical quantization (operand order fixed), the q170
+    // interleave ladder with lat on even / lon on odd bits, and the
+    // same base32 slices.
+    "q200_geohash" ->
+      (s"""WITH ${Tables.pingsSql},
+        |q AS (
+        |  SELECT uid,
+        |    CAST(least(floor((latitude + 90.0) * 32768.0 / 180.0),
+        |      32767) AS BIGINT) AS qla,
+        |    CAST(least(floor((longitude + 180.0) * 32768.0 / 360.0),
+        |      32767) AS BIGINT) AS qlo
+        |  FROM pings),
+        |s1 AS (SELECT uid, (qla | (qla << 8)) & 16711935 AS x1,
+        |  (qlo | (qlo << 8)) & 16711935 AS y1 FROM q),
+        |s2 AS (SELECT uid, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT uid, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT uid, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+        |z AS (SELECT uid, x4 | (y4 << 1) AS zv FROM s4),
+        |g AS (SELECT uid,
+        |  substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST((zv >> 25) & 31 AS INT) + 1, 1)
+        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST((zv >> 20) & 31 AS INT) + 1, 1)
+        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST((zv >> 15) & 31 AS INT) + 1, 1)
+        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST((zv >> 10) & 31 AS INT) + 1, 1)
+        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST((zv >> 5) & 31 AS INT) + 1, 1)
+        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST(zv & 31 AS INT) + 1, 1) AS gh
+        |  FROM z)
+        |SELECT gh, count(*) AS n_pings,
+        |  CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+        |FROM g GROUP BY 1""").stripMargin,
+
+    // The identical six-table join and exact cents·percent revenue.
+    "q201_tpch_like" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |    AS BIGINT) AS rev_c100
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Windowed DISTINCT over the same 3-day RANGE frame at type grain,
+    // collapsed to day grain.
+    "q202_rolling_distinct" ->
+      """WITH t AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day, event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |      ORDER BY day RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |      AS n
+        |  FROM t)
+        |SELECT DISTINCT user_id, day, CAST(n AS BIGINT) AS n_types_3d
+        |FROM r""".stripMargin,
+
+    // The q199 fold (same day0 derivation) — the stream's versioned
+    // OR-merge must land exactly on the batch bitmap.
+    "q203_stream_bitmap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS day0 FROM e),
+        |idx AS (
+        |  SELECT user_id, day - d0.day0 AS day FROM e, d0
+        |  WHERE day - d0.day0 >= 0 AND day - d0.day0 < 60),
+        |b AS (
+        |  SELECT user_id,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bmp
+        |  FROM idx GROUP BY 1)
+        |SELECT user_id, bmp,
+        |  CAST(bit_count(bmp) AS BIGINT) AS n_active_days
+        |FROM b""".stripMargin,
+
+    // ntile twins under the same (metric, user) total order; the bin
+    // arithmetic is quantileBins' closed form of exactly ntile.
+    "q204_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT user_id, max(day) AS last_day, count(*) AS f,
+        |    CAST(sum(cents) AS BIGINT) AS m
+        |  FROM p GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS cm FROM b),
+        |w AS (SELECT user_id, mx.cm - last_day AS r, f, m FROM b, mx),
+        |sc AS (
+        |  SELECT user_id, r, f, m,
+        |    CAST(ntile(5) OVER (ORDER BY r, user_id) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m, user_id) AS BIGINT) AS m_score
+        |  FROM w)
+        |SELECT user_id, r, f, m, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc""".stripMargin,
+
+    // The identical per-dow aggregates and HUGEINT deviation cut.
+    "q205_dow_profile" ->
+      """WITH p AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT day % 7 AS dow, count(*) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS total
+        |      FROM p GROUP BY 1),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+        |        CAST(sum(total) AS BIGINT) AS t_all FROM d)
+        |SELECT dow, n, total, total * 1000000 // n AS avg_micro,
+        |  CAST((CAST(total AS HUGEINT) * a.n_all
+        |    - CAST(a.t_all AS HUGEINT) * n) * 10000
+        |    // (CAST(a.t_all AS HUGEINT) * n) AS BIGINT) AS dev_bps
+        |FROM d, a""".stripMargin,
+
+    // The same two tiers over the dup-injected union: URL keep-group
+    // first, content keep-group over URL survivors only.
+    "q206_dedup_cascade" ->
+      (s"""WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |${sqlUrlCanonCtes("dd", siteMod = 5, pathMod = 40, idMod = 23)},
+        |g AS (SELECT canonical_url, min(doc_id) AS keep_id
+        |      FROM c GROUP BY 1),
+        |k AS (SELECT c.doc_id, c.doc_id = g.keep_id AS url_keep
+        |      FROM c JOIN g USING (canonical_url)),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nk
+        |      FROM dd),
+        |ck AS (SELECT n.nk, min(n.doc_id) AS ck
+        |       FROM n JOIN k ON k.doc_id = n.doc_id AND k.url_keep
+        |       GROUP BY 1)
+        |SELECT k.doc_id,
+        |  CASE WHEN NOT k.url_keep THEN 'url_dup'
+        |    WHEN k.doc_id <> ck.ck THEN 'content_dup'
+        |    ELSE 'kept' END AS verdict
+        |FROM k JOIN n USING (doc_id)
+        |LEFT JOIN ck ON ck.nk = n.nk""").stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

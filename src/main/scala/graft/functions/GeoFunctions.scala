@@ -52,4 +52,41 @@ object GeoFunctions {
   def gridSnap(coord: Column, resolution: Double): Column =
     if (resolution <= 0) coord
     else round(coord / resolution, 0) * resolution
+
+  private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash cell string (even `chars` only, so lat and lon
+    * split the bits equally — 6 chars = 30 bits = 15 per axis, ~±0.09°
+    * cells). Bit layout per the geohash spec: longitude owns the MSB
+    * and alternates down — which is exactly
+    * [[graft.plans.InterleaveBits]] with lat on even (LSB-side) and
+    * lon on odd output bits, so the whole key is one fused codegen
+    * expression; the base32 digits are five-bit slices rendered
+    * through substr. Quantization is floor((coord+offset)·2^b/span)
+    * with the operand order fixed so both engines round identically
+    * (IEEE, no transcendentals).
+    *
+    * Pure per-row projection — geohash cost is scan-linear; the cell
+    * id is the standard spatial bucketing/join key (the q34 grid snap
+    * with a portable, prefix-hierarchical name).
+    */
+  def geohash(lat: Column, lon: Column, chars: Int = 6): Column = {
+    require(chars >= 2 && chars <= 6 && chars % 2 == 0,
+      s"chars must be even in [2,6], got $chars")
+    val bitsEach = chars * 5 / 2
+    val scale = (1L << bitsEach).toDouble
+    def q(c: Column, offset: Double, span: Double): Column =
+      least(floor((c + lit(offset)) * lit(scale) / lit(span)),
+        lit((1L << bitsEach) - 1L)).cast("long")
+    val z = graft.plans.InterleaveBits(
+      q(lat, 90.0, 180.0), q(lon, 180.0, 360.0), bitsEach)
+    // the z subtree is inlined into each digit; codegen CSEs it
+    val alphabet = typedlit(geohashAlphabet.toCharArray.map(_.toString).toSeq)
+    concat((0 until chars).map { i =>
+      val shift = 5 * (chars - 1 - i)
+      element_at(alphabet,
+        (shiftrightunsigned(z, shift).bitwiseAND(lit(31L)) + 1)
+          .cast("int"))
+    }: _*)
+  }
 }

@@ -455,10 +455,17 @@ object Dedup {
     * regex subset (character class, ' +') behaves identically under Java
     * regex and RE2-style engines, so the key is oracle-reproducible.
     */
+  /** The q71 text normalization (lowercase, alnum+space, collapsed
+    * whitespace) — the shared near-verbatim key for the exact-dedup
+    * family. */
+  def normalizeText(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+      " +", " "))
+
   def normalizedExactDups(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = normalizeText(col(textCol))
     docs
       .select(col(idCol).as("doc_id"), md5(norm.cast("binary")).as("norm_key"))
       .groupBy("norm_key")
@@ -807,8 +814,7 @@ object Dedup {
     */
   def dupClusterProfile(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = normalizeText(col(textCol))
     val clusters = docs
       .select(md5(norm.cast("binary")).as("norm_key"))
       .groupBy("norm_key")

@@ -64,6 +64,28 @@ object IncrementalAgg {
                   valueCol: String): DataFrame =
     batches.map(aggregate(_, keys, valueCol)).reduce(merge(_, _, keys))
 
+  /** Bitmap-state variant of the algebra: per-key OR-fold of day bits
+    * ([[graft.operators.Cohort.activityBitmap]]'s state, made
+    * mergeable). `dayCol` must be a 0-based index < 60 (callers filter
+    * — same sign-bit contract as the batch operator). OR is the ideal
+    * mergeable state: idempotent (a replayed batch cannot corrupt it),
+    * commutative, 8 bytes per key.
+    */
+  def aggregateBitmap(batch: DataFrame, keys: Seq[String],
+                      dayCol: String): DataFrame =
+    batch.filter(col(dayCol) >= 0 && col(dayCol) < 60)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST($dayCol AS INT)))").as("bmp"))
+
+  def mergeBitmap(a: DataFrame, b: DataFrame, keys: Seq[String])
+  : DataFrame =
+    a.withColumnRenamed("bmp", "l_bmp")
+      .join(b.withColumnRenamed("bmp", "r_bmp"), keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("l_bmp"), lit(0L))
+          .bitwiseOR(coalesce(col("r_bmp"), lit(0L)))).as("bmp"): _*)
+
   /** Presentation view over state: derived avg and population variance,
     * each a one-shot correctly-rounded double expression (the q131
     * moment-assembly contract — engine-exact).

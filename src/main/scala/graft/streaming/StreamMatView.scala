@@ -57,4 +57,35 @@ object StreamMatView {
     require(lastBid.get() >= 0, s"runFold: stream produced no batches")
     spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
   }
+
+  /** Bitmap-state twin of [[runFold]] over
+    * [[IncrementalAgg.aggregateBitmap]]/[[IncrementalAgg.mergeBitmap]]:
+    * the streaming engagement-bitmap maintainer. OR-merge is idempotent,
+    * so a replayed batch is harmless even beyond the versioned-snapshot
+    * replay contract.
+    */
+  def runFoldBitmap(stream: DataFrame, keys: Seq[String], dayCol: String,
+                    stateDir: String, prep: DataFrame => DataFrame)
+  : DataFrame = {
+    val spark = stream.sparkSession
+    val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val inc = IncrementalAgg.aggregateBitmap(prep(batch), keys, dayCol)
+        val merged =
+          if (bid == 0) inc
+          else IncrementalAgg.mergeBitmap(
+            spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc, keys)
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/state_v$bid")
+        lastBid.getAndUpdate(m => math.max(m, bid))
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    q.exception.foreach(throw _)
+    require(lastBid.get() >= 0, "runFoldBitmap: stream produced no batches")
+    spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
+  }
 }

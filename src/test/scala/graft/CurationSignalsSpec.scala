@@ -455,6 +455,69 @@ class CurationSignalsSpec extends SparkSpec {
     assert(got.values.forall(r => r._4 === r._3 && r._5))
   }
 
+  // ---- activityBitmap -----------------------------------------------------
+
+  test("activityBitmap: packed days, popcounts, WoW retention") {
+    val e = Seq((1L, 0L), (1L, 7L), (1L, 14L), (1L, 8L), (1L, 7L),
+      (2L, 5L)).toDF("u", "day")
+    val got = graft.operators.Cohort.activityBitmap(e, "u", "day")
+      .select($"user", $"bmp", $"n_active_days", $"wow_retained_days",
+        $"n_weekdays")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val bmp = 1L | (1L << 7) | (1L << 8) | (1L << 14)
+    assert(got(1L) === ((1L, bmp, 4L, 2L, 4L)),
+      "days 7 and 14 retained week-over-week; dup day collapses")
+    assert(got(2L)._3 === 1L)
+  }
+
+  test("activityBitmap: out-of-range days are excluded") {
+    val e = Seq((1L, -1L), (1L, 60L), (1L, 3L)).toDF("u", "day")
+    val got = graft.operators.Cohort.activityBitmap(e, "u", "day")
+      .select($"bmp").as[Long].collect()
+    assert(got.toSeq === Seq(8L))
+  }
+
+  // ---- geohash ------------------------------------------------------------
+
+  test("geohash: standard test vectors") {
+    val df = Seq((57.64911, 10.40744), (0.0, 0.0), (-25.382708, -49.265506))
+      .toDF("lat", "lon")
+    val got = df.select(graft.functions.GeoFunctions.geohash(
+      $"lat", $"lon", 6).as("gh")).as[String].collect()
+    // canonical geohash prefixes: u4pruydqqvj, s000000, 6gkzwgjz
+    assert(got.toSeq === Seq("u4pruy", "s00000", "6gkzwg"))
+  }
+
+  // ---- rfmSegments / weekdayProfile ----------------------------------------
+
+  test("rfmSegments: exact metrics and ntile-equivalent scores") {
+    // users: 1 buys day 10 (100), 2 buys days 10+12 (50+50), 3 buys
+    // day 5 (400). corpus max day = 12.
+    val e = Seq((1L, 10L, 100L), (2L, 10L, 50L), (2L, 12L, 50L),
+      (3L, 5L, 400L)).toDF("u", "day", "cents")
+    val got = graft.operators.Cohort.rfmSegments(e, "u", "day", "cents",
+        k = 3)
+      .select($"user", $"r", $"f", $"m", $"segment")
+      .as[(Long, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    // r order: u2(0) u1(2) u3(7) -> 1/2/3; f order: u1(1) u3(1) u2(2)
+    // -> 1/2/3 with user tie-break; m order: u1(100) u2(100) u3(400)
+    assert(got(1L) === ((1L, 2L, 1L, 100L, 211L)))
+    assert(got(2L) === ((2L, 0L, 2L, 100L, 132L)),
+      "most recent, most frequent; m ties broken by user id")
+    assert(got(3L) === ((3L, 7L, 1L, 400L, 323L)))
+  }
+
+  test("weekdayProfile: exact deviation bps around the mean") {
+    // dow 0: 2 rows total 300 (avg 150); dow 1: 1 row total 100.
+    // overall avg = 400/3; dev0 = (150/(400/3))-1 = 12.5% -> 1250 bps;
+    // dev1 = (100/(400/3))-1 = -25% -> -2500 bps.
+    val e = Seq((0L, 100L), (7L, 200L), (1L, 100L)).toDF("day", "cents")
+    val got = graft.operators.Cohort.weekdayProfile(e, "day", "cents")
+      .select($"dow", $"dev_bps").as[(Long, Long)].collect().toMap
+    assert(got(0L) === 1250L)
+    assert(got(1L) === -2500L)
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
