@@ -149,6 +149,32 @@ object ScaleSmoke {
     new java.io.File(s"$dst/_OK_dims_v1_$nCopies").createNewFile(): Unit
   }
 
+  /** Additive fixture step: `orders` copies + verbatim small dims for
+    * the q201 star join. Order keys shift by lineitem's 3M stride so
+    * baskets stay joined; o_custkey shifts by customer's 10M stride so
+    * each copy's orders belong to that copy's customers; supplier /
+    * nation / region copy VERBATIM — real dims do not grow with the
+    * fact table, which is exactly what keeps them broadcast-able at
+    * every scale.
+    */
+  private def ensureFacts2(spark: SparkSession, src: String,
+                           dst: String, nCopies: Int): Unit = {
+    if (new java.io.File(s"$dst/_OK_facts2_v1_$nCopies").exists()) return
+    val copies = spark.range(0, nCopies).select(col("id").as("copy"))
+    Tables.orders(spark, src).crossJoin(copies)
+      .select(
+        (col("o_orderkey") + col("copy") * lit(3000000L)).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * lit(10000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    for (t <- Seq("supplier", "nation", "region"))
+      Tables.table(spark, src, t).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+    new java.io.File(s"$dst/_OK_facts2_v1_$nCopies").createNewFile(): Unit
+  }
+
   private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
@@ -167,7 +193,9 @@ object ScaleSmoke {
       "q179_gopher_rep", "q180_mad", "q181_assoc_rules",
       "q183_url_dedup", "q184_vocab_coverage", "q185_robust_scale",
       "q187_containment", "q188_audio_match", "q190_dedup_eval",
-      "q191_bom_rollup", "q192_skyline", "q193_trend")
+      "q191_bom_rollup", "q192_skyline", "q193_trend",
+      "q199_activity_bitmap", "q201_tpch_like", "q202_rolling_distinct",
+      "q204_rfm", "q206_dedup_cascade")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -192,6 +220,7 @@ object ScaleSmoke {
     buildSf1(spark, src, dst, nCopies)
     ensureEmbeddings(spark, src, dst, nCopies)
     ensureDims(spark, src, dst, nCopies)
+    ensureFacts2(spark, src, dst, nCopies)
 
     // plan-shape fingerprint: shuffle count in the returned frame's
     // physical plan, captured from the SAME df the timed pass runs —

@@ -3385,7 +3385,55 @@ object SparkEntry {
           when(!col("url_keep"), lit("url_dup"))
             .when(col("doc_id") =!= col("ck"), lit("content_dup"))
             .otherwise(lit("kept")).as("verdict"))
-    })
+    }),
+
+    // Scene-change detection (Multimodal.sceneChanges): 32-byte frames
+    // off the binary payload, exact integer frame energies, boundary at
+    // a >= 1/20 relative energy jump (cross-multiplied), scene id as
+    // the running boundary count — the shot-splitting pass before
+    // per-shot dedup/captioning.
+    "q207_scene_detect" -> ((s, d) => {
+      val M = graft.operators.Multimodal
+      M.sceneChanges(
+        M.sampleChunks(
+          M.fromStrings(Tables.documents(s, d), "doc_id", "text",
+            "video/raw"),
+          chunkBytes = 32, everyK = 1),
+        tNum = 1, tDen = 20)
+    }),
+
+    // Curation scorecard: token-length band + stopword rate + q179's
+    // top-2-gram repetition, fused into one per-doc verdict via the
+    // streaming-safe rowGate (reasons in declaration order) — the
+    // single-pass quality gate a curation pipeline actually ships.
+    "q208_scorecard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rep = graft.operators.Frequency.gopherRepetition(
+        docs, "doc_id", "text", dupN = 3).select("doc_id", "top2_bps")
+      val base = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.stopwordCount(col("text")).cast("long").as("sw"))
+      val joined = base.join(rep, "doc_id")
+        .withColumn("stop_bps", expr("sw * 10000 div n_tokens"))
+        .drop("sw")
+      graft.operators.Expectations.rowGate(joined, Seq(
+        "len_range" -> (col("n_tokens") >= 25 && col("n_tokens") <= 70),
+        "stopword" -> (col("stop_bps") <= 800),
+        "repetition" -> (col("top2_bps") <= 2000)))
+    }),
+
+    // Portable table checksum (Expectations.contentChecksum): order-
+    // free md5-half sums mod 2^61 over the canonical row string — the
+    // cross-engine reconciliation triple; DuckDB recomputes it from
+    // the same parquet and must agree exactly.
+    "q209_table_checksum" -> ((s, d) =>
+      graft.operators.Expectations.contentChecksum(
+        Tables.lineitem(s, d),
+        Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          round(col("l_quantity"), 0).cast("long"),
+          round(col("l_extendedprice") * 100, 0).cast("long"),
+          col("l_returnflag"), col("l_linestatus"))))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -7414,6 +7462,92 @@ object SparkEntry {
         |    ELSE 'kept' END AS verdict
         |FROM k JOIN n USING (doc_id)
         |LEFT JOIN ck ON ck.nk = n.nk""").stripMargin,
+
+    // The identical byte-position frame energies, lag boundary test,
+    // and running boundary count.
+    "q207_scene_detect" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, len(text) AS n FROM documents),
+        |p AS (
+        |  SELECT media_id, (i - 1) // 32 AS frame_idx,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS c
+        |  FROM b, unnest(range(1, n + 1)) u(i)),
+        |e AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |        CAST(sum(c) AS BIGINT) AS energy
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, lag(energy) OVER
+        |        (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        |      FROM e),
+        |x AS (SELECT media_id, frame_idx, energy,
+        |        prev IS NOT NULL
+        |          AND abs(energy - prev) * 20 >= (energy + prev)
+        |          AS is_boundary
+        |      FROM r)
+        |SELECT media_id, frame_idx, energy, is_boundary,
+        |  CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY media_id ORDER BY frame_idx
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        |FROM x""".stripMargin,
+
+    // Token band + the q72 stopword occurrence idiom + q179's width-2
+    // arg-max fragment, fused to the identical reasons string.
+    "q208_scorecard" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split(' ' || text || ' ', ' the ')) - 1
+        |      + len(string_split(' ' || text || ' ', ' a ')) - 1
+        |      AS BIGINT) AS sw,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[pos:pos + 1], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) + 1)) AS pos FROM base)
+        |  WHERE pos + 1 <= len(toks)),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT doc_id, cnt * len(gram) AS chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gram DESC) AS rk FROM c)
+        |  WHERE rk = 1),
+        |j AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    sw * 10000 // b.n_tokens AS stop_bps,
+        |    coalesce(t2.chars, 0) * 10000 // b.n_chars AS top2_bps
+        |  FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id),
+        |r AS (
+        |  SELECT *, concat_ws(',',
+        |    CASE WHEN NOT coalesce(n_tokens BETWEEN 25 AND 70, FALSE)
+        |      THEN 'len_range' END,
+        |    CASE WHEN NOT coalesce(stop_bps <= 800, FALSE)
+        |      THEN 'stopword' END,
+        |    CASE WHEN NOT coalesce(top2_bps <= 2000, FALSE)
+        |      THEN 'repetition' END) AS reasons
+        |  FROM j)
+        |SELECT doc_id, n_tokens, top2_bps, stop_bps, reasons,
+        |  reasons <> '' AS quarantined
+        |FROM r""".stripMargin,
+
+    // The identical row-md5 half sums mod 2^61.
+    "q209_table_checksum" ->
+      """WITH r AS (
+        |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |    || CAST(l_partkey AS VARCHAR) || '|'
+        |    || CAST(l_suppkey AS VARCHAR) || '|'
+        |    || CAST(l_linenumber AS VARCHAR) || '|'
+        |    || CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) || '|'
+        |    || CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |         AS VARCHAR) || '|'
+        |    || l_returnflag || '|' || l_linestatus) AS h
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT))
+        |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_h1,
+        |  CAST(CAST(sum(CAST(('0x' || substr(h, 9, 8)) AS BIGINT))
+        |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_h2
+        |FROM r""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

@@ -149,4 +149,31 @@ object Expectations {
       .withColumn("dup_bp",
         expr("(n_docs - n_unique) * 10000L div n_docs"))
   }
+
+  /** Portable table content checksum — the cross-engine reconciliation
+    * artifact: md5 each row's canonical string form, sum the two 32-bit
+    * halves in DECIMAL(38,0) (order-free, mergeable, overflow-proof at
+    * any row count) and publish them modulo 2^61 as longs, plus the
+    * row count. Two systems holding the same logical table produce the
+    * same (n_rows, sum_h1, sum_h2) triple regardless of partitioning,
+    * file layout, or row order — the cheap answer to "did the
+    * migration copy everything".
+    *
+    * Caller contract: `cols` must be integer- or string-derived (float
+    * formatting differs across engines). One partial-agg scan, three
+    * numbers out.
+    */
+  def contentChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val row = md5(concat_ws("|", cols.map(_.cast("string")): _*)
+      .cast("binary"))
+    val h1 = conv(substring(row, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(row, 9, 8), 16, 10).cast("long")
+    val m = "2305843009213693952" // 2^61
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(h1.cast("decimal(38,0)")).as("__s1"),
+        sum(h2.cast("decimal(38,0)")).as("__s2"))
+      .select(col("n_rows"),
+        expr(s"CAST(__s1 % $m AS BIGINT)").as("sum_h1"),
+        expr(s"CAST(__s2 % $m AS BIGINT)").as("sum_h2"))
+  }
 }

@@ -479,6 +479,44 @@ object Multimodal {
       .drop("__rk")
   }
 
+  /** Scene-change detection over a sampled frame stream — the video
+    * curation pass that splits long footage into shots before per-shot
+    * dedup/captioning: per media, frame ENERGY (sum of byte values, an
+    * exact integer; the codec-honest stand-in for pixel luminance
+    * volume), a boundary wherever the relative energy jump
+    * `|e_t − e_{t−1}| · tDen >= tNum · (e_t + e_{t−1})` fires
+    * (cross-multiplied integers — no float threshold), and the scene
+    * id as the running boundary count (the W5 run-id idiom applied to
+    * media). Frame 0 opens scene 0 with no boundary flag.
+    *
+    * Scale shape: energies come from one posexplode + (media, frame)
+    * hash aggregate (byte-linear, the q176 codes pattern); the
+    * lag/cumsum windows share one media-keyed exchange. Frames, not
+    * payloads, cross the shuffle.
+    */
+  def sceneChanges(frames: DataFrame, tNum: Long, tDen: Long)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tDen > 0, "sceneChanges: threshold must be > 0")
+    val codes = frames
+      .select(col("media_id"), col("chunk_idx").cast("long").as("frame_idx"),
+        posexplode(split(col("chunk").cast("string"), "")))
+      .filter(length(col("col")) > 0)
+      .groupBy("media_id", "frame_idx")
+      .agg(sum(ascii(col("col"))).as("energy"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    codes
+      .withColumn("prev", lag(col("energy"), 1).over(w))
+      .withColumn("is_boundary",
+        col("prev").isNotNull &&
+          abs(col("energy") - col("prev")) * tDen >=
+            lit(tNum) * (col("energy") + col("prev")))
+      .withColumn("scene_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev")
+  }
+
   /** RIFF walker: returns the PCM16-mono sample array, or None for
     * anything it cannot strictly parse (truncated, compressed, stereo,
     * non-16-bit, missing chunks).

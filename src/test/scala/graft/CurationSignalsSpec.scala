@@ -518,6 +518,37 @@ class CurationSignalsSpec extends SparkSpec {
     assert(got(1L) === -2500L)
   }
 
+  // ---- sceneChanges / contentChecksum --------------------------------------
+
+  test("sceneChanges: boundary fires on the jump, scene ids accumulate") {
+    // frames: "aaaa"(388) "aaaa"(388) "zzzz"(488): jump |100|*20 >= 876
+    // fires; first frame never a boundary.
+    val frames = Seq((1L, 0L, "aaaa"), (1L, 1L, "aaaa"), (1L, 2L, "zzzz"))
+      .toDF("media_id", "chunk_idx", "chunk")
+    val got = graft.operators.Multimodal.sceneChanges(frames, 1, 20)
+      .select($"frame_idx", $"energy", $"is_boundary", $"scene_id")
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0L, 388L, false, 0L)))
+    assert(got(1) === ((1L, 388L, false, 0L)))
+    assert(got(2) === ((2L, 488L, true, 1L)))
+  }
+
+  test("contentChecksum: order- and partitioning-invariant") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+    val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("k", "s")
+      .repartition(7)
+    val ca = graft.operators.Expectations.contentChecksum(
+      a, Seq(col("k"), col("s"))).collect().head
+    val cb = graft.operators.Expectations.contentChecksum(
+      b, Seq(col("k"), col("s"))).collect().head
+    assert(ca === cb)
+    // any value change moves the sum
+    val cc = graft.operators.Expectations.contentChecksum(
+      Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("k", "s"),
+      Seq(col("k"), col("s"))).collect().head
+    assert(cc !== ca)
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),

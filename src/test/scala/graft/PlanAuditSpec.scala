@@ -362,4 +362,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("levenshtein"),
       s"the exact verify must be the native codegen levenshtein:\n$plan")
   }
+
+  test("q179 gopher signals: both aggregates reuse ONE doc exchange") {
+    // the gram-count and per-doc assembly aggregates both cluster on
+    // the doc id the input pre-partitions on (subset clustering); the
+    // only other exchange is the final left join back to documents
+    val plan = planOf(SparkEntry.queries("q179_gopher_rep")(spark, sf))
+    assert(exchanges(plan) <= 2,
+      s"q179: doc repartition + join-back only, aggregates share:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q179's arg-max is a struct max, not a window:\n$plan")
+  }
+
+  test("q192 skyline: both dominance windows share one group exchange") {
+    val plan = planOf(SparkEntry.queries("q192_skyline")(spark, sf))
+    assert(exchanges(plan) === 1,
+      s"skyline must be exchange-once (subset clustering):\n$plan")
+    assert(!plan.contains("Join"),
+      s"skyline must not pair-join:\n$plan")
+  }
+
+  test("q197 top paths: prefix assembly is an aggregate, not a window") {
+    val plan = planOf(SparkEntry.queries("q197_top_paths")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"sort_array(collect_list) replaces the window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q199 activity bitmap: one partial-agg exchange, no window") {
+    val plan = planOf(SparkEntry.queries("q199_activity_bitmap")(spark, sf))
+    assert(!plan.contains("Window"), s"bitmap fold is an aggregate:\n$plan")
+    // day0 broadcast + the user bit_or aggregate
+    assert(plan.contains("partial_bit_or") ||
+      plan.toLowerCase.contains("partial"),
+      s"bit_or must combine map-side:\n$plan")
+  }
+
+  test("q201 star join: every dimension broadcasts at gate scale") {
+    val plan = planOf(SparkEntry.queries("q201_tpch_like")(spark, sf))
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bcasts >= 4,
+      s"customer/supplier/nation/region must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross join in the star:\n$plan")
+  }
+
+  test("q204 RFM: no global-partition window anywhere (closed-form ntile)") {
+    val plan = planOf(SparkEntry.queries("q204_rfm")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"quantileBins must not plan a window (global ntile trap):\n$plan")
+  }
 }
