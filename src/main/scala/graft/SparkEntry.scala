@@ -3433,7 +3433,65 @@ object SparkEntry {
           col("l_linenumber"),
           round(col("l_quantity"), 0).cast("long"),
           round(col("l_extendedprice") * 100, 0).cast("long"),
-          col("l_returnflag"), col("l_linestatus"))))
+          col("l_returnflag"), col("l_linestatus")))),
+
+    // Timestamp delta encoding (Packing.deltaEncode): each user's
+    // event-second series as base + comma-joined deltas with the
+    // span = sum(deltas) reconstruction certificate — the time-series
+    // storage layout, assembled by one collect-sort aggregate.
+    "q210_delta_encode" -> ((s, d) =>
+      graft.operators.Packing.deltaEncode(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000000000").as("sec")),
+        Seq("user_id"), "sec")),
+
+    // Autocomplete prefix index (Frequency.prefixCompletions): top-3
+    // completions per 1..3-char token prefix by (count desc, token) —
+    // prefixes explode off the VOCABULARY contraction, never per
+    // occurrence.
+    "q211_autocomplete" -> ((s, d) =>
+      graft.operators.Frequency.prefixCompletions(
+        Tables.documents(s, d), "text", maxPrefix = 3, k = 3)),
+
+    // Exact group percentile report (RobustStats.groupPercentiles):
+    // p50/p95/p99 of purchase cents per event type at deterministic
+    // disc ranks — the latency-report shape, integer-exact.
+    "q212_group_percentiles" -> ((s, d) =>
+      graft.operators.RobustStats.groupPercentiles(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        Seq("event_type"), "cents", "event_id",
+        Seq((1, 2), (19, 20), (99, 100)))),
+
+    // Set-operation breadth: INTERSECT / EXCEPT (distinct) on viewer-
+    // vs-purchaser audiences and INTERSECT ALL / EXCEPT ALL (multiset)
+    // on (user, day) activity — Spark's intersect/except/intersectAll/
+    // exceptAll against the SQL-standard twins.
+    "q213_set_ops" -> ((s, d) => {
+      // the q196 membership carve: every user touches every type in
+      // this fixture, so the distinct EXCEPT arm would be empty without
+      // per-(user, type-len) carving
+      val e = Tables.events(s, d)
+        .filter(pmod(col("user_id") + length(col("event_type")),
+          lit(5L)) =!= 0)
+      def aud(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+      def days(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val nullDay = lit(null).cast("long")
+      aud("view").intersect(aud("purchase"))
+        .select(lit("intersect").as("op"), col("user_id"),
+          nullDay.as("day"))
+        .unionAll(aud("view").except(aud("purchase"))
+          .select(lit("except").as("op"), col("user_id"),
+            nullDay.as("day")))
+        .unionAll(days("view").intersectAll(days("purchase"))
+          .select(lit("intersect_all").as("op"), col("user_id"),
+            col("day")))
+        .unionAll(days("view").exceptAll(days("purchase"))
+          .select(lit("except_all").as("op"), col("user_id"), col("day")))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -7548,6 +7606,81 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(('0x' || substr(h, 9, 8)) AS BIGINT))
         |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_h2
         |FROM r""".stripMargin,
+
+    // The identical sorted-multiset delta walk and span certificate.
+    "q210_delta_encode" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |g AS (SELECT user_id, list_sort(list(sec)) AS vs
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, vs[1] AS base, CAST(len(vs) AS BIGINT) AS n,
+        |  vs[-1] - vs[1] AS span,
+        |  array_to_string(list_transform(range(2, len(vs) + 1),
+        |    i -> vs[i] - vs[i - 1]), ',') AS deltas
+        |FROM g""".stripMargin,
+
+    // The identical vocabulary-prefix explode and per-prefix top-k.
+    "q211_autocomplete" ->
+      """WITH v AS (
+        |  SELECT token, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1),
+        |p AS (
+        |  SELECT substr(token, 1, CAST(plen AS INT)) AS prefix, token, c
+        |  FROM v, unnest(range(1, least(len(token), 3) + 1)) u(plen))
+        |SELECT prefix, token, c,
+        |  CAST(row_number() OVER (PARTITION BY prefix
+        |    ORDER BY c DESC, token ASC) AS BIGINT) AS rank
+        |FROM p
+        |QUALIFY rank <= 3""".stripMargin,
+
+    // The identical three disc-rank extractions in one pass.
+    "q212_group_percentiles" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS gn FROM e)
+        |SELECT event_type, max(gn) AS n,
+        |  min(cents) FILTER (rn = greatest(1, (gn + 1) // 2)) AS p50,
+        |  min(cents) FILTER (rn = greatest(1, (gn * 19 + 19) // 20))
+        |    AS p95,
+        |  min(cents) FILTER (rn = greatest(1, (gn * 99 + 99) // 100))
+        |    AS p99
+        |FROM r
+        |WHERE rn = greatest(1, (gn + 1) // 2)
+        |  OR rn = greatest(1, (gn * 19 + 19) // 20)
+        |  OR rn = greatest(1, (gn * 99 + 99) // 100)
+        |GROUP BY 1""".stripMargin,
+
+    // The SQL-standard set operations, distinct and multiset forms.
+    "q213_set_ops" ->
+      """WITH ec AS (
+        |  SELECT * FROM events
+        |  WHERE (user_id + len(event_type)) % 5 <> 0),
+        |v AS (SELECT DISTINCT user_id FROM ec
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM ec
+        |      WHERE event_type = 'purchase'),
+        |vd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |       FROM ec WHERE event_type = 'view'),
+        |pd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |       FROM ec WHERE event_type = 'purchase')
+        |SELECT 'intersect' AS op, user_id, CAST(NULL AS BIGINT) AS day
+        |FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'except', user_id, CAST(NULL AS BIGINT)
+        |FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'intersect_all', user_id, day
+        |FROM (SELECT * FROM vd INTERSECT ALL SELECT * FROM pd)
+        |UNION ALL
+        |SELECT 'except_all', user_id, day
+        |FROM (SELECT * FROM vd EXCEPT ALL SELECT * FROM pd)""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

@@ -457,6 +457,37 @@ object Frequency {
         sum("n_rows").as("n_rows"),
         count(lit(1)).as("n_sketches"))
 
+  /** Autocomplete prefix index: for every token prefix of length
+    * 1..maxPrefix, the top-`k` completions by corpus frequency
+    * ((count desc, token asc) total order — engine-deterministic) with
+    * their counts and ranks. The type-ahead artifact: one lookup row
+    * per (prefix, rank).
+    *
+    * Scale shape: ONE token-count aggregate (map-side combined over
+    * the explode), then prefixes explode off the VOCABULARY contraction
+    * — maxPrefix rows per distinct token, never per occurrence; the
+    * per-prefix top-k window is keyed on the prefix (fan-in bounded by
+    * vocabulary, not corpus).
+    */
+  def prefixCompletions(docs: DataFrame, textCol: String,
+                        maxPrefix: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPrefix >= 1 && k >= 1, "maxPrefix and k must be >= 1")
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val pre = vocab.select(col("token"), col("c"),
+        explode(sequence(lit(1),
+          least(length(col("token")), lit(maxPrefix)))).as("plen"))
+      .select(col("token").substr(lit(1), col("plen")).as("prefix"),
+        col("token"), col("c"))
+    pre.withColumn("rank", row_number().over(
+        Window.partitionBy("prefix")
+          .orderBy(col("c").desc, col("token").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Audience-overlap estimation from mergeable HLL sketches —
     * inclusion–exclusion on the q114 artifact family: for every
     * unordered label pair, `approx_overlap = est(A) + est(B) −

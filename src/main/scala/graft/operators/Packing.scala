@@ -170,4 +170,34 @@ object Packing {
           .otherwise(lit(1L)))
       .drop("__start")
   }
+
+  /** Per-key DELTA encoding of an ordered integer series — the
+    * timestamp-compression layout a time-series store ships (a sorted
+    * epoch column delta-encodes to single-digit varints): one row per
+    * key with the base value, the comma-joined delta string (a STRING,
+    * not an array — portable to every engine and sink), count, and the
+    * reconstruction certificate `span = last − base = sum(deltas)`,
+    * which a decoder (or the oracle) re-checks without trusting the
+    * encoder.
+    *
+    * One sort_array(collect_list) hash aggregate per key (the q197
+    * assembly — no window, no sort exchange); the delta walk is
+    * per-row array arithmetic on the contracted key-sized frame.
+    */
+  def deltaEncode(df: DataFrame, keys: Seq[String], orderCol: String)
+  : DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(col(orderCol))).as("__vs"))
+      .select(keyCols ++ Seq(
+        element_at(col("__vs"), 1).as("base"),
+        size(col("__vs")).cast("long").as("n"),
+        (element_at(col("__vs"), -1) - element_at(col("__vs"), 1))
+          .as("span"),
+        concat_ws(",", transform(
+          sequence(lit(2), greatest(size(col("__vs")), lit(2))),
+          i => when(i <= size(col("__vs")),
+            element_at(col("__vs"), i) - element_at(col("__vs"), i - 1))))
+          .as("deltas")): _*)
+  }
 }

@@ -154,6 +154,38 @@ object RobustStats {
         expr("(ws * 1000000) div wt"))
   }
 
+  /** Exact per-group percentile report (disc semantics: the value at
+    * 1-based rank ceil(p·n) under the deterministic (value, id) order)
+    * for a fixed percentile list — the p50/p95/p99 latency report,
+    * integer-exact like every rank in this file. One window pass over
+    * the group exchange; all percentiles extract from the same ranked
+    * frame in one aggregate.
+    */
+  def groupPercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                       idCol: String, ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty &&
+      ps.forall { case (n, d) => n >= 0 && d > 0 && n <= d },
+      "groupPercentiles: percentiles must be rationals in [0, 1]")
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    val w = Window.partitionBy(keyCols: _*).orderBy(v, col(idCol))
+    val cw = Window.partitionBy(keyCols: _*)
+    def rank(num: Int, den: Int): Column =
+      greatest(lit(1L), expr(s"(__gn * $num + ${den - 1}) div $den"))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__gn", count(lit(1)).over(cw))
+    val isNeeded = ps.map { case (n, d) => col("__rn") === rank(n, d) }
+      .reduce(_ || _)
+    ranked.filter(isNeeded)
+      .groupBy(keyCols: _*)
+      .agg(max(col("__gn")).as("n"),
+        ps.map { case (n, d) =>
+          min(when(col("__rn") === rank(n, d), v))
+            .as(s"p${n * 100 / d}")
+        }: _*)
+  }
+
   /** Null imputation by the group's lower median — the feature-prep
     * fill that a corrupt spike cannot drag (mean imputation moves with
     * any single outlier). The median is computed over the group's

@@ -549,6 +549,40 @@ class CurationSignalsSpec extends SparkSpec {
     assert(cc !== ca)
   }
 
+  // ---- deltaEncode / prefixCompletions / groupPercentiles -----------------
+
+  test("deltaEncode: base + deltas reconstruct; singleton has empty deltas") {
+    val df = Seq((1L, 100L), (1L, 107L), (1L, 103L), (2L, 50L))
+      .toDF("k", "t")
+    val got = graft.operators.Packing.deltaEncode(df, Seq("k"), "t")
+      .select($"k", $"base", $"n", $"span", $"deltas")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 100L, 3L, 7L, "3,4")))
+    assert(got(2L) === ((2L, 50L, 1L, 0L, "")))
+  }
+
+  test("prefixCompletions: vocabulary prefixes, count-then-token order") {
+    val df = Seq((1L, "cat cat car dog")).toDF("id", "t")
+    val got = graft.operators.Frequency.prefixCompletions(df, "t",
+        maxPrefix = 2, k = 2)
+      .select($"prefix", $"token", $"rank")
+      .as[(String, String, Long)].collect().toSet
+    assert(got.contains(("c", "cat", 1L)) && got.contains(("c", "car", 2L)))
+    assert(got.contains(("ca", "cat", 1L)) && got.contains(("ca", "car", 2L)))
+    assert(got.contains(("d", "dog", 1L)))
+  }
+
+  test("groupPercentiles: exact disc ranks") {
+    // 1..100 in one group: p50 rank ceil(50)=50 -> 50; p95 rank 95; p99 99
+    val df = (1L to 100L).map(v => (1L, v, v)).toDF("g", "id", "v")
+    val r = graft.operators.RobustStats.groupPercentiles(df, Seq("g"),
+      "v", "id", Seq((1, 2), (19, 20), (99, 100))).collect().head
+    assert(r.getAs[Long]("p50") === 50L)
+    assert(r.getAs[Long]("p95") === 95L)
+    assert(r.getAs[Long]("p99") === 99L)
+    assert(r.getAs[Long]("n") === 100L)
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
