@@ -3491,6 +3491,101 @@ object SparkEntry {
             col("day")))
         .unionAll(days("view").exceptAll(days("purchase"))
           .select(lit("except_all").as("op"), col("user_id"), col("day")))
+    }),
+
+    // Idempotency-window dedup (Dedup.eventDedupWindow): a row is a
+    // duplicate iff the previous same-(user, type) arrival is within
+    // 2 h — the at-least-once ingest suppressor, batch form of q90's
+    // watermarked dropDuplicates. Adjacent-arrival rule: one lag
+    // comparison, exact.
+    "q214_event_dedup" -> ((s, d) =>
+      graft.operators.Dedup.eventDedupWindow(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("event_id"), expr("ts div 1000000000").as("sec")),
+        Seq("user_id", "event_type"), "sec", "event_id",
+        windowSec = 7200)),
+
+    // Linear multi-touch attribution (AsofJoin.linearAttribution):
+    // q140's window, equal-split credits in EXACT micro units — div
+    // per touch, remainder to the latest touch, so per-type totals
+    // conserve each purchase to the micro (the integer promise float
+    // splitting cannot make). No-touch purchases credit 'none' whole.
+    "q215_linear_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts_us")
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("ts_us"),
+          col("m.event_type").as("touch_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "cents")
+      graft.operators.AsofJoin.linearAttribution(purchases, touches,
+        Seq("user_id"), "ts_us", "touch_type", "cents",
+        toleranceUs = 7L * 86400L * 1000000L)
+    }),
+
+    // kNN classification over embeddings (the labeled-neighbor vote —
+    // the standard embedding-quality eval): every 20th vector is a
+    // held-out query, top-10 cosine neighbors from the rest vote, the
+    // majority label wins with (votes desc, label asc) tie-break via
+    // one struct max. Composes the audited q24 ranking; the vote adds
+    // one neighbor-label join + two label-sized aggregates.
+    "q216_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isQ = pmod(col("vec_id"), lit(20L)) === 0
+      val queries = e.filter(isQ)
+      val corpus = e.filter(!isQ)
+      val nbr = graft.operators.Similarity.bruteForceTopK(
+        queries.select(col("vec_id").as("query_id"), col("embedding")),
+        corpus, k = 10)
+      val votes = nbr
+        .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("v"))
+      votes.groupBy("query_id")
+        .agg(max(struct(col("v"), (-col("label")).as("nl"),
+          col("label"))).as("m"))
+        .select(col("query_id"),
+          col("m.label").cast("long").as("pred_label"),
+          col("m.v").as("n_votes"))
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label")), "query_id")
+        .withColumn("correct", col("pred_label") === col("true_label"))
+    }),
+
+    // Peak concurrency (the sweep-line classic): 30-min-gap sessions
+    // per user, ±1 boundary deltas, EXACT running concurrency via the
+    // range-partitioned globalCumSum (no single-partition window), the
+    // earliest instant attaining the maximum. One row out.
+    "q217_peak_concurrency" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+      val w = Window.partitionBy("user_id").orderBy("sec")
+      val sess = e.withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("new_s",
+          (col("prev").isNull || col("sec") - col("prev") > 1800)
+            .cast("long"))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("sec").as("start"), max("sec").as("end"))
+      val deltas = sess.select(col("start").as("sec"), lit(1L).as("d"))
+        .unionAll(sess.select((col("end") + 1).as("sec"),
+          lit(-1L).as("d")))
+        .groupBy("sec").agg(sum("d").as("d"))
+      // globalCumSum is an EXCLUSIVE prefix (offset semantics, its
+      // q76 contract) — concurrency AT the instant includes the
+      // instant's own delta, so add it back
+      val cum = graft.operators.Packing.globalCumSum(
+          deltas, "conc0", col("d"), col("sec"))
+        .withColumn("conc", col("conc0") + col("d"))
+      val peak = cum.agg(max("conc").as("peak"))
+      cum.crossJoin(broadcast(peak)).filter(col("conc") === col("peak"))
+        .agg(min("sec").as("at_sec"), max(col("peak")).as("peak"))
     })
   )
 
@@ -7681,6 +7776,107 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'except_all', user_id, day
         |FROM (SELECT * FROM vd EXCEPT ALL SELECT * FROM pd)""".stripMargin,
+
+    // The identical lag rule under the same total order.
+    "q214_event_dedup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |r AS (SELECT *, lag(sec) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY sec, event_id) AS prev FROM e)
+        |SELECT user_id, event_type, event_id, sec,
+        |  prev IS NOT NULL AND sec - prev <= 7200 AS is_dup
+        |FROM r""".stripMargin,
+
+    // The same range join, per-purchase count + latest rank, and the
+    // div/mod conservation split.
+    "q215_linear_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |t0 AS (
+        |  SELECT user_id, ts_us, event_id, event_type FROM ev
+        |  WHERE event_type IN ('click', 'view')),
+        |t AS (
+        |  SELECT user_id, ts_us, arg_max(event_type, event_id)
+        |    AS touch_type
+        |  FROM t0 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, ts_us, event_id, cents FROM ev
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id AS pid, p.cents, t.ts_us AS tts,
+        |    t.touch_type
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND t.ts_us <= p.ts_us
+        |    AND p.ts_us - t.ts_us <= 604800000000),
+        |c AS (
+        |  SELECT *, count(touch_type) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts DESC) AS rk
+        |  FROM j),
+        |cr AS (
+        |  SELECT coalesce(touch_type, 'none') AS touch_type,
+        |    CASE WHEN n = 0 THEN cents * 1000000
+        |      ELSE cents * 1000000 // n
+        |        + CASE WHEN rk = 1 THEN cents * 1000000 % n ELSE 0 END
+        |    END AS credit
+        |  FROM c)
+        |SELECT touch_type, count(*) AS n_credits,
+        |  CAST(sum(credit) AS BIGINT) AS credit_micro_total
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // The identical cosine ranking (q24's expression), neighbor vote,
+    // and (votes desc, label asc) winner.
+    "q216_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    round(list_sum(list_transform(list_zip(c.embedding, q.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe,
+        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6)
+        |      AS sim
+        |  FROM c, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, vec_id ASC) AS rank FROM s),
+        |v AS (SELECT query_id, label, count(*) AS v FROM r
+        |      WHERE rank <= 10 GROUP BY 1, 2),
+        |p AS (SELECT query_id, label AS pred_label, v AS n_votes FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY v DESC, label ASC) AS rk FROM v)
+        |      WHERE rk = 1)
+        |SELECT p.query_id, CAST(p.pred_label AS BIGINT) AS pred_label,
+        |  p.n_votes, CAST(q.label AS BIGINT) AS true_label,
+        |  p.pred_label = q.label AS correct
+        |FROM p JOIN q USING (query_id)""".stripMargin,
+
+    // The identical session sweep-line and earliest-peak pick.
+    "q217_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |r AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+        |        ORDER BY sec) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM r),
+        |iv AS (SELECT user_id, sid, min(sec) AS st, max(sec) AS en
+        |       FROM s GROUP BY 1, 2),
+        |d AS (SELECT st AS sec, 1 AS d FROM iv
+        |      UNION ALL SELECT en + 1, -1 FROM iv),
+        |g AS (SELECT sec, sum(d) AS d FROM d GROUP BY 1),
+        |cum AS (SELECT sec, sum(d) OVER
+        |        (ORDER BY sec ROWS UNBOUNDED PRECEDING) AS conc FROM g),
+        |p AS (SELECT max(conc) AS peak FROM cum)
+        |SELECT CAST(min(sec) AS BIGINT) AS at_sec,
+        |  CAST(max(p.peak) AS BIGINT) AS peak
+        |FROM cum, p WHERE cum.conc = p.peak""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

@@ -130,4 +130,49 @@ object AsofJoin {
           .when(col("__n").isNotNull, col("__n.__v")))
       .select((leftCols.filterNot(_ == valueCol) :+ valueCol).map(col): _*)
   }
+
+  /** Linear multi-touch attribution — q140's last-touch rule upgraded
+    * to the equal-split model, with EXACT conservation: each purchase's
+    * value in micro units splits `value·1e6 div n` per qualifying touch
+    * and the remainder `value·1e6 mod n` goes to the LATEST touch, so
+    * the per-type totals sum to exactly the purchase total (float
+    * splitting can never promise that; integer div/mod does).
+    * Purchases with no touch in the window credit 'none' in full.
+    *
+    * Scale shape: one range join (user-keyed, tolerance-bounded) + two
+    * windows keyed on the purchase id (count + latest rank share one
+    * exchange) + the type-sized final aggregate.
+    */
+  def linearAttribution(purchases: DataFrame, touches: DataFrame,
+                        keyCols: Seq[String], tsCol: String,
+                        typeCol: String, valueCol: String,
+                        toleranceUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = purchases.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__pts"),
+        col("event_id").as("__pid"), col(valueCol).as("__val")): _*)
+    val t = touches.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__tts"),
+        col(typeCol).as("__ttype")): _*)
+    val joined = p.join(t,
+      keyCols.map(k => p(k) === t(k)).reduce(_ && _) &&
+        col("__tts") <= col("__pts") &&
+        col("__pts") - col("__tts") <= toleranceUs,
+      "left")
+    val w = Window.partitionBy("__pid")
+    val wr = Window.partitionBy("__pid").orderBy(col("__tts").desc)
+    joined
+      .withColumn("__n", count(col("__ttype")).over(w))
+      .withColumn("__rk", row_number().over(wr))
+      .withColumn("touch_type",
+        coalesce(col("__ttype"), lit("none")))
+      .withColumn("credit_micro",
+        when(col("__n") === 0, col("__val") * 1000000L)
+          .otherwise(expr("__val * 1000000 div __n") +
+            when(col("__rk") === 1, expr("__val * 1000000 % __n"))
+              .otherwise(lit(0L))))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_micro")).as("credit_micro_total"))
+  }
 }

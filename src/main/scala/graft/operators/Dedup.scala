@@ -894,6 +894,31 @@ object Dedup {
         expr("c * 10000 div na").as("cont_bps"))
   }
 
+  /** Idempotency-window event dedup — the webhook/at-least-once ingest
+    * suppressor: a row is a duplicate iff the PREVIOUS same-key arrival
+    * (under the (ts, id) total order) lies within `windowSec`. The
+    * adjacent-arrival rule is deliberate: a burst of n retries spaced
+    * inside the window collapses to its first row (each retry is
+    * adjacent to the previous one), while a legitimate re-occurrence
+    * after a quiet gap survives — and unlike a chained-closure rule the
+    * decision is a single lag comparison, exact and windowable.
+    *
+    * One key exchange serves the lag window; no state beyond it. The
+    * streaming twin is q90's dropDuplicates-within-watermark; this is
+    * the batch backfill form.
+    */
+  def eventDedupWindow(df: DataFrame, keys: Seq[String], tsCol: String,
+                       idCol: String, windowSec: Long): DataFrame = {
+    require(windowSec >= 0, "eventDedupWindow: windowSec must be >= 0")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("is_dup",
+        col("__prev").isNotNull &&
+          col(tsCol) - col("__prev") <= windowSec)
+      .drop("__prev")
+  }
+
   /** Pair-set evaluation — precision/recall of a CANDIDATE pair set
     * (e.g. [[minhashCandidates]]) against an exact ground truth (e.g.
     * [[setSimilarityJoin]]), the measure-don't-guess gate for choosing

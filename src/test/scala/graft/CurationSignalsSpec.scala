@@ -583,6 +583,50 @@ class CurationSignalsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 100L)
   }
 
+  // ---- eventDedupWindow / linearAttribution --------------------------------
+
+  test("eventDedupWindow: adjacent-arrival rule, bursts collapse") {
+    // t=0,100,250 (burst, window 200): 100 dup of 0; 250 dup of 100
+    // (adjacent), even though 250-0 > 200. t=1000 survives.
+    val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 250L, 3L),
+      (1L, 1000L, 4L)).toDF("k", "t", "id")
+    val got = graft.operators.Dedup.eventDedupWindow(
+        df, Seq("k"), "t", "id", windowSec = 200)
+      .select($"id", $"is_dup").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+  }
+
+  test("linearAttribution: exact conservation incl. remainder to latest") {
+    // purchase 100 cents at t=100 with touches view@10, click@20:
+    // 1e8 micro splits 50_000_000 each, remainder 0; purchase 101 at
+    // t=200 with 3 touches: 101e6*... 101_000_000... div 3 = 33_666_666
+    // x3 + rem 2 to the LATEST (click@90).
+    val purchases = Seq((1L, 100L, 11L, 100L), (2L, 200L, 12L, 101L))
+      .toDF("u", "ts", "event_id", "cents")
+    val touches = Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 50L, "view"), (2L, 70L, "view"), (2L, 90L, "click"))
+      .toDF("u", "ts", "touch_type")
+    val got = graft.operators.AsofJoin.linearAttribution(
+        purchases, touches, Seq("u"), "ts", "touch_type", "cents",
+        toleranceUs = 1000L)
+      .select($"touch_type", $"n_credits", $"credit_micro_total")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val total = got.values.map(_._3).sum
+    assert(total === (100L + 101L) * 1000000L, "micro conservation")
+    assert(got("click")._3 === 50000000L + 33666666L + 2L)
+    assert(got("view")._3 === 50000000L + 2L * 33666666L)
+  }
+
+  test("linearAttribution: no-touch purchase credits none in full") {
+    val purchases = Seq((9L, 100L, 1L, 77L)).toDF("u", "ts", "event_id",
+      "cents")
+    val touches = Seq((8L, 10L, "view")).toDF("u", "ts", "touch_type")
+    val got = graft.operators.AsofJoin.linearAttribution(
+        purchases, touches, Seq("u"), "ts", "touch_type", "cents", 1000L)
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("none", 1L, 77000000L)))
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
