@@ -3586,6 +3586,43 @@ object SparkEntry {
       val peak = cum.agg(max("conc").as("peak"))
       cum.crossJoin(broadcast(peak)).filter(col("conc") === col("peak"))
         .agg(min("sec").as("at_sec"), max(col("peak")).as("peak"))
+    }),
+
+    // Conversion-latency percentiles: q123's completed funnels, time
+    // from first view to purchase, exact p50/p95 seconds per
+    // first-touch-day cohort (keyed percentile windows — never a
+    // global one). The SLA report on top of the funnel operator.
+    "q218_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val f = graft.operators.Funnel.earliestCompletion(ev, "user_id",
+        "event_type", "ts_us", Seq("view", "click", "purchase"),
+        window = Some(24L * 3600L * 1000000L))
+      val lat = f.filter(col("n_stages") === 3)
+        .select(col("user_id"),
+          expr("t0 div 86400000000").as("day"),
+          expr("(t2 - t0) div 1000000").as("lat"))
+      graft.operators.RobustStats.groupPercentiles(
+        lat, Seq("day"), "lat", "user_id", Seq((1, 2), (19, 20)))
+    }),
+
+    // Partition-quality certificate (Graphs.modularity): Newman
+    // modularity per community over the sparse (quantity <= 2)
+    // co-purchase graph, communities = connected components — every
+    // contribution an exact rational in DECIMAL(38,0), floor'd to
+    // micro for presentation. The auditable objective behind the
+    // q37/q82 community operators.
+    "q219_modularity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") <= 2)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
+      val nodes = li.select(col("l_partkey").as("id")).distinct()
+      val labels = graft.operators.Graphs.connectedComponents(
+        pairs, "pa", "pb", nodes, "id")
+      graft.operators.Graphs.modularity(pairs, "pa", "pb",
+        labels, "id", "component")
     })
   )
 
@@ -3706,6 +3743,26 @@ object SparkEntry {
        |           '\\?([^#]*)', 1), '(^|&)id=([^&]*)', 2)
        |         ELSE '' END) AS canonical_url
        |  FROM raw)"""
+
+  /** The q123 funnel stage CTEs (e/f0/f1/f2) — shared with q218's
+    * conversion-latency percentiles. No leading pipe on the first line
+    * and no own stripMargin (the q183/q206 double-strip trap).
+    */
+  private val sqlFunnelCtes: String =
+    """e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |f0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |f1 AS (SELECT e.user_id, f0.t0, min(e.ts_us) AS t1
+      |       FROM e JOIN f0 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts_us > f0.t0
+      |         AND e.ts_us <= f0.t0 + 86400000000
+      |       GROUP BY e.user_id, f0.t0),
+      |f2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+      |       FROM e JOIN f1 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > f1.t1
+      |         AND e.ts_us <= f1.t0 + 86400000000
+      |       GROUP BY e.user_id)"""
 
   /** q126 oracle: exact trigram-Jaccard self-join, every candidate pair
     * verified via the element equi-join intersection (no prefix filter —
@@ -5682,25 +5739,12 @@ object SparkEntry {
     // an equi-join on the previous stage's time, stalls kept by the
     // final left joins.
     "q123_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |f0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |f1 AS (SELECT e.user_id, f0.t0, min(e.ts_us) AS t1
-        |       FROM e JOIN f0 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.ts_us > f0.t0
-        |         AND e.ts_us <= f0.t0 + 86400000000
-        |       GROUP BY e.user_id, f0.t0),
-        |f2 AS (SELECT e.user_id, min(e.ts_us) AS t2
-        |       FROM e JOIN f1 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.ts_us > f1.t1
-        |         AND e.ts_us <= f1.t0 + 86400000000
-        |       GROUP BY e.user_id)
+      (s"""WITH $sqlFunnelCtes
         |SELECT f0.user_id, f0.t0, f1.t1, f2.t2,
         |  1 + CAST(f1.t1 IS NOT NULL AS BIGINT)
         |    + CAST(f2.t2 IS NOT NULL AS BIGINT) AS n_stages
         |FROM f0 LEFT JOIN f1 USING (user_id)
-        |  LEFT JOIN f2 USING (user_id)""".stripMargin,
+        |  LEFT JOIN f2 USING (user_id)""").stripMargin,
 
     // The identical hash-addressed pairing: row_number index by doc_id,
     // the portable 32-bit md5 hash mod N, self-pairs dropped, exact-dup
@@ -7877,6 +7921,66 @@ object SparkEntry {
         |SELECT CAST(min(sec) AS BIGINT) AS at_sec,
         |  CAST(max(p.peak) AS BIGINT) AS peak
         |FROM cum, p WHERE cum.conc = p.peak""".stripMargin,
+
+    // q123's stage CTEs + the q212 disc-rank extraction per cohort day.
+    "q218_funnel_latency" ->
+      (s"""WITH $sqlFunnelCtes,
+        |c AS (SELECT f0.user_id, f0.t0, f2.t2
+        |      FROM f0 JOIN f1 USING (user_id) JOIN f2 USING (user_id)),
+        |l AS (SELECT user_id, t0 // 86400000000 AS day,
+        |        (t2 - t0) // 1000000 AS lat FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY day
+        |        ORDER BY lat, user_id) AS rn,
+        |      count(*) OVER (PARTITION BY day) AS gn FROM l)
+        |SELECT day, max(gn) AS n,
+        |  min(lat) FILTER (rn = greatest(1, (gn + 1) // 2)) AS p50,
+        |  min(lat) FILTER (rn = greatest(1, (gn * 19 + 19) // 20)) AS p95
+        |FROM r
+        |WHERE rn = greatest(1, (gn + 1) // 2)
+        |  OR rn = greatest(1, (gn * 19 + 19) // 20)
+        |GROUP BY 1""").stripMargin,
+
+    // Recursive component closure (bounded: the qty<=2 graph's largest
+    // component is 11 nodes), then the identical exact modularity
+    // arithmetic in HUGEINT.
+    "q219_modularity" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity <= 2),
+        |und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u AS s, v AS d FROM und
+        |      UNION SELECT v, u FROM und),
+        |nodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id),
+        |comp AS (SELECT id, min(r) AS community FROM reach GROUP BY 1),
+        |mm AS (SELECT count(*) AS m FROM und),
+        |ein AS (
+        |  SELECT ca.community, count(*) AS e_in
+        |  FROM und JOIN comp ca ON ca.id = und.u
+        |  JOIN comp cb ON cb.id = und.v
+        |  WHERE ca.community = cb.community GROUP BY 1),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |          SELECT u AS id FROM und
+        |          UNION ALL SELECT v FROM und) GROUP BY 1),
+        |agg AS (
+        |  SELECT c.community, count(*) AS n_nodes,
+        |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+        |  FROM deg d JOIN comp c ON c.id = d.id GROUP BY 1)
+        |SELECT a.community, a.n_nodes,
+        |  CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, a.d_sum,
+        |  a.d_sum - 2 * coalesce(e.e_in, 0) AS cut,
+        |  CAST(mm.m AS BIGINT) AS m,
+        |  CAST((4 * CAST(mm.m AS HUGEINT) * coalesce(e.e_in, 0)
+        |      - CAST(a.d_sum AS HUGEINT) * a.d_sum) * 1000000
+        |    // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_micro
+        |FROM agg a LEFT JOIN ein e USING (community), mm""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

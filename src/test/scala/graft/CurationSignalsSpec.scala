@@ -627,6 +627,33 @@ class CurationSignalsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("none", 1L, 77000000L)))
   }
 
+  // ---- modularity -----------------------------------------------------------
+
+  test("modularity: exact per-community contributions and cuts") {
+    // triangle {1,2,3} + edge {4,5}: m=4; both communities contribute
+    // (4m·e_in − d_sum²)/(4m²) = 12/64 = 187500 micro; cut 0.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "c")
+    val got = graft.operators.Graphs.modularity(e, "a", "b", lab, "id", "c")
+      .select($"community", $"e_in", $"d_sum", $"cut", $"q_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 6L, 0L, 187500L)))
+    assert(got(4L) === ((4L, 1L, 2L, 0L, 187500L)))
+  }
+
+  test("modularity: cross-community edges appear in the cut") {
+    // path 1-2-3-4 split {1,2} | {3,4}: each side e_in=1, d_sum=3,
+    // cut=1; q = (12-9)/36 = 83333 micro (floor).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "c")
+    val got = graft.operators.Graphs.modularity(e, "a", "b", lab, "id", "c")
+      .select($"community", $"e_in", $"cut", $"q_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 83333L)))
+    assert(got(3L) === ((3L, 1L, 1L, 83333L)))
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
