@@ -3623,7 +3623,34 @@ object SparkEntry {
         pairs, "pa", "pb", nodes, "id")
       graft.operators.Graphs.modularity(pairs, "pa", "pb",
         labels, "id", "component")
-    })
+    }),
+
+    // Degree-distribution profile (Graphs.degreeProfile): log2 buckets
+    // computed EXACTLY via binary-string length (an FP log2 rounds on
+    // the boundary at every power of two), share in bps — the graph
+    // health report over the co-purchase graph.
+    "q220_degree_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("pa"))
+      val b = li.select(col("ok"), col("l_partkey").as("pb"))
+      graft.operators.Graphs.degreeProfile(
+        a.join(b, "ok").filter(col("pa") < col("pb")), "pa", "pb")
+    }),
+
+    // Token-distribution entropy (Frequency.tokenEntropy): per-doc
+    // Shannon entropy in micro-nats under the q147 one-rounding-per-ln
+    // discipline — the vocabulary-flatness quality signal.
+    "q221_token_entropy" -> ((s, d) =>
+      graft.operators.Frequency.tokenEntropy(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Simpson diversity (Frequency.simpsonDiversity): exact rational
+    // two-draw concentration per user over event types, bps, no float
+    // anywhere — the integer-only sibling of q221.
+    "q222_simpson" -> ((s, d) =>
+      graft.operators.Frequency.simpsonDiversity(
+        Tables.events(s, d), Seq("user_id"), "event_type"))
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -7981,6 +8008,62 @@ object SparkEntry {
         |      - CAST(a.d_sum AS HUGEINT) * a.d_sum) * 1000000
         |    // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_micro
         |FROM agg a LEFT JOIN ein e USING (community), mm""".stripMargin,
+
+    // The identical dedup/degree aggregates and the bin-length bucket.
+    "q220_degree_profile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity <= 10),
+        |und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |          SELECT u AS id FROM und
+        |          UNION ALL SELECT v FROM und) GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_nodes_total FROM deg)
+        |SELECT CAST(len(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_nodes, min(deg) AS deg_min, max(deg) AS deg_max,
+        |  CAST(tot.n_nodes_total AS BIGINT) AS n_nodes_total,
+        |  count(*) * 10000 // tot.n_nodes_total AS share_bps
+        |FROM deg, tot GROUP BY 1, tot.n_nodes_total""".stripMargin,
+
+    // The identical per-count micro-nat rounding, exact sums, one div.
+    "q221_token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, tok AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c
+        |      GROUP BY 1),
+        |term AS (
+        |  SELECT c.doc_id, n.n,
+        |    c.c * CAST(round(ln(CAST(n.n AS DOUBLE) / c.c) * 1e6, 0)
+        |      AS BIGINT) AS term
+        |  FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct,
+        |  CAST(sum(term) // max(n) AS BIGINT) AS entropy_micro_nats
+        |FROM term GROUP BY 1""".stripMargin,
+
+    // The identical rational two-draw concentration.
+    "q222_simpson" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_categories,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS pairs
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n, n_categories,
+        |  CASE WHEN n >= 2 THEN pairs * 10000 // (n * (n - 1)) END
+        |    AS concentration_bps,
+        |  CASE WHEN n >= 2 THEN 10000 - pairs * 10000 // (n * (n - 1)) END
+        |    AS diversity_bps
+        |FROM g""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

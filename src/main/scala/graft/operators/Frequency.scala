@@ -457,6 +457,64 @@ object Frequency {
         sum("n_rows").as("n_rows"),
         count(lit(1)).as("n_sketches"))
 
+  /** Per-document token-distribution (Shannon) entropy in micro-nats —
+    * the vocabulary-flatness quality signal (near-zero entropy = one
+    * token dominating, the repetition failure q179 sees from the other
+    * side). The q147/q163 float discipline: each ln(n/c) is rounded
+    * ONCE to micro-nats, the weighted sum is exact longs, and the only
+    * division is a single integer div by n — engine-reproducible
+    * because the one transcendental per distinct count is immediately
+    * pinned to a grid.
+    *
+    * One explode + (doc, token) count, then a doc-keyed aggregate —
+    * both share the doc exchange.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("__n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("__term",
+        col("c") * round(log(col("__n").cast("double") /
+          col("c").cast("double")) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        expr("CAST(sum(__term) div max(__n) AS BIGINT)")
+          .as("entropy_micro_nats"))
+  }
+
+  /** Simpson diversity per group, EXACT: the probability that two
+    * draws without replacement share a category is Σc(c−1)/(n(n−1)) —
+    * a pure rational, published in basis points with no float anywhere
+    * (the entropy signal's integer-only sibling; use it when the
+    * certificate must be bit-portable). `diversity_bps` = 10000 −
+    * concentration. Groups with n < 2 emit nulls (undefined, not
+    * zero). Two aggregates sharing one group exchange.
+    */
+  def simpsonDiversity(df: DataFrame, keys: Seq[String], catCol: String)
+  : DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols :+ col(catCol).as("__cat"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keyCols: _*)
+      .agg(sum("__c").as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(expr("__c * (__c - 1)")).as("__pairs"))
+      .withColumn("concentration_bps",
+        when(col("n") >= 2,
+          expr("__pairs * 10000 div (n * (n - 1))")))
+      .withColumn("diversity_bps",
+        when(col("n") >= 2, lit(10000L) - col("concentration_bps")))
+      .drop("__pairs")
+  }
+
   /** Autocomplete prefix index: for every token prefix of length
     * 1..maxPrefix, the top-`k` completions by corpus frequency
     * ((count desc, token asc) total order — engine-deterministic) with

@@ -1070,4 +1070,34 @@ object Graphs {
       .select("community", "n_nodes", "e_in", "d_sum", "cut", "m",
         "q_micro")
   }
+
+  /** Degree-distribution profile: node count per log2 degree bucket
+    * plus exact share bps — the one-page graph health report (a heavy
+    * tail here is what justifies the skew-proof orientations q121/q128
+    * use). One dedup + one degree aggregate + one bucket aggregate.
+    */
+  def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val dedup = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = dedup.select(col("u").as("id"))
+      .unionAll(dedup.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val totals = deg.agg(count(lit(1)).as("n_nodes_total"))
+    // floor(log2(deg)) EXACTLY via the binary-string length — an FP
+    // log2 sits on a rounding boundary at every power of two, the one
+    // place a bucket edge lives
+    deg.withColumn("bucket",
+        (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), min("deg").as("deg_min"),
+        max("deg").as("deg_max"))
+      .crossJoin(broadcast(totals))
+      .withColumn("share_bps",
+        expr("n_nodes * 10000 div n_nodes_total"))
+  }
 }
