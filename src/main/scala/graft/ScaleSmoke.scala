@@ -195,7 +195,11 @@ object ScaleSmoke {
       "q187_containment", "q188_audio_match", "q190_dedup_eval",
       "q191_bom_rollup", "q192_skyline", "q193_trend",
       "q199_activity_bitmap", "q201_tpch_like", "q202_rolling_distinct",
-      "q204_rfm", "q206_dedup_cascade")
+      "q204_rfm", "q206_dedup_cascade", "q207_scene_detect",
+      "q208_scorecard", "q210_delta_encode", "q214_event_dedup",
+      "q215_linear_attribution", "q216_knn_classify",
+      "q217_peak_concurrency", "q219_modularity", "q221_token_entropy",
+      "q222_simpson")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
