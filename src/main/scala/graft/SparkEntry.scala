@@ -3650,7 +3650,64 @@ object SparkEntry {
     // anywhere — the integer-only sibling of q221.
     "q222_simpson" -> ((s, d) =>
       graft.operators.Frequency.simpsonDiversity(
-        Tables.events(s, d), Seq("user_id"), "event_type"))
+        Tables.events(s, d), Seq("user_id"), "event_type")),
+
+    // Per-column null-rate profile (Expectations.nullProfile): ONE
+    // scan, paired conditional aggregates exploded to report rows;
+    // deterministic null injection keeps zero / low / high arms live.
+    "q223_null_profile" -> ((s, d) =>
+      graft.operators.Expectations.nullProfile(
+        Tables.events(s, d).select(col("event_type"),
+          when(pmod(col("event_id"), lit(7L)) === 0, lit(null))
+            .otherwise(col("value")).as("value_n"),
+          when(pmod(col("event_id"), lit(11L)) === 0, lit(null))
+            .otherwise(col("props")).as("props_n")),
+        Seq("event_type", "value_n", "props_n"))),
+
+    // Key-skew report (Salting.skewReport): the diagnosis before a
+    // salt factor — token frequencies are the canonical hot-key case
+    // (stopwords own the corpus). TakeOrdered top-10, never a global
+    // key funnel.
+    "q224_skew_report" -> ((s, d) =>
+      graft.operators.Salting.skewReport(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0),
+        "token", k = 10)),
+
+    // Contingency cross-tab with exact per-cell chi-square micro
+    // contributions (Frequency.contingencyChi2): event type x day of
+    // week — the global association report behind q149's per-token cut.
+    "q225_crosstab_chi2" -> ((s, d) =>
+      graft.operators.Frequency.contingencyChi2(
+        Tables.events(s, d).select(col("event_type"),
+          pmod(expr("ts div 86400000000000"), lit(7L)).as("dow")),
+        "event_type", "dow")),
+
+    // Exact two-proportion A/B test (Experiment.twoProportionTest):
+    // z² >= 1.96² decided by DECIMAL cross-multiplication — no sqrt,
+    // no float. Three user cohorts: va = even users (random half),
+    // vb/vc = odd users split by engagement (< / >= 67 events), with
+    // conversion = 14+ purchases; engagement correlates with
+    // conversion, so (vb, vc) is significant at every scale, while
+    // (va, vd) — two random halves of the even users — draws from ONE
+    // distribution and can never become significant at any sample
+    // size: both verdict arms live at every sf by construction.
+    "q226_ab_test" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("ne"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .select(
+          when(pmod(col("user_id"), lit(4L)) === 0, lit("va"))
+            .when(pmod(col("user_id"), lit(4L)) === 2, lit("vd"))
+            .when(col("ne") < 67, lit("vb"))
+            .otherwise(lit("vc")).as("variant"),
+          (col("np") >= 14).as("converted"))
+      graft.operators.Experiment.twoProportionTest(
+        u, "variant", col("converted"))
+    })
   )
 
   /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
@@ -8064,6 +8121,99 @@ object SparkEntry {
         |  CASE WHEN n >= 2 THEN 10000 - pairs * 10000 // (n * (n - 1)) END
         |    AS diversity_bps
         |FROM g""".stripMargin,
+
+    // The identical single-scan conditional aggregates.
+    "q223_null_profile" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+        |      AS value_n,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END
+        |      AS props_n
+        |  FROM events),
+        |a AS (
+        |  SELECT count(*) AS n_total,
+        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS z1,
+        |    CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS z2,
+        |    CAST(sum(CASE WHEN props_n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS z3
+        |  FROM e)
+        |SELECT 'event_type' AS column, n_total, z1 AS n_null,
+        |  z1 * 10000 // n_total AS null_bps FROM a
+        |UNION ALL SELECT 'value_n', n_total, z2,
+        |  z2 * 10000 // n_total FROM a
+        |UNION ALL SELECT 'props_n', n_total, z3,
+        |  z3 * 10000 // n_total FROM a""".stripMargin,
+
+    // The identical counts, top-k cut, and skew-milli arithmetic.
+    "q224_skew_report" ->
+      """WITH t AS (
+        |  SELECT tok AS key FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |c AS (SELECT key, count(*) AS n FROM t GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |        count(*) AS n_keys, max(n) AS max_n FROM c),
+        |top AS (SELECT key, n,
+        |          CAST(row_number() OVER (ORDER BY n DESC, key ASC)
+        |            AS BIGINT) AS rank
+        |        FROM c QUALIFY rank <= 10)
+        |SELECT rank, key, n, n * 10000 // st.total AS share_bps,
+        |  st.max_n * st.n_keys * 1000 // st.total AS skew_milli
+        |FROM top, st""".stripMargin,
+
+    // The identical margins-from-cells and DECIMAL chi-square floor.
+    "q225_crosstab_chi2" ->
+      """WITH e AS (
+        |  SELECT event_type AS a,
+        |    (epoch_ns(ts) // 86400000000000) % 7 AS b
+        |  FROM events),
+        |cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r_a FROM cells
+        |       GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c_b FROM cells
+        |       GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells)
+        |SELECT cells.a, cells.b, cells.o, ra.r_a, cb.c_b, tot.n_total,
+        |  CAST((CAST(cells.o AS HUGEINT) * tot.n_total
+        |      - CAST(ra.r_a AS HUGEINT) * cb.c_b)
+        |    * (CAST(cells.o AS HUGEINT) * tot.n_total
+        |      - CAST(ra.r_a AS HUGEINT) * cb.c_b) * 1000000
+        |    // (CAST(tot.n_total AS HUGEINT) * ra.r_a * cb.c_b)
+        |    AS BIGINT) AS chi2_micro
+        |FROM cells JOIN ra USING (a) JOIN cb USING (b), tot""".stripMargin,
+
+    // The identical cohort aggregates and the squared-z DECIMAL cut.
+    "q226_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS ne,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS np
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT CASE WHEN user_id % 4 = 0 THEN 'va'
+        |      WHEN user_id % 4 = 2 THEN 'vd'
+        |      WHEN ne < 67 THEN 'vb' ELSE 'vc' END AS variant,
+        |    CAST(np >= 14 AS INT) AS conv
+        |  FROM u),
+        |p AS (SELECT variant, count(*) AS n,
+        |        CAST(sum(conv) AS BIGINT) AS x FROM v GROUP BY 1)
+        |SELECT a.variant AS variant_a, b.variant AS variant_b,
+        |  a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+        |  a.x * 10000 // a.n AS rate_a_bps,
+        |  b.x * 10000 // b.n AS rate_b_bps,
+        |  a.x * 10000 // a.n - b.x * 10000 // b.n AS diff_bps,
+        |  a.x + b.x > 0 AND a.x + b.x < a.n + b.n
+        |    AND (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n)
+        |      * (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n)
+        |      * (a.n + b.n) * 625
+        |      >= CAST(2401 AS HUGEINT) * a.n * b.n * (a.x + b.x)
+        |        * (a.n + b.n - (a.x + b.x))
+        |    AS significant
+        |FROM p a JOIN p b ON a.variant < b.variant""".stripMargin,
 
     "q116_unpivot" ->
       """WITH longf AS (

@@ -163,6 +163,27 @@ object Expectations {
     * formatting differs across engines). One partial-agg scan, three
     * numbers out.
     */
+  /** Per-column null-rate profile — the first data-profiling pass on
+    * any new feed: ONE scan builds (n_null, n_total) for every listed
+    * column as paired conditional aggregates in a single agg row, then
+    * explodes to one report row per column with the exact rate in bps.
+    * No per-column re-scan, no driver loop over columns.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullProfile: need at least one column")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"__null_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.map(c =>
+      struct(lit(c).as("column"), col(s"__null_$c").as("n_null")))
+    one.select(col("__n").as("n_total"),
+        explode(array(pairs: _*)).as("p"))
+      .select(col("p.column").as("column"), col("n_total"),
+        col("p.n_null").as("n_null"),
+        expr("p.n_null * 10000 div n_total").as("null_bps"))
+  }
+
   def contentChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     val row = md5(concat_ws("|", cols.map(_.cast("string")): _*)
       .cast("binary"))

@@ -457,6 +457,37 @@ object Frequency {
         sum("n_rows").as("n_rows"),
         count(lit(1)).as("n_sketches"))
 
+  /** Contingency table with per-cell chi-square contributions, exact:
+    * for cell (a, b) with observed o, row margin r_a, column margin
+    * c_b, grand total N, the contribution (o − r·c/N)²/(r·c/N)
+    * rationalizes to (o·N − r·c)² / (N·r·c) — emitted as a floor'd
+    * micro value with every product in DECIMAL(38,0). The global
+    * association report behind q149's per-token cut, as a full
+    * cross-tab.
+    *
+    * One (a, b) count aggregate; margins are two tiny re-aggregates of
+    * the CELL frame (never a fact re-scan), joined back at
+    * margin-cardinality size.
+    */
+  def contingencyChi2(df: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("r_a"))
+    val cb = cells.groupBy("b").agg(sum("o").as("c_b"))
+    val tot = cells.agg(sum("o").as("n_total"))
+    cells.join(ra, "a").join(cb, "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("chi2_micro",
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n_total
+                 - CAST(r_a AS DECIMAL(38,0)) * c_b)
+               * (CAST(o AS DECIMAL(38,0)) * n_total
+                 - CAST(r_a AS DECIMAL(38,0)) * c_b) * 1000000
+               div (CAST(n_total AS DECIMAL(38,0)) * r_a * c_b)
+               AS BIGINT)"""))
+      .select("a", "b", "o", "r_a", "c_b", "n_total", "chi2_micro")
+  }
+
   /** Per-document token-distribution (Shannon) entropy in micro-nats —
     * the vocabulary-flatness quality signal (near-zero entropy = one
     * token dominating, the repetition failure q179 sees from the other

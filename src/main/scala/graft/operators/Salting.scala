@@ -70,4 +70,29 @@ object Salting {
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-skew report — the measurement BEFORE choosing a salt factor
+    * (this file's other operators are the cure; this is the
+    * diagnosis): the top-k hottest keys with exact share bps and the
+    * global skew factor `max·n_keys·1000 div total` (hot-key rows vs
+    * a perfectly uniform key, in milli). One count aggregate, one
+    * single-row stats broadcast, TakeOrdered top-k — the report never
+    * funnels the key space through one task.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").as("total"),
+      count(lit(1)).as("n_keys"), max("n").as("max_n"))
+    counts
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc)).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("n"),
+        expr("n * 10000 div total").as("share_bps"),
+        expr("max_n * n_keys * 1000 div total").as("skew_milli"))
+  }
 }

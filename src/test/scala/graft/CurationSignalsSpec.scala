@@ -654,6 +654,52 @@ class CurationSignalsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, 1L, 83333L)))
   }
 
+  // ---- nullProfile / skewReport / twoProportionTest ------------------------
+
+  test("nullProfile: one-scan rates incl. the zero arm") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None),
+      (None, None)).toDF("x", "y").withColumn("z", lit("k"))
+    val got = graft.operators.Expectations.nullProfile(df,
+        Seq("x", "y", "z"))
+      .select($"column", $"n_null", $"null_bps")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("x") === (("x", 2L, 5000L)))
+    assert(got("y") === (("y", 2L, 5000L)))
+    assert(got("z") === (("z", 0L, 0L)))
+  }
+
+  test("skewReport: hot key share and skew factor") {
+    // keys: a x6, b x2, c x2 -> total 10, 3 keys, max 6:
+    // skew_milli = 6*3*1000 div 10 = 1800; share(a) = 6000 bps.
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val got = graft.operators.Salting.skewReport(df, "k", k = 2)
+      .select($"rank", $"key", $"share_bps", $"skew_milli")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "a", 6000L, 1800L)))
+    assert(got(1)._2 === "b", "count tie broken by key asc")
+  }
+
+  test("twoProportionTest: known significant and degenerate cases") {
+    // n=100 each, 50 vs 20 converters: z^2 ~ 19 >> 3.84 -> significant.
+    val rows = (0 until 100).map(i => ("a", i < 50)) ++
+      (0 until 100).map(i => ("b", i < 20))
+    val sig = graft.operators.Experiment.twoProportionTest(
+      rows.toDF("v", "c"), "v", col("c")).collect().head
+    assert(sig.getAs[Boolean]("significant"))
+    assert(sig.getAs[Long]("diff_bps") === 3000L)
+    // identical rates: never significant; all-converted: degenerate
+    val same = (0 until 50).map(i => ("a", i < 10)) ++
+      (0 until 50).map(i => ("b", i < 10))
+    assert(!graft.operators.Experiment.twoProportionTest(
+      same.toDF("v", "c"), "v", col("c")).collect().head
+      .getAs[Boolean]("significant"))
+    val allc = Seq(("a", true), ("a", true), ("b", true))
+    assert(!graft.operators.Experiment.twoProportionTest(
+      allc.toDF("v", "c"), "v", col("c")).collect().head
+      .getAs[Boolean]("significant"), "zero pooled variance")
+  }
+
   test("urlDedup: smallest id wins per canonical group") {
     val df = Seq(
       (3L, "http://EX.com/a?utm_source=t"),
