@@ -77,7 +77,8 @@ object Communities {
   final case class CertifiedRow(
       uid: String, stop_events: Long, latitude: Double, longitude: Double,
       start_timestamp: Long, end_timestamp: Long, stop_locations: Long,
-      bits_found: Double, bits_singleton: Double, improves: Boolean)
+      bits_found: Double, bits_singleton: Double, improves: Boolean,
+      cc_locations: Long, refines: Boolean)
 
   /** Infomap labeling with a SELF-CERTIFICATE per user: alongside each
     * stop's community label, emit the exact two-level map-equation
@@ -91,6 +92,17 @@ object Communities {
     * engine-independent community oracle (community IDs themselves are
     * search-order-dependent across engines; the objective value's
     * partial order is not).
+    *
+    * Two further ENGINE-PORTABLE columns make the gate fully
+    * oracle-checkable (not just rows-only): `cc_locations` is the stop's
+    * r2-radius connected-component label — deterministic and
+    * SQL-recomputable (the q37 recursive-CTE pattern), first-appearance
+    * canonicalized, singletons −1 — and `refines` certifies the map
+    * equation never merges across components: every found community's
+    * member nodes share one `cc_locations`. An oracle recomputes
+    * `cc_locations` exactly and pins `refines`/`improves` as
+    * literal-true, so any partition bug that crosses a component or
+    * degrades the objective flips a hashed bit.
     */
   def assignLocationsCertified(medians: DataFrame, p: Params): DataFrame = {
     require(p.algorithm == "infomap",
@@ -107,9 +119,27 @@ object Communities {
         val (rowNode, allCoords, allCounts) = collapseStops(rows, p)
         val n = trimmedSize(allCoords.length, rows.head.uid, p)
         val adj = buildAdjacency(allCoords.take(n), allCounts.take(n), p)
+        // the CC certificate covers ALL nodes (the oracle's recursive CTE
+        // is untrimmed); reuse the trimmed adjacency when nothing trimmed
+        val adjFull =
+          if (n == allCoords.length) adj
+          else buildAdjacency(allCoords, allCounts, p)
+        val ccLabels = connectedComponents(adjFull)
         val part = mapEquationPartition(adj)
         val nodeLabels = canonicalizeLabels(part, adj, p) ++
           Array.fill(allCoords.length - n)(-1L)
+        // refinement: each found community sits inside exactly one CC
+        val ccOfModule = scala.collection.mutable.Map.empty[Long, Long]
+        var refines = true
+        var v = 0
+        while (v < n) {
+          val m = nodeLabels(v)
+          if (m != -1L) ccOfModule.get(m) match {
+            case Some(cc) => if (cc != ccLabels(v)) refines = false
+            case None => ccOfModule(m) = ccLabels(v)
+          }
+          v += 1
+        }
         val bitsFound = mapEquationBits(adj, part)
         val bitsSingleton =
           mapEquationBits(adj, Array.tabulate(adj.length)(identity))
@@ -117,7 +147,8 @@ object Communities {
         rows.iterator.zipWithIndex.map { case (r, k) =>
           CertifiedRow(r.uid, r.stop_events, r.latitude, r.longitude,
             r.start_timestamp, r.end_timestamp, nodeLabels(rowNode(k)),
-            bitsFound, bitsSingleton, improves)
+            bitsFound, bitsSingleton, improves,
+            ccLabels(rowNode(k)), refines)
         }
       }
       .toDF()
@@ -236,6 +267,35 @@ object Communities {
         lbl
       }
     canonicalizeLabels(label, adj, p)
+  }
+
+  /** Connected components of a radius-graph adjacency, canonicalized the
+    * oracle's way: isolated nodes −1; components numbered 0.. in order of
+    * their smallest member node index (a node-index-order scan assigns
+    * first-appearance labels, which is the same order). Engine-portable —
+    * matches the q37/q82 recursive-CTE oracle bit-for-bit.
+    */
+  private[graft] def connectedComponents(
+      adj: Array[List[(Int, Double)]]): Array[Long] = {
+    val n = adj.length
+    val out = Array.fill(n)(-1L)
+    var next = 0L
+    var s = 0
+    while (s < n) {
+      if (out(s) == -1L && adj(s).nonEmpty) {
+        val stack = scala.collection.mutable.Stack(s)
+        out(s) = next
+        while (stack.nonEmpty) {
+          val v = stack.pop()
+          adj(v).foreach { case (j, _) =>
+            if (out(j) == -1L) { out(j) = next; stack.push(j) }
+          }
+        }
+        next += 1L
+      }
+      s += 1
+    }
+    out
   }
 
   /** Canonicalize raw module ids: 0-based by first appearance; isolated

@@ -124,6 +124,11 @@ class CommunitiesSpec extends SparkSpec {
     assert(cert.forall(r =>
       math.abs(r.getAs[Double]("bits_singleton") - 4.5751) < 5e-4))
     assert(cert.forall(_.getAs[Boolean]("improves")))
+    // chain 0.0..4.0 at r2=1.5 is ONE connected component; the map
+    // equation splits it 0|0|0|1|1|1 — a strict refinement of the CC
+    assert(cert.map(_.getAs[Long]("cc_locations")).toSeq ===
+      Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(cert.forall(_.getAs[Boolean]("refines")))
   }
 
   test("infomap: beats baseline partitions on random geometric graphs") {

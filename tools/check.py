@@ -52,10 +52,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             if len(g) != len(e):
                 print(f"FAIL {name}: rows {len(g)} != {len(e)}")
                 continue
-            # exact compare, incl. dtype-insensitive value equality
+            # dtype-STRICT compare, reproducing the driver's type-sensitive
+            # hash: a DuckDB HUGEINT (float64 here) vs Spark int64 is a
+            # FAIL even when every value matches (see q130/q131/q141, r8).
             diff_cols = []
+            dtype_cols = []
             for c in g.columns:
                 a, b = g[c], e[c]
+                if str(a.dtype) != str(b.dtype):
+                    dtype_cols.append((c, str(a.dtype), str(b.dtype)))
+                    continue
                 if not a.equals(b):
                     try:
                         same = (a.astype("float64").fillna(-1e308)
@@ -64,7 +70,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                         same = (a.astype(str) == b.astype(str)).all()
                     if not same:
                         diff_cols.append(c)
-            if diff_cols:
+            if dtype_cols:
+                print(f"FAIL {name}: dtype mismatch (spark vs oracle): "
+                      f"{dtype_cols}")
+            elif diff_cols:
                 print(f"FAIL {name}: value mismatch in {diff_cols}")
                 for c in diff_cols[:2]:
                     mask = g[c].astype(str) != e[c].astype(str)
