@@ -16,6 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Candidate-pair budget for the EXACT join tier ([[setSimilarityJoin]],
+    * [[containmentJoin]]): `spark.graft.exactJoinMaxCandidates` (default
+    * 10^9, `0` disables). The probabilistic tier bounds its blow-up
+    * structurally (band buckets + CollectCappedLongs caps); the exact tier
+    * cannot — prefix filtering usually collapses the fan-out, but a corpus
+    * of near-identical boilerplate defeats it (every doc's rarest element
+    * is the SAME element) and the candidate join goes quadratic. The
+    * breaker prices the join from per-element occurrence counts BEFORE it
+    * runs — one cheap aggregate over the already-persisted element frame —
+    * and fails fast with a pointer at the MinHash tier instead of
+    * launching a 10^12-row shuffle.
+    */
+  private def exactJoinCandidateCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.exactJoinMaxCandidates")
+      .map(_.toLong).getOrElse(1000000000L)
+
+  /** Fail fast when the priced candidate upper bound exceeds the cap. */
+  private def checkCandidateBudget(op: String, estimated: Long, cap: Long): Unit =
+    if (cap > 0 && estimated > cap)
+      throw new IllegalStateException(
+        s"$op: prefix filtering still yields up to $estimated candidate " +
+          s"pairs (cap $cap, spark.graft.exactJoinMaxCandidates; 0 " +
+          "disables). This corpus is too duplicate-heavy for the exact " +
+          "tier — run Dedup.exact on the normalized text first to " +
+          "collapse verbatim copies, or use the MinHash-LSH tier " +
+          "(Dedup.minhashSignatures + minhashCandidates), whose band " +
+          "buckets bound the fan-out structurally.")
+
   /** Keep one canonical row per exact key; deterministic keeper = min id. */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(col(keyCol))
@@ -642,6 +670,18 @@ object Dedup {
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
         col("col.e").as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // circuit breaker: the candidate equi-join on e emits at most
+    // sum_e C(k_e, 2) rows (k_e = prefixes containing e) BEFORE its
+    // integer filters — price that bound from the persisted prefix frame
+    // (one aggregate, reused by the join via the cache) and refuse to
+    // launch a join the prefix filter failed to collapse.
+    val simCap = exactJoinCandidateCap(docs.sparkSession)
+    if (simCap > 0) {
+      val est = pref.groupBy("e").agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+      checkCandidateBudget("setSimilarityJoin", est, simCap)
+    }
     val candA = pref.select(col("doc_id").as("id_a"), col("n").as("na"),
       col("p").as("pa"), col("e"))
     val candB = pref.select(col("doc_id").as("id_b"), col("n").as("nb"),
@@ -864,7 +904,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
-    val pref = el.join(dfreq, "e")
+    // persisted: consumed by the breaker's pricing aggregate AND the
+    // candidate join — unpersisted, the df join + per-doc sort runs twice.
+    val pref = graft.CacheScope.track(el.join(dfreq, "e")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("e"))))
         .as("elems"))
@@ -874,6 +916,18 @@ object Dedup {
           (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
             .cast("int"))).as("s"))
       .select(col("id_a"), col("na"), col("s.e").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // circuit breaker (asymmetric form): probe prefixes join the FULL
+    // index side, so the pre-filter bound is sum_e kp_e * df_e — kp from
+    // the persisted prefix frame, df already aggregated in dfreq.
+    val contCap = exactJoinCandidateCap(docs.sparkSession)
+    if (contCap > 0) {
+      val est = pref.groupBy("e").agg(count(lit(1)).as("kp"))
+        .join(dfreq, "e")
+        .agg(coalesce(sum(col("kp") * col("df")), lit(0L)))
+        .head().getLong(0)
+      checkCandidateBudget("containmentJoin", est, contCap)
+    }
     val full = el.join(sz, "doc_id")
       .select(col("doc_id").as("id_b"), col("n").as("nb"), col("e"))
     val cand = pref.join(full, "e")
