@@ -71,7 +71,19 @@ object Bench {
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (pass <- 1 to runsPerQuery; (name, fn) <- named) {
+    // Noise gate (r9 verdict ask #5): a pass is QUIET iff its steal% is
+    // at or under this bound — min-of-passes only protects the record
+    // when at least one pass ran on a quiet machine (r9's x1.16 "drift"
+    // was all three passes loaded). busy% is NOT gated: it includes this
+    // bench's own 32 executor threads, so a legitimately heavy query
+    // saturates it. Queries whose every pass is noisy get bounded
+    // re-runs below; if none lands quiet, the min falls back to all
+    // passes and the query is flagged in "noisy".
+    val quietSteal =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_STEAL", "1.0").toDouble
+    val valid = scala.collection.mutable.Map.empty[String, List[Boolean]]
+      .withDefaultValue(Nil)
+    def runOne(pass: String, name: String, fn: (SparkSession, String) => DataFrame): Unit = {
       // Each run pays the full query cost: queries that persist() internally
       // (tracked in CacheScope) would otherwise serve later passes from
       // cache. Targeted release, not clearCache — see Verify.
@@ -87,13 +99,17 @@ object Bench {
             (100.0 * (s1 - s0) / d, 100.0 * ((a1 - a0) - (i1 - i0)) / d)
           case _ => (-1.0, -1.0)
         }
+        // a pass with unreadable /proc/stat counts as quiet: better one
+        // possibly-noisy measurement than none on an exotic host
+        val quiet = stealPct < 0 || stealPct <= quietSteal
         // progress to stderr: which query a stall is in, and per-pass
         // timings (min-of-passes hides a steal burst; the log keeps it)
         System.err.println(
-          f"[bench] pass $pass $name $dt%.2f s (steal $stealPct%.1f%% busy $busyPct%.1f%%)")
+          f"[bench] pass $pass $name $dt%.2f s (steal $stealPct%.1f%% busy $busyPct%.1f%%${if (quiet) "" else " NOISY"})")
         passes(name) = passes(name) :+ dt
         loads(name) = loads(name) :+ ((stealPct, busyPct))
-        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        valid(name) = valid(name) :+ quiet
+        if (quiet && dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
         case scala.util.control.NonFatal(e) =>
           // Record the first line of EVERY exception in the cause chain:
@@ -109,6 +125,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $chain")
       }
     }
+    for (pass <- 1 to runsPerQuery; (name, fn) <- named)
+      runOne(pass.toString, name, fn)
+    // retry phase: queries with zero quiet passes re-run (interleaved,
+    // bounded) until one lands quiet or retries exhaust
+    val retryRounds =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val qmap = named.toMap
+    for (r <- 1 to retryRounds) {
+      val noisy = named.map(_._1)
+        .filter(n => passes(n).nonEmpty && !valid(n).contains(true))
+      if (noisy.nonEmpty) {
+        System.err.println(
+          s"[bench] retry round $r: ${noisy.size} queries with no quiet pass")
+        noisy.foreach(n => runOne(s"retry$r", n, qmap(n)))
+      }
+    }
+    // no quiet pass after retries -> fall back to min over ALL passes and
+    // flag the query; a missing entry would read as "not run"
+    val neverQuiet = named.map(_._1)
+      .filter(n => passes(n).nonEmpty && !valid(n).contains(true))
+    neverQuiet.foreach(n => best(n) = passes(n).min)
     // A query with no successful run is omitted from timings (it lives in
     // errors) — a failed attempt's wall time is not a measurement.
     val results = best.toMap
@@ -150,9 +187,17 @@ object Bench {
           "," + String.format(java.util.Locale.ROOT, "%.1f", Double.box(b)) + "]"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // quiet[name] = validity flag per pass (aligned with passes[name]);
+    // noisy = queries whose recorded min had NO quiet pass to stand on —
+    // like-for-like cross-round ratios should drop these rows
+    val vs = valid.toMap.map { case (k, flags) =>
+      jstr(k) + ":" + flags.map(b => if (b) "true" else "false")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val noisyArr = neverQuiet.sorted.map(jstr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"quiet":$vs,"noisy":$noisyArr,"quiet_steal_pct":$quietSteal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the FULL record (per-pass timings, medians) to a file first:
     // the driver keeps only a bounded TAIL of stdout, and r4/r5 both lost
     // the artifact because the full JSON line (~12 KB at 88 queries)
@@ -170,7 +215,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"noisy":$noisyArr,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

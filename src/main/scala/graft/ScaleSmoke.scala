@@ -178,7 +178,9 @@ object ScaleSmoke {
   private val defaultTargets =
     Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
       "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
-      "q83_incremental_dedup", "q84_grid_pois", "q120_winnow",
+      "q83_incremental_dedup", "q84_grid_pois",
+      "q97_stream_stops_unordered", "q110_stream_join",
+      "q151_stream_outer_join", "q120_winnow",
       "q121_triangles", "q123_funnel", "q125_cohort", "q126_setsim_join",
       "q128_kcore", "q132_incremental_agg", "q140_attribution",
       "q143_stream_matview", "q144_pit_join", "q145_kmeans",
@@ -238,14 +240,25 @@ object ScaleSmoke {
     // ratio, not this count.
     val planEx =
       scala.collection.mutable.Map.empty[(String, String), Int]
+    // streaming smoke mode: noop sink (no driver-side memory-sink
+    // materialization of x100-sized emissions) + per-run state-store
+    // peaks from StreamSessions.lastRunMetrics — the bounded-state
+    // evidence rows for SCALE_sf10 (r9 verdict ask #1)
+    if (sys.env.get("SPARK_GRAFT_STREAM_NOOP").contains("1"))
+      spark.conf.set("spark.graft.streamSinkNoop", "true")
+    val streamStats = scala.collection.mutable
+      .Map.empty[(String, String), graft.streaming.StreamSessions.StreamRunMetrics]
     def time(name: String, dir: String): Double = {
       CacheScope.releaseAll()
+      graft.streaming.StreamSessions.lastRunMetrics.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       Bench.force(df)
       val dt = (System.nanoTime() - t0) / 1e9
       planEx((name, dir)) = "(?m)^.*Exchange".r
         .findAllIn(df.queryExecution.executedPlan.toString).size
+      graft.streaming.StreamSessions.lastRunMetrics.headOption
+        .foreach { case (_, m) => streamStats((name, dir)) = m }
       dt
     }
     // pass 1 warms, pass 2-3 measure (min): same steal-burst policy as
@@ -262,8 +275,18 @@ object ScaleSmoke {
     val parts = targets.map { n =>
       val a = best((n, src)); val b = best((n, dst))
       val (ea, eb) = (planEx((n, src)), planEx((n, dst)))
+      // streaming rows carry the bounded-state evidence: peak state rows
+      // and input rows at BOTH scales — acceptance is peak ~ watermark
+      // window (scale-invariant or sub-linear), not ~ input
+      val stream = (streamStats.get((n, src)), streamStats.get((n, dst))) match {
+        case (Some(ma), Some(mb)) =>
+          s""","state_peak_src":${ma.statePeakRows},"input_rows_src":${ma.inputRows}""" +
+            s""","state_peak_dst":${mb.statePeakRows},"input_rows_dst":${mb.inputRows}""" +
+            s""","batches_src":${ma.batches},"batches_dst":${mb.batches}"""
+        case _ => ""
+      }
       s""""$n":{"sf0.1":${f3(a)},"sf1":${f3(b)},"ratio":${f3(b / a)}""" +
-        s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb}"""
+        s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb$stream}"""
     }
     val json = parts.mkString(
       s"""{"metric":"scale_smoke","copies":$nCopies,"queries":{""",

@@ -703,9 +703,16 @@ object SparkEntry {
             .cast("long"))
         // hash only the engine-portable columns (r8 verdict ask #2): the
         // exact twins + the in_bounds verdicts (oracle pins them 1); the
-        // sketch estimates themselves are engine-specific state
-        .select("o_orderpriority", "exact_d", "exact_med", "med_lo",
-          "med_hi", "d_in_bounds", "med_in_bounds")
+        // sketch estimates themselves are engine-specific state. The
+        // interpolated quantiles round to 6 decimals AFTER the bounds
+        // check (the repo's derived-double convention): hashing raw
+        // interpolation arithmetic would bet on Spark percentile() and
+        // DuckDB quantile_cont() agreeing bit-for-bit across versions
+        .select(col("o_orderpriority"), col("exact_d"),
+          round(col("exact_med"), 6).as("exact_med"),
+          round(col("med_lo"), 6).as("med_lo"),
+          round(col("med_hi"), 6).as("med_hi"),
+          col("d_in_bounds"), col("med_in_bounds"))
     }),
 
     // Repetition quality signals (Gopher-style): duplicate-word and
@@ -5262,9 +5269,9 @@ object SparkEntry {
     "q61_sketch_stats" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_d,
-        |  quantile_cont(o_totalprice, 0.5) AS exact_med,
-        |  quantile_cont(o_totalprice, 0.498) AS med_lo,
-        |  quantile_cont(o_totalprice, 0.502) AS med_hi,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS exact_med,
+        |  round(quantile_cont(o_totalprice, 0.498), 6) AS med_lo,
+        |  round(quantile_cont(o_totalprice, 0.502), 6) AS med_hi,
         |  CAST(1 AS BIGINT) AS d_in_bounds,
         |  CAST(1 AS BIGINT) AS med_in_bounds
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -8597,8 +8604,13 @@ object SparkEntry {
          |        FROM medians GROUP BY uid, latitude, longitude)
          |),
          |cedges AS (
+         |  -- node index >= 20000 (Params.maxGroupSize default) is the
+         |  -- whale trim: the engine neither partitions nor certifies
+         |  -- those nodes (labels pinned -1), so the oracle graph
+         |  -- excludes them identically
          |  SELECT a.uid, a.i AS i, b.i AS j FROM cnodes a JOIN cnodes b
          |  ON a.uid = b.uid AND a.i != b.i
+         |  AND a.i < 20000 AND b.i < 20000
          |  AND 2 * 6371000.0 * asin(sqrt(
          |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
          |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
@@ -8614,7 +8626,8 @@ object SparkEntry {
          |ccomp AS (SELECT uid, i, min(r) AS root FROM creach GROUP BY uid, i),
          |clabels AS (
          |  SELECT n.uid, n.latitude, n.longitude,
-         |    CASE WHEN c.root IS NULL THEN -1
+         |    CASE WHEN n.i >= 20000 THEN -1
+         |      WHEN c.root IS NULL THEN -1
          |      ELSE CAST(dense_rank() OVER (PARTITION BY n.uid
          |        ORDER BY coalesce(c.root, 9223372036854775807)) AS BIGINT) - 1
          |    END AS stop_locations

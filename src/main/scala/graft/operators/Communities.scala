@@ -97,7 +97,9 @@ object Communities {
     * oracle-checkable (not just rows-only): `cc_locations` is the stop's
     * r2-radius connected-component label — deterministic and
     * SQL-recomputable (the q37 recursive-CTE pattern), first-appearance
-    * canonicalized, singletons −1 — and `refines` certifies the map
+    * canonicalized, singletons −1, computed over the same
+    * maxGroupSize-trimmed node set as the partition (overflow nodes −1;
+    * the oracle CTE applies the identical trim) — and `refines` certifies the map
     * equation never merges across components: every found community's
     * member nodes share one `cc_locations`. An oracle recomputes
     * `cc_locations` exactly and pins `refines`/`improves` as
@@ -119,12 +121,14 @@ object Communities {
         val (rowNode, allCoords, allCounts) = collapseStops(rows, p)
         val n = trimmedSize(allCoords.length, rows.head.uid, p)
         val adj = buildAdjacency(allCoords.take(n), allCounts.take(n), p)
-        // the CC certificate covers ALL nodes (the oracle's recursive CTE
-        // is untrimmed); reuse the trimmed adjacency when nothing trimmed
-        val adjFull =
-          if (n == allCoords.length) adj
-          else buildAdjacency(allCoords, allCounts, p)
-        val ccLabels = connectedComponents(adjFull)
+        // the CC certificate covers the SAME trimmed node set the
+        // partition runs on — trimmed-out nodes pin -1 exactly like
+        // stop_locations, and the oracle CTE trims identically (node
+        // index < maxGroupSize in first-appearance order), so the whale
+        // guard's O(nodes^2) edge bound holds on the certified path too
+        // (an untrimmed certificate adjacency would re-open it)
+        val ccLabels = connectedComponents(adj) ++
+          Array.fill(allCoords.length - n)(-1L)
         val part = mapEquationPartition(adj)
         val nodeLabels = canonicalizeLabels(part, adj, p) ++
           Array.fill(allCoords.length - n)(-1L)

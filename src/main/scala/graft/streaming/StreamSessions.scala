@@ -268,6 +268,24 @@ object StreamSessions {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-run streaming metrics, recorded by [[runToCompletion]]/
+    * [[runToCompletionAppend]] from the query's progress events and
+    * keyed by the caller's name prefix: the SCALE smoke's evidence that
+    * state stays watermark-bounded (peak state rows ~ window, not input
+    * rows) instead of design-argued (r9 verdict ask #1).
+    *
+    * @param statePeakRows max over micro-batches of the total rows held
+    *   across all state stores at batch end
+    * @param inputRows     total rows ingested over the run
+    * @param batches       micro-batch count
+    */
+  final case class StreamRunMetrics(statePeakRows: Long, inputRows: Long,
+                                    batches: Int)
+
+  /** Last completed run's metrics per name prefix (q97/q110/q151...). */
+  val lastRunMetrics =
+    scala.collection.concurrent.TrieMap.empty[String, StreamRunMetrics]
+
   /** Run a streaming AGGREGATION to completion over existing files and
     * return its final result as a batch DataFrame — the batch-parity
     * harness for gate queries (q89).
@@ -318,20 +336,44 @@ object StreamSessions {
                          mode: String, statePartitions: Int): DataFrame = {
     val name = s"${namePrefix}_${runSeq.incrementAndGet()}"
     val spark = df.sparkSession
+    // noop-sink mode (spark.graft.streamSinkNoop=true): run the stream
+    // for its side metrics only and return an EMPTY frame of the right
+    // schema. The memory sink materializes every emitted row in the
+    // driver — correct for the oracle gates, lethal for a x100 scale
+    // smoke whose emissions are input-sized; the smoke only needs wall
+    // clock + the state-peak metrics recorded below.
+    val noop = spark.conf.getOption("spark.graft.streamSinkNoop")
+      .contains("true")
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
     val q = try {
-      val started = df.writeStream
+      val writer = df.writeStream
         .outputMode(mode)
-        .format("memory")
-        .queryName(name)
         .trigger(Trigger.AvailableNow())
-        .start()
+      val started =
+        (if (noop) writer.format("noop")
+         else writer.format("memory").queryName(name)).start()
       try started.processAllAvailable() finally started.stop()
       started
     } finally if (statePartitions > 0) spark.conf.set(key, saved)
     q.exception.foreach(throw _)
+    // progress -> metrics: peak of the per-batch state-store row totals,
+    // total input rows, batch count (recentProgress keeps the last 100
+    // progress events; the AvailableNow gates run far fewer batches)
+    val progress = q.recentProgress
+    lastRunMetrics(namePrefix) = StreamRunMetrics(
+      statePeakRows =
+        if (progress.isEmpty) 0L
+        else progress.map(p =>
+          Option(p.stateOperators).map(_.map(_.numRowsTotal).sum)
+            .getOrElse(0L)).max,
+      inputRows = progress.map(_.numInputRows).sum,
+      batches = progress.length)
+    if (noop)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        df.schema)
     val sink = spark.table(name)
     // one driver-resident copy: wrap the collected array directly (no
     // ArrayList re-copy) — the memory sink itself is dropped with the view

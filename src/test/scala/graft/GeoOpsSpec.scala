@@ -370,6 +370,24 @@ class WhaleGuardSpec extends SparkSpec {
     assert(got.take(5).forall(_ === 0L))
     assert(got.drop(5).forall(_ === -1L))
   }
+
+  test("certified community path trims whales: certificate covers the " +
+    "trimmed node set only, overflow rows pin -1 on BOTH labels") {
+    val rows = (0 until 30).map { i =>
+      ("whale", i.toLong, 19.0 + i * 1e-6, -99.0, 0L, 100L)
+    }.toDF("uid", "stop_events", "latitude", "longitude",
+      "start_timestamp", "end_timestamp")
+    val got = Communities.assignLocationsCertified(rows,
+      Communities.Params(r2 = 50.0, algorithm = "infomap",
+        maxGroupSize = 5))
+      .orderBy("stop_events").collect()
+    val loc = got.map(_.getAs[Long]("stop_locations"))
+    val cc = got.map(_.getAs[Long]("cc_locations"))
+    assert(loc.take(5).forall(_ === 0L) && loc.drop(5).forall(_ === -1L))
+    assert(cc.take(5).forall(_ === 0L) && cc.drop(5).forall(_ === -1L))
+    assert(got.forall(_.getAs[Boolean]("refines")))
+    assert(got.forall(_.getAs[Boolean]("improves")))
+  }
 }
 
 class GeometrySpec extends SparkSpec {

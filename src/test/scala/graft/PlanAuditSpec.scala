@@ -173,11 +173,25 @@ class PlanAuditSpec extends SparkSpec {
     // Generate subtrees in this plan before the fix)
     assert(plan.contains("InMemoryTableScan"),
       s"the element frame must be persisted and reused:\n$plan")
-    // the only live explodes are the two prefix slices (one per
-    // self-join side)
-    val prefixGen = "Generate posexplode\\(slice".r.findAllIn(plan).size
-    assert(prefixGen == 2,
-      s"expected exactly the two prefix-slice explodes, got $prefixGen:\n$plan")
+    // NO live explodes at all: the prefix frame (whose slice-posexplode
+    // is the only legitimate expansion) is persisted, so both self-join
+    // sides read the cache and the explode exists only inside the cached
+    // plan. Counted by tree collect, not text — collect() stops at
+    // InMemoryTableScanExec leaves (the live-vs-cached distinction), and
+    // print occurrences stopped being a proxy once the candidate breaker
+    // started materializing the prefix cache up front (a materialized
+    // scan prints its cached plan extra times).
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val liveGen = root.collect { case g: GenerateExec => g }.size
+    assert(liveGen == 0,
+      s"expected zero live explodes (all behind the cache), got $liveGen:\n$plan")
+    assert(plan.contains("posexplode(slice"),
+      s"the prefix-slice explode must exist inside the cached plan:\n$plan")
     graft.CacheScope.releaseAll()
   }
 

@@ -29,6 +29,28 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     import os
+    # manifest freshness: the committed type contract
+    # (tools/type_manifest.json, asserted Spark-side by TypeContractSpec
+    # in sbt test) must still match the oracle's DESCRIBE types — an
+    # oracle edit that shifts a column type without regenerating the
+    # manifest fails here, closing the loop from the DuckDB side.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gen_type_manifest as gtm
+    manifest_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "type_manifest.json")
+    manifest_stale = 0
+    if os.path.exists(manifest_path):
+        declared = json.load(open(manifest_path))
+        current = gtm.manifest(con, oracle)
+        for q in sorted(set(declared) | set(current)):
+            if declared.get(q) != current.get(q):
+                print(f"FAIL {q}: type manifest stale: declared "
+                      f"{declared.get(q)} != oracle {current.get(q)} — "
+                      "rerun tools/gen_type_manifest.py")
+                manifest_stale += 1
+    else:
+        print("WARN type_manifest.json missing — run "
+              "tools/gen_type_manifest.py")
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if name.startswith("."):  # in-flight attempt scratch dirs
@@ -41,9 +63,20 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows-only read failed: {ex}")
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            exp = con.sql(sql).df()
+            got_t = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow()
+            exp_t = con.sql(sql).arrow()
+            # dtype-STRICT compare on the ARROW schema, reproducing the
+            # driver's type-sensitive hash: a DuckDB HUGEINT
+            # (decimal128 in arrow) vs Spark int64 is a FAIL even when
+            # every value matches (see q130/q131/q141, r8). Arrow, not
+            # pandas dtypes: pandas coerces a NULL-bearing int64 to
+            # float64/object AFTER conversion, which would fabricate (or
+            # mask) mismatches the driver's schema hash never sees.
+            gtypes = {f.name: str(f.type) for f in got_t.schema}
+            etypes = {f.name: str(f.type) for f in exp_t.schema}
+            got = got_t.to_pandas()
+            exp = exp_t.to_pandas()
             g, e = canon(got), canon(exp)
             if list(g.columns) != list(e.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} != "
@@ -52,15 +85,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             if len(g) != len(e):
                 print(f"FAIL {name}: rows {len(g)} != {len(e)}")
                 continue
-            # dtype-STRICT compare, reproducing the driver's type-sensitive
-            # hash: a DuckDB HUGEINT (float64 here) vs Spark int64 is a
-            # FAIL even when every value matches (see q130/q131/q141, r8).
             diff_cols = []
             dtype_cols = []
             for c in g.columns:
                 a, b = g[c], e[c]
-                if str(a.dtype) != str(b.dtype):
-                    dtype_cols.append((c, str(a.dtype), str(b.dtype)))
+                if gtypes[c] != etypes[c]:
+                    dtype_cols.append((c, gtypes[c], etypes[c]))
                     continue
                 if not a.equals(b):
                     try:
@@ -84,8 +114,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_ok += 1
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: {type(ex).__name__}: {ex}")
-    print(f"{n_ok}/{len(oracle)} queries match")
-    return 0 if n_ok == len(oracle) else 1
+    print(f"{n_ok}/{len(oracle)} queries match"
+          + (f" ({manifest_stale} stale manifest entries)"
+             if manifest_stale else ""))
+    return 0 if n_ok == len(oracle) and manifest_stale == 0 else 1
 
 
 if __name__ == "__main__":
