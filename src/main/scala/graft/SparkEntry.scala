@@ -1,10 +1,7 @@
 package graft
 
-import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, HomeWork, Intervals, Multimodal, Similarity, StopClusters, StopDetect}
+import graft.queries._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +12,12 @@ import org.apache.spark.sql.functions._
   * construction (integer-derived doubles, medians of exact values) or
   * rounded on both sides so IEEE summation-order differences cannot flip
   * the hash.
+  *
+  * The 226 query definitions + oracle twins live in per-domain slices
+  * under [[graft.queries]] (r9 verdict ask #3 — the single 8.8k-line
+  * registry was the repo's main maintainability risk); this object is
+  * the stable driver-facing merge point. TypeContractSpec asserts the
+  * merged registry is disjoint and manifest-complete.
   */
 object SparkEntry {
 
@@ -22,8818 +25,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q13_event_medians")(spark, "/root/testdata/sf0.001")
 
-  // Stop-detection parameters tuned for the synthetic pings view (Tables
-  // .pings): dwell sites ~8 consecutive pings, inter-ping gaps are hours.
-  private val stopParams = StopDetect.Params(
-    rC = 100.0, minSize = 3L, minStayingTime = 3600L,
-    maxStayingTime = 7 * 86400L, metric = "haversine")
+  private val slices: Seq[QuerySlice] = Seq(
+    RelationalQueries, GeoQueries, DedupQueries, TextQueries,
+    VectorQueries, MediaQueries, GraphQueries, StreamQueries,
+    TableQueries, StatsQueries)
 
-  private val clusterParams = StopClusters.Params(
-    eps = 100.0, minSamples = 2, metric = "haversine")
-
-  // Production-config home/work params (reference
-  // get_stops_and_clusters.py:118-128), Mexico City tz (fixed UTC-6 since
-  // 2022 — the oracle uses offset arithmetic).
-  private val hwParams = HomeWork.Params(
-    startHourDay = 7, endHourDay = 21,
-    startWorkingHour = 8, endWorkingHour = 18,
-    minPeriodsHome = 0.08, spanPeriodHome = 0.08,
-    minPeriodsWork = 0.05, spanPeriodWork = 0.05,
-    // None = the reference's default path (utils.py:434-454): the span is
-    // floor((max-min start_timestamp)/1d)+1 computed over each candidate
-    // frame and cross-joined as a broadcast scalar — the gated q17/q18
-    // exercise J5 (scalar cross join) + F9 (day span +1) end-to-end
-    totalDays = None, convertTz = true, tz = "America/Mexico_City")
-
-  /** Day-partitioned hive copy of `events` (UTC day key), staged once per
-    * sf dir — shared by the K2/S2 roundtrip gate (q96) and the per-day
-    * driver gate (q108).
-    */
-  private def stagedDailyEvents(s: SparkSession, d: String): String =
-    graft.sources.Staging.once(s"dailyevents:$d") { out =>
-      graft.sources.Ingest.writePartitioned(
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"),
-            expr("ts div 1000000000").as("ts_s"))
-          .withColumn("date_trunc",
-            date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd")),
-        out)
-    }
-
-  /** q139/q144's shared SCD2 dimension: each user's daily activity tier
-    * (>=6 high / >=3 mid / else low) versioned by [[graft.operators
-    * .MergeOps.scd2]]. One definition so the point-in-time join always
-    * joins exactly what the SCD2 gate verifies.
-    */
-  private def userTierScd2(s: SparkSession, d: String): DataFrame =
-    graft.operators.MergeOps.scd2(
-      Tables.events(s, d)
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"))
-        .groupBy("user_id", "day")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("tier",
-          when(col("n") >= 6, "high")
-            .when(col("n") >= 3, "mid").otherwise("low"))
-        .drop("n"),
-      Seq("user_id"), "day", Seq("tier"))
-
-  private def stopClusters(s: SparkSession, d: String): DataFrame =
-    StopClusters.cluster(
-      StopDetect.eventMedians(
-        StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
-      clusterParams)
-
-  /** doc_id + distinct word-bigram shingles, xxhash64'd to longs: same
-    * jaccard value (64-bit collision odds ~1e-15/pair) at a fraction of
-    * the intersect/serialize cost of string arrays. Shared by q23/q47/
-    * q56/q69. Fused single-pass expression — the composed
-    * transform/array_distinct column walks the array through interpreted
-    * lambdas twice per row (parity spec: WordShingleHashesSpec).
-    */
-  private def bigramHashShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id").as("id"),
-        graft.plans.WordShingleHashes(split(col("text"), " "), 2)
-          .as("shingles"))
-
-  /** The q47/q56/q87 near-dup component pipeline — ONE definition, because
-    * all three oracles share ccReachCtes: a threshold or anchor-count
-    * tuned in one copy but not another would silently diverge a query
-    * from its own oracle.
-    */
-  private def nearDupComponents(s: SparkSession, d: String): DataFrame = {
-    val sh = bigramHashShingles(s, d)
-    val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
-      .filter(col("jaccard") >= 0.05)
-      .select("id_a", "id_b")
-    graft.operators.Graphs.connectedComponents(pairs, "id_a", "id_b",
-      Tables.documents(s, d).select("doc_id"), "doc_id")
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = slices.map(_.defs)
+    val m = merged.reduce(_ ++ _)
+    require(m.size == merged.map(_.size).sum,
+      "duplicate query name across graft.queries slices")
+    m
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S1/S2/P1/P4: pruned scan + filter + projection
-    "q01_scan_filter" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_quantity") < 5)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
-
-    // A1/A5: hash aggregate, partial+final
-    "q02_agg_group" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
-
-    // A2: exact group median
-    "q03_median" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          median(col("l_quantity")).as("med_qty"),
-          median(col("l_discount")).as("med_disc"))),
-
-    // A3: group min/max on timestamps
-    "q04_minmax" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_linestatus")
-        .agg(
-          min(col("l_shipdate")).as("min_ship"),
-          max(col("l_shipdate")).as("max_ship"))),
-
-    // A4: exact count-distinct
-    "q05_count_distinct" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderpriority")
-        .agg(countDistinct(col("o_custkey")).as("n_cust"),
-          count(lit(1)).as("n_orders"))),
-
-    // J3: enrich join (dim side broadcast) + aggregate
-    "q06_join_agg" -> ((s, d) =>
-      Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))),
-
-    // J2: anti-join (NOT EXISTS)
-    "q07_anti_join" -> ((s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")),
-
-    // P6/P7: conditional expression buckets
-    "q08_case_buckets" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(
-          when(col("l_quantity") <= 10, lit("small"))
-            .when(col("l_quantity") <= 30, lit("mid"))
-            .otherwise(lit("large")).as("bucket"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("cnt"))),
-
-    // W9: deterministic top-1 per group (row_number, NOT dropDuplicates)
-    "q09_top1_per_group" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-    }),
-
-    // W1/W3: lead over (user, time) — inter-event gap in microseconds
-    "q10_lead_gap" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
-        .withColumn("gap_us", lead("ts_us", 1).over(w) - col("ts_us"))
-        .select("user_id", "event_id", "gap_us")
-    }),
-
-    // W2/W4/W5: sessionization (lag + run-start flag + cumulative sum)
-    "q11_sessions" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
-        .withColumn("new_sess",
-          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800L * 1000000L
-            || lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
-        .withColumn("session_id", sum("new_sess").over(cum))
-        .groupBy("user_id")
-        .agg(max(col("session_id")).as("n_sessions"),
-          count(lit(1)).as("n_events"))
-    }),
-
-    // Core mobility operator: stationary-event segmentation (W1-W5 + A1)
-    "q12_stop_events" -> ((s, d) =>
-      StopDetect.stopEvents(Tables.pings(s, d), stopParams)
-        .select("uid", "timestamp", "stop_events", "latitude", "longitude")),
-
-    // A2/A3 over the segmentation: per-stop median coords + span
-    "q13_event_medians" -> ((s, d) =>
-      StopDetect.eventMedians(
-        StopDetect.stopEvents(Tables.pings(s, d), stopParams))),
-
-    // R4: pivot long->wide (explicit values; conditional agg in oracle)
-    "q14_pivot" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .pivot("event_type",
-          Seq("click", "view", "purchase", "signup", "error"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .select(col("user_id"), col("click").as("n_click"),
-          col("view").as("n_view"), col("purchase").as("n_purchase"),
-          col("signup").as("n_signup"), col("error").as("n_error"))),
-
-    // Dedup (exact): canonical row per text key
-    "q15_dedup_exact" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy("text")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select("keep_id", "n_copies")),
-
-    // M3: per-user DBSCAN (flatMapGroups union-find) + cluster stats
-    "q16_stop_clusters" -> ((s, d) =>
-      stopClusters(s, d)
-        .select("uid", "stop_events", "stop_locations", "cluster_counts",
-          "cluster_latitude", "cluster_longitude")),
-
-    // EP2: full home/work inference (P5, A4, J4, J5)
-    "q17_home_work" -> ((s, d) =>
-      HomeWork.label(stopClusters(s, d), hwParams)
-        .select("uid", "stop_events", "stop_locations", "year", "month",
-          "day", "hour", "weekday", "date", "duration", "location_type",
-          "home_label", "work_label")),
-
-    // R4/W9: wide H/W export, one row per uid
-    "q18_hw_wide" -> ((s, d) =>
-      HomeWork.wideExport(HomeWork.label(stopClusters(s, d), hwParams))),
-
-    // W10: run-length interval coalescing with max-gap split
-    "q19_intervals" -> ((s, d) =>
-      Intervals.coalesceRuns(
-        Tables.events(s, d).select(col("user_id"), col("event_type"),
-          col("event_id"), expr("ts div 1000").as("ts_us")),
-        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
-        3600L * 1000000L)
-        .select(col("key").as("user_id"), col("interval_id"),
-          col("label").as("event_type"), col("t_start"), col("t_end"),
-          col("n_rows"))),
-
-    // R1/R5/R6: explode embedding vectors with position
-    "q20_explode" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").cast("long").as("pos"),
-          col("col").cast("double").as("val"))),
-
-    // Text analysis: exact per-doc token statistics
-    "q21_token_stats" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.distinctTokenCount(col("text")).cast("long")
-          .as("n_distinct"),
-        col("n_chars"),
-        TextFunctions.stopwordCount(col("text")).as("n_stop"))),
-
-    // Text analysis: marker-vote language id
-    "q22_langid" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        TextFunctions.langId(col("text")).as("lang_pred"))),
-
-    // Near-dup: word-bigram Jaccard of the corpus against a bounded
-    // anchor subset (broadcast nested-loop, arrays never shuffled).
-    // Fixed-size anchor set (first 50 ids), NOT a modulus filter: the
-    // anchor count stays constant as the corpus grows, so the BNLJ is
-    // O(50·N) at any scale instead of O(N²/100).
-    "q23_neardup_jaccard" -> ((s, d) => {
-      val sh = bigramHashShingles(s, d)
-      Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
-        .filter(col("jaccard") >= 0.05)
-        .select("id_a", "id_b", "jaccard")
-    }),
-
-    // Similarity search: brute-force cosine top-k
-    "q24_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.bruteForceTopK(queries, emb, 10)
-    }),
-
-    // Fingerprint: md5 digest per document
-    "q25_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp"))),
-
-    // W6: rolling 7-day range-frame aggregates per user, with the
-    // reference's min_periods null-out (rolling_sum_by semantics)
-    "q26_rolling" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us")
-        .rangeBetween(-7L * 86400L * 1000000L, 0L)
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-        .withColumn("cnt_7d", count(lit(1)).over(w))
-        .withColumn("sum_7d",
-          when(col("cnt_7d") >= 3, sum("cents").over(w)))
-        .select("user_id", "event_id", "cnt_7d", "sum_7d")
-    }),
-
-    // F12: sha-based uid anonymization (60-bit)
-    "q27_uid_hash" -> ((s, d) =>
-      Tables.customer(s, d)
-        .select(col("c_custkey"),
-          graft.sources.Ingest.uidHash(col("c_name")).as("uid_hash"))),
-
-    // Set op: union of two scans (the multi-day file-glob analog)
-    "q28_union" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      o.filter(col("o_orderpriority") === "1-URGENT")
-        .unionByName(o.filter(col("o_totalprice") > 400000))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"))
-    }),
-
-    // MinHash-LSH candidate pairs — portable md5 base hash + band-value
-    // buckets make the pair set engine-independent, so the full pipeline
-    // is oracle-checked against DuckDB (sqlQ29Minhash)
-    "q29_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashCandidates(
-        Tables.documents(s, d), "text", "doc_id", 3, 32, 8)),
-
-    // SimHash fingerprints, relational bit-vote plan. The packed signed-64
-    // long can't be ASSEMBLED in DuckDB's overflow-checked BIGINT, but its
-    // two unsigned 32-bit halves can — emit those, so the full per-doc
-    // signature (not just q57's pairs projection) is oracle-pinned.
-    "q30_simhash" -> ((s, d) =>
-      Dedup.simhashDocs(Tables.documents(s, d), "text", "doc_id", 3)
-        .select(col("doc_id"),
-          shiftright(col("sh"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("sh_hi"),
-          col("sh").bitwiseAND(lit(0xFFFFFFFFL)).as("sh_lo"))),
-
-    // Multimodal: deterministic PNG payloads -> REAL javax.imageio decode
-    // -> dimensions + channel means. The synthetic pixels are integer
-    // functions of the id, so the DuckDB oracle predicts the decoded
-    // stats exactly — the whole encode/decode byte path is hash-checked.
-    "q31_media_features" -> ((s, d) =>
-      Multimodal.decodeImages(
-        Multimodal.synthImages(
-          Tables.documents(s, d).select("doc_id"), "doc_id"), 8)
-        .toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b"))),
-
-    // LSH-bucketed ANN top-k. The md5-portable plane table (LshPlanes)
-    // makes the bucket assignment SQL-reproducible, so the whole probe
-    // pipeline is oracle-checked (sqlQ32LshTopK).
-    "q32_lsh_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(
-        emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding")),
-        emb, 10, bits = 4)
-    }),
-
-    // P12: pre-flight validation as data (bounds + per-user ts ordering)
-    "q33_validate" -> ((s, d) => {
-      val p = Tables.pings(s, d)
-      p.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("latitude") <= -90 || col("latitude") >= 90, 1L)
-          .otherwise(0L)).as("bad_lat"),
-        sum(when(col("longitude") <= -180 || col("longitude") >= 180, 1L)
-          .otherwise(0L)).as("bad_lon"),
-        sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("null_ts"))
-    }),
-
-    // F4: grid snap + cell counts
-    "q34_grid_cells" -> ((s, d) =>
-      Tables.pings(s, d)
-        .select(
-          graft.functions.GeoFunctions.gridSnap(col("latitude"), 0.01)
-            .as("cell_lat"),
-          graft.functions.GeoFunctions.gridSnap(col("longitude"), 0.01)
-            .as("cell_lon"))
-        .groupBy("cell_lat", "cell_lon")
-        .agg(count(lit(1)).as("n"))),
-
-    // F8/F10: calendar part extraction on a timestamp column
-    "q35_date_parts" -> ((s, d) =>
-      Tables.orders(s, d)
-        .select(col("o_orderkey"),
-          year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          (weekday(col("o_orderdate")) + lit(1)).as("iso_dow"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))),
-
-    // P8: scalable global row index (range partition + offsets, no
-    // single-partition window)
-    "q36_global_index" -> ((s, d) =>
-      graft.operators.Indexing.globalRowIndex(
-        Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-        "idx", col("o_orderkey"))),
-
-    // M1/M2: weighted radius graph + label propagation (Infomap stand-in;
-    // oracle: r2-graph connected components over unique coords — equal to
-    // the LPA labels on clustered mobility data, see communityCtes)
-    "q37_communities" -> ((s, d) =>
-      graft.operators.Communities.assignLocations(
-        StopDetect.eventMedians(
-          StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
-        graft.operators.Communities.Params(r2 = 100.0))),
-
-    // M5/M6: per-cluster convex hull + max pairwise distance (rows-only)
-    "q38_cluster_hulls" -> ((s, d) =>
-      graft.operators.Geometry.clusterHulls(
-        stopClusters(s, d).filter(col("stop_locations") =!= -1L))
-        .select(col("uid"), col("stop_locations"),
-          size(col("hull_lats")).as("hull_size"),
-          round(col("max_pair_dist"), 3).as("max_pair_dist"))),
-
-    // SQL surface: the same ANSI text runs on Spark SQL and the oracle
-    "q39_sql" -> ((s, d) =>
-      Graft.sql(s, d, sqlQ39)),
-
-    // IVF ANN: deterministic hash-seeded coarse quantizer + probed-cell
-    // exact rerank — every stage (centroid choice, cell assignment,
-    // probing, rerank) reproduced by the DuckDB oracle. The trained
-    // k-means quantizer (ivfTopK) keeps its spec coverage; its init is
-    // engine-specific and can't be oracled.
-    "q40_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopKSeeded(
-        emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding")),
-        emb, 10, nlist = 16, nprobe = 3)
-    }),
-
-    // A6/R5: collect-to-list aggregate (order-canonicalized, serialized
-    // to a string so the compare is representation-stable)
-    "q41_collect_list" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_orderkey") < 1000)
-        .groupBy("l_orderkey")
-        .agg(
-          concat_ws(",", sort_array(collect_list(
-            col("l_linenumber").cast("string")))).as("lines"),
-          size(collect_list(col("l_quantity"))).cast("long").as("n_vals"))),
-
-    // J1: left join as filter+mark (join a qualifying set, coalesce the
-    // miss to a sentinel — the reference's event-invalidation idiom)
-    "q43_left_mark" -> ((s, d) => {
-      val bigCust = Tables.orders(s, d)
-        .groupBy("o_custkey")
-        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
-        .filter(col("spend") > 300000)
-        .select(col("o_custkey").as("c_custkey"), lit(1L).as("is_big"))
-      Tables.customer(s, d)
-        .join(broadcast(bigCust), Seq("c_custkey"), "left")
-        .select(col("c_custkey"),
-          coalesce(col("is_big"), lit(-1L)).as("big_flag"))
-    }),
-
-    // R2/J2: distinct-on-subset + semi join
-    "q44_distinct_semi" -> ((s, d) => {
-      val purchasers = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select("user_id")
-      Tables.events(s, d)
-        .join(purchasers, Seq("user_id"), "left_semi")
-        .select("user_id", "event_type")
-        .dropDuplicates("user_id", "event_type")
-    }),
-
-    // As-of join: each event enriched with the user's latest purchase at
-    // or before it (union + last-value window; single key shuffle)
-    "q45_asof_join" -> ((s, d) => {
-      val base = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
-      val purchases = base.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"),
-          col("ts_us").as("purchase_ts"), col("value").as("purchase_value"))
-      graft.operators.AsofJoin.lastValue(
-        base.drop("value"), purchases, Seq("user_id"), "ts_us",
-        Seq("purchase_ts", "purchase_value"))
-        .select("user_id", "event_id", "purchase_ts", "purchase_value")
-    }),
-
-    // Embedding near-dup pairs vs a fixed-size anchor set (first 50 ids;
-    // a modulus filter would grow the anchor count with the corpus and
-    // silently turn the broadcast BNLJ quadratic), with exact oracle
-    "q42_embedding_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val a = emb.orderBy("vec_id").limit(50)
-        .select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-      val b = emb.select(col("vec_id").as("id_b"),
-        col("embedding").as("e_b"))
-      b.join(broadcast(a), col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(VectorFunctions.cosine(col("e_a"), col("e_b")), 6)
-            .as("sim"))
-        .filter(col("sim") >= 0.15)
-    }),
-
-    // Grouping sets: rollup subtotals + grand total in one pass (partial
-    // aggregation handles all levels map-side; one shuffle)
-    "q46_rollup" -> ((s, d) =>
-      Tables.orders(s, d)
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("n"), col("total"))),
-
-    // Distributed connected components over the near-dup pair graph: the
-    // grouping stage of dedup (pairs -> keep-groups). Min-label
-    // propagation, one shuffle per round; oracle = recursive CTE closure.
-    "q47_connected_components" -> ((s, d) => nearDupComponents(s, d)),
-
-    // Binned point-in-interval range join: points equi-join intervals on
-    // (key, time bin) instead of a quadratic BNLJ range predicate
-    "q48_range_join" -> ((s, d) => {
-      val base = Tables.events(s, d).select(col("user_id"),
-        col("event_type"), col("event_id"), expr("ts div 1000").as("ts_us"))
-      val iv = Intervals.coalesceRuns(base, col("user_id"),
-          col("event_type"), col("ts_us"), col("event_id"),
-          3600L * 1000000L)
-        .select(col("key").as("user_id"), col("interval_id"),
-          col("label").as("event_type"), col("t_start"), col("t_end"))
-      graft.operators.RangeJoin.pointInInterval(
-        base.select("user_id", "ts_us"), iv, Seq("user_id"), "ts_us",
-        "t_start", "t_end", 3600L * 1000000L)
-        .groupBy("user_id", "interval_id", "event_type")
-        .agg(count(lit(1)).as("n_in_range"))
-    }),
-
-    // Exact heavy hitters: top-20 corpus tokens, deterministic tie-break
-    "q49_heavy_hitters" -> ((s, d) =>
-      graft.operators.Frequency.topK(
-        Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("tok")),
-        col("tok"), 20)),
-
-    // TF/DF term statistics: one explode pass, df = partial-agg groupBy
-    // on the tf rows joined back (never a second corpus scan, and no
-    // raw-token window that would funnel a hot token into one reducer)
-    "q50_term_stats" -> ((s, d) =>
-      graft.operators.Frequency.termDocStats(
-        Tables.documents(s, d), "doc_id", "text")),
-
-    // Per-cluster diameter class via within-cluster self-join; haversine
-    // stays in a comparison so the oracle hash-matches (M5, upgraded from
-    // the rows-only hull check)
-    "q51_cluster_diameter" -> ((s, d) =>
-      graft.operators.Geometry.clusterDiameters(
-        stopClusters(s, d).filter(col("stop_locations") =!= -1L), 150.0)),
-
-    // Deterministic hash train/test split: stateless per-row filter,
-    // engine-neutral (MD5 of the key) so the split is auditable outside
-    // Spark — oracle checks it bit-for-bit in DuckDB
-    "q52_hash_split" -> ((s, d) =>
-      graft.operators.Sampling.hashSplit(
-        Tables.documents(s, d).select("doc_id"), "doc_id", 64)),
-
-    // Deterministic stratified sample: stable "random" 5 docs per
-    // (lang, source) stratum via hash rank
-    "q53_stratified_take" -> ((s, d) =>
-      graft.operators.Sampling.stratifiedTake(
-        Tables.documents(s, d).select("doc_id", "lang", "source"),
-        Seq("lang", "source"), "doc_id", 5)),
-
-    // Equal-frequency quantile binning WITHOUT a global window: range
-    // exchange + distributed index + ntile closed form
-    "q54_quantile_bins" -> ((s, d) =>
-      graft.operators.Sampling.quantileBins(
-        Tables.events(s, d).select("event_id", "value"),
-        "value", "event_id", 8)),
-
-    // Deterministic ~10% corpus sample (26/256 hash buckets): pure
-    // filter, no shuffle, scan-prunable
-    "q55_hash_sample" -> ((s, d) =>
-      graft.operators.Sampling.hashSample(
-        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", 26)),
-
-    // End-to-end dedup keep-policy: near-dup pairs -> connected
-    // components -> keep the best doc (longest, then smallest id) per
-    // component. The full "dedup a corpus" flow as one query.
-    "q56_dedup_keep" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
-      val comps = nearDupComponents(s, d)
-      val w = Window.partitionBy("component")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      comps.join(docs, comps("id") === docs("doc_id"))
-        .select(col("doc_id"), col("component"), col("n_chars"))
-        .withColumn("keep", (row_number().over(w) === 1).cast("long"))
-        .select("doc_id", "component", "keep")
-    }),
-
-    // SimHash banded near-dup pairs with exact Hamming verification —
-    // portable md5 base hash makes pairs AND distances engine-exact:
-    // oracle-checked against DuckDB (sqlQ57Simhash)
-    "q57_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashCandidates(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 3, bands = 4, maxHamming = 8)),
-
-    // TF-IDF weighting: tf/df ride the termDocStats shuffles, N arrives
-    // via a broadcast one-row aggregate (never a global window)
-    "q58_tfidf" -> ((s, d) =>
-      graft.operators.Frequency.tfidf(
-        Tables.documents(s, d), "doc_id", "text")),
-
-    // Bloom-pruned semi join: dim keys -> 2^20-bit filter built by a
-    // bit_or aggregation, fact side pre-filtered by a pure-expression
-    // membership test before its shuffle; exact via the follow-up semi
-    // join, so the oracle is the plain IN-subquery
-    "q59_bloom_semi" -> ((s, d) => {
-      val dim = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 150000.0)
-        .select("o_orderkey")
-      graft.operators.BloomPrune.semiJoin(
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_quantity", "l_returnflag"),
-        dim, "l_orderkey", "o_orderkey")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
-    }),
-
-    // Skew-safe two-stage aggregation: 3 hot keys spread over 16 salted
-    // sub-keys each; result exactly equals the unsalted plan
-    "q60_salted_stats" -> ((s, d) =>
-      graft.operators.Salting.saltedStats(
-        Tables.lineitem(s, d), Seq("l_returnflag"),
-        col("l_extendedprice"), col("l_orderkey"), 16)),
-
-    // Sketch accuracy report: HLL distinct + KLL-style quantile vs their
-    // exact twins, per group. Rows-only (sketch values are
-    // implementation-defined); error bounds pinned by SketchSpec.
-    //
-    // The exact count-distinct runs in its OWN aggregate: mixing it with
-    // the sketch aggs makes Catalyst's one-distinct rewrite evaluate the
-    // percentile/HLL buffers per (group, custkey) — ~100k heavyweight
-    // buffers (an rsd-0.01 HLL is ~16 KiB) built and merged instead of
-    // one per group (measured 21 s vs 1.4 s at sf0.1). The 5-row join is
-    // free; at 100 TB the same split keeps sketch state O(groups).
-    "q61_sketch_stats" -> ((s, d) => {
-      val orders = Tables.orders(s, d)
-      val exact = orders.groupBy("o_orderpriority")
-        .agg(countDistinct(col("o_custkey")).as("exact_d"))
-      val sketch = orders.groupBy("o_orderpriority")
-        .agg(
-          approx_count_distinct(col("o_custkey"), 0.01).as("approx_d"),
-          expr("percentile(o_totalprice, 0.5)").as("exact_med"),
-          // exact quantiles at 0.5 ± 2x the approx sketch's rank error
-          // (accuracy 1000 -> eps 0.001): the certified interval for
-          // approx_med, emitted so a rows-only gate still checks the
-          // guarantee per row. 2x, not 1x: the estimate's RANK honors
-          // eps (measured 0.4990-0.4998 at sf0.01) but an exact
-          // percentile at 0.499 interpolates between discrete ranks, and
-          // that convention slack can exclude a rank-conforming value at
-          // the exact edge; doubling the interval absorbs it while still
-          // failing on any real sketch regression
-          expr("percentile(o_totalprice, 0.498)").as("med_lo"),
-          expr("percentile(o_totalprice, 0.502)").as("med_hi"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-            .as("approx_med"))
-      exact.join(sketch, "o_orderpriority")
-        .withColumn("d_rel_err",
-          round(abs(col("approx_d") - col("exact_d")) /
-            col("exact_d"), 4))
-        // rsd 0.01 -> 5-sigma acceptance: a deterministic-seeded HLL at
-        // this rsd sits far inside 5% on every fixture; flag, don't hide
-        .withColumn("d_in_bounds",
-          (col("d_rel_err") <= 0.05).cast("long"))
-        .withColumn("med_in_bounds",
-          (col("approx_med").between(col("med_lo"), col("med_hi")))
-            .cast("long"))
-        // hash only the engine-portable columns (r8 verdict ask #2): the
-        // exact twins + the in_bounds verdicts (oracle pins them 1); the
-        // sketch estimates themselves are engine-specific state. The
-        // interpolated quantiles round to 6 decimals AFTER the bounds
-        // check (the repo's derived-double convention): hashing raw
-        // interpolation arithmetic would bet on Spark percentile() and
-        // DuckDB quantile_cont() agreeing bit-for-bit across versions
-        .select(col("o_orderpriority"), col("exact_d"),
-          round(col("exact_med"), 6).as("exact_med"),
-          round(col("med_lo"), 6).as("med_lo"),
-          round(col("med_hi"), 6).as("med_hi"),
-          col("d_in_bounds"), col("med_in_bounds"))
-    }),
-
-    // Repetition quality signals (Gopher-style): duplicate-word and
-    // duplicate-trigram ratios per document — the standard "boilerplate /
-    // degenerate text" filter feature in corpus curation
-    "q62_repetition" -> ((s, d) => {
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val tri = TextFunctions.shinglesFromTokens(col("toks"), 3)
-      staged.select(col("doc_id"),
-        round(lit(1.0) -
-          size(array_distinct(col("toks"))).cast("double") /
-            size(col("toks")), 6).as("dup_word_ratio"),
-        when(size(tri) > 0,
-          round(lit(1.0) -
-            size(array_distinct(tri)).cast("double") / size(tri), 6))
-          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
-    }),
-
-    // Z-order (Morton) layout key per ping over the MX-quadrant bounding
-    // box — the spatial-layout sort key (LayoutSpec pins the
-    // partition-tightness property; here the key is oracle-checked
-    // bit-for-bit against a 16-round interleave in SQL)
-    "q63_zorder" -> ((s, d) =>
-      Tables.pings(s, d).select(col("uid"), col("event_id"),
-        graft.sources.Layout.zValue(col("latitude"), col("longitude"),
-          19.0, 0.05, -99.0, 0.05, 16).as("z"))),
-
-    // Spark's native session_window in BATCH mode (the same operator the
-    // streaming path uses — one engine artifact for both), 30-min gap;
-    // oracle = the classic gap-islands rewrite
-    "q64_session_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
-        .groupBy(col("user_id"),
-          session_window(timestamp_seconds(col("tsec")), "1800 seconds"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_timestamp(col("session_window.start")).as("s_start"),
-          unix_timestamp(col("session_window.end")).as("s_end"),
-          col("n_events"))),
-
-    // Count-min-sketch estimates vs exact counts for the top-20 corpus
-    // tokens. The hashed dump keeps the portable columns — token, exact
-    // count, and the in_bounds verdict (never-undercount + eps*N, pinned
-    // literal-1 by the oracle); the raw CMS estimate is engine-specific
-    // and stays out of the hash (FrequencySpec pins the bound itself).
-    "q65_cms_estimates" -> ((s, d) =>
-      graft.operators.Frequency.cmsTopK(
-        Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("tok")),
-        col("tok"), 20)
-        .select("value", "n_exact", "in_bounds")),
-
-    // Salted skew join as a full query: the hot fact keys spread over 8
-    // sub-keys, the dim side replicated 8x; result exactly equals the
-    // plain join, which is the oracle
-    "q66_salted_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val fact = ev.select(col("user_id"), col("event_id"), col("value"))
-      val dim = ev.select(col("user_id")).distinct()
-        .withColumn("label",
-          substring(md5(col("user_id").cast("string")), 1, 4))
-      graft.operators.Salting
-        .saltedJoin(fact, dim, "user_id", col("event_id"), 8)
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-    }),
-
-    // Global cross-user radius self-join over stop medians: grid-bucketed
-    // equi-join (SURVEY M1's "geohash-bucketed self-join" scale form) with
-    // exact haversine verification, aggregated to per-point neighbor
-    // degree (the density statistic; the raw pair set is quadratic on
-    // co-located sites). Oracle = brute-force theta join.
-    "q68_radius_pairs" -> ((s, d) => {
-      val medians = StopDetect.eventMedians(
-        StopDetect.stopEvents(Tables.pings(s, d), stopParams))
-        .select(concat(col("uid"), lit("#"),
-          col("stop_events").cast("string")).as("id"),
-          col("latitude"), col("longitude"))
-        // deterministic ~10% hash sample (q55's trick): every user shares
-        // the same 16 synthetic dwell sites, so the full all-pairs set is
-        // quadratic in co-located points — the sample bounds it while the
-        // bucketed join is exercised identically
-        .filter(substring(md5(col("id").cast("binary")), 1, 2) < "1a")
-      val pairs = graft.operators.SpatialJoin.radiusPairs(
-        medians, "id", "latitude", "longitude", 150.0)
-      pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id")))
-        .groupBy("id")
-        .agg(count(lit(1)).as("n_neighbors"))
-    }),
-
-    // End-to-end multimodal similarity: PNG payloads -> real imageio
-    // decode (mapPartitions) -> cosine top-k over the extracted feature
-    // vectors. The decoded features are closed-form predictable (see
-    // q31), so the full decode -> ANN composition is oracle-checked.
-    "q67_media_ann" -> ((s, d) => {
-      // feats feeds BOTH sides of the ANN (corpus + broadcast query) —
-      // without the persist the ImageIO encode+decode subtree executes
-      // once per side. CacheScope-tracked so harnesses release it after
-      // materializing the result.
-      val feats = CacheScope.track(
-        Multimodal.decodeImages(
-          Multimodal.synthImages(
-            Tables.documents(s, d).select("doc_id"), "doc_id"), 8)
-          .toDF()
-          .select(col("media_id").as("vec_id"),
-            col("features").as("embedding"))
-          .persist())
-      val qs = feats.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.bruteForceTopK(qs, feats, 10)
-    }),
-
-    // Connected components in O(log n) rounds (large-star/small-star) on
-    // the same near-dup pair graph as q47 — same result, same oracle, so
-    // the high-diameter upgrade path is gate-checked, not just
-    // spec-checked. Use this form when the similarity graph chains
-    // (transitive near-dups) instead of clustering.
-    "q69_cc_logn" -> ((s, d) => {
-      val sh = bigramHashShingles(s, d)
-      val pairs = Dedup.jaccardToAnchors(sh, sh.orderBy("id").limit(50))
-        .filter(col("jaccard") >= 0.05)
-        .select("id_a", "id_b")
-      // smallGraphFastPath = false: this gate EXISTS to exercise the
-      // distributed large-star/small-star rounds end to end (the fast
-      // path would absorb the fixture-sized graph and gate nothing)
-      graft.operators.Graphs.connectedComponentsLogN(pairs, "id_a", "id_b",
-        Tables.documents(s, d).select("doc_id"), "doc_id",
-        smallGraphFastPath = false)
-    }),
-
-    // Training-sequence packing: concat-then-chunk under a token budget.
-    // The global token offset is a range-partitioned cumsum (one
-    // per-partition-totals job), never a single-partition window. Token
-    // counts are computed BEFORE packChunks so only (doc_id, n_tokens) —
-    // two longs per row, not the document text — rides the range
-    // exchange and the persist.
-    "q70_pack_chunks" -> ((s, d) =>
-      graft.operators.Packing.packChunks(
-        Tables.documents(s, d).select(col("doc_id"),
-          graft.functions.TextFunctions.tokenCount(col("text"))
-            .cast("long").as("n_tokens")),
-        col("n_tokens"), 2048L, col("doc_id"))
-        .select("doc_id", "n_tokens", "pack_id", "offset_in_pack",
-          "n_packs_spanned")),
-
-    // Normalized exact dedup: case/punctuation variants collapse to one
-    // md5 key; one hash-agg shuffle, text never shuffles
-    "q71_norm_dedup" -> ((s, d) =>
-      Dedup.normalizedExactDups(Tables.documents(s, d), "doc_id", "text")),
-
-    // Quality-filter manifest: length band + language-ID agreement ->
-    // keep/drop per doc, all per-row codegen'd expressions
-    "q72_quality_filter" -> ((s, d) => {
-      val t = graft.functions.TextFunctions
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          t.tokenCount(col("text")).cast("long").as("n_tokens"),
-          t.langId(col("text")).as("lang_pred"))
-        .withColumn("keep",
-          (col("n_tokens").between(20, 1000) &&
-            col("lang_pred") === col("lang")).cast("long"))
-    }),
-
-    // Hull regime + bounding box per cluster — the oracle-expressible
-    // projection of q38's hulls. The kernel's degenerate decision uses
-    // the oracle's exact extremes-cross formula (bit-reproducible); a
-    // real hull's bbox equals its point set's bbox (exact min/max in any
-    // engine). The degenerate SQUARE's bbox is centroid-derived — a
-    // sum-order-sensitive float no relational twin can reproduce
-    // bit-for-bit — so degenerate rows emit the flag and NULL bbox
-    // (square values are pinned by GeometrySpec's hand cases instead).
-    "q73_hull_bbox" -> ((s, d) =>
-      graft.operators.Geometry.clusterHulls(
-        stopClusters(s, d).filter(col("stop_locations") =!= -1L))
-        .select(col("uid"), col("stop_locations"),
-          col("degenerate").cast("long").as("degenerate"),
-          when(!col("degenerate"),
-            round(array_min(col("hull_lats")), 6)).as("hull_lat_min"),
-          when(!col("degenerate"),
-            round(array_max(col("hull_lats")), 6)).as("hull_lat_max"),
-          when(!col("degenerate"),
-            round(array_min(col("hull_lons")), 6)).as("hull_lon_min"),
-          when(!col("degenerate"),
-            round(array_max(col("hull_lons")), 6)).as("hull_lon_max"))),
-
-    // BPE-ish token counting next to whitespace counting — the budget
-    // currency for packing/selection. Pattern chosen for cross-engine
-    // regex parity (disjoint alternatives; see TextFunctions scaladoc).
-    "q74_bpe_tokens" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"))),
-
-    // Benchmark decontamination manifest: corpus vs a deterministic
-    // "benchmark" slice of itself (doc_id % 41 = 0) on 5-gram overlap.
-    // Benchmark docs are their own exact hit, so the flag is guaranteed
-    // non-trivial on gate data.
-    "q75_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.Decontaminate.overlap(
-        docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 41 === 0), "text",
-        n = 5, minOverlap = 1)
-    }),
-
-    // Token-budget selection: seeded deterministic shuffle + distributed
-    // running total, keep the prefix within budget (~half the sf tokens).
-    "q76_token_budget" -> ((s, d) => {
-      // token counts are evaluated BEFORE the range exchange: only
-      // (doc_id, n_bpe) ride the shuffle, never the text
-      val counted = Tables.documents(s, d).select(col("doc_id"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
-      graft.operators.Sampling.tokenBudgetSelect(
-        counted, "doc_id", col("n_bpe"), budget = 15000L, seed = "s5")
-        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
-    }),
-
-    // Sliding-window chunking: 16-token windows every 8 tokens over the
-    // BPE count — the long-context training prep step. Pure per-doc
-    // explode, no shuffle.
-    "q77_chunk_windows" -> ((s, d) =>
-      graft.operators.Packing.chunkWindows(
-        Tables.documents(s, d).select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
-        "doc_id", col("n_bpe"), window = 16, stride = 8)
-        .withColumnRenamed("id", "doc_id")),
-
-    // End-to-end curation: quality filter -> normalized exact dedup ->
-    // benchmark decontamination -> token-budget selection, composed from
-    // the individually-oracled operators exactly as a pipeline user
-    // would. Composition adds only key-partitioned semi/anti joins and
-    // the operators' own broadcast/agg shapes — no new scale risk.
-    "q78_curation_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // The quality stage is read by four downstream consumers (dedup
-      // agg, semi-join left side, decontamination grams, token counting)
-      // — persist the stage boundary or the langId regex pass runs over
-      // the corpus four times. CacheScope-tracked like every internal
-      // operator cache.
-      val quality = graft.CacheScope.track(docs.filter(
-        TextFunctions.tokenCount(col("text")).between(20, 1000) &&
-          TextFunctions.langId(col("text")) === col("lang"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val keepers = Dedup.normalizedExactDups(quality, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
-      val flagged = graft.operators.Decontaminate.overlap(
-        deduped, "doc_id", "text",
-        docs.filter(col("doc_id") % 41 === 0), "text",
-        n = 5, minOverlap = 1)
-        .filter(col("contaminated") === 1L)
-        .select("doc_id")
-      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
-      val counted = clean.select(col("doc_id"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
-      graft.operators.Sampling.tokenBudgetSelect(
-        counted, "doc_id", col("n_bpe"), budget = 8000L, seed = "cur")
-        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
-    }),
-
-    // Per-source quality cap: keep each source's 10 longest docs
-    // (doc_id tie-break). One hash exchange + in-partition rank.
-    "q79_source_cap" -> ((s, d) =>
-      graft.operators.Sampling.topKPerGroup(
-        Tables.documents(s, d), Seq("source"), 10,
-        col("n_chars").desc, col("doc_id"))
-        .select(col("doc_id"), col("source"), col("n_chars"))),
-
-    // Materialized training sequences: concat each 2048-token pack's
-    // docs (doc_id order) into one text. Group size bounded by the
-    // budget by construction.
-    "q80_pack_texts" -> ((s, d) =>
-      graft.operators.Packing.materializePacks(
-        Tables.documents(s, d), col("text"),
-        TextFunctions.bpeTokenCount(col("text")), 2048L, col("doc_id"))),
-
-    // Weighted corpus mix: even doc_ids as "web" at 192/256, odd as
-    // "books" at 64/256 — per-source salted hash, stateless filters.
-    "q81_weighted_mix" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.Sampling.weightedMix(Seq(
-        ("web", docs.filter(col("doc_id") % 2 === 0), 192),
-        ("books", docs.filter(col("doc_id") % 2 === 1), 64)), "doc_id")
-        .select(col("doc_id"), col("mix_source"))
-    }),
-
-    // M2 full form: the reference's Infomap mode with its actual objective
-    // (two-level map equation, deterministic local moves). Rows-only: the
-    // map equation is not SQL-expressible; q37 pins the same graph via its
-    // CC oracle and CommunitiesSpec pins the objective (exhaustive-search
-    // parity on a hand graph + optimality vs baseline partitions).
-    // Infomap community IDs are search-order-dependent across engines, so
-    // the dump hashes the ENGINE-PORTABLE certificate instead (r8 verdict
-    // ask #3): cc_locations (the r2-radius connected component, which the
-    // oracle recomputes via the q37 recursive CTE), refines (every found
-    // community sits inside one CC) and improves (map-equation codelength
-    // beats the all-singletons baseline) — both pinned literal-true by
-    // the oracle, so a partition regression flips a hashed bit.
-    "q82_infomap" -> ((s, d) =>
-      graft.operators.Communities.assignLocationsCertified(
-        StopDetect.eventMedians(
-          StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
-        graft.operators.Communities.Params(
-          r2 = 100.0, algorithm = "infomap"))
-        .select(col("uid"), col("stop_events"), col("latitude"),
-          col("longitude"), col("start_timestamp"), col("end_timestamp"),
-          col("cc_locations"), col("refines").cast("long").as("refines"),
-          col("improves").cast("long").as("improves"))),
-
-    // Cross-batch near-dup: which "incoming" docs (doc_id % 3 = 0)
-    // near-dup any "historical" doc (the rest) — the per-batch dedup
-    // gate of a continuously ingesting corpus. The history band index is
-    // batch-invariant (persist it in production); candidates via one
-    // (band, bucket) equi-join, never a self-join.
-    "q83_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.Dedup.incrementalNearDups(
-        docs.filter(col("doc_id") % 3 =!= 0),
-        docs.filter(col("doc_id") % 3 === 0),
-        "text", "doc_id")
-        .select(col("in_id"), col("hist_id"),
-          col("agree_k").cast("long").as("agree_k"))
-    }),
-
-    // Global cross-user POI table: grid-cell connectivity clustering over
-    // ALL users' stop medians (the per-user reference cannot express a
-    // shared-place table). Pure integer cell arithmetic -> exact oracle.
-    "q84_grid_pois" -> ((s, d) =>
-      graft.operators.SpatialJoin.gridClusters(
-        StopDetect.eventMedians(
-          StopDetect.stopEvents(Tables.pings(s, d), stopParams)),
-        "uid", "latitude", "longitude", 0.001)),
-
-    // Intra-doc repetition REMOVAL (the q62 ratios' rewrite sibling).
-    // 2-token chunks: the synthetic vocabulary is ~40 words, so larger
-    // chunks never repeat and the op would be the identity on gate data.
-    "q85_intradoc_dedup" -> ((s, d) =>
-      graft.operators.Dedup.intraDocChunkDedup(
-        Tables.documents(s, d), "doc_id", "text", 2)),
-
-    // Leakage-safe train/test split: near-dup docs travel TOGETHER (the
-    // split key is the dedup component, not the doc), so a test doc can
-    // never have a train-side near-duplicate — the q47 graph + q52 hash
-    // split composed.
-    "q87_leakage_split" -> ((s, d) =>
-      graft.operators.Sampling.hashSplit(
-        nearDupComponents(s, d)
-          .select(col("id").as("doc_id"), col("component")),
-        "component", 64)),
-
-    // Per-source quality calibration: decile of doc length WITHIN each
-    // source (global thresholds over-prune weak domains). One range
-    // exchange + broadcast per-group offsets — never a one-task-per-
-    // source window.
-    "q88_group_quantiles" -> ((s, d) =>
-      graft.operators.Sampling.quantileBinsByGroup(
-        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
-        "source", "n_chars", "doc_id", 10)
-        .select("doc_id", "source", "bin")),
-
-    // Bounded-staleness as-of join: q45's enrichment, but a purchase
-    // older than 1 hour no longer qualifies (2114 of 9451 matches
-    // survive at sf0.01 — both regimes exercised).
-    "q86_asof_tolerance" -> ((s, d) => {
-      val base = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
-      val purchases = base.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"),
-          col("ts_us").as("purchase_ts"), col("value").as("purchase_value"))
-      graft.operators.AsofJoin.lastValue(
-        base.drop("value"), purchases, Seq("user_id"), "ts_us",
-        Seq("purchase_ts", "purchase_value"),
-        tolerance = Some(3600000000L))
-        .select("user_id", "event_id", "purchase_ts", "purchase_value")
-    }),
-
-    // §2.9 streaming surface as a GATE query: the q64 sessionization run
-    // as a real Structured Streaming job — parquet file source,
-    // Trigger.AvailableNow, memory sink — and hash-compared against the
-    // same gap-islands SQL oracle as the batch form. Complete output
-    // mode for exact batch parity on a finite file set (see
-    // StreamSessions.runToCompletion); the bounded-state append+watermark
-    // forms stay spec-covered in streaming/*.
-    "q89_stream_sessions" -> ((s, d) => {
-      val path = s"$d/events.parquet"
-      // Schema probe through Tables.table: it tunes the session
-      // (nanosAsLong) first, so a filtered run where q89 is the FIRST
-      // query still reads a TIMESTAMP(NANOS) fixture. The file-stream
-      // source needs a DIRECTORY (single-file fixtures are staged into a
-      // temp dir — see stageFileAsDir).
-      val fileSchema = Tables.table(s, d, "events").schema
-      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, srcDir, fileSchema)
-      // same ts-contract normalization as Tables.events, applied to the
-      // stream: epoch seconds from either a ns-Long or a µs-timestamp ts
-      val tsec = fileSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("ts div 1000000000")
-        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
-      }
-      val agg = raw
-        .select(col("user_id"), tsec.as("tsec"))
-        .groupBy(col("user_id"),
-          session_window(timestamp_seconds(col("tsec")), "1800 seconds"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_timestamp(col("session_window.start")).as("s_start"),
-          unix_timestamp(col("session_window.end")).as("s_end"),
-          col("n_events"))
-      graft.streaming.StreamSessions.runToCompletion(agg,
-        "q89_stream_sessions")
-    }),
-
-    // Second streaming gate: STATEFUL dedup (dropDuplicatesWithinWatermark)
-    // as a real stream over the same file source. Append mode: the first
-    // arrival per key is emitted immediately, so over a finite AvailableNow
-    // run the emitted set IS the distinct key set — which row of a key
-    // arrives first is task-order dependent, so only the KEY columns are
-    // emitted (deterministic); value columns of the surviving row are not.
-    // Batch twin: q44's distinct; state is watermark-bounded at scale.
-    "q90_stream_dedup" -> ((s, d) => {
-      val path = s"$d/events.parquet"
-      val fileSchema = Tables.table(s, d, "events").schema
-      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, srcDir, fileSchema)
-      val tsCol = fileSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          timestamp_seconds(expr("ts div 1000000000"))
-        case _ => col("ts").cast("timestamp")
-      }
-      val keyed = raw
-        .select(col("user_id"), col("event_type"), tsCol.as("ts"))
-      // multi-column key directly (a concat key would collide on
-      // separator content and drop NULL parts); watermark far beyond the
-      // fixture's time span so the backfill equals exact DISTINCT even
-      // if the source ever splits into multiple micro-batches — with a
-      // short horizon, a key recurring later than the horizon in a LATER
-      // batch would be re-emitted. Production streams choose a real
-      // horizon to bound state; a finite backfill gate wants exactness.
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.streaming.StreamSessions.dedupStream(keyed,
-          Seq("user_id", "event_type"), "3650 days")
-          .select(col("user_id"), col("event_type")),
-        "q90_stream_dedup")
-    }),
-
-    // Fourth streaming gate: the continuous INGEST gate — arriving docs'
-    // per-row Column-form minhash signatures band-joined against the
-    // static history index, flagged pairs deduped in stream state. The
-    // incoming side is a 1/30 slice: an ingest micro-batch is small by
-    // nature, and the per-row signature is priced for ingest rates (the
-    // corpus-scale path is the relational q83 pipeline). Oracle = the
-    // q83 candidate CTE without the hot-bucket cap or agree-verify
-    // (the gate is the cheap early filter in front of both).
-    "q94_stream_ingest_gate" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val docs = Tables.documents(s, d)
-      val index = graft.streaming.StreamIngestGate.bandIndex(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
-      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q94:$d") {
-        docs.filter(col("doc_id") % 30 === 0)
-          .select(col("doc_id"), col("text"),
-            timestamp_seconds(col("doc_id")).as("ts"))
-      }
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("ts", TimestampType)))
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, dir, schema)
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.streaming.StreamIngestGate.flagStream(
-          raw, index, "text", "doc_id", "3650 days"),
-        "q94_stream_ingest_gate")
-        .select("in_id", "hist_id")
-    }),
-
-    // Third streaming gate: the MOBILITY pipeline's streaming form —
-    // incremental stop detection (flatMapGroupsWithState automaton) over
-    // a real file stream, hash-compared against the BATCH stop-event
-    // oracle (same SQL as q12). A ping classifies when its successor
-    // arrives, so each user's trajectory tail would stay pending; one
-    // per-user SENTINEL ping at global-max-ts + maxStayingTime + 1 is
-    // appended to the staged input — always non-stationary, so it
-    // flushes every real ping with exactly the batch tail semantics
-    // (batch's NULL forward gap -> -1, automaton's non-stationary
-    // successor -> -1) while the sentinel itself never classifies (no
-    // successor) and so never appears in the output.
-    "q93_stream_stops" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q93:$d") {
-        val pings = Tables.pings(s, d)
-          .select("uid", "latitude", "longitude", "timestamp")
-        val maxTs = pings.agg(max("timestamp")).collect()(0).getLong(0)
-        val sentinels = pings.select("uid").distinct()
-          .select(col("uid"), lit(0.0).as("latitude"),
-            lit(0.0).as("longitude"),
-            lit(maxTs + stopParams.maxStayingTime + 1L).as("timestamp"))
-        pings.union(sentinels)
-      }
-      val schema = StructType(Seq(
-        StructField("uid", StringType), StructField("latitude", DoubleType),
-        StructField("longitude", DoubleType),
-        StructField("timestamp", LongType)))
-      import s.implicits._
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, dir, schema)
-        .as[graft.streaming.StreamingStopDetect.Ping]
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.streaming.StreamingStopDetect.stopEvents(raw, stopParams),
-        "q93_stream_stops")
-        .select("uid", "timestamp", "stop_events", "latitude", "longitude")
-    }),
-
-    // Out-of-order streaming stop detection: the same batch-oracle
-    // contract as q93, but the pings arrive SHUFFLED — each ping's
-    // arrival slot is its timestamp plus a deterministic ±120 s jitter
-    // (hash-derived), the fixture is staged as 8 rank-ordered files
-    // replayed one per micro-batch, and the automaton runs behind a
-    // 300 s watermark buffer (stopEventsUnordered). Displacement bound
-    // D=120 < lateness L=300 guarantees no ping is ever dropped as
-    // too-late (worst-case watermark when a ping arrives is
-    // T + 2D - L = T - 60). Per-user sentinels flush trajectory tails
-    // exactly as in q93; two trailing "pusher" rows at S + L + 2 push
-    // the final watermark past the sentinels so the last drain happens
-    // inside a DATA batch (no reliance on no-data batch semantics).
-    // Sentinels classify every real ping but never emit; pushers never
-    // even reach the automaton (they stay buffered above the final
-    // watermark).
-    "q97_stream_stops_unordered" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val lateness = 300L
-      val jitterBound = 120L
-      val nFiles = 8
-      val dir = graft.streaming.StreamSessions.stageOrderedFrames(s"q97:$d") {
-        val pings = Tables.pings(s, d)
-          .select("uid", "latitude", "longitude", "timestamp")
-        val maxTs = pings.agg(max("timestamp")).collect()(0).getLong(0)
-        val sentinelTs = maxTs + stopParams.maxStayingTime + 1L
-        val pusherTs = sentinelTs + lateness + 2L
-        val jitter =
-          pmod(xxhash64(col("uid"), col("timestamp")),
-            lit(2 * jitterBound + 1)) - lit(jitterBound)
-        val sentinels = pings.select("uid").distinct()
-          .select(col("uid"), lit(0.0).as("latitude"),
-            lit(0.0).as("longitude"), lit(sentinelTs).as("timestamp"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("__rank"), col("uid"), col("timestamp"))
-        // persisted for the nFiles filtered writes (each would otherwise
-        // recompute the global rank window); CacheScope-tracked so the
-        // harness releases it after the query — the cache must not
-        // outlive the once-per-JVM staging it serves
-        val filed = graft.CacheScope.track(pings
-          .withColumn("__rank", (col("timestamp") + jitter).cast("long"))
-          .unionByName(sentinels.withColumn("__rank", lit(sentinelTs)))
-          .withColumn("__file", ntile(nFiles).over(w) - 1)
-          .persist())
-        val data = (0 until nFiles).map(i =>
-          filed.filter(col("__file") === i)
-            .select("uid", "latitude", "longitude", "timestamp"))
-        val pusher = s.range(1).select(lit("__pusher").as("uid"),
-          lit(0.0).as("latitude"), lit(0.0).as("longitude"),
-          lit(pusherTs).as("timestamp"))
-        data ++ Seq(pusher, pusher)
-      }
-      val schema = StructType(Seq(
-        StructField("uid", StringType), StructField("latitude", DoubleType),
-        StructField("longitude", DoubleType),
-        StructField("timestamp", LongType)))
-      import s.implicits._
-      val raw = graft.streaming.StreamSessions
-        .readParquetStreamThrottled(s, dir, schema)
-        .as[graft.streaming.StreamingStopDetect.Ping]
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.streaming.StreamingStopDetect.stopEventsUnordered(
-          raw, stopParams, lateness),
-        "q97_stream_stops_unordered")
-        .filter(col("uid") =!= "__pusher") // defensive: pushers never emit
-        .select("uid", "timestamp", "stop_events", "latitude", "longitude")
-    }),
-
-    // Multimodal resize stage: synth PNG -> real decode -> deterministic
-    // nearest-neighbor resample to 8x6 -> PNG re-encode -> real decode of
-    // the thumbnail. The floor index map (sx = x*w/8) is closed-form, so
-    // the oracle predicts the resampled channel means exactly — the whole
-    // two-codec byte path is hash-checked.
-    "q91_media_resize" -> ((s, d) =>
-      Multimodal.decodeImages(
-        Multimodal.resizeImages(
-          Multimodal.synthImages(
-            Tables.documents(s, d).select("doc_id"), "doc_id"), 8, 6), 8)
-        .toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b"))),
-
-    // Frame sampling as a gate: every 2nd 64-byte chunk of each payload
-    // becomes its own row (the video-frame-sampling shape over an opaque
-    // binary column). Payloads here are the documents' ASCII text bytes,
-    // so the chunk content is oracle-expressible as substr — the chunking
-    // arithmetic (grouped + zipWithIndex + stride filter) is what's
-    // being pinned.
-    "q92_frame_sample" -> ((s, d) =>
-      Multimodal.sampleChunks(
-        Multimodal.fromStrings(
-          Tables.documents(s, d), "doc_id", "text", "text/plain"),
-        chunkBytes = 64, everyK = 2)
-        .select(col("media_id"),
-          col("chunk_idx").cast("long").as("chunk_idx"),
-          col("chunk").cast("string").as("chunk"))),
-
-    // S3/K3/K1 roundtrip gate (reference read_localize_write.py:50-68):
-    // events -> parquet copy (K1 sink) -> headerless gz CSV dump (K3) ->
-    // CSV scan (S3, codec inferred from .gz) -> positional rename ->
-    // casts -> accuracy filter -> uid anonymization -> per-bucket
-    // aggregate. Every staged value is integer-derived (the doubles are
-    // integer-valued and Java doubles round-trip via toString), so the
-    // DuckDB oracle reproduces the whole pipeline from the ORIGINAL
-    // parquet exactly — a value lost or mangled anywhere in the
-    // write/read chain breaks the hash.
-    "q95_csv_roundtrip" -> ((s, d) => {
-      val dir = graft.sources.Staging.once(s"q95:$d") { out =>
-        val raw = Tables.events(s, d).select(
-          concat(lit("u"), col("user_id").cast("string")).as("_c0"),
-          col("event_type").as("_c1"),
-          (col("user_id") % 90).cast("double").as("_c2"),
-          (col("event_id") % 180).cast("double").as("_c3"),
-          (col("event_id") % 50).cast("double").as("_c4"),
-          expr("ts div 1000000").as("_c5"))
-        graft.sources.Export.parquet(raw, s"$out/pq")
-        graft.sources.Export.csvGz(
-          s.read.parquet(s"$out/pq").repartition(4), s"$out/csv")
-      }
-      val raw = graft.sources.Ingest.readCsv(s, s"$dir/csv")
-      val renamed = graft.sources.Ingest.renameRaw(raw, Map(
-        "_c0" -> "uid", "_c2" -> "latitude", "_c3" -> "longitude",
-        "_c5" -> "timestamp", "_c4" -> "error"))
-        .select(col("uid"),
-          col("latitude").cast("double").as("latitude"),
-          col("longitude").cast("double").as("longitude"),
-          col("error").cast("double").as("error"),
-          col("timestamp").cast("long").as("timestamp"))
-      graft.sources.Ingest.filterAccuracy(renamed, 30.0)
-        .withColumn("uid_hash", graft.sources.Ingest.uidHash(col("uid")))
-        .groupBy(pmod(col("uid_hash"), lit(8)).as("bucket"))
-        .agg(count(lit(1)).as("n_pings"),
-          countDistinct(col("uid_hash")).as("n_uid"),
-          sum(col("latitude")).cast("long").as("sum_lat"),
-          sum(col("longitude")).cast("long").as("sum_lon"),
-          max(col("timestamp")).as("max_ts_ms"))
-    }),
-
-    // K2/S2 roundtrip gate (reference read_localize_write.py:29-33):
-    // events keyed by UTC day -> hive-partitioned parquet write (K2) ->
-    // partition-pruned read-back (S2: the dayofmonth predicate lands in
-    // PartitionFilters, the scan never lists the pruned day directories
-    // — PlanAuditSpec pins it) -> per-day aggregate vs the original
-    // parquet in DuckDB.
-    "q96_partitioned_roundtrip" -> ((s, d) => {
-      val dir = stagedDailyEvents(s, d)
-      Tables.tune(s).read.parquet(dir)
-        .filter(dayofmonth(col("date_trunc")) <= 15)
-        .groupBy(col("date_trunc").cast("date").as("dt"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("event_id")).as("sum_eid"),
-          max(col("ts_s")).as("max_ts_s"))
-    }),
-
-    // JSONL roundtrip gate (corpus-interchange sink/source, beyond the
-    // reference's surface): documents -> gzip JSONL dump -> explicit-
-    // schema FAILFAST scan -> per-source aggregate. The summed portable
-    // md5 text hash pins byte-exact string fidelity through the JSON
-    // escape/unescape cycle — one mangled character anywhere in the
-    // corpus flips the hash.
-    "q99_jsonl_roundtrip" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val dir = graft.sources.Staging.once(s"q99:$d") { out =>
-        graft.sources.Export.jsonl(
-          Tables.documents(s, d).select(
-            col("doc_id").cast("long").as("doc_id"), col("text"),
-            col("lang"), col("source"),
-            col("n_chars").cast("long").as("n_chars")), out)
-      }
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      graft.sources.Export.readJsonl(s, dir, schema, mode = "FAILFAST")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chars").as("sum_chars"),
-          countDistinct("lang").as("n_langs"),
-          sum(graft.functions.TextFunctions.portableHash32(col("text")))
-            .as("sum_text_hash"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-    }),
-
-    // Int8 embedding quantization (corpus-prep export for memory-bound
-    // ANN at 100 TB: 4x smaller vectors at a certified reconstruction
-    // error). Fully oracled: scales, quantized-value aggregates, and
-    // saturation counts are bit-exact across engines (abs/max/divide are
-    // single IEEE ops, round-half-away agrees), and err_ok certifies
-    // |x - q*scale| <= scale/2 per vector in BOTH engines.
-    "q100_embed_quantize" -> ((s, d) => {
-      import graft.functions.VectorFunctions
-      val withQ = Tables.embeddings(s, d)
-        .withColumn("__scale", VectorFunctions.int8Scale(col("embedding")))
-        .withColumn("__q",
-          VectorFunctions.quantizeInt8(col("embedding"), col("__scale")))
-      val err = aggregate(
-        zip_with(col("embedding"), col("__q"), (x, qi) =>
-          abs(x.cast("double") - qi.cast("double") * col("__scale"))),
-        lit(0.0), (acc, e) => greatest(acc, e))
-      withQ.select(
-        col("vec_id"),
-        round(col("__scale") * 1e9).cast("long").as("scale_x1e9"),
-        size(col("__q")).cast("long").as("n_dims"),
-        aggregate(col("__q"), lit(0L), (a, x) => a + x.cast("long"))
-          .as("sum_q"),
-        aggregate(col("__q"), lit(0L), (a, x) => a + abs(x).cast("long"))
-          .as("sum_abs_q"),
-        size(filter(col("__q"), x => abs(x) === 127)).cast("long")
-          .as("n_sat"),
-        (col("__scale") === 0.0 ||
-          err <= col("__scale") * 0.5 + lit(1e-12)).as("err_ok"))
-    }),
-
-    // Quantized ANN: q24's brute-force top-k on the int8-quantized
-    // corpus (4x smaller vectors), scored by the fused integer
-    // Int8Cosine loop. Integer dot/norms are order-exact, so unlike the
-    // float form there is NO fold-order contract to honor — the oracle
-    // reproduces the similarity bit-for-bit from plain list arithmetic.
-    "q101_ann_int8" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.bruteForceTopKInt8(queries, emb, 10)
-    }),
-
-    // PII redaction gate (corpus-scrub stage): deterministic synthetic
-    // PII (email + IPv4 + phone, derived from doc_id) is injected into
-    // every document so the redaction demonstrably fires on gate data,
-    // then TextFunctions.redact scrubs it and the FULL redacted text is
-    // hash-compared against DuckDB applying the identical regex chain.
-    // Patterns are deliberately Java/RE2-portable (ASCII classes, no
-    // lookaround, no backrefs); application order (email, IP, phone)
-    // matters — an IPv4 also matches the phone shape — and the oracle
-    // nests its regexp_replace calls in the same order.
-    "q102_pii_redact" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        graft.functions.TextFunctions.redact(
-          concat(col("text"),
-            lit(" contact user"), col("doc_id"),
-            lit("@mail"), pmod(col("doc_id"), lit(7)),
-            lit(".com from 10."), pmod(col("doc_id"), lit(256)),
-            lit(".0."), pmod(col("doc_id"), lit(100)),
-            lit(" tel +1 555 "),
-            (lit(1000000L) + pmod(col("doc_id"), lit(9000000L)))))
-          .as("clean"))),
-
-    // ORC roundtrip gate: the second columnar production format (beyond
-    // parquet). lineitem -> ORC write -> ORC scan with filter/projection
-    // pushdown -> aggregate vs the original parquet in DuckDB. Proves
-    // the format seam, not new operator logic — a user switching sinks
-    // keeps identical results.
-    "q103_orc_roundtrip" -> ((s, d) => {
-      val dir = graft.sources.Staging.once(s"q103:$d") { out =>
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_quantity", "l_returnflag",
-            "l_extendedprice")
-          .write.mode("overwrite").orc(out)
-      }
-      s.read.orc(dir)
-        .filter(col("l_quantity") > 25.0)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
-            .as("sum_price_cents"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
-    }),
-
-    // Tumbling-window streaming aggregation gate: windowedCounts over
-    // the events file stream vs the batch hour-bucket oracle. Values
-    // ride as integer cents (exact, order-free sums) so the streaming
-    // and batch aggregates agree bit-for-bit.
-    "q104_stream_window" -> ((s, d) => {
-      val path = s"$d/events.parquet"
-      val fileSchema = Tables.table(s, d, "events").schema
-      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, srcDir, fileSchema)
-      val tsec = fileSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("ts div 1000000000")
-        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
-      }
-      val ev = raw.select(col("user_id"),
-        timestamp_seconds(tsec).as("ts"),
-        round(col("value") * 100, 0).as("value"))
-      val agg = graft.streaming.StreamSessions
-        .windowedCounts(ev, "3600 seconds", "3650 days")
-        .select(col("user_id"),
-          unix_timestamp(col("w_start")).as("w_start"),
-          unix_timestamp(col("w_end")).as("w_end"),
-          col("n_events"), col("sum_value").cast("long").as("sum_cents"))
-      graft.streaming.StreamSessions.runToCompletion(agg,
-        "q104_stream_window")
-    }),
-
-    // Bucketed co-located join gate: both join sides written
-    // bucketed+sorted on the order key (Bucketing.writeBucketed), so the
-    // join runs with NO exchange on either side — the shuffle-once-at-
-    // ingest layout a 100 TB fact table needs (PlanAuditSpec pins the
-    // single remaining exchange to the final aggregate). Result parity
-    // vs the plain parquet join oracle.
-    "q105_bucketed_join" -> ((s, d) => {
-      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val (ordersT, liT) = (s"graft_q105_orders$tag", s"graft_q105_li$tag")
-      if (!s.catalog.tableExists(ordersT)) {
-        val dir = graft.sources.Staging.once(s"q105:$d") { _ => () }
-        graft.sources.Bucketing.writeBucketed(
-          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-          ordersT, s"$dir/orders", "o_orderkey", 8)
-        graft.sources.Bucketing.writeBucketed(
-          Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
-          liT, s"$dir/lineitem", "l_orderkey", 8)
-      }
-      s.table(liT)
-        .join(s.table(ordersT), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
-    }),
-
-    // Token-balanced sharded sink gate: documents packed into ~100k-char
-    // shards (contiguous in doc_id order, one parquet file per shard) and
-    // read back; per-shard membership is pinned by the same prefix-sum
-    // arithmetic as the q70 packing oracle.
-    "q106_sharded_export" -> ((s, d) => {
-      val dir = graft.sources.Staging.once(s"q106:$d") { out =>
-        graft.sources.Export.parquetShardedByTokens(
-          Tables.documents(s, d).select(col("doc_id"),
-            col("n_chars").cast("long").as("n_chars")),
-          "n_chars", 100000L, out, col("doc_id"))
-      }
-      s.read.parquet(dir)
-        .groupBy(col("shard").cast("long").as("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-    }),
-
-    // Versioned snapshot upsert gate: v1 = full corpus labeled 'old',
-    // then an upsert replaces every doc_id % 3 == 0 row with 'new'; the
-    // latest (_SUCCESS-gated) snapshot must show exactly the merged
-    // keyed state — the plain-parquet MERGE pattern of the daily flow.
-    "q107_snapshot_upsert" -> ((s, d) => {
-      val root = graft.sources.Staging.once(s"q107:$d") { out =>
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        graft.sources.DailyBatch.upsertSnapshot(s, out,
-          docs.withColumn("label", lit("old")), Seq("doc_id"))
-        graft.sources.DailyBatch.upsertSnapshot(s, out,
-          docs.filter(col("doc_id") % 3 === 0)
-            .withColumn("label", lit("new")), Seq("doc_id"))
-        ()
-      }
-      s.read.parquet(
-        graft.sources.DailyBatch.latestSnapshot(s, root).get)
-        .groupBy("source", "label")
-        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
-    }),
-
-    // Per-day batch driver gate: forEachDay runs a per-user count over
-    // each date partition in isolation (partition-pruned reads, one
-    // output dir per day); the union of the per-day outputs must equal
-    // the single-job whole-history aggregate — the reference's
-    // operational day loop, result-identical to the Spark-first form.
-    "q108_daily_batch" -> ((s, d) => {
-      val src = stagedDailyEvents(s, d)
-      val out = graft.sources.Staging.once(s"q108:$d") { o =>
-        val errs = graft.sources.DailyBatch.forEachDay(s, src, o) {
-          (day, _) => day.groupBy("user_id").agg(count(lit(1)).as("n_events"))
-        }
-        require(errs.isEmpty, s"per-day failures: $errs")
-      }
-      s.read.parquet(out)
-        .groupBy(col("date_trunc").cast("date").as("dt"))
-        .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"))
-    }),
-
-    // S5 gate: a driver-built in-memory dim (toDF -> LocalTableScan)
-    // broadcast-joined against a fact scan — the "attach a small config
-    // frame to big data" ingest shape. Oracle = an inline VALUES list.
-    "q98_inline_dim" -> ((s, d) => {
-      import s.implicits._
-      val dim = Seq(
-        ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
-        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
-        .toDF("o_orderpriority", "tier")
-      Tables.orders(s, d)
-        .join(broadcast(dim), Seq("o_orderpriority"))
-        .groupBy("tier")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("o_totalprice") * 100, 0).cast("long"))
-            .as("sum_cents"))
-    }),
-
-    // PageRank over the order-part co-occurrence graph (keys contracted
-    // mod 997 into a ~2k-node bipartite graph): 10 fixed power-method
-    // rounds, damping 0.85, one shuffle per round with lineage-truncated
-    // ranks (Graphs.pageRank). Oracle = the identical iteration unrolled
-    // as 10 chained CTEs in DuckDB; ranks rounded to 6 so IEEE
-    // summation-order drift (~1e-15 over the run) cannot flip the hash.
-    "q109_pagerank" -> ((s, d) => {
-      val e = Tables.lineitem(s, d)
-        .select((col("l_orderkey") % 997).as("src"),
-          (lit(1000L) + col("l_partkey") % 997).as("dst"))
-      graft.operators.Graphs.pageRank(e, "src", "dst", iterations = 10)
-        .select(col("id"), round(col("rank"), 6).as("rank"))
-    }),
-
-    // Stream-stream watermarked interval join gate: the view stream
-    // enriched with same-user purchases from the preceding 6 hours —
-    // both sides real file streams with event-time watermarks, state
-    // bounded by the join's time-range condition
-    // (StreamSessions.intervalJoin). Inner join => matches emit when both
-    // sides have arrived, so the AvailableNow run equals the batch join
-    // bit-for-bit: the oracle is the plain range-bounded SQL join.
-    "q110_stream_join" -> ((s, d) => {
-      val base = Tables.events(s, d).select(
-        col("user_id"), col("event_id"), col("event_type"),
-        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
-      val vDir = graft.streaming.StreamSessions.stageFrameAsDir(s"q110v:$d") {
-        base.filter(col("event_type") === "view")
-          .select("user_id", "event_id", "ts")
-      }
-      val pDir = graft.streaming.StreamSessions.stageFrameAsDir(s"q110p:$d") {
-        base.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"),
-            col("ts").as("pts"))
-      }
-      val v = graft.streaming.StreamSessions.readParquetStream(
-        s, vDir, s.read.parquet(vDir).schema)
-      val p = graft.streaming.StreamSessions.readParquetStream(
-        s, pDir, s.read.parquet(pDir).schema)
-      val joined = graft.streaming.StreamSessions.intervalJoin(
-        v, p, "user_id", "ts", "pts", "6 HOURS", "3650 days")
-        .select(col("user_id"), col("event_id").as("view_id"),
-          col("purchase_id"),
-          (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
-            .as("gap_s"))
-      graft.streaming.StreamSessions.runToCompletionAppend(joined,
-        "q110_stream_join")
-    }),
-
-    // Two-sided ASOF (linear interpolation): each view event gets the
-    // purchase-value signal linearly interpolated between the
-    // surrounding purchases of the same user — one union + one window
-    // pass (AsofJoin.interpolateLinear), no range join. The signal is
-    // pre-aggregated to one row per (user, ts) so the endpoints are
-    // well-defined; flat extrapolation outside the signal's span.
-    "q111_interpolate" -> ((s, d) => {
-      val base = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
-      val views = base.filter(col("event_type") === "view")
-        .select("user_id", "event_id", "ts_us")
-      val sig = base.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts_us").agg(max("value").as("value"))
-      graft.operators.AsofJoin.interpolateLinear(
-        views, sig, Seq("user_id"), "ts_us", "value")
-        .select(col("user_id"), col("event_id"),
-          round(col("value"), 6).as("interp"))
-    }),
-
-    // Schema-evolution roundtrip: v1 written without o_orderpriority,
-    // v2 with it; a mergeSchema read unifies both (v1 rows surface the
-    // new column as null) and the aggregate must equal the UNION-ALL
-    // oracle — the "historical partitions predate the new column"
-    // contract every long-lived 100 TB dataset needs.
-    "q112_schema_evolution" -> ((s, d) => {
-      val dir = graft.sources.Staging.once(s"q112:$d") { out =>
-        val o = Tables.orders(s, d)
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select("o_orderkey", "o_totalprice")
-          .write.mode("overwrite").parquet(s"$out/v1")
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select("o_orderkey", "o_totalprice", "o_orderpriority")
-          .write.mode("overwrite").parquet(s"$out/v2")
-      }
-      s.read.option("mergeSchema", "true")
-        .parquet(s"$dir/v1", s"$dir/v2")
-        .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN"))
-          .as("priority"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("o_totalprice") * 100, 0).cast("long"))
-            .as("sum_cents"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
-    }),
-
-    // Product-quantization ANN (Similarity.pqTopK): corpus stored as
-    // m=8 four-bit-ish codes (64x smaller than float32), queries scored
-    // by ADC table lookups. The deterministic hash-ordered codebook makes
-    // every stage SQL-reproducible, so the WHOLE pipeline — encoding
-    // argmin, lookup tables, final ranking — is oracle-checked, not just
-    // recall-certified.
-    "q113_pq_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.pqTopK(queries, emb, 10)
-    }),
-
-    // Mergeable-sketch persistence: per-(event_type, day) Datasketches
-    // HLL sketches written to parquet, read back, union-merged to
-    // per-type distinct-user estimates (Frequency.hllSketchByBucket /
-    // hllMergeEstimate) — the incremental count-distinct artifact a
-    // 100 TB fact table needs (merge kilobyte sketches, never re-scan).
-    // Rows-only (sketch estimates are implementation-defined) but
-    // self-certifying: every row carries the exact distinct count and
-    // in_bounds = |approx - exact| within the lgK=12 error budget.
-    "q114_sketch_merge" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("user_id"),
-          date_format(timestamp_seconds(expr("ts div 1000000000")),
-            "yyyy-MM-dd").as("day"))
-      val dir = graft.sources.Staging.once(s"q114:$d") { out =>
-        graft.operators.Frequency.hllSketchByBucket(
-          ev, Seq("event_type"), col("day"), col("user_id"))
-          .write.mode("overwrite").parquet(out)
-      }
-      val est = graft.operators.Frequency.hllMergeEstimate(
-        s.read.parquet(dir), Seq("event_type"))
-      val exact = Tables.events(s, d).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact_distinct"))
-      est.join(exact, "event_type")
-        // portable hash columns only: the estimate is engine state; the
-        // oracle recomputes the exact twin + counts and pins in_bounds=1
-        .select(col("event_type"),
-          col("exact_distinct"), col("n_rows"), col("n_sketches"),
-          (abs(col("approx_distinct") - col("exact_distinct")) <=
-            greatest(lit(1.0), lit(0.05) * col("exact_distinct")))
-            .cast("long").as("in_bounds"))
-    }),
-
-    // Semi-structured ingest: events.props is a JSON string column;
-    // from_json with an EXPLICIT schema (inference is a second scan and
-    // a non-contract at 100 TB) extracts k, then per-type stats. The
-    // json path stays a per-row codegen'd expression — no UDF.
-    "q115_json_extract" -> ((s, d) => {
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.IntegerType)))
-      Tables.events(s, d)
-        .select(col("event_type"),
-          from_json(col("props"), schema).getField("k").as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("k").cast("long")).as("sum_k"),
-          min("k").as("min_k"), max("k").as("max_k"),
-          countDistinct(col("k")).as("n_k"))
-    }),
-
-    // Unpivot (wide -> long, the inverse of R4's pivot): four lineitem
-    // measures stacked into (measure, val) rows, then per
-    // (returnflag, measure) aggregates. Spark's unpivot is a zero-shuffle
-    // per-row expansion (a Generate, not a join); exact integer cents.
-    "q116_unpivot" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"), col("l_tax"))
-        .unpivot(Array(col("l_returnflag")),
-          Array(col("l_quantity"), col("l_extendedprice"),
-            col("l_discount"), col("l_tax")),
-          "measure", "val")
-        .groupBy("l_returnflag", "measure")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("val") * 100, 0).cast("long")).as("sum_cents"))),
-
-    // Time-series resampling: every user sampled on a fixed 6-hour grid
-    // over the fixture month, value = the purchase signal linearly
-    // interpolated at each grid instant — sequence() explode for the
-    // grid (zero shuffle) composed with AsofJoin.interpolateLinear (one
-    // exchange). The regular-grid feature matrix a downstream model
-    // trains on.
-    "q117_resample" -> ((s, d) => {
-      val start = 1704067200L            // 2024-01-01 00:00:00 UTC
-      val end = start + 30L * 86400L
-      val grid = Tables.events(s, d).select("user_id").distinct()
-        .select(col("user_id"),
-          explode(sequence(lit(start), lit(end), lit(21600L))).as("ts_s"))
-      val sig = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"),
-          col("value"))
-        .groupBy("user_id", "ts_s").agg(max("value").as("value"))
-      graft.operators.AsofJoin.interpolateLinear(
-        grid, sig, Seq("user_id"), "ts_s", "value")
-        .select(col("user_id"), col("ts_s"),
-          round(col("value"), 6).as("interp"))
-    }),
-
-    // Small-file compaction gate: events deliberately shattered into 40
-    // files, compacted to byte-sized-target balanced files
-    // (Export.compactParquet), read back and aggregated against the
-    // SOURCE table's oracle — content-exact through the rewrite, file
-    // count collapsed (asserted in SourcesSpec; the oracle pins content).
-    "q118_compact" -> ((s, d) => {
-      val dir = graft.sources.Staging.once(s"q118:$d") { out =>
-        Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"))
-          .repartition(40)
-          .write.mode("overwrite").parquet(s"$out/small")
-        graft.sources.Export.compactParquet(s, s"$out/small",
-          s"$out/compact", targetBytes = 1L << 20): Unit
-      }
-      s.read.parquet(s"$dir/compact")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
-          countDistinct(col("user_id")).as("n_users"),
-          min("event_id").as("min_ev"), max("event_id").as("max_ev"))
-    }),
-
-    // IVF-PQ ANN (Similarity.ivfPqTopK): the FAISS-style 100 TB layout —
-    // the coarse quantizer prunes the SCAN (nprobe of nlist cells), the
-    // product codes shrink the scanned BYTES (~64x); the whole index is
-    // (cell, 8 codes) per vector and exact floats never appear at query
-    // time. Both quantizers are deterministic hash-ordered samples, so
-    // the oracle re-derives index build AND query path end to end.
-    "q119_ivfpq_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.ivfPqTopK(queries, emb, 10)
-    }),
-
-    // Winnowing fingerprints (Dedup.winnowFingerprints — the MOSS
-    // algorithm): per-doc count + order-free digest of the selected
-    // fingerprint set. The fp_key encoding (gram-md5 ++ padded reverse
-    // position) makes the robust-winnowing selection a plain window min,
-    // so the oracle re-runs the identical selection in DuckDB.
-    "q120_winnow" -> ((s, d) =>
-      graft.operators.Dedup
-        .winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
-          k = 8, w = 4)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"),
-          md5(concat_ws(",", array_sort(collect_list(col("fp_key"))))
-            .cast("binary")).as("fp_digest"))),
-
-    // Per-node triangle counts (Graphs.triangleCounts, degree-oriented
-    // wedge join) over the thinned co-purchase graph: parts sharing an
-    // order. The quantity filter keeps basket fan-out (and thus edge
-    // density) realistic; the oracle enumerates the same triangle set by
-    // plain id order — orientation only changes WHERE each triangle is
-    // counted, never the set.
-    "q121_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") <= 10)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
-      graft.operators.Graphs.triangleCounts(pairs, "pa", "pb")
-    }),
-
-    // Multi-source BFS (Graphs.bfsDistances): min hop distance from the
-    // seed parts over the same co-purchase graph, capped at 4 hops. The
-    // oracle unrolls the four frontier expansions as chained CTEs and
-    // takes min(level) per node.
-    "q122_bfs" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") <= 10)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
-      val seeds = Tables.lineitem(s, d)
-        .filter(col("l_partkey") < 3).select("l_partkey")
-      graft.operators.Graphs.bfsDistances(pairs, "pa", "pb",
-        seeds, "l_partkey", maxHops = 4)
-    }),
-
-    // Funnel analysis (Funnel.earliestCompletion): greedy earliest
-    // view -> click -> purchase per user, later stages within 24 h of
-    // the first view (a window spanning all three outcomes at gate
-    // scale). Timestamps compared as integer microseconds — exact on
-    // both engines.
-    "q123_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us"))
-      graft.operators.Funnel.earliestCompletion(ev, "user_id",
-        "event_type", "ts_us", Seq("view", "click", "purchase"),
-        window = Some(24L * 3600L * 1000000L))
-    }),
-
-    // Deterministic contrastive negative sampling
-    // (Sampling.contrastiveNegatives): 4 hash-addressed negatives per
-    // doc, excluding normalized-exact duplicates as false negatives.
-    // Every draw is md5-derived, so the oracle reproduces the exact
-    // pairing (row_number index + the same '0x'||substr(md5) hash).
-    "q124_negative_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val nk = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", ""), " +", " ")).cast("binary"))
-      val keyed = docs.select(col("doc_id"), nk.as("nk"))
-      val a = keyed.select(col("doc_id").as("id_a"), col("nk"))
-      val b = keyed.select(col("doc_id").as("id_b"), col("nk"))
-      val dupPairs = a.join(b, "nk").filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      graft.operators.Sampling.contrastiveNegatives(docs, "doc_id", 4,
-        exclude = Some(dupPairs))
-    }),
-
-    // Cohort retention matrix (Cohort.retention): users bucketed by
-    // first-PURCHASE day (pure integer division of epoch-us — no
-    // calendar seam; purchase-only activity gives a real decay curve),
-    // distinct-active counts per (cohort, offset) plus cohort sizes.
-    "q125_cohort" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000 div 86400000000").as("dy"))
-      graft.operators.Cohort.retention(ev, "user_id", "dy")
-    }),
-
-    // EXACT set-similarity self-join (Dedup.setSimilarityJoin, the
-    // All-Pairs/PPJoin prefix filter): trigram-set Jaccard >= 1/2 with
-    // the exact similarity — guaranteed recall where MinHash-LSH (q29)
-    // is probabilistic. Trigram elements keep document frequencies low
-    // (the regime prefix filtering is built for); the integer
-    // cross-multiplied threshold makes the accept set engine-exact; the
-    // oracle verifies EVERY pair relationally with no prefix filter.
-    "q126_setsim_join" -> ((s, d) =>
-      graft.operators.Dedup.setSimilarityJoin(
-        Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
-        shingleN = 3)),
-
-    // CUBE with grouping_id: all four aggregation levels of
-    // (status, priority) in one pass (map-side partials expand the
-    // grouping sets — no re-scan per level), with the integer
-    // grouping_id disambiguating real nulls from subtotal rows. q46's
-    // rollup twin completes the grouping-sets surface.
-    "q127_cube" -> ((s, d) =>
-      Tables.orders(s, d)
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("gid"), col("n"), col("total"))),
-
-    // k-core (Graphs.kCore): the 4-core of the co-purchase graph with
-    // in-core degrees. Peeling's fixpoint is deletion-order-independent,
-    // so the driver queue peel, the distributed round peel, and the
-    // oracle's unrolled rounds (48 >> the ~36 needed; extra rounds are
-    // identity) agree exactly.
-    "q128_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") <= 10)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
-      graft.operators.Graphs.kCore(pairs, "pa", "pb", k = 4)
-    }),
-
-    // Bounded-hop weighted shortest paths (Graphs.weightedHopDistances,
-    // synchronous Bellman-Ford rounds): cheapest route from the seed
-    // parts within 4 edges over the co-purchase graph, edge weight =
-    // the deterministic integer 1 + (u + 2v) mod 7. Integer weights
-    // keep every distance exact; the oracle unrolls the identical
-    // relaxation rounds.
-    "q129_sssp" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") <= 10)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
-        .withColumn("w", lit(1L) + pmod(col("pa") + lit(2L) * col("pb"),
-          lit(7L)))
-      val seeds = Tables.lineitem(s, d)
-        .filter(col("l_partkey") < 3).select("l_partkey")
-      graft.operators.Graphs.weightedHopDistances(pairs, "pa", "pb", "w",
-        seeds, "l_partkey", maxHops = 4)
-    }),
-
-    // Time-weighted average (the TSDB aggregate): each purchase value
-    // holds until the user's next purchase; twa = sum(value * hold) /
-    // total span. Integer-cents x integer-microsecond numerators stay
-    // exact; the only division is the final one, rounded identically.
-    // One user exchange: the lead window and the aggregate share it.
-    "q130_time_weighted" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us")
-      Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-        .withColumn("next_ts", lead("ts_us", 1).over(w))
-        .filter(col("next_ts").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_holds"),
-          sum((col("next_ts") - col("ts_us")) * col("cents"))
-            .as("weighted_sum"),
-          sum(col("next_ts") - col("ts_us")).as("span_us"))
-        .withColumn("twa_cents",
-          round(col("weighted_sum").cast("double") / col("span_us"), 6))
-    }),
-
-    // Moment-based Pearson correlation: quantity vs whole-dollar price
-    // per return flag. The five moments are EXACT integer sums (one
-    // partial-agg pass, order-free); the correlation assembles from
-    // them in one deterministic double expression — each product /
-    // sqrt / division is a single correctly-rounded IEEE op, identical
-    // in any engine — rather than an incremental covariance update
-    // whose accumulation order differs. (Whole dollars keep sum(y*y)
-    // inside long range at any group size the fixture reaches.)
-    "q131_corr" -> ((s, d) => {
-      def D(c: org.apache.spark.sql.Column) = c.cast("double")
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
-          col("l_quantity").cast("long").as("x"),
-          round(col("l_extendedprice"), 0).cast("long").as("y"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
-        .withColumn("corr6", round(
-          (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
-            (sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
-              sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))),
-          6))
-    }),
-
-    // Incremental aggregate maintenance (the materialized-view pattern):
-    // per-user purchase state folded over two day-parity batches must
-    // hash-equal the single-pass recompute — the algebraic-merge
-    // contract that lets a 100 TB rollup absorb a day's increment
-    // without re-scanning history. avg/variance assemble from the
-    // integer state in one-shot double expressions (q131 contract).
-    "q132_incremental_agg" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      graft.operators.IncrementalAgg.present(
-        graft.operators.IncrementalAgg.foldBatches(
-          Seq(p.filter(col("day") % 2 === 0), p.filter(col("day") % 2 === 1)),
-          Seq("user_id"), "cents"))
-    }),
-
-    // Exact z-score outlier counts per user (z > 2 on purchase cents):
-    // the flag is decided in cross-multiplied LONG arithmetic —
-    // (n·x − sx)²·zDen² > zNum²·(n·sxx − sx²) — so the flagged set is
-    // bit-identical in any engine; no sqrt, no float boundary.
-    "q133_outliers" -> ((s, d) =>
-      graft.operators.RobustStats.outlierCounts(
-        Tables.events(s, d)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"),
-            round(col("value") * 100, 0).cast("long").as("cents")),
-        Seq("user_id"), "cents", zNum = 2, zDen = 1)),
-
-    // Winsorized mean per event_type: clip to the exact [p05, p95]
-    // percentile_disc bounds (rank ceil(p·n) under the total
-    // (cents, event_id) order) before averaging — the heavy-tail guard.
-    "q134_winsorize" -> ((s, d) =>
-      graft.operators.RobustStats.winsorizedStats(
-        Tables.events(s, d)
-          .select(col("event_type"), col("event_id"),
-            round(col("value") * 100, 0).cast("long").as("cents")),
-        Seq("event_type"), "cents", "event_id", 5, 95, 100)),
-
-    // MERGE INTO semantics over a keyed per-(user, weekday) purchase
-    // rollup: first-half state is the target, second-half state the
-    // source — update on overlap, insert source-only keys, keep
-    // target-only keys, and delete merged rows whose combined count
-    // falls under 3. All four arms are live at both scales.
-    "q135_merge" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      def stateOf(df: DataFrame) = df
-        .groupBy(col("user_id"), (col("day") % 7).as("dow"))
-        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
-      graft.operators.MergeOps.mergeInto(
-        stateOf(p.filter(col("day") < 19738)),
-        stateOf(p.filter(col("day") >= 19738)),
-        Seq("user_id", "dow"),
-        updateSet = Seq("n" -> (col("n") + col("src_n")),
-          "total" -> (col("total") + col("src_total"))),
-        insertSet = Seq("n" -> col("src_n"), "total" -> col("src_total")),
-        deleteWhen = Some(col("n") < 3))
-    }),
-
-    // Golden-record survivorship: each column independently takes its
-    // latest non-null value under the total (ts, event_id) order — the
-    // master-data collapse where the winning ROW may not exist. One
-    // struct-max hash aggregate, no window, no self-join.
-    "q136_golden" -> ((s, d) =>
-      graft.operators.MergeOps.goldenRecord(
-        Tables.events(s, d).select(col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("event_id"),
-          when(col("event_type") === "purchase",
-            round(col("value") * 100, 0).cast("long")).as("purchase_cents"),
-          when(col("event_type") === "view",
-            get_json_object(col("props"), "$.k").cast("long")).as("view_k"),
-          when(col("event_type") === "error", col("event_id"))
-            .as("error_event")),
-        "user_id", "ts_us", "event_id",
-        Seq("purchase_cents", "view_k", "error_event")))
-  ,
-
-    // Entity-resolution composition — the end-to-end dedup deliverable:
-    // exact near-dup pairs (q126's guaranteed-recall set-similarity
-    // join) -> connected components (min-id labels) -> per-cluster size
-    // and canonical representative (longest text, ties to smallest id).
-    // The pair frame persists once (CacheScope): the CC edge
-    // symmetrization, the node universe, and the membership join all
-    // consume it.
-    "q137_entity_resolution" -> ((s, d) => {
-      val pairs = graft.CacheScope.track(
-        graft.operators.Dedup.setSimilarityJoin(
-          Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
-          shingleN = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nodes = pairs.select(col("id_a").as("doc_id"))
-        .union(pairs.select(col("id_b")))
-        .distinct()
-      val cc = graft.operators.Graphs.connectedComponents(
-        pairs, "id_a", "id_b", nodes, "doc_id")
-      val ord = Window.partitionBy("cluster")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      cc.select(col("id").as("doc_id"), col("component").as("cluster"))
-        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("cluster")))
-        .withColumn("canonical_id", first("doc_id").over(ord))
-        .withColumn("is_canonical",
-          (col("doc_id") === col("canonical_id")).cast("long"))
-        .select("doc_id", "cluster", "cluster_size", "canonical_id",
-          "is_canonical")
-    }),
-
-    // Exact rolling LOWER median (7 observed days) of per-user daily
-    // purchase cents: element at ceil(n/2) of the sorted trailing
-    // window — no even-count averaging, integer-exact cross-engine.
-    "q138_rolling_median" -> ((s, d) =>
-      graft.operators.RobustStats.rollingLowerMedian(
-        Tables.events(s, d)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"),
-            expr("ts div 86400000000000").as("day"),
-            round(col("value") * 100, 0).cast("long").as("cents"))
-          .groupBy("user_id", "day")
-          .agg(sum("cents").as("cents")),
-        Seq("user_id"), "day", "cents", 7)),
-
-    // SCD type 2: each user's daily activity tier collapsed into
-    // versioned validity rows — a version opens at every tier CHANGE
-    // (null-safe lag compare), valid_to = next version's start, open
-    // version flagged is_current. One user exchange serves both window
-    // passes. (Dimension builder shared with the q144 point-in-time
-    // join — userTierScd2.)
-    "q139_scd2" -> ((s, d) => userTierScd2(s, d)),
-
-    // Last-touch attribution: each purchase credits the latest
-    // click/view by the same user at-or-before it within 7 days
-    // (AsofJoin.lastValue with tolerance — the bounded-staleness ASOF);
-    // revenue then aggregates per touch type, un-attributed purchases
-    // under 'none'. Touches are deduped per (user, ts) by max event_id
-    // first (the ASOF right-side uniqueness contract).
-    "q140_attribution" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          col("event_id"), col("event_type"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      val touches = ev
-        .filter(col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts_us")
-        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
-        .select(col("user_id"), col("ts_us"),
-          col("m.event_type").as("touch_type"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("user_id", "ts_us", "event_id", "cents")
-      graft.operators.AsofJoin.lastValue(
-        purchases, touches, Seq("user_id"), "ts_us", Seq("touch_type"),
-        tolerance = Some(7L * 86400L * 1000000L))
-        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sum("cents").as("cents_total"))
-    }),
-
-    // Declarative data-quality expectations: seven rules over ONE scan
-    // of events (pairs of observed/verdict aggregates in a single agg
-    // row, exploded to report rows) plus a referential-integrity check
-    // over the anti-join frame. Reports instead of aborting — the
-    // quarantine-a-batch admission gate; the report itself is the
-    // oracled result.
-    "q141_expectations" -> ((s, d) => {
-      import graft.operators.Expectations
-      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 86400000000000").as("day"),
-        col("value"), round(col("value") * 100, 0).cast("long").as("cents"))
-      val nNullV = sum(when(col("value").isNull, 1L).otherwise(0L))
-      val nRange =
-        sum(when(col("cents") < 1 || col("cents") > 50000, 1L).otherwise(0L))
-      val nDom = sum(when(!col("event_type").isin(
-        "click", "view", "purchase", "signup", "error"), 1L).otherwise(0L))
-      val base = Expectations.evaluate(e, Seq(
-        ("row_count_positive", count(lit(1)), count(lit(1)) > 0),
-        ("event_id_unique", count(lit(1)) - countDistinct(col("event_id")),
-          count(lit(1)) === countDistinct(col("event_id"))),
-        ("value_nonnull", nNullV, nNullV === 0),
-        ("value_in_range", nRange, nRange === 0),
-        ("type_domain", nDom, nDom === 0),
-        ("type_cardinality", countDistinct(col("event_type")),
-          countDistinct(col("event_type")) === 5),
-        ("day_span_month", max("day") - min("day"),
-          max("day") - min("day") === 29)))
-      val orphans = e.join(
-        Tables.customer(s, d).select(col("c_custkey")),
-        col("user_id") === col("c_custkey"), "left_anti")
-      base.unionByName(Expectations.evaluate(orphans, Seq(
-        ("user_ref_integrity", count(lit(1)), count(lit(1)) === 0))))
-    }),
-
-    // Calendar completeness: per-day counts joined against the FULL
-    // min..max day range (absent days surface as n=0 — a groupBy alone
-    // can never show them); a day passes at >= half the mean daily
-    // count, cross-multiplied in integers.
-    "q142_completeness" -> ((s, d) =>
-      graft.operators.Expectations.dailyCompleteness(
-        Tables.events(s, d),
-        expr("ts div 86400000000000"), fracNum = 1, fracDen = 2)),
-
-    // Streaming materialized view: events replayed as four week-sliced
-    // micro-batches; foreachBatch folds each batch's partial aggregate
-    // into a versioned per-key state snapshot (version = batchId — the
-    // idempotent-replay exactly-once contract, see StreamMatView). The
-    // final snapshot must hash-equal the whole-history batch recompute.
-    "q143_stream_matview" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val dir = graft.streaming.StreamSessions
-        .stageOrderedFrames(s"q143:$d") {
-          val e = Tables.events(s, d)
-            .select(col("user_id"), col("event_type"),
-              expr("ts div 86400000000000").as("day"),
-              round(col("value") * 100, 0).cast("long").as("cents"))
-          Seq(e.filter(col("day") < 19731),
-            e.filter(col("day") >= 19731 && col("day") < 19738),
-            e.filter(col("day") >= 19738 && col("day") < 19745),
-            e.filter(col("day") >= 19745))
-        }
-      val schema = StructType(Seq(
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("day", LongType), StructField("cents", LongType)))
-      val stateDir = graft.sources.Staging.once(s"q143state:$d") { _ => () }
-      graft.streaming.StreamMatView.runFold(
-        graft.streaming.StreamSessions
-          .readParquetStreamThrottled(s, dir, schema),
-        Seq("user_id"), "cents", stateDir,
-        prep = b => b.filter(col("event_type") === "purchase")
-          .select("user_id", "cents"))
-    }),
-
-    // Point-in-time join over the SCD2 dimension (the SAME builder as
-    // q139 — userTierScd2): each purchase is enriched with the user's
-    // activity tier AS OF the purchase day — open versions bound by
-    // +infinity via coalesce. The feature-store join that prevents
-    // temporal leakage: a row may only see dimension state valid AT
-    // its own time. The dimension is PER-USER sized (grows with the
-    // data), so the join strategy is left to Catalyst/AQE — broadcast
-    // under the threshold, shuffle on the equi-key above it; the range
-    // predicate rides the user equi-join either way.
-    "q144_pit_join" -> ((s, d) => {
-      val dim = userTierScd2(s, d)
-        .select(col("user_id"), col("tier"), col("valid_from"),
-          coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_until"))
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      p.join(dim,
-        p("user_id") === dim("user_id") &&
-          col("day") >= col("valid_from") && col("day") < col("valid_until"))
-        .groupBy(col("tier"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sum("cents").as("cents_total"),
-          countDistinct(p("user_id")).as("n_users"))
-    }),
-
-    // Integer-exact Lloyd k-means (Clustering.kMeansLloyd): quantize
-    // once to longs, then seed/assign/update are all exact integer
-    // arithmetic with deterministic tie-breaks — the whole 4-round
-    // trajectory is bit-reproducible, so the oracle re-derives it as
-    // unrolled CTEs (the q109/q128 pattern) instead of trusting a
-    // trained artifact.
-    "q145_kmeans" -> ((s, d) =>
-      graft.operators.Clustering.kMeansLloyd(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, dim = 64, rounds = 4)),
-
-    // CDC change-feed application (MergeOps.applyChanges): base = each
-    // user's purchase rollup over the first 15 days; feed = one change
-    // per (user, later day) — op 'D' on day%7==1, else 'U' with that
-    // day's rollup; only the LATEST change per user applies (the
-    // multi-change-per-key ordering q135's single-image MERGE cannot
-    // express). The split day derives from the data via a broadcast
-    // scalar (the J5 idiom), so both engines cut identically.
-    "q146_cdc_apply" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      val split = p.agg((min("day") + 15L).as("split"))
-      val pp = p.crossJoin(broadcast(split))
-      // cohort carves keep the insert/keep arms live: users 0 mod 5
-      // exist only in the feed (insert), users 1 mod 5 only in the base
-      // (keep) — without them every user appears on both sides and the
-      // gate would never exercise half the operator
-      val base = pp.filter(col("day") < col("split") &&
-          pmod(col("user_id"), lit(5)) =!= 0)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
-      val feed = pp.filter(col("day") >= col("split") &&
-          pmod(col("user_id"), lit(5)) =!= 1)
-        .groupBy(col("user_id"), col("day"))
-        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
-        .select(col("user_id"), col("day").as("seq"),
-          when(pmod(col("day"), lit(7)) === 1, lit("D"))
-            .otherwise(lit("U")).as("op"),
-          col("n"), col("total"))
-      graft.operators.MergeOps.applyChanges(
-        base, feed, Seq("user_id"), "seq", "op")
-    }),
-
-    // Unigram-LM quality scoring (Frequency.unigramLogProb): the
-    // perplexity-style curation filter, engine-exact via micro-nat
-    // integer log sums (round ln once per token, then pure long
-    // arithmetic — no fold-order contract).
-    "q147_unigram_logprob" -> ((s, d) =>
-      graft.operators.Frequency.unigramLogProb(
-        Tables.documents(s, d), "doc_id", "text")),
-
-    // Signed random projection (Similarity.randomProjection): 16
-    // md5-parity ±1 hyperplanes over the quantized embeddings — exact
-    // integer projections + the sign-bit SRP code, zero shuffles.
-    // Gate emits the long form (one row per (vec, plane)) — the compare
-    // harness hashes scalar columns, so the array stays library-side.
-    "q148_random_projection" -> ((s, d) =>
-      graft.operators.Similarity.randomProjection(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        outDim = 16, dim = 64)
-        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")),
-          col("srp_code"))
-        .select(col("vec_id"), col("j").cast("long").as("j"), col("p"),
-          col("srp_code"))),
-
-    // Chi-square token-vs-source association (Frequency.chi2Association):
-    // integer contingency cells, one fixed-order double expression for
-    // the statistic (long-exact products at gate scale).
-    "q149_chi2" -> ((s, d) =>
-      graft.operators.Frequency.chi2Association(
-        Tables.documents(s, d), "doc_id", "text", "source", minDf = 10L)),
-
-    // BM25 retrieval (Frequency.bm25TopK): fixed query-term set from
-    // the shared synthetic vocabulary; micro-unit integer score sums.
-    "q150_bm25" -> ((s, d) =>
-      graft.operators.Frequency.bm25TopK(
-        Tables.documents(s, d), "doc_id", "text",
-        Seq("data", "scan", "merge"), k = 100)),
-
-    // Stream-stream LEFT OUTER interval join gate
-    // (StreamSessions.intervalJoinLeftOuter): q110's enrichment where
-    // views with NO preceding purchase still emit (null match) — the
-    // null results are withheld until the watermark proves no match can
-    // arrive, so the replay stages two trailing pusher files per side
-    // (the q97 trick): pusher #1 advances the watermark past the real
-    // data, pusher #2's batch performs the flush. Pusher rows use the
-    // reserved user -1 and are filtered from the output.
-    "q151_stream_outer_join" -> ((s, d) => {
-      val base = Tables.events(s, d).select(
-        col("user_id"), col("event_id"), col("event_type"),
-        timestamp_seconds(expr("ts div 1000000000")).as("ts"))
-      def pusherTs(off: Long) = {
-        val maxTs = base.agg(max(unix_timestamp(col("ts"))))
-          .collect()(0).getLong(0)
-        maxTs + off
-      }
-      val vDir = graft.streaming.StreamSessions
-        .stageOrderedFrames(s"q151v:$d") {
-          val v = base.filter(col("event_type") === "view")
-            .select("user_id", "event_id", "ts")
-          def pusher(off: Long) = s.range(1).select(
-            lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-            timestamp_seconds(lit(pusherTs(off))).as("ts"))
-          Seq(v, pusher(86400L * 30), pusher(86400L * 60))
-        }
-      val pDir = graft.streaming.StreamSessions
-        .stageOrderedFrames(s"q151p:$d") {
-          val p = base.filter(col("event_type") === "purchase")
-            .select(col("user_id"), col("event_id").as("purchase_id"),
-              col("ts").as("pts"))
-          def pusher(off: Long) = s.range(1).select(
-            lit(-1L).as("user_id"), lit(-1L).as("purchase_id"),
-            timestamp_seconds(lit(pusherTs(off))).as("pts"))
-          Seq(p, pusher(86400L * 30), pusher(86400L * 60))
-        }
-      val v = graft.streaming.StreamSessions.readParquetStreamThrottled(
-        s, vDir, s.read.parquet(vDir).schema)
-      val p = graft.streaming.StreamSessions.readParquetStreamThrottled(
-        s, pDir, s.read.parquet(pDir).schema)
-      // NOTE: the pusher filter must NOT live inside the streaming
-      // frame — Catalyst pushes it below the EventTimeWatermark node
-      // (user_id is a join key), so the pusher rows would be pruned at
-      // the scan and never advance the watermark, and the outer-null
-      // tail would never flush (found the hard way; the batch-side
-      // filter below is the correct place).
-      val joined = graft.streaming.StreamSessions.intervalJoinLeftOuter(
-        v, p, "user_id", "ts", "pts", "6 HOURS", "60 seconds")
-        .select(col("user_id"), col("event_id").as("view_id"),
-          col("purchase_id"),
-          (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
-            .as("gap_s"))
-      graft.streaming.StreamSessions.runToCompletionAppend(joined,
-        "q151_stream_outer_join")
-        .filter(col("user_id") =!= -1L)
-    }),
-
-    // First-order Markov transition matrix over per-user event
-    // sequences (Journey.transitions): total (ts, event_id) order, lead
-    // pairing, explicit 'end' state, exact counts + one rounded row
-    // division.
-    "q152_markov" -> ((s, d) =>
-      graft.operators.Journey.transitions(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
-
-    // Distribution-drift report between the first and second half-month
-    // of the purchase feed (Expectations.driftReport): integer
-    // cross-multiplied drift flag at 20% relative change.
-    "q153_drift" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"),
-          pmod(col("user_id"), lit(25)).as("cohort"))
-      val split = p.agg((min("day") + 15L).as("split"))
-      val pp = p.crossJoin(broadcast(split))
-      graft.operators.Expectations.driftReport(
-        pp.filter(col("day") < col("split")),
-        pp.filter(col("day") >= col("split")),
-        "cohort", "user_id", col("cents"), num = 1L, den = 5L)
-    }),
-
-    // SemDeDup (Clustering.semDedup): q145's k-means clusters + the
-    // intra-cluster integer-cosine prune at tau = 2/5 (the synthetic
-    // embeddings' near-dup band — max pairwise cosine is ~0.6, so 0.95
-    // would leave the drop arm dead). Both kept and dropped rows are
-    // live at both scales.
-    //
-    // k scales with the corpus (k = max(8, n/250), the paper's k ∝ N
-    // rule): a PINNED k makes the intra-cluster pair join quadratic —
-    // the first ×100 smoke ran 8 clusters of 25k vectors each and blew
-    // up ×142. The floor keeps k = 8 at BOTH oracle scales (n = 500 and
-    // 2000), so the static kmeansCtes(8) oracle is exact; the count() is
-    // one metadata-cheap job.
-    "q154_semdedup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val k = math.max(8L, emb.count() / 250L).toInt
-      graft.operators.Clustering.semDedup(emb, "vec_id", "embedding",
-        k = k, dim = 64, rounds = 4, tauNum = 2, tauDen = 5)
-    }),
-
-    // Cross-document segment dedup (Dedup.crossDocChunkDedup): the
-    // C4-style boilerplate pass — 5-token chunks appearing in more than
-    // 2 distinct docs are removed everywhere, docs reassembled in
-    // position order. 5/2 keeps both arms live at both scales (35 and
-    // 222 banned chunk texts at sf0.01/sf0.1).
-    "q155_crossdoc_dedup" -> ((s, d) =>
-      graft.operators.Dedup.crossDocChunkDedup(
-        Tables.documents(s, d), "doc_id", "text",
-        chunkTokens = 5, maxDocFreq = 2)),
-
-    // Temperature-scaled language rebalancing (Sampling.temperatureMix):
-    // quotas proportional to sqrt(count) with the head language capped
-    // at 150 — en is clipped, the tail languages keep more of their mass
-    // (whole sources at sf0.01, scaled quotas at sf0.1).
-    "q156_temperature_mix" -> ((s, d) =>
-      graft.operators.Sampling.temperatureMix(
-        Tables.documents(s, d), "lang", "doc_id", cap = 150)),
-
-    // Common-neighbors link prediction over the q121 co-purchase graph
-    // (Graphs.commonNeighborCandidates): non-adjacent part pairs sharing
-    // >= 2 co-purchase neighbors, with integer degrees for downstream
-    // Jaccard / preferential-attachment scoring.
-    "q157_link_prediction" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .filter(col("l_quantity") <= 10)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
-      graft.operators.Graphs.commonNeighborCandidates(
-        pairs, "pa", "pb", minCommon = 2)
-    }),
-
-    // Sliding-window streaming aggregate (q104's tumbling twin): 2 h
-    // windows sliding 1 h, so every event belongs to exactly two windows
-    // — the overlap is what the batch oracle unrolls (event × k∈{0,1}).
-    "q158_stream_sliding" -> ((s, d) => {
-      val path = s"$d/events.parquet"
-      val fileSchema = Tables.table(s, d, "events").schema
-      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, srcDir, fileSchema)
-      val tsec = fileSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("ts div 1000000000")
-        case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
-      }
-      val ev = raw.select(col("user_id"),
-        timestamp_seconds(tsec).as("ts"),
-        round(col("value") * 100, 0).as("value"))
-      val agg = graft.streaming.StreamSessions
-        .slidingCounts(ev, "7200 seconds", "3600 seconds", "3650 days")
-        .select(col("user_id"),
-          unix_timestamp(col("w_start")).as("w_start"),
-          unix_timestamp(col("w_end")).as("w_end"),
-          col("n_events"), col("sum_value").cast("long").as("sum_cents"))
-      graft.streaming.StreamSessions.runToCompletion(agg,
-        "q158_stream_sliding")
-    }),
-
-    // Inverted-index build (Frequency.invertedIndex): capped posting
-    // lists (top 10 docs per token by tf, doc_id tie-break) + per-token
-    // df/cf — the retrieval artifact behind q150's BM25. The salted
-    // two-phase cap bounds the hottest token's window at cap·salts rows.
-    "q159_inverted_index" -> ((s, d) =>
-      graft.operators.Frequency.invertedIndex(
-        Tables.documents(s, d), "doc_id", "text", cap = 10)),
-
-    // Bigram collocation detection (Frequency.collocations): integer
-    // cross-multiplied lift >= 21/20 with minCount 5. The near-uniform
-    // synthetic corpus concentrates lift around 1.0, so the rational
-    // threshold is what keeps both arms live (344 of 900 candidate
-    // bigrams accepted at sf0.01, 200 of 927 at sf0.1).
-    "q160_collocations" -> ((s, d) =>
-      graft.operators.Frequency.collocations(
-        Tables.documents(s, d), "doc_id", "text",
-        liftNum = 21, liftDen = 20, minCount = 5)),
-
-    // Dataset card (Expectations.corpusCard): per-(source, lang) corpus
-    // profile — doc/token/char volumes, length extremes, normalized-
-    // exact duplicate rate in integer basis points.
-    "q161_dataset_card" -> ((s, d) =>
-      graft.operators.Expectations.corpusCard(
-        Tables.documents(s, d), Seq("source", "lang"), "text")),
-
-    // Streaming model scoring (Clustering.lloydCentroids +
-    // assignWithModel): train the q145 Lloyd trajectory on the BATCH
-    // table, then score the same vectors arriving as a STREAM — pure
-    // per-row expressions (quantize + fused argmin), stateless, no
-    // watermark; the model rides inside the codegen'd expression. The
-    // oracle is q145's: stream scoring must equal the batch assignment
-    // bit for bit.
-    "q162_stream_score" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents = graft.operators.Clustering.lloydCentroids(
-        emb, "vec_id", "embedding", k = 8, dim = 64, rounds = 4)
-      val fileSchema = Tables.table(s, d, "embeddings").schema
-      val srcDir = graft.streaming.StreamSessions
-        .stageFileAsDir(s"$d/embeddings.parquet")
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, srcDir, fileSchema)
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.operators.Clustering.assignWithModel(
-          raw, "vec_id", "embedding", cents),
-        "q162_stream_score")
-    }),
-
-    // Bigram conditional LM score (Frequency.bigramLogProb): q147's
-    // order-2 upgrade — per-doc mean ln P(b|a) in exact micro-nat
-    // integer sums, one rounded division.
-    "q163_bigram_lm" -> ((s, d) =>
-      graft.operators.Frequency.bigramLogProb(
-        Tables.documents(s, d), "doc_id", "text")),
-
-    // Perceptual image hash (Multimodal.perceptualHashes): 8×8 aHash
-    // over the decoded synthetic images — integer luma, strict-mean
-    // bits, two-long packing. Every bit oracle-derived in closed form.
-    "q164_image_phash" -> ((s, d) =>
-      graft.operators.Multimodal.perceptualHashes(
-        graft.operators.Multimodal.synthImages(
-          Tables.documents(s, d).select("doc_id"), "doc_id"))),
-
-    // Image near-dup keep/drop (Dedup.hammingNearDupKept over q164's
-    // hashes): exact-hash collapse first (the synthetic corpus has
-    // identical-hash groups of 400+ — the hot-bucket case the operator
-    // is built for), then 4×16-bit banded pairs over DISTINCT hashes
-    // with exact popcount verify at Hamming <= 3. 322 kept / 4678
-    // dropped at sf0.1.
-    "q165_image_neardup" -> ((s, d) =>
-      graft.operators.Dedup.hammingNearDupKept(
-        graft.operators.Multimodal.perceptualHashes(
-          graft.operators.Multimodal.synthImages(
-            Tables.documents(s, d).select("doc_id"), "doc_id")),
-        "media_id", "hash_hi", "hash_lo", maxDist = 3)),
-
-    // Streaming image-ingest dedup gate (q94's multimodal twin): even
-    // doc_ids form the historical hash index (distinct-hash reps —
-    // identical-hash groups of 400+ collapse before banding); odd
-    // doc_ids arrive as a PAYLOAD stream, hash statelessly per row
-    // (perceptualHashStream through the real codec), and flag via the
-    // banded stream-static join + exact popcount at Hamming <= 3.
-    // 2384 of 2500 incoming images flag at sf0.1 — both arms live.
-    "q166_stream_image_gate" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val docs = Tables.documents(s, d).select("doc_id")
-      val index = graft.streaming.StreamIngestGate.imageHashIndex(
-        graft.operators.Multimodal.perceptualHashes(
-          graft.operators.Multimodal.synthImages(
-            docs.filter(col("doc_id") % 2 === 0), "doc_id")))
-      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q166:$d") {
-        graft.operators.Multimodal.synthImages(
-          docs.filter(col("doc_id") % 2 === 1), "doc_id")
-          .toDF()
-          .select(col("media_id"), col("payload"),
-            timestamp_seconds(col("media_id")).as("ts"))
-      }
-      val schema = StructType(Seq(
-        StructField("media_id", LongType),
-        StructField("payload", BinaryType),
-        StructField("ts", TimestampType)))
-      val raw = graft.streaming.StreamSessions
-        .readParquetStream(s, dir, schema)
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        graft.streaming.StreamIngestGate.imageFlagStream(
-          graft.operators.Multimodal.perceptualHashStream(
-            raw, "media_id", "payload", "ts"),
-          index, "3650 days"),
-        "q166_stream_image_gate")
-        .select("in_id", "hist_id")
-    }),
-
-    // HTML boilerplate extraction (TextFunctions.extractHtmlText): each
-    // document wrapped in a deterministic HTML template (title/script/
-    // style chrome, nav and footer divs, entity-escaped second
-    // paragraph), then extracted by the regex chain. matches_original
-    // certifies per row that extraction recovers exactly the known
-    // content — and the oracle re-runs the identical chain in RE2.
-    "q167_html_extract" -> ((s, d) => {
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><style>.x{color:red}</style><script>var n="),
-        col("doc_id"), lit(";</script></head><body>"),
-        lit("<div class=\"nav\"><a href=\"/\">home</a> | "),
-        lit("<a href=\"/about\">about</a></div><p>"), col("text"),
-        lit("</p><p>fish &amp; chips &lt;tag&gt; &quot;q&quot;</p>"),
-        lit("<div class=\"footer\">site "), col("doc_id"),
-        lit("</div></body></html>"))
-      val expected = concat(col("text"),
-        lit(" fish & chips <tag> \"q\""))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.extractHtmlText(html)
-            .as("extracted"),
-          expected.as("expected"))
-        .select(col("doc_id"), col("extracted"),
-          length(col("extracted")).cast("long").as("n_chars"),
-          (col("extracted") === col("expected")).as("matches_original"))
-    }),
-
-    // Edit-distance-1 fuzzy join (EditDistance.fuzzyPairs): deletion-
-    // neighborhood blocking (FastSS/SymSpell) over a noisy-name
-    // universe — part names with a digit suffix plus three planted
-    // typo classes (delete 3rd char / substitute 4th / insert after
-    // 4th), derived by identical integer-cased string arithmetic on
-    // both engines. Candidates are linear in vocabulary bytes; the
-    // oracle is the quadratic all-pairs under the sound ±1 length
-    // band that distance <= 1 implies.
-    "q168_fuzzy_join" -> ((s, d) => {
-      val base = concat(col("p_name"), lit(" "),
-        (col("p_partkey") % 10).cast("string"))
-      val m = col("p_partkey") % 11
-      val noisy = when(m === 0,
-          concat(base.substr(lit(1), lit(2)), base.substr(lit(4), lit(1000))))
-        .when(m === 1,
-          concat(base.substr(lit(1), lit(3)), lit("x"),
-            base.substr(lit(5), lit(1000))))
-        .when(m === 2,
-          concat(base.substr(lit(1), lit(4)), lit("q"),
-            base.substr(lit(5), lit(1000))))
-        .otherwise(base)
-      graft.operators.EditDistance.fuzzyPairs(
-        Tables.part(s, d).select(noisy.as("noisy")), "noisy")
-    }),
-
-    // k-anonymity ladder (Anonymize.kAnonymityLevels): level 0 =
-    // (nation, segment, 500-wide balance bucket), level 1 = (nation,
-    // 2000-wide bucket), else suppressed; k = 4, local recode (level-1
-    // counts only the rows level 0 rejected, so the count IS the
-    // published group size). The input pre-partitions on the shared
-    // `nation` prefix so both window passes reuse one exchange. All
-    // three outcomes live at both scales (29/1441/30 rows at sf0.01).
-    "q169_kanonymity" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-        .withColumn("b0", floor(col("c_acctbal") / 500))
-        .withColumn("b1", floor(col("c_acctbal") / 2000))
-        .repartition(col("c_nationkey"))
-      graft.operators.Anonymize.kAnonymityLevels(c, k = 4,
-        Seq(Seq(col("c_nationkey"), col("c_mktsegment"), col("b0")),
-          Seq(col("c_nationkey"), col("b1"))))
-        .select(col("c_custkey"), col("gen_level"),
-          when(col("gen_level") < 2, col("c_nationkey").cast("long"))
-            .as("qi_nation"),
-          when(col("gen_level") === 0, col("c_mktsegment"))
-            .as("qi_segment"),
-          when(col("gen_level") === 0, col("b0") * 500)
-            .when(col("gen_level") === 1, col("b1") * 2000)
-            .as("qi_bal_lo"),
-          when(col("gen_level") === 0, 500L)
-            .when(col("gen_level") === 1, 2000L)
-            .cast("long").as("qi_bal_w"))
-    }),
-
-    // Z-order layout (Layout.zOrderBuckets over InterleaveBits): both
-    // lineitem key dims scaled linearly into the full 16-bit range
-    // (locality-preserving, deterministic at every sf), bucketed by
-    // the top 3 bit-pairs of the 32-bit Morton key = a fixed 8x8
-    // curve grid — stateless per-row bucketing, no sampled range
-    // boundaries, one aggregate for the per-file min/max stats the
-    // write path would put in parquet footers.
-    "q170_zorder" -> ((s, d) =>
-      graft.sources.Layout.zOrderBuckets(
-        Tables.lineitem(s, d),
-        (col("l_partkey") % 2000) * 32,
-        (col("l_suppkey") % 100) * 640,
-        bucketBits = 3)),
-
-    // Semantic decontamination (Decontaminate.semanticOverlap): the
-    // paraphrase net over embeddings — a FIXED 40-vector benchmark
-    // (broadcast; benchmarks are an external constant, they do not
-    // grow with the corpus — which is also what keeps the scan linear
-    // in the ScaleSmoke sweep), the rest is the corpus; one fused
-    // cosine scan + one per-id max. tau = 0.35 sits near p95 of the
-    // max-sim distribution, so both arms of the flag are populated
-    // (38/460 and 165/1960 contaminated).
-    "q171_semantic_decontam" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      graft.operators.Decontaminate.semanticOverlap(
-        e.filter(col("vec_id") >= 40), "vec_id", "embedding",
-        e.filter(col("vec_id") < 40), "embedding",
-        tau = 0.35)
-    }),
-
-    // BPE merge-rule training (Frequency.bpeMerges): the first 3
-    // data-DEPENDENT merges — each round's winner shapes the next
-    // round's pair counts, the tokenizer-training loop. One corpus
-    // pass (word→freq vocabulary contraction), then vocab-sized
-    // rounds; the oracle replays the identical 3-round scalar-
-    // subquery chain, so a wrong winner in ANY round cascades into a
-    // hash mismatch.
-    "q172_bpe_train" -> ((s, d) =>
-      graft.operators.Frequency.bpeMerges(
-        Tables.documents(s, d), "doc_id", "text", rounds = 3)),
-
-    // Audio fingerprinting (Multimodal.synthAudio + audioFrames): a
-    // full RIFF/WAVE container round trip — synthetic 16-bit mono PCM
-    // whose every sample is a closed-form integer of the id, decoded
-    // by a real chunk walker; per-frame integer band energies + peak
-    // band in mapPartitions, then the Shazam-style adjacent-peak
-    // fingerprint as a relational lead() — frames, not samples, cross
-    // into the window (1/256 of decoded volume).
-    "q173_audio_fingerprint" -> ((s, d) => {
-      val fr = graft.operators.Multimodal.audioFrames(
-        graft.operators.Multimodal.synthAudio(
-          Tables.documents(s, d).select("doc_id"), "doc_id")).toDF()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("media_id").orderBy("frame_idx")
-      fr.withColumn("fp",
-        col("peak_band") * 4 + lead(col("peak_band"), 1).over(w))
-    }),
-
-    // Streaming row-level quarantine gate (Expectations.rowGate): the
-    // streaming-safe complement of q141's batch report — pure per-row
-    // verdicts, failing rows tagged with every failed check name, so
-    // the sink splits clean rows from the dead-letter stream with one
-    // filter. Stateless projection: no watermark, no state store;
-    // oracle = the identical predicates in batch SQL. Both arms live
-    // (cents_range and type_domain each quarantine rows).
-    "q174_stream_quarantine" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val dir = graft.streaming.StreamSessions.stageFrameAsDir(s"q174:$d") {
-        Tables.events(s, d)
-          .select(col("event_id"), col("event_type"), col("value"))
-      }
-      val schema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      val raw = graft.streaming.StreamSessions.readParquetStream(s, dir, schema)
-      val gated = graft.operators.Expectations.rowGate(
-        raw.withColumn("cents", round(col("value") * 100, 0).cast("long")),
-        Seq(
-          ("value_nonnull", col("value").isNotNull),
-          ("cents_range", col("cents").between(100, 20000)),
-          ("type_domain",
-            col("event_type").isin("click", "view", "purchase", "signup"))))
-        .select(col("event_id"), col("reasons"), col("quarantined"))
-      graft.streaming.StreamSessions.runToCompletionAppend(
-        gated, "q174_stream_quarantine")
-    }),
-
-    // Hybrid retrieval via reciprocal-rank fusion (Retrieval.rrfFuse):
-    // q150's lexical BM25 top-100 and a q24-style cosine top-100 (query
-    // = vec_id 0's embedding, joined on doc_id = vec_id) fused as exact
-    // integer micro-RRF — no comparable scores needed, no float
-    // accumulation. The expensive work stays in the two rankers; fusion
-    // is a union + one hash agg over <= 200 rows.
-    "q175_hybrid_retrieval" -> ((s, d) => {
-      val bm = graft.operators.Frequency.bm25TopK(
-        Tables.documents(s, d), "doc_id", "text",
-        Seq("data", "scan", "merge"), k = 100)
-        .select(col("doc_id"), col("rank"))
-      val e = Tables.embeddings(s, d)
-      val cos = graft.operators.Similarity.bruteForceTopK(
-        e.filter(col("vec_id") === 0)
-          .select(col("vec_id").as("query_id"), col("embedding")),
-        e, k = 100)
-        .select(col("vec_id").as("doc_id"), col("rank"))
-      graft.operators.Retrieval.rrfFuse(Seq(bm, cos), "doc_id", "rank")
-    }),
-
-    // Content-defined chunking (Dedup.contentDefinedChunks): Rabin-
-    // style rolling-hash boundaries (trailing-4 polynomial, mod 32) —
-    // shift-stable chunks, so repeated passages re-align to identical
-    // fingerprints where fixed grids (q85) cannot. Only 16-byte md5
-    // fps cross the dedup shuffle; `shared` marks cross-document
-    // chunks. The char explode is the q120/q161 byte-linear budget.
-    "q176_cdc_chunks" -> ((s, d) =>
-      graft.operators.Dedup.contentDefinedChunks(
-        Tables.documents(s, d), "doc_id", "text")),
-
-    // Exact integer EWMA features (RobustStats.ewmaFeatures): α = 1/2
-    // over a trailing 16-row lookback per user — dyadic weights make
-    // the weighted sum exact in longs, head truncation renormalizes
-    // against the weights actually present, and the single division is
-    // micro-scaled integer div. One user exchange; 16 lag terms inside
-    // one codegen'd window stage.
-    "q177_ewma" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      graft.operators.RobustStats.ewmaFeatures(
-        e, Seq("user_id"), Seq(col("ts"), col("event_id")), "cents")
-        .select("user_id", "event_id", "cents", "ws", "wt", "ewma_micro")
-    }),
-
-    // BPE train -> apply (Frequency.bpeTrainApply): q172's three
-    // learned merges applied to every DOCUMENT (not just the vocab),
-    // reporting the per-doc unit inventory before/after — the deploy
-    // half of the tokenizer loop. In-place ·x· wrapping leaves spaces
-    // bare, so merges can never cross token boundaries; the after
-    // count is pure arithmetic on '··' occurrences, no second
-    // tokenize.
-    "q178_bpe_apply" -> ((s, d) =>
-      graft.operators.Frequency.bpeTrainApply(
-        Tables.documents(s, d), "doc_id", "text", rounds = 3)),
-
-    // Gopher-style repetition battery (Frequency.gopherRepetition):
-    // top-{2,3,4}-gram character coverage + duplicated-gram coverage
-    // per doc, exact integer basis points, one doc-keyed exchange for
-    // both aggregates (posexplode once, all gram widths per position).
-    // dupN = 3 (not Gopher's 5): the synthetic 30-token vocabulary has
-    // no within-doc 5-gram repeats at all, while ~5% of docs repeat a
-    // 3-gram — the narrower width keeps the dup arm live. Thresholds
-    // sit inside the corpus's bps distribution at both scales.
-    "q179_gopher_rep" -> ((s, d) =>
-      graft.operators.Frequency.gopherRepetition(
-        Tables.documents(s, d), "doc_id", "text",
-        dupMax = 800, dupN = 3)),
-
-    // MAD outlier report (RobustStats.madOutliers): per-user purchase
-    // cents, lower-median + MAD under deterministic (value, id) ranks,
-    // flag |x − med| > 2·mad — all exact longs (k = 2: a uniform value
-    // distribution has max dev ≈ 2·MAD, so the 3σ-style k = 3 would
-    // flag nothing anywhere; k = 2 splits the tail — 142/8 users with
-    // and without outliers at sf0.01).
-    "q180_mad" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      graft.operators.RobustStats.madOutliers(
-        e, Seq("user_id"), "cents", "event_id", kNum = 2, kDen = 1)
-    }),
-
-    // Association rules (Association.basketRules): brand-level baskets
-    // (order x p_brand via the part dim join), directed pair rules under
-    // exact integer support/confidence/lift cuts (lift in DECIMAL(38,0),
-    // the q160 discipline). Pair fan-out is bounded by distinct brands
-    // per order, not the corpus. Brands co-occur independently in this
-    // fixture, so observed lift concentrates toward 1.0 as N grows
-    // (p99 = 1.077 at sf0.01, 1.010 at sf0.1) — the cut must sit just
-    // above 1 (1001/1000) for the accept arm to survive both scales;
-    // conf >= 1/7 sits mid-distribution at both.
-    "q181_assoc_rules" -> ((s, d) => {
-      val b = Tables.lineitem(s, d)
-        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      graft.operators.Association.basketRules(b, "basket", "item",
-        minSupport = 5, confNum = 1, confDen = 7,
-        liftNum = 1001, liftDen = 1000)
-    }),
-
-    // l-diversity (Anonymize.lDiversity) over a k-anonymous release: the
-    // q169 ladder WITHOUT segment in the QI (segment is the sensitive
-    // attribute here), published groups must carry >= 3 distinct
-    // segments or the homogeneity attack reads them off. One group
-    // aggregate over the published frame; the ladder reuses the shared
-    // `nation` prefix exchange.
-    "q182_ldiversity" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-        .withColumn("b0", floor(col("c_acctbal") / 500))
-        .withColumn("b1", floor(col("c_acctbal") / 2000))
-        .repartition(col("c_nationkey"))
-      val pub = graft.operators.Anonymize.kAnonymityLevels(c, k = 4,
-        Seq(Seq(col("c_nationkey"), col("b0")),
-          Seq(col("c_nationkey"), col("b1"))))
-        .filter(col("gen_level") < 2)
-        .select(col("gen_level"),
-          col("c_nationkey").cast("long").as("qi_nation"),
-          when(col("gen_level") === 0, col("b0") * 500)
-            .otherwise(col("b1") * 2000).cast("long").as("qi_bal_lo"),
-          when(col("gen_level") === 0, 500L).otherwise(2000L)
-            .cast("long").as("qi_bal_w"),
-          col("c_mktsegment"))
-      graft.operators.Anonymize.lDiversity(pub,
-        Seq(col("gen_level"), col("qi_nation"), col("qi_bal_lo"),
-          col("qi_bal_w")),
-        col("c_mktsegment"), l = 3)
-    }),
-
-    // URL canonicalization + dedup (TextFunctions.canonicalizeUrl +
-    // Dedup.urlDedup): deterministic synthetic URLs per doc (mixed-case
-    // scheme/host, default ports, doubled trailing slashes, tracking
-    // params, fragments — every rule the canonicalizer owns is
-    // exercised), collapsed to the whitelisted canonical form with
-    // smallest-id-wins keep marks. Canonicalization is a pure per-row
-    // regex projection; the only shuffle is the md5-keyed group.
-    "q183_url_dedup" -> ((s, d) =>
-      graft.operators.Dedup.urlDedup(
-        synthUrlFrame(Tables.documents(s, d).select(col("doc_id"))),
-        "url", "doc_id")
-        .select("doc_id", "url", "canonical_url", "n_urls", "keep")),
-
-    // Vocabulary coverage / OOV gate (Frequency.vocabCoverage): top-28
-    // token vocab trained on the corpus (count desc, token asc), every
-    // doc scored for out-of-vocab rate in integer bps — the
-    // tokenizer-fit check before committing a vocab (q162's
-    // train-then-apply pattern at the vocabulary level). k = 28 of the
-    // corpus's 31 distinct tokens puts the fully-covered arm at 45/455
-    // (sf0.01) — smaller k kills it, k = 31 kills the OOV arm.
-    "q184_vocab_coverage" -> ((s, d) =>
-      graft.operators.Frequency.vocabCoverage(
-        Tables.documents(s, d), "doc_id", "text", k = 28)),
-
-    // Robust feature scaling (RobustStats.robustScale): per-DIMENSION
-    // median/IQR scaling of the embedding components (quantized to
-    // exact longs, the q145 discipline), scaled_micro = (q−med)·1e6 div
-    // iqr — integer-exact including negative deviations (Spark div and
-    // DuckDB // both truncate toward zero). One window pass per dim
-    // exchange; bounds key-sized.
-    "q185_robust_scale" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").cast("long").as("dim"),
-          round((col("col").cast("double") + lit(1.0)) * 1000000)
-            .cast("long").as("q"))
-      graft.operators.RobustStats.robustScale(
-        e, Seq("dim"), "q", "vec_id")
-        .select("dim", "vec_id", "q", "med", "q1", "q3", "iqr",
-          "scaled_micro")
-    }),
-
-    // Duplicate-cluster profile (Dedup.dupClusterProfile): the dedup
-    // decision report — corpus share per exact-dup cluster size on the
-    // q71 normalization key. The raw corpus is nearly dup-free (8 pairs
-    // at sf0.1), so the gate injects two deterministic copy tiers
-    // (every 3rd doc once, every 9th twice) to populate sizes 2-4 —
-    // the profile shape a real crawl shows. Two nested hash aggregates
-    // + a broadcast total.
-    "q186_dup_profile" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      def tier(m: Long, off: Long) =
-        docs.filter(pmod(col("doc_id"), lit(m)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(off))
-      graft.operators.Dedup.dupClusterProfile(
-        docs.unionAll(tier(3L, 1000000L)).unionAll(tier(9L, 2000000L)),
-        "doc_id", "text")
-    }),
-
-    // Exact containment join (Dedup.containmentJoin): ordered pairs
-    // where >= 4/5 of doc a's trigram shingles appear in doc b — the
-    // asymmetric excerpt/quotation structure Jaccard misses. Probe-side
-    // rarest-first prefix filter (index side exposes all elements —
-    // containment admits no index prefix), exact array-intersect
-    // verify; the oracle re-verifies EVERY ordered pair with no filter.
-    "q187_containment" -> ((s, d) =>
-      graft.operators.Dedup.containmentJoin(
-        Tables.documents(s, d), "doc_id", "text",
-        tNum = 4, tDen = 5, shingleN = 3)),
-
-    // Shazam-style audio retrieval (Multimodal.fingerprintMatch): query
-    // clips are time-shifted EXCERPTS of the corpus tracks, re-encoded
-    // through the real WAV container (synthAudioClips); fingerprints =
-    // q173's adjacent-peak pairs enriched with the frame energy mod 2^16;
-    // the matcher joins on fp value, histograms dt = track − query
-    // frame, and keeps each query's offset-coherent best — recovering
-    // (source track, shift) from audio bytes alone. Every energy is
-    // re-derived in closed form by the oracle (the q173 discipline), so
-    // the whole retrieval is hash-exact. All 43 queries recover their
-    // source at sf0.01; at sf0.1 the synthetic signal itself repeats
-    // (ids congruent mod 4096 share samples), so ~79 queries tie with
-    // a genuine content-duplicate track and the deterministic
-    // tie-break picks the smaller id — correct retrieval of duplicate
-    // content, not a collision artifact.
-    "q188_audio_match" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val M = graft.operators.Multimodal
-      def fps(frames: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy("media_id").orderBy("frame_idx")
-        frames.withColumn("fp",
-          (col("peak_band") * 4 + lead(col("peak_band"), 1).over(w))
-            * 65536 + pmod(col("e0") + col("e1") + col("e2") + col("e3"),
-              lit(65536L)))
-          .filter(col("fp").isNotNull)
-          .select("media_id", "frame_idx", "fp")
-      }
-      val docs = Tables.documents(s, d).select("doc_id")
-      val tracks = fps(M.audioFrames(M.synthAudio(docs, "doc_id")).toDF())
-      // queries: every 5th doc with >= 8 track frames; clip = 4 frames
-      // starting at frame 1 + id%3 (so the clip always fits)
-      val clipsIn = docs
-        .filter(pmod(col("doc_id"), lit(5L)) === 0 &&
-          pmod(col("doc_id"), lit(7L)) >= 4)
-        .select(col("doc_id").as("id"),
-          ((pmod(col("doc_id"), lit(3L)) + 1) * 256).as("off"),
-          lit(1024L).as("n"))
-      val queries = fps(M.audioFrames(M.synthAudioClips(clipsIn)).toDF())
-      M.fingerprintMatch(queries, tracks)
-    }),
-
-    // Window-function breadth over the per-customer order sequence:
-    // percent_rank / cume_dist / ntile / nth_value / frame-bounded
-    // last_value in ONE window pass (all six share the customer
-    // exchange and sort). The unique (date, key) order makes rank =
-    // row_number, so the rank ratios are the exact same small-integer
-    // divisions in both engines.
-    "q189_window_breadth" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val wAll = w.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
-        last_value(col("o_totalprice")).over(wAll).as("last_price"))
-    }),
-
-    // Dedup-tier evaluation (Dedup.pairSetEval): q29's MinHash-LSH
-    // candidates priced against q126's EXACT trigram-Jaccard >= 1/2
-    // ground truth — precision/recall in integer bps. The
-    // measure-don't-guess gate: banding (4-row bands x 8) passes a
-    // J = 1/2 pair with p = 1-(1-J^4)^8 ~ 0.40, and this query pins the
-    // realized numbers on the actual corpus in both engines.
-    "q190_dedup_eval" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cand = graft.operators.Dedup.minhashCandidates(
-        docs, "text", "doc_id", 3, 32, 8)
-      val truth = graft.operators.Dedup.setSimilarityJoin(
-          docs, "doc_id", "text", tNum = 1, tDen = 2, shingleN = 3)
-        .select("id_a", "id_b")
-      graft.operators.Dedup.pairSetEval(cand, truth)
-    }),
-
-    // Bill-of-materials rollup (Graphs.bomExtend): bounded-depth
-    // ancestor closure with per-path quantity products summed across
-    // paths. Synthetic DAG over parts: p -> p div 10 (qty 1 + p%4)
-    // plus a second parent p div 10 + 1 (qty 2) for p%3==0 — the
-    // diamond edges keep the multi-path sum arm (n_paths > 1) live.
-    "q191_bom_rollup" -> ((s, d) => {
-      val p = Tables.part(s, d).select(col("p_partkey").as("pk"))
-        .filter(col("pk") >= 10)
-      val e1 = p.select(col("pk").as("child"),
-        expr("pk div 10").as("parent"),
-        (pmod(col("pk"), lit(4L)) + 1).as("qty"))
-      val e2 = p.filter(pmod(col("pk"), lit(3L)) === 0)
-        .select(col("pk").as("child"),
-          (expr("pk div 10") + 1).as("parent"), lit(2L).as("qty"))
-      graft.operators.Graphs.bomExtend(
-        e1.unionAll(e2), "child", "parent", "qty", maxDepth = 4)
-    }),
-
-    // 2-D skyline per brand (Skyline.skyline2D): the Pareto frontier
-    // of (price minimized, size maximized) within each brand — two
-    // window maxima over one group exchange, no pair join. Exact
-    // integer dominance; duplicate points stay on the frontier.
-    "q192_skyline" -> ((s, d) =>
-      graft.operators.Skyline.skyline2D(
-        Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
-          round(col("p_retailprice") * 100, 0).cast("long")
-            .as("price_cents"),
-          col("p_size").cast("long").as("size")),
-        Seq(col("p_brand")), "price_cents", "size")),
-
-    // Per-user purchase trend (RobustStats.groupTrend): OLS slope of
-    // cents on day index from five exact integer moments, one
-    // DECIMAL(38,0) integral division to micro units (the q131
-    // discipline for regression). Day index is corpus-relative via a
-    // broadcast scalar (J5), so x stays small and both engines cut
-    // identically.
-    "q193_trend" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      val m = p.agg(min("day").as("day0"))
-      val px = p.crossJoin(broadcast(m))
-        .select(col("user_id"), (col("day") - col("day0")).as("x"),
-          col("cents").as("y"))
-      graft.operators.RobustStats.groupTrend(px, Seq("user_id"), "x", "y")
-    }),
-
-    // VARIANT ingestion (Spark 4's semi-structured type): parse_json →
-    // try_variant_get typed extraction, then the q115 aggregate — the
-    // modern path for schema-on-read JSON columns (shredded storage,
-    // no inference scan, malformed rows null out instead of failing).
-    "q194_variant" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"),
-          try_variant_get(parse_json(col("props")), "$.k", "int")
-            .as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
-          min("k").as("min_k"), max("k").as("max_k"),
-          count_distinct(col("k")).as("n_k"))),
-
-    // Explicit GROUPING SETS — the arbitrary-sets member of the q46
-    // rollup / q127 cube family: per-status, per-priority, and grand
-    // totals in ONE pass (no self-union re-scan), grouping_id
-    // disambiguating real nulls from subtotal rows.
-    "q195_grouping_sets" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupingSets(
-          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
-            Seq()),
-          col("o_orderstatus"), col("o_orderpriority"))
-        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("gid"), col("n"), col("total"))),
-
-    // HLL audience overlap (Frequency.hllIntersectEstimate):
-    // inclusion-exclusion over mergeable per-event-type user sketches +
-    // the exact twin and a per-row error certificate — rows-only (HLL
-    // estimates are engine-specific) but self-certifying, the q114
-    // discipline for sketch artifacts. Every user touches every type
-    // in this fixture, so memberships are carved per (user, type-len)
-    // to make the ten pairwise overlaps genuinely differ.
-    "q196_hll_intersect" -> ((s, d) =>
-      graft.operators.Frequency.hllIntersectEstimate(
-        Tables.events(s, d)
-          .filter(pmod(col("user_id") + length(col("event_type")),
-            lit(4L)) =!= 0),
-        "event_type", "user_id")
-        // portable hash columns: exact pair overlap/union twins + the
-        // in_bounds verdict (oracle pins 1); approx_overlap is HLL state
-        .select(col("label_a"), col("label_b"), col("exact_a"),
-          col("exact_b"), col("exact_overlap"), col("exact_union"),
-          col("in_bounds").cast("long").as("in_bounds"))),
-
-    // Top journey paths (Journey.topPaths): each user's first-4 event
-    // prefix counted corpus-wide, top 10 with exact share bps — the
-    // Sankey query q152's pairwise matrix cannot answer. One
-    // sort_array(collect_list) hash aggregate per user (no window),
-    // path-vocabulary-sized count, TakeOrdered top-k.
-    "q197_top_paths" -> ((s, d) =>
-      graft.operators.Journey.topPaths(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
-        prefixLen = 4, k = 10)),
-
-    // Robust null imputation (RobustStats.imputeLowerMedian):
-    // deterministic null injection (every 7th event, plus every 50th
-    // user entirely) filled with the user's lower median of observed
-    // cents; all-null users STAY null with was_imputed = false — the
-    // unobserved-group contract.
-    "q198_impute" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          when(pmod(col("event_id"), lit(7L)) === 0 ||
-            pmod(col("user_id"), lit(50L)) === 0, lit(null))
-            .otherwise(round(col("value") * 100, 0).cast("long"))
-            .as("cents_raw"))
-      graft.operators.RobustStats.imputeLowerMedian(
-        e, Seq("user_id"), "cents_raw", "event_id")
-        .select("user_id", "event_id", "cents_raw", "imputed",
-          "was_imputed")
-    }),
-
-    // Activity bitmaps (Cohort.activityBitmap): 60 days of per-user
-    // activity packed into ONE long by a partial-aggregatable bit_or —
-    // active days, week-over-week retention, and weekday mix all
-    // answer by shift/AND/popcount on 8 bytes per user, never
-    // re-touching the event table. Day index is corpus-relative via
-    // the broadcast scalar (J5).
-    "q199_activity_bitmap" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
-      val m = e.agg(min("day").as("day0"))
-      val idx = e.crossJoin(broadcast(m))
-        .select(col("user_id"), (col("day") - col("day0")).as("day"))
-      graft.operators.Cohort.activityBitmap(idx, "user_id", "day")
-        .withColumnRenamed("user", "user_id")
-    }),
-
-    // Geohash encoding (GeoFunctions.geohash over the fused
-    // InterleaveBits): the portable, prefix-hierarchical spatial cell
-    // id — 6-char cells over the ping trajectories, aggregated to a
-    // per-cell density report. Pure per-row projection + one cell
-    // aggregate.
-    "q200_geohash" -> ((s, d) =>
-      Tables.pings(s, d)
-        .select(graft.functions.GeoFunctions.geohash(
-          col("latitude"), col("longitude"), 6).as("gh"), col("uid"))
-        .groupBy("gh")
-        .agg(count(lit(1)).as("n_pings"),
-          count_distinct(col("uid")).as("n_users"))),
-
-    // TPC-H Q5-shaped six-table star join: lineitem ⋈ orders ⋈
-    // customer ⋈ supplier (the LOCAL condition c_nation = s_nation) ⋈
-    // nation ⋈ region, revenue per (region, nation, year) in exact
-    // integer cents·percent units — Catalyst's join-reorder/broadcast
-    // showcase gate; dims broadcast, the fact table shuffles once per
-    // join key.
-    "q201_tpch_like" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-        col("l_suppkey"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
-        round(col("l_discount") * 100, 0).cast("long").as("disc"))
-      val o = Tables.orders(s, d).select(col("o_orderkey"),
-        col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
-      val c = Tables.customer(s, d).select(col("c_custkey"),
-        col("c_nationkey"))
-      val su = Tables.supplier(s, d).select(col("s_suppkey"),
-        col("s_nationkey"))
-      val n = Tables.nation(s, d).select(col("n_nationkey"),
-        col("n_name"), col("n_regionkey"))
-      val r = Tables.region(s, d).select(col("r_regionkey"),
-        col("r_name"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey"))
-        .filter(col("c_nationkey") === col("s_nationkey"))
-        .join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
-          col("yr"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(expr("cents * (100 - disc)")).as("rev_c100"))
-    }),
-
-    // Rolling distinct-cardinality (the engagement-diversity window):
-    // distinct event types per user over a trailing 3-day RANGE frame,
-    // computed exactly at day grain (per-day type sets collected once,
-    // flattened across the range) — one user exchange serves both the
-    // day-grain contraction and the window.
-    "q202_rolling_distinct" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.events(s, d)
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"), col("event_type"))
-        .distinct()
-      val dayGrain = t.repartition(col("user_id"))
-        .groupBy("user_id", "day")
-        .agg(collect_set(col("event_type")).as("types"))
-      val w = Window.partitionBy("user_id").orderBy(col("day"))
-        .rangeBetween(-3, Window.currentRow)
-      dayGrain.select(col("user_id"), col("day"),
-        size(array_distinct(flatten(collect_list(col("types")).over(w))))
-          .cast("long").as("n_types_3d"))
-    }),
-
-    // Streaming engagement-bitmap materialized view
-    // (StreamMatView.runFoldBitmap over IncrementalAgg's bitmap
-    // algebra): day-sliced micro-batches OR-fold each user's activity
-    // bitmap into versioned snapshots — idempotent merge state, 8
-    // bytes per user, replay-safe beyond the version contract. The
-    // final snapshot must equal the batch q199 fold exactly.
-    "q203_stream_bitmap" -> ((s, d) => {
-      val day0 = Tables.events(s, d)
-        .agg(min(expr("ts div 86400000000000"))).head().getLong(0)
-      val dir = graft.streaming.StreamSessions
-        .stageOrderedFrames(s"q203:$d") {
-          val e = Tables.events(s, d)
-            .select(col("user_id"),
-              (expr("ts div 86400000000000") - lit(day0)).as("day"))
-          Seq(e.filter(col("day") < 10),
-            e.filter(col("day") >= 10 && col("day") < 20),
-            e.filter(col("day") >= 20))
-        }
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("user_id", LongType), StructField("day", LongType)))
-      val stateDir = graft.sources.Staging.once(s"q203state:$d") { _ => () }
-      graft.streaming.StreamMatView.runFoldBitmap(
-        graft.streaming.StreamSessions
-          .readParquetStreamThrottled(s, dir, schema),
-        Seq("user_id"), "day", stateDir, prep = identity)
-        .select(col("user_id"), col("bmp"),
-          expr("bit_count(bmp)").cast("long").as("n_active_days"))
-    }),
-
-    // RFM segmentation (Cohort.rfmSegments): recency/frequency/monetary
-    // quintile scores via the closed-form ntile (quantileBins — no
-    // global window), combined into the 3-digit segment code. One user
-    // aggregate + three bounded index passes.
-    "q204_rfm" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      graft.operators.Cohort.rfmSegments(p, "user_id", "day", "cents")
-        .withColumnRenamed("user", "user_id")
-    }),
-
-    // Day-of-week seasonality profile (Cohort.weekdayProfile): per-dow
-    // purchase volume and the exact deviation-from-mean in bps decided
-    // in DECIMAL(38,0) cross-multiplication. Two tiny aggregates.
-    "q205_dow_profile" -> ((s, d) => {
-      val p = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(expr("ts div 86400000000000").as("day"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      graft.operators.Cohort.weekdayProfile(p, "day", "cents")
-    }),
-
-    // Tiered dedup cascade — the production order: cheap URL dedup
-    // first (q183's canonicalizer), content-level normalized-exact
-    // dedup ONLY on URL survivors. The injected copy tier (every 3rd
-    // doc re-id'd at +1e6) gets fresh URLs (hash-derived), so it
-    // passes tier 1 and dies at tier 2 — both cascade arms live by
-    // construction. Per-doc verdict: url_dup | content_dup | kept.
-    "q206_dedup_cascade" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dd = docs.unionAll(
-        docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      val urlKeep = graft.operators.Dedup.urlDedup(
-          synthUrlFrame(dd.select("doc_id"), siteMod = 5, pathMod = 40,
-            idMod = 23), "url", "doc_id")
-        .select(col("doc_id"), col("keep").as("url_keep"))
-      val keyed = dd.join(urlKeep, "doc_id")
-        .withColumn("nk", md5(
-          graft.operators.Dedup.normalizeText(col("text")).cast("binary")))
-      val contentKeep = keyed.filter(col("url_keep"))
-        .groupBy("nk").agg(min("doc_id").as("ck"))
-      keyed.join(contentKeep, Seq("nk"), "left")
-        .select(col("doc_id"),
-          when(!col("url_keep"), lit("url_dup"))
-            .when(col("doc_id") =!= col("ck"), lit("content_dup"))
-            .otherwise(lit("kept")).as("verdict"))
-    }),
-
-    // Scene-change detection (Multimodal.sceneChanges): 32-byte frames
-    // off the binary payload, exact integer frame energies, boundary at
-    // a >= 1/20 relative energy jump (cross-multiplied), scene id as
-    // the running boundary count — the shot-splitting pass before
-    // per-shot dedup/captioning.
-    "q207_scene_detect" -> ((s, d) => {
-      val M = graft.operators.Multimodal
-      M.sceneChanges(
-        M.sampleChunks(
-          M.fromStrings(Tables.documents(s, d), "doc_id", "text",
-            "video/raw"),
-          chunkBytes = 32, everyK = 1),
-        tNum = 1, tDen = 20)
-    }),
-
-    // Curation scorecard: token-length band + stopword rate + q179's
-    // top-2-gram repetition, fused into one per-doc verdict via the
-    // streaming-safe rowGate (reasons in declaration order) — the
-    // single-pass quality gate a curation pipeline actually ships.
-    "q208_scorecard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val rep = graft.operators.Frequency.gopherRepetition(
-        docs, "doc_id", "text", dupN = 3).select("doc_id", "top2_bps")
-      val base = docs.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.stopwordCount(col("text")).cast("long").as("sw"))
-      val joined = base.join(rep, "doc_id")
-        .withColumn("stop_bps", expr("sw * 10000 div n_tokens"))
-        .drop("sw")
-      graft.operators.Expectations.rowGate(joined, Seq(
-        "len_range" -> (col("n_tokens") >= 25 && col("n_tokens") <= 70),
-        "stopword" -> (col("stop_bps") <= 800),
-        "repetition" -> (col("top2_bps") <= 2000)))
-    }),
-
-    // Portable table checksum (Expectations.contentChecksum): order-
-    // free md5-half sums mod 2^61 over the canonical row string — the
-    // cross-engine reconciliation triple; DuckDB recomputes it from
-    // the same parquet and must agree exactly.
-    "q209_table_checksum" -> ((s, d) =>
-      graft.operators.Expectations.contentChecksum(
-        Tables.lineitem(s, d),
-        Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_linenumber"),
-          round(col("l_quantity"), 0).cast("long"),
-          round(col("l_extendedprice") * 100, 0).cast("long"),
-          col("l_returnflag"), col("l_linestatus")))),
-
-    // Timestamp delta encoding (Packing.deltaEncode): each user's
-    // event-second series as base + comma-joined deltas with the
-    // span = sum(deltas) reconstruction certificate — the time-series
-    // storage layout, assembled by one collect-sort aggregate.
-    "q210_delta_encode" -> ((s, d) =>
-      graft.operators.Packing.deltaEncode(
-        Tables.events(s, d)
-          .select(col("user_id"), expr("ts div 1000000000").as("sec")),
-        Seq("user_id"), "sec")),
-
-    // Autocomplete prefix index (Frequency.prefixCompletions): top-3
-    // completions per 1..3-char token prefix by (count desc, token) —
-    // prefixes explode off the VOCABULARY contraction, never per
-    // occurrence.
-    "q211_autocomplete" -> ((s, d) =>
-      graft.operators.Frequency.prefixCompletions(
-        Tables.documents(s, d), "text", maxPrefix = 3, k = 3)),
-
-    // Exact group percentile report (RobustStats.groupPercentiles):
-    // p50/p95/p99 of purchase cents per event type at deterministic
-    // disc ranks — the latency-report shape, integer-exact.
-    "q212_group_percentiles" -> ((s, d) =>
-      graft.operators.RobustStats.groupPercentiles(
-        Tables.events(s, d)
-          .select(col("event_type"), col("event_id"),
-            round(col("value") * 100, 0).cast("long").as("cents")),
-        Seq("event_type"), "cents", "event_id",
-        Seq((1, 2), (19, 20), (99, 100)))),
-
-    // Set-operation breadth: INTERSECT / EXCEPT (distinct) on viewer-
-    // vs-purchaser audiences and INTERSECT ALL / EXCEPT ALL (multiset)
-    // on (user, day) activity — Spark's intersect/except/intersectAll/
-    // exceptAll against the SQL-standard twins.
-    "q213_set_ops" -> ((s, d) => {
-      // the q196 membership carve: every user touches every type in
-      // this fixture, so the distinct EXCEPT arm would be empty without
-      // per-(user, type-len) carving
-      val e = Tables.events(s, d)
-        .filter(pmod(col("user_id") + length(col("event_type")),
-          lit(5L)) =!= 0)
-      def aud(t: String) = e.filter(col("event_type") === t)
-        .select(col("user_id")).distinct()
-      def days(t: String) = e.filter(col("event_type") === t)
-        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
-      val nullDay = lit(null).cast("long")
-      aud("view").intersect(aud("purchase"))
-        .select(lit("intersect").as("op"), col("user_id"),
-          nullDay.as("day"))
-        .unionAll(aud("view").except(aud("purchase"))
-          .select(lit("except").as("op"), col("user_id"),
-            nullDay.as("day")))
-        .unionAll(days("view").intersectAll(days("purchase"))
-          .select(lit("intersect_all").as("op"), col("user_id"),
-            col("day")))
-        .unionAll(days("view").exceptAll(days("purchase"))
-          .select(lit("except_all").as("op"), col("user_id"), col("day")))
-    }),
-
-    // Idempotency-window dedup (Dedup.eventDedupWindow): a row is a
-    // duplicate iff the previous same-(user, type) arrival is within
-    // 2 h — the at-least-once ingest suppressor, batch form of q90's
-    // watermarked dropDuplicates. Adjacent-arrival rule: one lag
-    // comparison, exact.
-    "q214_event_dedup" -> ((s, d) =>
-      graft.operators.Dedup.eventDedupWindow(
-        Tables.events(s, d).select(col("user_id"), col("event_type"),
-          col("event_id"), expr("ts div 1000000000").as("sec")),
-        Seq("user_id", "event_type"), "sec", "event_id",
-        windowSec = 7200)),
-
-    // Linear multi-touch attribution (AsofJoin.linearAttribution):
-    // q140's window, equal-split credits in EXACT micro units — div
-    // per touch, remainder to the latest touch, so per-type totals
-    // conserve each purchase to the micro (the integer promise float
-    // splitting cannot make). No-touch purchases credit 'none' whole.
-    "q215_linear_attribution" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-          col("event_id"), col("event_type"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      val touches = ev
-        .filter(col("event_type").isin("click", "view"))
-        .groupBy("user_id", "ts_us")
-        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
-        .select(col("user_id"), col("ts_us"),
-          col("m.event_type").as("touch_type"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("user_id", "ts_us", "event_id", "cents")
-      graft.operators.AsofJoin.linearAttribution(purchases, touches,
-        Seq("user_id"), "ts_us", "touch_type", "cents",
-        toleranceUs = 7L * 86400L * 1000000L)
-    }),
-
-    // kNN classification over embeddings (the labeled-neighbor vote —
-    // the standard embedding-quality eval): every 20th vector is a
-    // held-out query, top-10 cosine neighbors from the rest vote, the
-    // majority label wins with (votes desc, label asc) tie-break via
-    // one struct max. Composes the audited q24 ranking; the vote adds
-    // one neighbor-label join + two label-sized aggregates.
-    "q216_knn_classify" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val isQ = pmod(col("vec_id"), lit(20L)) === 0
-      val queries = e.filter(isQ)
-      val corpus = e.filter(!isQ)
-      val nbr = graft.operators.Similarity.bruteForceTopK(
-        queries.select(col("vec_id").as("query_id"), col("embedding")),
-        corpus, k = 10)
-      val votes = nbr
-        .join(corpus.select(col("vec_id"), col("label")), "vec_id")
-        .groupBy("query_id", "label").agg(count(lit(1)).as("v"))
-      votes.groupBy("query_id")
-        .agg(max(struct(col("v"), (-col("label")).as("nl"),
-          col("label"))).as("m"))
-        .select(col("query_id"),
-          col("m.label").cast("long").as("pred_label"),
-          col("m.v").as("n_votes"))
-        .join(queries.select(col("vec_id").as("query_id"),
-          col("label").cast("long").as("true_label")), "query_id")
-        .withColumn("correct", col("pred_label") === col("true_label"))
-    }),
-
-    // Peak concurrency (the sweep-line classic): 30-min-gap sessions
-    // per user, ±1 boundary deltas, EXACT running concurrency via the
-    // range-partitioned globalCumSum (no single-partition window), the
-    // earliest instant attaining the maximum. One row out.
-    "q217_peak_concurrency" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000000000").as("sec"))
-      val w = Window.partitionBy("user_id").orderBy("sec")
-      val sess = e.withColumn("prev", lag(col("sec"), 1).over(w))
-        .withColumn("new_s",
-          (col("prev").isNull || col("sec") - col("prev") > 1800)
-            .cast("long"))
-        .withColumn("sid", sum(col("new_s")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid")
-        .agg(min("sec").as("start"), max("sec").as("end"))
-      val deltas = sess.select(col("start").as("sec"), lit(1L).as("d"))
-        .unionAll(sess.select((col("end") + 1).as("sec"),
-          lit(-1L).as("d")))
-        .groupBy("sec").agg(sum("d").as("d"))
-      // globalCumSum is an EXCLUSIVE prefix (offset semantics, its
-      // q76 contract) — concurrency AT the instant includes the
-      // instant's own delta, so add it back
-      val cum = graft.operators.Packing.globalCumSum(
-          deltas, "conc0", col("d"), col("sec"))
-        .withColumn("conc", col("conc0") + col("d"))
-      val peak = cum.agg(max("conc").as("peak"))
-      cum.crossJoin(broadcast(peak)).filter(col("conc") === col("peak"))
-        .agg(min("sec").as("at_sec"), max(col("peak")).as("peak"))
-    }),
-
-    // Conversion-latency percentiles: q123's completed funnels, time
-    // from first view to purchase, exact p50/p95 seconds per
-    // first-touch-day cohort (keyed percentile windows — never a
-    // global one). The SLA report on top of the funnel operator.
-    "q218_funnel_latency" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us"))
-      val f = graft.operators.Funnel.earliestCompletion(ev, "user_id",
-        "event_type", "ts_us", Seq("view", "click", "purchase"),
-        window = Some(24L * 3600L * 1000000L))
-      val lat = f.filter(col("n_stages") === 3)
-        .select(col("user_id"),
-          expr("t0 div 86400000000").as("day"),
-          expr("(t2 - t0) div 1000000").as("lat"))
-      graft.operators.RobustStats.groupPercentiles(
-        lat, Seq("day"), "lat", "user_id", Seq((1, 2), (19, 20)))
-    }),
-
-    // Partition-quality certificate (Graphs.modularity): Newman
-    // modularity per community over the sparse (quantity <= 2)
-    // co-purchase graph, communities = connected components — every
-    // contribution an exact rational in DECIMAL(38,0), floor'd to
-    // micro for presentation. The auditable objective behind the
-    // q37/q82 community operators.
-    "q219_modularity" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_quantity") <= 2)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, "ok").filter(col("pa") < col("pb"))
-      val nodes = li.select(col("l_partkey").as("id")).distinct()
-      val labels = graft.operators.Graphs.connectedComponents(
-        pairs, "pa", "pb", nodes, "id")
-      graft.operators.Graphs.modularity(pairs, "pa", "pb",
-        labels, "id", "component")
-    }),
-
-    // Degree-distribution profile (Graphs.degreeProfile): log2 buckets
-    // computed EXACTLY via binary-string length (an FP log2 rounds on
-    // the boundary at every power of two), share in bps — the graph
-    // health report over the co-purchase graph.
-    "q220_degree_profile" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_quantity") <= 10)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("pa"))
-      val b = li.select(col("ok"), col("l_partkey").as("pb"))
-      graft.operators.Graphs.degreeProfile(
-        a.join(b, "ok").filter(col("pa") < col("pb")), "pa", "pb")
-    }),
-
-    // Token-distribution entropy (Frequency.tokenEntropy): per-doc
-    // Shannon entropy in micro-nats under the q147 one-rounding-per-ln
-    // discipline — the vocabulary-flatness quality signal.
-    "q221_token_entropy" -> ((s, d) =>
-      graft.operators.Frequency.tokenEntropy(
-        Tables.documents(s, d), "doc_id", "text")),
-
-    // Simpson diversity (Frequency.simpsonDiversity): exact rational
-    // two-draw concentration per user over event types, bps, no float
-    // anywhere — the integer-only sibling of q221.
-    "q222_simpson" -> ((s, d) =>
-      graft.operators.Frequency.simpsonDiversity(
-        Tables.events(s, d), Seq("user_id"), "event_type")),
-
-    // Per-column null-rate profile (Expectations.nullProfile): ONE
-    // scan, paired conditional aggregates exploded to report rows;
-    // deterministic null injection keeps zero / low / high arms live.
-    "q223_null_profile" -> ((s, d) =>
-      graft.operators.Expectations.nullProfile(
-        Tables.events(s, d).select(col("event_type"),
-          when(pmod(col("event_id"), lit(7L)) === 0, lit(null))
-            .otherwise(col("value")).as("value_n"),
-          when(pmod(col("event_id"), lit(11L)) === 0, lit(null))
-            .otherwise(col("props")).as("props_n")),
-        Seq("event_type", "value_n", "props_n"))),
-
-    // Key-skew report (Salting.skewReport): the diagnosis before a
-    // salt factor — token frequencies are the canonical hot-key case
-    // (stopwords own the corpus). TakeOrdered top-10, never a global
-    // key funnel.
-    "q224_skew_report" -> ((s, d) =>
-      graft.operators.Salting.skewReport(
-        Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("token"))
-          .filter(length(col("token")) > 0),
-        "token", k = 10)),
-
-    // Contingency cross-tab with exact per-cell chi-square micro
-    // contributions (Frequency.contingencyChi2): event type x day of
-    // week — the global association report behind q149's per-token cut.
-    "q225_crosstab_chi2" -> ((s, d) =>
-      graft.operators.Frequency.contingencyChi2(
-        Tables.events(s, d).select(col("event_type"),
-          pmod(expr("ts div 86400000000000"), lit(7L)).as("dow")),
-        "event_type", "dow")),
-
-    // Exact two-proportion A/B test (Experiment.twoProportionTest):
-    // z² >= 1.96² decided by DECIMAL cross-multiplication — no sqrt,
-    // no float. Three user cohorts: va = even users (random half),
-    // vb/vc = odd users split by engagement (< / >= 67 events), with
-    // conversion = 14+ purchases; engagement correlates with
-    // conversion, so (vb, vc) is significant at every scale, while
-    // (va, vd) — two random halves of the even users — draws from ONE
-    // distribution and can never become significant at any sample
-    // size: both verdict arms live at every sf by construction.
-    "q226_ab_test" -> ((s, d) => {
-      val u = Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("ne"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("np"))
-        .select(
-          when(pmod(col("user_id"), lit(4L)) === 0, lit("va"))
-            .when(pmod(col("user_id"), lit(4L)) === 2, lit("vd"))
-            .when(col("ne") < 67, lit("vb"))
-            .otherwise(lit("vc")).as("variant"),
-          (col("np") >= 14).as("converted"))
-      graft.operators.Experiment.twoProportionTest(
-        u, "variant", col("converted"))
-    })
-  )
-
-  /** Shared oracle CTEs for q47/q56: bigram-jaccard anchor pairs then the
-    * recursive reachability closure. sh/pairs must be MATERIALIZED —
-    * DuckDB inlines CTEs by default, and `pairs` is referenced twice
-    * (56 s inlined vs 1.4 s materialized at sf0.01, identical result).
-    */
-  private val ccReachCtes: String =
-    """WITH RECURSIVE sh AS MATERIALIZED (
-      |  SELECT doc_id AS id, list_distinct(list_transform(
-      |    range(1, len(string_split(text, ' '))),
-      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
-      |  )) AS bg FROM documents),
-      |pairs AS MATERIALIZED (
-      |  SELECT a.id AS id_a, b.id AS id_b
-      |  FROM (SELECT * FROM sh ORDER BY id LIMIT 50) a
-      |  JOIN sh b ON a.id < b.id
-      |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-      |      / len(list_distinct(a.bg || b.bg)) >= 0.05),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-      |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM documents
-      |  UNION
-      |  SELECT e.dst AS id, reach.r AS r
-      |  FROM e JOIN reach ON e.src = reach.id)""".stripMargin
-
-  /** q29 oracle: the minhash-LSH candidate pipeline re-expressed in DuckDB
-    * SQL. Cross-engine reproducible because (a) the base hash is the
-    * md5-derived [[graft.functions.TextFunctions.portableHash32]] and (b)
-    * band buckets key on the band VALUE tuple, not an engine-specific
-    * hash. Parameters mirror the q29 call exactly: 3-gram shingles, k=32
-    * permutations, 8 bands of 4 rows, bucket cap 64.
-    */
-  /** Deterministic synthetic URL per doc id (shared by q183/q206):
-    * every canonicalization rule is exercised — mixed-case scheme/host,
-    * default ports, doubled trailing slashes, tracking params,
-    * fragments — and every branch derives from the same md5 hash, so
-    * the oracle reproduces each byte.
-    */
-  private def synthUrlFrame(ids: org.apache.spark.sql.DataFrame,
-                            siteMod: Long = 5, pathMod: Long = 10,
-                            idMod: Long = 10)
-  : org.apache.spark.sql.DataFrame = {
-    val withH = ids
-      .withColumn("__h", graft.functions.TextFunctions.portableHash32(
-        concat(lit("url"), col("doc_id").cast("string"))))
-    val h = col("__h")
-    val idp = pmod(col("doc_id"), lit(idMod)).cast("string")
-    val qcase = expr("(__h div 16) % 4")
-    val url = concat(
-      when(h % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-      lit("://"),
-      when(expr("(__h div 2) % 2") === 0, lit("www.Site"))
-        .otherwise(lit("WWW.site")),
-      pmod(h, lit(siteMod)).cast("string"), lit(".Com"),
-      when(h % 2 === 0 && expr("(__h div 4) % 3") === 0, lit(":80"))
-        .when(h % 2 === 1 && expr("(__h div 4) % 3") === 1, lit(":443"))
-        .otherwise(lit("")),
-      lit("/Docs/"), pmod(col("doc_id"), lit(pathMod)).cast("string"),
-      when(expr("(__h div 8) % 3") === 0, lit("/"))
-        .when(expr("(__h div 8) % 3") === 1, lit("//"))
-        .otherwise(lit("")),
-      when(qcase === 0, concat(lit("?utm_source=feed&id="), idp))
-        .when(qcase === 1, concat(lit("?id="), idp, lit("&ref=tw")))
-        .when(qcase === 2, lit("?utm_campaign=x"))
-        .otherwise(lit("")),
-      when(expr("(__h div 64) % 2") === 0,
-        concat(lit("#sec"), pmod(h, lit(3L)).cast("string")))
-        .otherwise(lit("")))
-    withH.withColumn("url", url).drop("__h")
+  /** DuckDB oracle twin per `queries` entry (driver correctness gate). */
+  def oracleSql: Map[String, String] = {
+    val merged = slices.map(_.oracles)
+    val m = merged.reduce(_ ++ _)
+    require(m.size == merged.map(_.size).sum,
+      "duplicate oracle name across graft.queries slices")
+    m
   }
-
-  /** The u/raw/c oracle CTEs for [[synthUrlFrame]]'s synthesis +
-    * canonicalization, parameterized over the doc-id source relation
-    * (q183 runs it on `documents`, q206 on the dup-injected union).
-    */
-  private def sqlUrlCanonCtes(src: String, siteMod: Long = 5,
-                              pathMod: Long = 10, idMod: Long = 10)
-  : String =
-    s"""u AS (
-       |  SELECT doc_id,
-       |    CAST(('0x' || substr(md5('url' || CAST(doc_id AS VARCHAR)),
-       |      1, 8)) AS BIGINT) AS h
-       |  FROM $src),
-       |raw AS (
-       |  SELECT doc_id,
-       |    (CASE WHEN h % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
-       |    || (CASE WHEN (h // 2) % 2 = 0 THEN 'www.Site'
-       |        ELSE 'WWW.site' END)
-       |    || CAST(h % $siteMod AS VARCHAR) || '.Com'
-       |    || (CASE WHEN h % 2 = 0 AND (h // 4) % 3 = 0 THEN ':80'
-       |        WHEN h % 2 = 1 AND (h // 4) % 3 = 1 THEN ':443'
-       |        ELSE '' END)
-       |    || '/Docs/' || CAST(doc_id % $pathMod AS VARCHAR)
-       |    || (CASE WHEN (h // 8) % 3 = 0 THEN '/'
-       |        WHEN (h // 8) % 3 = 1 THEN '//' ELSE '' END)
-       |    || (CASE WHEN (h // 16) % 4 = 0
-       |          THEN '?utm_source=feed&id=' || CAST(doc_id % $idMod AS VARCHAR)
-       |        WHEN (h // 16) % 4 = 1
-       |          THEN '?id=' || CAST(doc_id % $idMod AS VARCHAR) || '&ref=tw'
-       |        WHEN (h // 16) % 4 = 2 THEN '?utm_campaign=x'
-       |        ELSE '' END)
-       |    || (CASE WHEN (h // 64) % 2 = 0
-       |          THEN '#sec' || CAST(h % 3 AS VARCHAR) ELSE '' END) AS url
-       |  FROM u),
-       |c AS (
-       |  SELECT doc_id, url,
-       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
-       |    || regexp_replace(lower(regexp_extract(url,
-       |         '^[A-Za-z]+://([^/?#]*)', 1)), ':(80|443)$$', '')
-       |    || regexp_replace(regexp_extract(url,
-       |         '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/+$$', '')
-       |    || (CASE WHEN regexp_extract(regexp_extract(url, '\\?([^#]*)', 1),
-       |           '(^|&)id=([^&]*)', 2) <> ''
-       |         THEN '?id=' || regexp_extract(regexp_extract(url,
-       |           '\\?([^#]*)', 1), '(^|&)id=([^&]*)', 2)
-       |         ELSE '' END) AS canonical_url
-       |  FROM raw)"""
-
-  /** The q123 funnel stage CTEs (e/f0/f1/f2) — shared with q218's
-    * conversion-latency percentiles. No leading pipe on the first line
-    * and no own stripMargin (the q183/q206 double-strip trap).
-    */
-  private val sqlFunnelCtes: String =
-    """e AS (
-      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-      |f0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
-      |       WHERE event_type = 'view' GROUP BY user_id),
-      |f1 AS (SELECT e.user_id, f0.t0, min(e.ts_us) AS t1
-      |       FROM e JOIN f0 USING (user_id)
-      |       WHERE e.event_type = 'click' AND e.ts_us > f0.t0
-      |         AND e.ts_us <= f0.t0 + 86400000000
-      |       GROUP BY e.user_id, f0.t0),
-      |f2 AS (SELECT e.user_id, min(e.ts_us) AS t2
-      |       FROM e JOIN f1 USING (user_id)
-      |       WHERE e.event_type = 'purchase' AND e.ts_us > f1.t1
-      |         AND e.ts_us <= f1.t0 + 86400000000
-      |       GROUP BY e.user_id)"""
-
-  /** q126 oracle: exact trigram-Jaccard self-join, every candidate pair
-    * verified via the element equi-join intersection (no prefix filter —
-    * the operator's pruning must be lossless against this). Shared with
-    * q190's evaluation gate as its exact ground truth.
-    */
-  private val sqlQ126SetSim: String =
-    """WITH toks AS MATERIALIZED (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |el AS MATERIALIZED (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
-      |  FROM toks),
-      |sz AS MATERIALIZED (
-      |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT i.id_a, i.id_b,
-      |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
-      |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
-      |JOIN sz sb ON sb.doc_id = i.id_b
-      |WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)""".stripMargin
-
-  private val sqlQ29Minhash: String = {
-    val k = 32; val bands = 8; val rows = k / bands; val maxBucket = 64
-    val p = 2147483647L
-    val mins = (0 until k).map { i =>
-      val a = 1L + 2L * i
-      val b = 12582917L * (i + 1)
-      s"    min((h * $a + $b) % $p) AS m$i"
-    }.mkString(",\n")
-    val bandSelects = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => s"m${b * rows + r}")
-      if (b == 0)
-        "  SELECT doc_id, 0 AS band, " +
-          cols.zipWithIndex.map { case (c, j) => s"$c AS x$j" }
-            .mkString(", ") + " FROM sig"
-      else s"  UNION ALL SELECT doc_id, $b, " + cols.mkString(", ") + " FROM sig"
-    }.mkString("\n")
-    val xEq = (0 until rows).map(j => s"a.x$j = b.x$j").mkString(" AND ")
-    val sEq = (0 until rows).map(j => s"s.x$j = a.x$j").mkString(" AND ")
-    val xCols = (0 until rows).map(j => s"x$j").mkString(", ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS MATERIALIZED (
-       |  SELECT doc_id, CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS h
-       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
-       |sig AS MATERIALIZED (
-       |  SELECT doc_id,
-       |$mins
-       |  FROM sh GROUP BY doc_id),
-       |banded AS MATERIALIZED (
-       |$bandSelects),
-       |sized AS (SELECT band, $xCols, count(*) AS n FROM banded GROUP BY ALL)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM banded a
-       |JOIN banded b ON a.band = b.band AND $xEq AND a.doc_id < b.doc_id
-       |JOIN sized s ON s.band = a.band AND $sEq
-       |WHERE s.n <= $maxBucket""".stripMargin
-  }
-
-  /** q83 oracle: the cross-batch minhash near-dup gate in DuckDB SQL —
-    * the q29 signature/banding CTEs computed once over all documents,
-    * split into history (doc_id % 3 <> 0) and incoming (= 0) sides,
-    * bucket cap applied to the HISTORY side only (mirroring the
-    * operator's index-side cap), full-signature agreement count, then
-    * the smallest qualifying historical id per incoming doc.
-    */
-  /** q94 oracle: the md5-portable signature pipeline's BAND-COLLISION
-    * pairs between the 1/30 incoming slice and the %3!=0 history — the
-    * q83 candidate structure without the hot-bucket cap or the
-    * agree_k verification (the stream gate is the early filter in front
-    * of both).
-    */
-  private val sqlQ94StreamGate: String = {
-    val k = 32; val bands = 8; val rows = k / bands
-    val p = 2147483647L
-    val mins = (0 until k).map { i =>
-      val a = 1L + 2L * i
-      val b = 12582917L * (i + 1)
-      s"    min((h * $a + $b) % $p) AS m$i"
-    }.mkString(",\n")
-    def bandSelects(src: String) = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => s"m${b * rows + r}")
-      if (b == 0)
-        s"  SELECT doc_id, 0 AS band, " +
-          cols.zipWithIndex.map { case (c, j) => s"$c AS x$j" }
-            .mkString(", ") + s" FROM $src"
-      else s"  UNION ALL SELECT doc_id, $b, " + cols.mkString(", ") +
-        s" FROM $src"
-    }.mkString("\n")
-    val xEq = (0 until rows).map(j => s"i.x$j = h.x$j").mkString(" AND ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS MATERIALIZED (
-       |  SELECT doc_id, CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS h
-       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
-       |sig AS MATERIALIZED (
-       |  SELECT doc_id,
-       |$mins
-       |  FROM sh GROUP BY doc_id),
-       |hsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 3 <> 0),
-       |isig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 30 = 0),
-       |hband AS MATERIALIZED (
-       |${bandSelects("hsig")}),
-       |iband AS MATERIALIZED (
-       |${bandSelects("isig")})
-       |SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
-       |FROM iband i
-       |JOIN hband h ON i.band = h.band AND $xEq""".stripMargin
-  }
-
-  private val sqlQ83Incremental: String = {
-    val k = 32; val bands = 8; val rows = k / bands; val maxBucket = 64
-    val minAgreeK = 16
-    val p = 2147483647L
-    val mins = (0 until k).map { i =>
-      val a = 1L + 2L * i
-      val b = 12582917L * (i + 1)
-      s"    min((h * $a + $b) % $p) AS m$i"
-    }.mkString(",\n")
-    def bandSelects(src: String) = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => s"m${b * rows + r}")
-      if (b == 0)
-        s"  SELECT doc_id, 0 AS band, " +
-          cols.zipWithIndex.map { case (c, j) => s"$c AS x$j" }
-            .mkString(", ") + s" FROM $src"
-      else s"  UNION ALL SELECT doc_id, $b, " + cols.mkString(", ") +
-        s" FROM $src"
-    }.mkString("\n")
-    val xEq = (0 until rows).map(j => s"i.x$j = h.x$j").mkString(" AND ")
-    val sEq = (0 until rows).map(j => s"s.x$j = h.x$j").mkString(" AND ")
-    val xCols = (0 until rows).map(j => s"x$j").mkString(", ")
-    val agree = (0 until k).map(i =>
-      s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS MATERIALIZED (
-       |  SELECT doc_id, CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS h
-       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
-       |sig AS MATERIALIZED (
-       |  SELECT doc_id,
-       |$mins
-       |  FROM sh GROUP BY doc_id),
-       |hsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 3 <> 0),
-       |isig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 3 = 0),
-       |hband AS MATERIALIZED (
-       |${bandSelects("hsig")}),
-       |iband AS MATERIALIZED (
-       |${bandSelects("isig")}),
-       |hsized AS (SELECT band, $xCols, count(*) AS n
-       |  FROM hband GROUP BY ALL),
-       |cand AS (
-       |  SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
-       |  FROM iband i
-       |  JOIN hband h ON i.band = h.band AND $xEq
-       |  JOIN hsized s ON s.band = h.band AND $sEq
-       |  WHERE s.n <= $maxBucket)
-       |SELECT c.in_id, c.hist_id, CAST($agree AS BIGINT) AS agree_k
-       |FROM cand c
-       |JOIN isig a ON a.doc_id = c.in_id
-       |JOIN hsig b ON b.doc_id = c.hist_id
-       |WHERE $agree >= $minAgreeK
-       |QUALIFY row_number() OVER (PARTITION BY c.in_id
-       |  ORDER BY c.hist_id) = 1""".stripMargin
-  }
-
-  /** q86 oracle: DuckDB's native ASOF join with the staleness bound
-    * applied as a projection (matches further back than the tolerance
-    * null out, exactly like the operator's windowed form).
-    */
-  private val sqlQ86AsofTolerance: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-      |    event_type, value FROM events),
-      |p AS (SELECT user_id AS p_uid, ts_us AS pts, value AS pval
-      |  FROM e WHERE event_type = 'purchase')
-      |SELECT e.user_id, e.event_id,
-      |  CASE WHEN e.ts_us - p.pts <= 3600000000 THEN p.pts END
-      |    AS purchase_ts,
-      |  CASE WHEN e.ts_us - p.pts <= 3600000000 THEN p.pval END
-      |    AS purchase_value
-      |FROM e ASOF LEFT JOIN p
-      |  ON e.user_id = p.p_uid AND e.ts_us >= p.pts""".stripMargin
-
-  /** q30 oracle: per-doc simhash signatures as two unsigned 32-bit halves.
-    * Same portable-md5 shingle hash and bit-vote tallies as sqlQ57Simhash;
-    * the halves stay in non-negative BIGINT, sidestepping the signed-64
-    * packing DuckDB's overflow-checked arithmetic rejects.
-    */
-  private val sqlQ30Simhash: String = {
-    val tallies = (0 until 64).map { j =>
-      val half = if (j < 32) "lo" else "hi"
-      val shift = j % 32
-      s"    sum(CASE WHEN $half IS NULL THEN 0 WHEN (($half >> $shift) & 1) = 1" +
-        s" THEN 1 ELSE -1 END) AS v$j"
-    }.mkString(",\n")
-    def packed(lo: Int): String = (0 until 32).map { j =>
-      s"(CASE WHEN v${lo + j} > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS hi,
-       |    CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 9, 8) AS BIGINT) AS lo
-       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
-       |  UNION ALL
-       |  SELECT doc_id, NULL, NULL FROM toks WHERE t IS NULL OR len(t) < 3),
-       |v AS MATERIALIZED (
-       |  SELECT doc_id,
-       |$tallies
-       |  FROM sh GROUP BY doc_id)
-       |SELECT doc_id,
-       |  CAST(${packed(32)} AS BIGINT) AS sh_hi,
-       |  CAST(${packed(0)} AS BIGINT) AS sh_lo
-       |FROM v""".stripMargin
-  }
-
-  /** q32 oracle: the LSH-bucketed ANN in DuckDB SQL. Bucket bits come from
-    * the portable md5 plane table (graft.plans.LshPlanes: u = md5_32 of
-    * "seed:bit:pos" / 2^31 − 1 — exact double ops), and the projection is
-    * a `list_reduce` sequential fold, matching the fused codegen loop's
-    * element-order accumulation bit for bit. Multi-probe radius 1 at
-    * bits=4 = XOR masks {0,1,2,4,8}; cosine + rank as in the q24 oracle.
-    * The hot-bucket cap (2^20) cannot fire at gate scale and is omitted.
-    */
-  private val sqlQ32LshTopK: String = {
-    val bits = 4; val seed = 42L
-    def proj(i: Int) =
-      s"""      list_reduce(list_transform(range(len(embedding)), pos ->
-         |        CAST(embedding[pos + 1] AS DOUBLE) *
-         |        (CAST(('0x' || substr(md5('$seed:$i:' || pos), 1, 8)) AS BIGINT)
-         |          / 2147483648.0 - 1.0)), (a, b) -> a + b) AS p$i""".stripMargin
-    val projs = (0 until bits).map(proj).mkString(",\n")
-    val pack = (0 until bits)
-      .map(i => s"(CASE WHEN p$i >= 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
-    val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString(", ")
-    s"""WITH buck AS MATERIALIZED (
-       |  SELECT vec_id, embedding, $pack AS bucket FROM (
-       |    SELECT vec_id, embedding,
-       |$projs
-       |    FROM embeddings)),
-       |qprobe AS (
-       |  SELECT vec_id AS query_id, embedding AS q_emb,
-       |    xor(bucket, m) AS bucket
-       |  FROM buck, unnest([$masks]) AS t(m)
-       |  WHERE vec_id < 5),
-       |scored AS (
-       |  SELECT DISTINCT q.query_id, c.vec_id,
-       |    round(list_sum(list_transform(list_zip(c.embedding, q.q_emb),
-       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-       |      / (sqrt(list_sum(list_transform(c.embedding,
-       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform(q.q_emb,
-       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-       |  FROM buck c JOIN qprobe q USING (bucket)),
-       |ranked AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
-  }
-
-  /** q40 oracle: seeded-quantizer IVF in DuckDB SQL. Centroids = the 16
-    * corpus vectors with smallest md5(vec_id) (cells numbered in that
-    * order); assignment/probing rank round-6 cosine with ties to the
-    * smallest cell, mirroring ivfTopKSeeded exactly.
-    */
-  private val sqlQ40IvfTopK: String = {
-    val nlist = 16; val nprobe = 3
-    def cos(a: String, b: String) =
-      s"""round(list_sum(list_transform(list_zip($a, $b),
-         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         |      / (sqrt(list_sum(list_transform($a,
-         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-         |       * sqrt(list_sum(list_transform($b,
-         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6)""".stripMargin
-    s"""WITH cents AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-       |      vec_id) AS cell,
-       |    embedding AS centroid
-       |  FROM embeddings
-       |  QUALIFY cell <= $nlist),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
-       |          c.cell ASC) AS arank
-       |    FROM embeddings e, cents c)
-       |  WHERE arank = 1),
-       |qcells AS (
-       |  SELECT query_id, q_emb, cell FROM (
-       |    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
-       |          c.cell ASC) AS crank
-       |    FROM embeddings e, cents c
-       |    WHERE e.vec_id < 5)
-       |  WHERE crank <= $nprobe),
-       |scored AS (
-       |  SELECT q.query_id, a.vec_id,
-       |    ${cos("a.embedding", "q.q_emb")} AS sim
-       |  FROM assigned a JOIN qcells q USING (cell)),
-       |ranked AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
-  }
-
-  /** q109 oracle: Graphs.pageRank's fixed-iteration power method unrolled
-    * as 10 chained MATERIALIZED CTEs (DuckDB inlines CTEs by default; the
-    * symmetric edge list and degree table are referenced every round).
-    * The damping constants are emitted as exact double literals so both
-    * engines evaluate the identical IEEE expression; the per-node
-    * contribution sums are the one place summation order differs, hence
-    * the round-6 on both sides.
-    */
-  private val sqlQ109PageRank: String = {
-    val iters = 10; val damping = 0.85
-    val baseLit = (1.0 - damping).toString
-    val prs = (1 to iters).map { i =>
-      s"""pr$i AS MATERIALIZED (
-         |  SELECT g.id,
-         |    (SELECT CAST($baseLit AS DOUBLE) / n FROM nn)
-         |      + CAST($damping AS DOUBLE) * s.s AS rank
-         |  FROM deg g JOIN (
-         |    SELECT sym.dst AS id, sum(p.rank / dg.deg) AS s
-         |    FROM sym JOIN pr${i - 1} p ON sym.src = p.id
-         |    JOIN deg dg ON dg.id = p.id
-         |    GROUP BY sym.dst) s ON g.id = s.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey % 997 AS src,
-       |    1000 + l_partkey % 997 AS dst
-       |  FROM lineitem),
-       |sym AS MATERIALIZED (
-       |  SELECT src, dst FROM e0 WHERE src <> dst
-       |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
-       |deg AS MATERIALIZED (
-       |  SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
-       |nn AS (SELECT count(*) AS n FROM deg),
-       |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
-       |$prs
-       |SELECT id, round(rank, 6) AS rank FROM pr$iters""".stripMargin
-  }
-
-  /** q113 oracle: the full PQ/ADC pipeline in DuckDB — hash-ordered
-    * codebook (the q40 seeded-quantizer trick), per-subspace slices,
-    * round-6 argmin encoding with ties to the smallest code, lookup-table
-    * scoring, rank with ties to vec_id. Per-row sub-distances are
-    * bit-exact across engines (sequential fold both sides); only the
-    * 8-term ADC sum needs the round-6.
-    */
-  private val sqlQ113PqAnn: String = {
-    val m = 8; val sd = 8; val codes = 16; val k = 10
-    def l2(a: String, b: String) =
-      s"""list_sum(list_transform(list_zip($a, $b),
-         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
-    s"""WITH cbb AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-       |      vec_id) AS code,
-       |    embedding
-       |  FROM embeddings
-       |  QUALIFY code <= $codes),
-       |subs AS (SELECT unnest(range(0, $m)) AS sub),
-       |cb AS MATERIALIZED (
-       |  SELECT code, sub, embedding[sub*$sd+1 : sub*$sd+$sd] AS cvec
-       |  FROM cbb, subs),
-       |corp AS MATERIALIZED (
-       |  SELECT vec_id, sub, embedding[sub*$sd+1 : sub*$sd+$sd] AS svec
-       |  FROM embeddings, subs),
-       |enc AS MATERIALIZED (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT c.vec_id, c.sub, b.code,
-       |      row_number() OVER (PARTITION BY c.vec_id, c.sub
-       |        ORDER BY round(${l2("c.svec", "b.cvec")}, 6) ASC,
-       |          b.code ASC) AS rn
-       |    FROM corp c JOIN cb b USING (sub))
-       |  WHERE rn = 1),
-       |qt AS MATERIALIZED (
-       |  SELECT q.vec_id AS query_id, q.sub, b.code,
-       |    round(${l2("q.svec", "b.cvec")}, 6) AS qdist
-       |  FROM corp q JOIN cb b USING (sub)
-       |  WHERE q.vec_id < 5),
-       |adc AS (
-       |  SELECT q.query_id, e.vec_id, round(sum(q.qdist), 6) AS adist
-       |  FROM enc e JOIN qt q ON q.sub = e.sub AND q.code = e.code
-       |  GROUP BY q.query_id, e.vec_id)
-       |SELECT query_id, vec_id, adist, rank FROM (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM adc)
-       |WHERE rank <= $k""".stripMargin
-  }
-
-  /** q119 oracle: the IVF-PQ index build + query path in DuckDB — q40's
-    * seeded coarse quantizer (cells, round-6 cosine assignment, ties to
-    * the smallest cell) composed with q113's PQ machinery (codebook,
-    * round-6 L2 argmin encoding, ADC tables), pruned to each query's
-    * nprobe cells.
-    */
-  private val sqlQ119IvfPq: String = {
-    val nlist = 16; val nprobe = 4; val m = 8; val sd = 8
-    val codes = 16; val k = 10
-    def l2(a: String, b: String) =
-      s"""list_sum(list_transform(list_zip($a, $b),
-         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
-    def cos(a: String, b: String) =
-      s"""round(list_sum(list_transform(list_zip($a, $b),
-         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         |      / (sqrt(list_sum(list_transform($a,
-         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-         |       * sqrt(list_sum(list_transform($b,
-         |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6)""".stripMargin
-    val sl = s"e.embedding[s.sub*$sd+1 : s.sub*$sd+$sd]"
-    val sla = s"a.embedding[s.sub*$sd+1 : s.sub*$sd+$sd]"
-    s"""WITH cents AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-       |      vec_id) AS cell,
-       |    embedding AS centroid
-       |  FROM embeddings QUALIFY cell <= $nlist),
-       |cbb AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-       |      vec_id) AS code,
-       |    embedding
-       |  FROM embeddings QUALIFY code <= $codes),
-       |subs AS (SELECT unnest(range(0, $m)) AS sub),
-       |cb AS MATERIALIZED (
-       |  SELECT code, sub, embedding[sub*$sd+1 : sub*$sd+$sd] AS cvec
-       |  FROM cbb, subs),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
-       |          c.cell ASC) AS arank
-       |    FROM embeddings e, cents c)
-       |  WHERE arank = 1),
-       |enc AS MATERIALIZED (
-       |  SELECT vec_id, cell, sub, code FROM (
-       |    SELECT a.vec_id, a.cell, s.sub, b.code,
-       |      row_number() OVER (PARTITION BY a.vec_id, s.sub
-       |        ORDER BY round(${l2(sla, "b.cvec")}, 6) ASC,
-       |          b.code ASC) AS rn
-       |    FROM assigned a, subs s JOIN cb b ON b.sub = s.sub)
-       |  WHERE rn = 1),
-       |qcells AS MATERIALIZED (
-       |  SELECT query_id, cell FROM (
-       |    SELECT e.vec_id AS query_id, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos("e.embedding", "c.centroid")} DESC,
-       |          c.cell ASC) AS crank
-       |    FROM embeddings e, cents c WHERE e.vec_id < 5)
-       |  WHERE crank <= $nprobe),
-       |qt AS MATERIALIZED (
-       |  SELECT e.vec_id AS query_id, s.sub, b.code,
-       |    round(${l2(sl, "b.cvec")}, 6) AS qdist
-       |  FROM embeddings e, subs s JOIN cb b ON b.sub = s.sub
-       |  WHERE e.vec_id < 5),
-       |adc AS (
-       |  SELECT q.query_id, e.vec_id, round(sum(t.qdist), 6) AS adist
-       |  FROM enc e JOIN qcells q ON q.cell = e.cell
-       |  JOIN qt t ON t.query_id = q.query_id AND t.sub = e.sub
-       |    AND t.code = e.code
-       |  GROUP BY q.query_id, e.vec_id)
-       |SELECT query_id, vec_id, adist, rank FROM (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM adc)
-       |WHERE rank <= $k""".stripMargin
-  }
-
-  /** q145 oracle: the integer-exact Lloyd trajectory unrolled as
-    * materialized CTEs — same quantization, same hash-ordered seed, same
-    * (dist, j) argmin tie-break, same round-half-up integer mean
-    * ((2s+n)//(2n) on non-negative sums), same keep-previous rule for
-    * empty centroids. Exact integer arithmetic end to end, so the final
-    * assignment AND distances hash-match bit-for-bit.
-    */
-  private val sqlQ145KMeans: String =
-    s"""WITH ${kmeansCtes(8, 4)}
-       |SELECT vec_id, j AS cluster, CAST(fdist AS BIGINT) AS dist
-       |FROM fin WHERE rn = 1""".stripMargin
-
-  /** Shared q164/q165 CTEs: the synthetic image's channel formulas
-    * (Multimodal.synthImages) fed through the 8×8 aHash — sample grid
-    * (x·w div 8, y·h div 8), integer ITU-601 luma, strict-mean bits,
-    * bits packed into two BIGINT halves (bit p of a half contributes
-    * 2^p with p <= 31 — no sign-bit arithmetic anywhere).
-    */
-  private val sqlPhashCtes: String =
-    """WITH dims AS (
-      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      |  FROM documents),
-      |px AS (
-      |  SELECT doc_id, p,
-      |    (doc_id + 3 * (((p % 8) * w) // 8)
-      |      + 7 * (((p // 8) * h) // 8)) % 256 AS r,
-      |    (2 * doc_id + 5 * (((p % 8) * w) // 8)
-      |      + (((p // 8) * h) // 8)) % 256 AS g,
-      |    (3 * doc_id + (((p % 8) * w) // 8)
-      |      + 2 * (((p // 8) * h) // 8)) % 256 AS b
-      |  FROM dims, unnest(range(64)) AS t(p)),
-      |lum AS (
-      |  SELECT doc_id, p, 299 * r + 587 * g + 114 * b AS l FROM px),
-      |tot AS (
-      |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS s FROM lum GROUP BY 1),
-      |bits AS (
-      |  SELECT l.doc_id, l.p,
-      |    CASE WHEN l.l * 64 > t.s THEN 1 ELSE 0 END AS bit
-      |  FROM lum l JOIN tot t USING (doc_id)),
-      |hh AS (
-      |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN p >= 32
-      |      THEN bit * (CAST(2 AS BIGINT) ^ CAST(p - 32 AS BIGINT))
-      |      ELSE 0 END) AS BIGINT) AS hi,
-      |    CAST(sum(CASE WHEN p < 32
-      |      THEN bit * (CAST(2 AS BIGINT) ^ CAST(p AS BIGINT))
-      |      ELSE 0 END) AS BIGINT) AS lo
-      |  FROM bits GROUP BY 1)""".stripMargin
-
-  /** Shared k-means trajectory CTEs (through `fin`) for the q145 and
-    * q154 oracles — one source of truth for the unrolled Lloyd rounds.
-    */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
-    def dist(a: String, b: String) =
-      s"""list_sum(list_transform(list_zip($a, $b),
-         |        x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
-    val sb = new StringBuilder
-    sb.append(
-      s"""q AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round((CAST(x AS DOUBLE) + 1) * 10000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |c0 AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |      vec_id) AS j, qv AS cv
-         |  FROM q QUALIFY j <= $k),
-         |""".stripMargin)
-    for (r <- 1 to rounds) {
-      val p = r - 1
-      sb.append(
-        s"""a$r AS MATERIALIZED (
-           |  SELECT vec_id, qv, j FROM (
-           |    SELECT q.vec_id, q.qv, c.j,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${dist("q.qv", "c.cv")} ASC, c.j ASC) AS rn
-           |    FROM q, c$p c) WHERE rn = 1),
-           |m$r AS (
-           |  SELECT j, list(CAST((2*s + n)//(2*n) AS BIGINT) ORDER BY d) AS cv
-           |  FROM (
-           |    SELECT j, d, sum(e) AS s, count(*) AS n FROM (
-           |      SELECT j, generate_subscripts(qv, 1) AS d, unnest(qv) AS e
-           |      FROM a$r) GROUP BY j, d)
-           |  GROUP BY j),
-           |c$r AS MATERIALIZED (
-           |  SELECT pc.j, coalesce(mv.cv, pc.cv) AS cv
-           |  FROM c$p pc LEFT JOIN m$r mv ON mv.j = pc.j),
-           |""".stripMargin)
-    }
-    sb.append(
-      s"""fin AS (
-         |  SELECT q.vec_id, c.j,
-         |    ${dist("q.qv", "c.cv")} AS fdist,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${dist("q.qv", "c.cv")} ASC, c.j ASC) AS rn
-         |  FROM q, c$rounds c)""".stripMargin)
-    sb.toString
-  }
-
-  /** q154 oracle: the q145 trajectory's final assignment, then the
-    * intra-cluster integer-cosine prune — same signed quantization
-    * (positive-domain round, then unshift), same cross-multiplied
-    * threshold in HUGEINT (tau = 2/5: 25·dot² >= 4·|a|²·|b|², dot > 0),
-    * same smallest-id-wins drop rule.
-    */
-  private val sqlQ154SemDedup: String =
-    s"""WITH ${kmeansCtes(8, 4)},
-       |asg AS MATERIALIZED (
-       |  SELECT vec_id, j AS cluster FROM fin WHERE rn = 1),
-       |sv AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round((CAST(x AS DOUBLE) + 1) * 1000) - 1000
-       |      AS BIGINT)) AS sv
-       |  FROM embeddings),
-       |sn AS MATERIALIZED (
-       |  SELECT s.vec_id, a.cluster, s.sv,
-       |    CAST(list_sum(list_transform(s.sv, x -> x * x)) AS BIGINT)
-       |      AS n2
-       |  FROM sv s JOIN asg a USING (vec_id)),
-       |pr AS (
-       |  SELECT b.vec_id AS bid, a.n2 AS na2, b.n2 AS nb2,
-       |    CAST(list_sum(list_transform(list_zip(a.sv, b.sv),
-       |      x -> x[1] * x[2])) AS BIGINT) AS dot
-       |  FROM sn a JOIN sn b ON a.cluster = b.cluster
-       |    AND a.vec_id < b.vec_id),
-       |dups AS (
-       |  SELECT DISTINCT bid FROM pr
-       |  WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
-       |    >= 4 * CAST(na2 AS HUGEINT) * nb2)
-       |SELECT a.vec_id, a.cluster, d.bid IS NULL AS kept
-       |FROM asg a LEFT JOIN dups d ON d.bid = a.vec_id""".stripMargin
-
-  /** q128 oracle: the k-core peel unrolled as materialized rounds.
-    * Peeling converges in ~36 rounds on this graph at both scales; 48
-    * rounds bound it with margin, and post-fixpoint rounds are the
-    * identity. Every round CTE must be MATERIALIZED — each is referenced
-    * twice (both endpoints), so inlining would double the plan per round.
-    */
-  private val sqlQ128KCore: String = {
-    val k = 4; val rounds = 48
-    val ctes = (1 to rounds).map { i =>
-      s"""a$i AS MATERIALIZED (
-         |  SELECT x.id FROM a${i - 1} x JOIN sym e ON e.u = x.id
-         |  JOIN a${i - 1} y ON y.id = e.v
-         |  GROUP BY x.id HAVING count(*) >= $k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH li AS (
-       |  SELECT l_orderkey, l_partkey FROM lineitem
-       |  WHERE l_quantity <= 10),
-       |und AS MATERIALIZED (
-       |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-       |    greatest(a.l_partkey, b.l_partkey) AS v
-       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-       |  WHERE a.l_partkey < b.l_partkey),
-       |sym AS MATERIALIZED (
-       |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-       |a0 AS MATERIALIZED (
-       |  SELECT u AS id FROM und UNION SELECT v FROM und),
-       |$ctes
-       |SELECT x.id, count(*) AS core_deg
-       |FROM a$rounds x JOIN sym e ON e.u = x.id
-       |JOIN a$rounds y ON y.id = e.v GROUP BY x.id""".stripMargin
-  }
-
-  /** q31/q67 oracles: the synthetic-image pixel model of
-    * Multimodal.synthImages in SQL — w = 4 + id%13, h = 3 + id%7,
-    * channels integer functions of (id, x, y) — enumerated per pixel via
-    * unnest(range(w*h)). Channel sums are exact integers in double, so
-    * avg() reproduces the kernel's mean bit for bit; what the compare
-    * actually pins is that the REAL PNG encode/decode round trip
-    * preserved every pixel.
-    */
-  private val mediaPixelCtes: String =
-    """dims AS (
-      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      |  FROM documents),
-      |px AS (
-      |  SELECT doc_id, w, h,
-      |    (doc_id + 3 * (p % w) + 7 * (p // w)) % 256 AS r,
-      |    (2 * doc_id + 5 * (p % w) + (p // w)) % 256 AS g,
-      |    (3 * doc_id + (p % w) + 2 * (p // w)) % 256 AS b
-      |  FROM dims, unnest(range(w * h)) AS t(p)),
-      |imgf AS (
-      |  SELECT doc_id, w, h,
-      |    avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
-      |  FROM px GROUP BY doc_id, w, h)""".stripMargin
-
-  private val sqlQ31MediaFeatures: String =
-    s"""WITH $mediaPixelCtes
-       |SELECT doc_id AS media_id, 'image/png' AS kind,
-       |  w AS width, h AS height, mean_r, mean_g, mean_b
-       |FROM imgf""".stripMargin
-
-  /** q91 oracle: the resampled thumbnail's pixels in closed form. Source
-    * pixel of dst (x, y) is (x*w//8, y*h//6) — the same floor map
-    * [[graft.operators.Multimodal.resizeImages]] computes — fed through
-    * the q31 synthetic channel formulas; the mean over the 48 thumbnail
-    * pixels is one exact integer sum divided once, same as the decoder.
-    */
-  private val sqlQ91MediaResize: String =
-    """WITH dims AS (
-      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      |  FROM documents),
-      |px AS (
-      |  SELECT doc_id,
-      |    (doc_id + 3 * (((p % 8) * w) // 8) + 7 * (((p // 8) * h) // 6)) % 256 AS r,
-      |    (2 * doc_id + 5 * (((p % 8) * w) // 8) + (((p // 8) * h) // 6)) % 256 AS g,
-      |    (3 * doc_id + (((p % 8) * w) // 8) + 2 * (((p // 8) * h) // 6)) % 256 AS b
-      |  FROM dims, unnest(range(48)) AS t(p))
-      |SELECT doc_id AS media_id, 'image/png' AS kind,
-      |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
-      |  avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
-      |FROM px GROUP BY doc_id""".stripMargin
-
-  private val sqlQ67MediaAnn: String =
-    s"""WITH $mediaPixelCtes,
-       |f AS (
-       |  SELECT doc_id AS vec_id,
-       |    [CAST(w AS REAL), CAST(h AS REAL), CAST(mean_r AS REAL),
-       |     CAST(mean_g AS REAL), CAST(mean_b AS REAL),
-       |     CAST(0 AS REAL), CAST(0 AS REAL), CAST(0 AS REAL)] AS embedding
-       |  FROM imgf),
-       |q AS (SELECT vec_id AS query_id, embedding AS q_emb
-       |  FROM f WHERE vec_id < 5),
-       |scored AS (
-       |  SELECT q.query_id, f.vec_id,
-       |    round(list_sum(list_transform(list_zip(f.embedding, q.q_emb),
-       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-       |      / (sqrt(list_sum(list_transform(f.embedding,
-       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform(q.q_emb,
-       |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-       |  FROM f, q),
-       |ranked AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin
-
-  /** q64/q89 oracle: gap-islands sessionization. `> gap`, not `>= gap` —
-    * Spark's session_window MERGES an event arriving exactly `gap` after
-    * the previous one (touching windows coalesce; pinned empirically in
-    * round 5). Shared by the batch (q64) and streaming (q89) forms, which
-    * must agree exactly.
-    */
-  private val sqlQ64Sessions: String =
-    """WITH base AS (
-      |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
-      |x AS (
-      |  SELECT user_id, tsec,
-      |    CASE WHEN lag(tsec) OVER w IS NULL
-      |      OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
-      |  FROM base
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
-      |y AS (
-      |  SELECT user_id, tsec,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsec
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      |  FROM x)
-      |SELECT user_id, min(tsec) AS s_start, max(tsec) + 1800 AS s_end,
-      |  count(*) AS n_events
-      |FROM y GROUP BY user_id, sid""".stripMargin
-
-  /** q57 oracle: the simhash banded near-dup pipeline in DuckDB SQL. The
-    * portable 64-bit hash is handled as two 32-bit halves (hi = md5 hex
-    * 1-8, lo = 9-16) so every intermediate stays in non-negative BIGINT —
-    * DuckDB errors on signed overflow where the JVM wraps. Signature = 4
-    * 16-bit band values; Hamming over the full 64 bits = sum of band-wise
-    * bit_count(xor). Mirrors the q57 call: 3-gram shingles, 4 bands,
-    * maxHamming 8, bucket cap 64.
-    */
-  private val sqlQ57Simhash: String = {
-    val bands = 4; val width = 16; val maxBucket = 64; val maxHamming = 8
-    val tallies = (0 until 64).map { j =>
-      val half = if (j < 32) "lo" else "hi"
-      val shift = j % 32
-      s"    sum(CASE WHEN $half IS NULL THEN 0 WHEN (($half >> $shift) & 1) = 1" +
-        s" THEN 1 ELSE -1 END) AS v$j"
-    }.mkString(",\n")
-    val bandVals = (0 until bands).map { b =>
-      val terms = (0 until width).map { j =>
-        s"(CASE WHEN v${b * width + j} > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"    $terms AS s$b"
-    }.mkString(",\n")
-    val bandSelects = (0 until bands).map { b =>
-      if (b == 0) "  SELECT doc_id, 0 AS band, s0 AS x FROM sig"
-      else s"  UNION ALL SELECT doc_id, $b, s$b FROM sig"
-    }.mkString("\n")
-    val ham = (0 until bands).map(b => s"bit_count(xor(sa.s$b, sb.s$b))")
-      .mkString(" + ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8) AS BIGINT) AS hi,
-       |    CAST('0x' || substr(
-       |      md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 9, 8) AS BIGINT) AS lo
-       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
-       |  UNION ALL
-       |  SELECT doc_id, NULL, NULL FROM toks WHERE t IS NULL OR len(t) < 3),
-       |v AS MATERIALIZED (
-       |  SELECT doc_id,
-       |$tallies
-       |  FROM sh GROUP BY doc_id),
-       |sig AS MATERIALIZED (
-       |  SELECT doc_id,
-       |$bandVals
-       |  FROM v),
-       |banded AS MATERIALIZED (
-       |$bandSelects),
-       |sized AS (SELECT band, x, count(*) AS n FROM banded GROUP BY ALL),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a
-       |  JOIN banded b ON a.band = b.band AND a.x = b.x AND a.doc_id < b.doc_id
-       |  JOIN sized s ON s.band = a.band AND s.x = a.x
-       |  WHERE s.n <= $maxBucket)
-       |SELECT id_a, id_b, hamming FROM (
-       |  SELECT p.id_a, p.id_b, CAST($ham AS BIGINT) AS hamming
-       |  FROM pairs p
-       |  JOIN sig sa ON sa.doc_id = p.id_a
-       |  JOIN sig sb ON sb.doc_id = p.id_b)
-       |WHERE hamming <= $maxHamming""".stripMargin
-  }
-
-  private val sqlQ39: String =
-    """SELECT n_name, count(*) AS n_customers,
-      |  round(sum(c_acctbal), 2) AS total_bal
-      |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |GROUP BY n_name""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-    "q01_scan_filter" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem WHERE l_quantity < 5""".stripMargin,
-
-    "q02_agg_group" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q03_median" ->
-      """SELECT l_returnflag, median(l_quantity) AS med_qty,
-        |  median(l_discount) AS med_disc
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q04_minmax" ->
-      """SELECT l_linestatus, min(l_shipdate) AS min_ship,
-        |  max(l_shipdate) AS max_ship
-        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
-
-    "q05_count_distinct" ->
-      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
-        |  count(*) AS n_orders
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
-
-    "q06_join_agg" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin,
-
-    "q07_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-
-    "q08_case_buckets" ->
-      """SELECT CASE WHEN l_quantity <= 10 THEN 'small'
-        |  WHEN l_quantity <= 30 THEN 'mid' ELSE 'large' END AS bucket,
-        |  count(*) AS cnt
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    "q09_top1_per_group" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) WHERE rn = 1""".stripMargin,
-
-    "q10_lead_gap" ->
-      """SELECT user_id, event_id,
-        |  lead(ts_us) OVER w - ts_us AS gap_us
-        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
-
-    "q11_sessions" ->
-      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events
-        |FROM (
-        |  SELECT user_id,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM (
-        |    SELECT user_id, event_id, ts_us,
-        |      CASE WHEN ts_us - lag(ts_us) OVER w > 1800 * 1000000
-        |        OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-        |    FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
-        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)))
-        |GROUP BY user_id""".stripMargin,
-
-    "q12_stop_events" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
-      """SELECT uid, "timestamp", stop_events, latitude, longitude
-        |FROM stop_events""".stripMargin),
-
-    // streaming form, sentinel-flushed: equals the batch segmentation
-    "q93_stream_stops" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
-      """SELECT uid, "timestamp", stop_events, latitude, longitude
-        |FROM stop_events""".stripMargin),
-
-    // out-of-order streaming form: SAME batch oracle — the watermark
-    // buffer must make the shuffled arrival invisible
-    "q97_stream_stops_unordered" ->
-      (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
-        """SELECT uid, "timestamp", stop_events, latitude, longitude
-          |FROM stop_events""".stripMargin),
-
-    "q13_event_medians" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
-      """SELECT uid, stop_events,
-        |  median(latitude) AS latitude, median(longitude) AS longitude,
-        |  min("timestamp") AS start_timestamp,
-        |  max("timestamp") AS end_timestamp
-        |FROM stop_events WHERE stop_events != -1
-        |GROUP BY uid, stop_events""".stripMargin),
-
-    "q14_pivot" ->
-      """SELECT user_id,
-        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
-        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
-        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
-        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
-        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "q15_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin,
-
-    "q16_stop_clusters" -> (clusterCtes +
-      """SELECT uid, stop_events, stop_locations, cluster_counts,
-        |  cluster_latitude, cluster_longitude
-        |FROM clustered""".stripMargin),
-
-    "q17_home_work" -> (clusterCtes + ",\n" + hwCtes +
-      """SELECT uid, stop_events, stop_locations, year, month, day, hour,
-        |  weekday, "date", duration, location_type, home_label, work_label
-        |FROM hw_final""".stripMargin),
-
-    "q18_hw_wide" -> (clusterCtes + ",\n" + hwCtes + ",\n" +
-      """picked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY uid, location_type
-        |    ORDER BY cluster_counts DESC, stop_locations ASC) AS rn
-        |  FROM hw_final WHERE location_type IN ('H', 'W')
-        |)
-        |SELECT uid,
-        |  max(CASE WHEN location_type = 'H' THEN cluster_latitude END) AS h_lat,
-        |  max(CASE WHEN location_type = 'H' THEN cluster_longitude END) AS h_lon,
-        |  max(CASE WHEN location_type = 'W' THEN cluster_latitude END) AS w_lat,
-        |  max(CASE WHEN location_type = 'W' THEN cluster_longitude END) AS w_lon
-        |FROM picked WHERE rn = 1 GROUP BY uid""".stripMargin),
-
-    "q19_intervals" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |fl AS (
-        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-        |    OR lag(event_type) OVER w != event_type
-        |    OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS nw
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |iv AS (
-        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS interval_id
-        |  FROM fl)
-        |SELECT user_id, interval_id, min(event_type) AS event_type,
-        |  min(ts_us) AS t_start, max(ts_us) AS t_end, count(*) AS n_rows
-        |FROM iv GROUP BY user_id, interval_id""".stripMargin,
-
-    "q20_explode" ->
-      """SELECT vec_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.val AS DOUBLE) AS val
-        |FROM (SELECT vec_id,
-        |  unnest(list_transform(embedding, (x, i) -> {'pos': i - 1, 'val': x})) AS u
-        |  FROM embeddings)""".stripMargin,
-
-    "q21_token_stats" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        |  n_chars,
-        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
-        |  + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3
-        |    AS n_stop
-        |FROM documents""".stripMargin,
-
-    "q22_langid" -> (langVotesSql +
-      """SELECT doc_id, lang,
-        |  CASE WHEN v_en = best AND v_en > 0 THEN 'en'
-        |       WHEN v_es = best AND v_es > 0 THEN 'es'
-        |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
-        |       WHEN v_de = best AND v_de > 0 THEN 'de'
-        |       ELSE 'und' END AS lang_pred
-        |FROM votes""".stripMargin),
-
-    "q23_neardup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id AS id, list_distinct(list_transform(
-        |    range(1, len(string_split(text, ' '))),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
-        |  )) AS bg FROM documents)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        |    / len(list_distinct(a.bg || b.bg)) AS jaccard
-        |FROM (SELECT * FROM sh ORDER BY id LIMIT 50) a
-        |JOIN sh b ON a.id < b.id
-        |WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        |    / len(list_distinct(a.bg || b.bg)) >= 0.05""".stripMargin,
-
-    "q24_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb
-        |  FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    round(list_sum(list_transform(list_zip(e.embedding, q.q_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.q_emb,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-        |  FROM embeddings e, q),
-        |ranked AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
-
-    "q25_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp FROM documents""".stripMargin,
-
-    "q26_rolling" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT user_id, event_id,
-        |  count(*) OVER w AS cnt_7d,
-        |  CASE WHEN count(*) OVER w >= 3
-        |    THEN CAST(sum(cents) OVER w AS BIGINT) END AS sum_7d
-        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
-
-    "q27_uid_hash" ->
-      """SELECT c_custkey,
-        |  CAST(('0x' || substr(sha256(c_name), 50, 15)) AS BIGINT) AS uid_hash
-        |FROM customer""".stripMargin,
-
-    "q28_union" ->
-      """SELECT o_orderstatus, count(*) AS cnt FROM (
-        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
-        |  UNION ALL
-        |  SELECT * FROM orders WHERE o_totalprice > 400000)
-        |GROUP BY o_orderstatus""".stripMargin,
-
-    // q29/q57/q30 oracle the full signature pipelines (portable md5 base
-    // hash; q30 emits the signature as unsigned 32-bit halves)
-    "q29_minhash_pairs" -> sqlQ29Minhash,
-
-    "q30_simhash" -> sqlQ30Simhash,
-
-    "q31_media_features" -> sqlQ31MediaFeatures,
-
-    "q32_lsh_topk" -> sqlQ32LshTopK,
-
-    "q67_media_ann" -> sqlQ67MediaAnn,
-
-    "q40_ivf_topk" -> sqlQ40IvfTopK,
-
-    "q33_validate" -> (s"WITH ${Tables.pingsSql}\n" +
-      """SELECT count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN latitude <= -90 OR latitude >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS bad_lat,
-        |  CAST(sum(CASE WHEN longitude <= -180 OR longitude >= 180 THEN 1 ELSE 0 END) AS BIGINT) AS bad_lon,
-        |  CAST(sum(CASE WHEN "timestamp" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts
-        |FROM pings""".stripMargin),
-
-    "q34_grid_cells" -> (s"WITH ${Tables.pingsSql}\n" +
-      """SELECT round(latitude / 0.01, 0) * 0.01 AS cell_lat,
-        |  round(longitude / 0.01, 0) * 0.01 AS cell_lon,
-        |  count(*) AS n
-        |FROM pings GROUP BY 1, 2""".stripMargin),
-
-    "q35_date_parts" ->
-      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
-        |  CAST(month(o_orderdate) AS INT) AS m,
-        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS ds
-        |FROM orders""".stripMargin,
-
-    "q36_global_index" ->
-      """SELECT o_orderkey, o_custkey,
-        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
-        |FROM orders""".stripMargin,
-
-    "q37_communities" -> (communityCtes +
-      """SELECT m.uid, m.stop_events, m.latitude, m.longitude,
-        |  m.start_timestamp, m.end_timestamp, l.stop_locations
-        |FROM medians m JOIN clabels l
-        |  ON m.uid = l.uid AND m.latitude = l.latitude
-        |    AND m.longitude = l.longitude""".stripMargin),
-
-    // Full-hull oracle: hull_size via the Carathéodory extreme-point test
-    // (p is NOT a hull vertex iff some closed triangle of three other
-    // distinct cluster points contains it — cross-product sign tests in
-    // the IDENTICAL formula and operand order as the q73 regime check, so
-    // the decision is bit-reproducible cross-engine). On the current
-    // fixtures every cluster has <= 3 distinct points (verified at sf0.01
-    // and sf0.1), where the test is vacuous (no triple of "others"
-    // exists) and hull_size = n_distinct exactly — and the kernel's
-    // chain agrees bit-for-bit because for 3 sorted points the chain's
-    // orientation cross is the exact IEEE negation of the degenerate
-    // formula's cross (same two products, subtracted in opposite order).
-    // For the degenerate regime the square has 4 vertices; its diameter
-    // equals the lexicographic-extremes distance, which for a collinear
-    // set IS the max pairwise distance — so one max-pairwise diam CTE
-    // serves both regimes (trig ulp differences sit ~1e-8 m below the
-    // round-3 boundary). Reference: utils.py:136-165.
-    "q38_cluster_hulls" -> (clusterCtes + ",\n" +
-      """pts AS (
-        |  SELECT uid, stop_locations, latitude, longitude FROM clustered
-        |  WHERE stop_locations != -1),
-        |dp AS (
-        |  SELECT DISTINCT uid, stop_locations, latitude, longitude FROM pts),
-        |ext AS (
-        |  SELECT uid, stop_locations, count(*) AS n_distinct,
-        |    min(struct_pack(la := latitude, lo := longitude)) AS mn,
-        |    max(struct_pack(la := latitude, lo := longitude)) AS mx
-        |  FROM dp GROUP BY uid, stop_locations),
-        |colin AS (
-        |  SELECT d.uid, d.stop_locations,
-        |    max(abs((e.mx.la - e.mn.la) * (d.longitude - e.mn.lo)
-        |          - (e.mx.lo - e.mn.lo) * (d.latitude - e.mn.la))) AS maxcross
-        |  FROM dp d JOIN ext e
-        |    ON d.uid = e.uid AND d.stop_locations = e.stop_locations
-        |  GROUP BY d.uid, d.stop_locations),
-        |contained AS (
-        |  -- branch 1: p inside/on a NON-degenerate triangle of three
-        |  -- other points. The area guard matters: a collinear triple's
-        |  -- sign tests are all-zero and would swallow points on the
-        |  -- line but OUTSIDE the segment (a hull vertex at a lattice
-        |  -- line's end would be undercounted).
-        |  SELECT DISTINCT p.uid, p.stop_locations, p.latitude, p.longitude
-        |  FROM dp p
-        |  JOIN dp a ON a.uid = p.uid AND a.stop_locations = p.stop_locations
-        |    AND (a.latitude, a.longitude) != (p.latitude, p.longitude)
-        |  JOIN dp b ON b.uid = p.uid AND b.stop_locations = p.stop_locations
-        |    AND (b.latitude, b.longitude) > (a.latitude, a.longitude)
-        |    AND (b.latitude, b.longitude) != (p.latitude, p.longitude)
-        |  JOIN dp c ON c.uid = p.uid AND c.stop_locations = p.stop_locations
-        |    AND (c.latitude, c.longitude) > (b.latitude, b.longitude)
-        |    AND (c.latitude, c.longitude) != (p.latitude, p.longitude)
-        |  WHERE (b.latitude - a.latitude) * (c.longitude - a.longitude)
-        |      - (b.longitude - a.longitude) * (c.latitude - a.latitude) != 0
-        |   AND (
-        |    ((b.latitude - a.latitude) * (p.longitude - a.longitude)
-        |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) >= 0
-        |     AND (c.latitude - b.latitude) * (p.longitude - b.longitude)
-        |      - (c.longitude - b.longitude) * (p.latitude - b.latitude) >= 0
-        |     AND (a.latitude - c.latitude) * (p.longitude - c.longitude)
-        |      - (a.longitude - c.longitude) * (p.latitude - c.latitude) >= 0)
-        |    OR
-        |    ((b.latitude - a.latitude) * (p.longitude - a.longitude)
-        |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) <= 0
-        |     AND (c.latitude - b.latitude) * (p.longitude - b.longitude)
-        |      - (c.longitude - b.longitude) * (p.latitude - b.latitude) <= 0
-        |     AND (a.latitude - c.latitude) * (p.longitude - c.longitude)
-        |      - (a.longitude - c.longitude) * (p.latitude - c.latitude) <= 0))
-        |  UNION
-        |  -- branch 2: p on the closed segment between two other points
-        |  -- (collinear + inside the segment bbox) — the Caratheodory
-        |  -- 2-point case branch 1's area guard excludes
-        |  SELECT DISTINCT p.uid, p.stop_locations, p.latitude, p.longitude
-        |  FROM dp p
-        |  JOIN dp a ON a.uid = p.uid AND a.stop_locations = p.stop_locations
-        |    AND (a.latitude, a.longitude) != (p.latitude, p.longitude)
-        |  JOIN dp b ON b.uid = p.uid AND b.stop_locations = p.stop_locations
-        |    AND (b.latitude, b.longitude) > (a.latitude, a.longitude)
-        |    AND (b.latitude, b.longitude) != (p.latitude, p.longitude)
-        |  WHERE (b.latitude - a.latitude) * (p.longitude - a.longitude)
-        |      - (b.longitude - a.longitude) * (p.latitude - a.latitude) = 0
-        |    AND p.latitude BETWEEN least(a.latitude, b.latitude)
-        |      AND greatest(a.latitude, b.latitude)
-        |    AND p.longitude BETWEEN least(a.longitude, b.longitude)
-        |      AND greatest(a.longitude, b.longitude)),
-        |ncont AS (
-        |  SELECT uid, stop_locations, count(*) AS n_in FROM contained
-        |  GROUP BY uid, stop_locations),
-        |diam AS (
-        |  SELECT a.uid, a.stop_locations,
-        |    max(2 * 6371000.0 * asin(sqrt(
-        |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
-        |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
-        |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
-        |    ))) AS d
-        |  FROM dp a JOIN dp b
-        |    ON a.uid = b.uid AND a.stop_locations = b.stop_locations
-        |  GROUP BY a.uid, a.stop_locations)
-        |SELECT e.uid, e.stop_locations,
-        |  CAST(CASE WHEN (e.n_distinct <= 2 OR c.maxcross = 0) THEN 4
-        |    ELSE e.n_distinct - coalesce(n.n_in, 0) END AS INT) AS hull_size,
-        |  round(d.d, 3) AS max_pair_dist
-        |FROM ext e
-        |JOIN colin c ON e.uid = c.uid AND e.stop_locations = c.stop_locations
-        |JOIN diam d ON e.uid = d.uid AND e.stop_locations = d.stop_locations
-        |LEFT JOIN ncont n
-        |  ON e.uid = n.uid AND e.stop_locations = n.stop_locations""".stripMargin),
-
-    "q39_sql" -> sqlQ39,
-
-    "q41_collect_list" ->
-      """SELECT l_orderkey,
-        |  string_agg(CAST(l_linenumber AS VARCHAR), ','
-        |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines,
-        |  CAST(len(list(l_quantity)) AS BIGINT) AS n_vals
-        |FROM lineitem WHERE l_orderkey < 1000
-        |GROUP BY l_orderkey""".stripMargin,
-
-    "q43_left_mark" ->
-      """SELECT c_custkey, coalesce(is_big, -1) AS big_flag
-        |FROM customer LEFT JOIN (
-        |  SELECT o_custkey AS k, CAST(1 AS BIGINT) AS is_big
-        |  FROM orders GROUP BY o_custkey
-        |  HAVING round(sum(o_totalprice), 2) > 300000
-        |) ON c_custkey = k""".stripMargin,
-
-    "q44_distinct_semi" ->
-      """SELECT DISTINCT user_id, event_type FROM events
-        |WHERE EXISTS (SELECT 1 FROM events e2
-        |  WHERE e2.user_id = events.user_id
-        |    AND e2.event_type = 'purchase')""".stripMargin,
-
-    "q45_asof_join" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    event_type, value FROM events),
-        |p AS (SELECT user_id AS p_uid, ts_us AS pts, value AS pval
-        |  FROM e WHERE event_type = 'purchase')
-        |SELECT e.user_id, e.event_id, p.pts AS purchase_ts,
-        |  p.pval AS purchase_value
-        |FROM e ASOF LEFT JOIN p
-        |  ON e.user_id = p.p_uid AND e.ts_us >= p.pts""".stripMargin,
-
-    "q42_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding,
-        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding,
-        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-        |FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 50) a
-        |JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding,
-        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding,
-        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) >= 0.15""".stripMargin,
-
-    "q46_rollup" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
-
-    "q47_connected_components" ->
-      (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id"),
-
-    "q87_leakage_split" -> (ccReachCtes +
-      """
-        |, comp AS (SELECT id AS doc_id, min(r) AS component
-        |  FROM reach GROUP BY id)
-        |SELECT doc_id, component,
-        |  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < '40'
-        |    THEN 'test' ELSE 'train' END AS split
-        |FROM comp""".stripMargin),
-
-    "q48_range_join" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |fl AS (
-        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-        |    OR lag(event_type) OVER w != event_type
-        |    OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS nw
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |ivr AS (
-        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS interval_id
-        |  FROM fl),
-        |iv AS (
-        |  SELECT user_id, interval_id, min(event_type) AS event_type,
-        |    min(ts_us) AS t_start, max(ts_us) AS t_end
-        |  FROM ivr GROUP BY user_id, interval_id)
-        |SELECT iv.user_id, iv.interval_id, iv.event_type,
-        |  count(*) AS n_in_range
-        |FROM e JOIN iv ON e.user_id = iv.user_id
-        |  AND e.ts_us BETWEEN iv.t_start AND iv.t_end
-        |GROUP BY iv.user_id, iv.interval_id, iv.event_type""".stripMargin,
-
-    "q49_heavy_hitters" ->
-      """SELECT value, count(*) AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS value FROM documents)
-        |GROUP BY value ORDER BY n DESC, value ASC LIMIT 20""".stripMargin,
-
-    "q50_term_stats" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
-        |SELECT doc_id, token, tf,
-        |  count(*) OVER (PARTITION BY token) AS df
-        |FROM tf""".stripMargin,
-
-    "q51_cluster_diameter" -> (clusterCtes + ",\n" +
-      """pts AS (
-        |  SELECT uid, stop_locations, latitude, longitude FROM clustered
-        |  WHERE stop_locations != -1),
-        |diam AS (
-        |  SELECT a.uid, a.stop_locations,
-        |    max(2 * 6371000.0 * asin(sqrt(
-        |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
-        |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
-        |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
-        |    ))) AS d
-        |  FROM pts a JOIN pts b
-        |    ON a.uid = b.uid AND a.stop_locations = b.stop_locations
-        |  GROUP BY a.uid, a.stop_locations),
-        |np AS (
-        |  SELECT uid, stop_locations, count(*) AS n_points FROM pts
-        |  GROUP BY uid, stop_locations)
-        |SELECT np.uid, np.stop_locations, np.n_points,
-        |  CAST(diam.d > 150.0 AS BIGINT) AS wide
-        |FROM diam JOIN np
-        |  ON diam.uid = np.uid AND diam.stop_locations = np.stop_locations""".stripMargin),
-
-    "q52_hash_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-        |    THEN 'test' ELSE 'train' END AS split
-        |FROM documents""".stripMargin,
-
-    "q53_stratified_take" ->
-      """SELECT doc_id, lang, source FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY lang, source
-        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
-
-    "q54_quantile_bins" ->
-      """SELECT event_id, value,
-        |  CAST(ntile(8) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
-        |FROM events""".stripMargin,
-
-    "q55_hash_sample" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin,
-
-    "q56_dedup_keep" -> (ccReachCtes + ",\n" +
-      """comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-        |SELECT d.doc_id, c.component,
-        |  CAST(row_number() OVER (PARTITION BY c.component
-        |    ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS BIGINT) AS keep
-        |FROM documents d JOIN comp c ON d.doc_id = c.id""".stripMargin),
-
-    "q57_simhash_pairs" -> sqlQ57Simhash,
-
-    "q58_tfidf" ->
-      """WITH tf AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |stats AS (
-        |  SELECT doc_id, token, count(*) AS tf
-        |  FROM tf GROUP BY doc_id, token),
-        |withdf AS (
-        |  SELECT doc_id, token, tf,
-        |    count(*) OVER (PARTITION BY token) AS df
-        |  FROM stats)
-        |SELECT doc_id, token, tf, df,
-        |  round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6) AS tfidf
-        |FROM withdf""".stripMargin,
-
-    "q59_bloom_semi" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM lineitem
-        |WHERE l_orderkey IN (
-        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
-        |GROUP BY l_returnflag""".stripMargin,
-
-    "q60_salted_stats" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS total,
-        |  round(sum(l_extendedprice) / count(*), 6) AS avg
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    // Sketch gate, portable columns only: exact twins recomputed here,
-    // in_bounds pinned literal-1 (the engine computes it from the HLL /
-    // KLL estimates; a sketch regression flips it and the hash fails).
-    "q61_sketch_stats" ->
-      """SELECT o_orderpriority,
-        |  count(DISTINCT o_custkey) AS exact_d,
-        |  round(quantile_cont(o_totalprice, 0.5), 6) AS exact_med,
-        |  round(quantile_cont(o_totalprice, 0.498), 6) AS med_lo,
-        |  round(quantile_cont(o_totalprice, 0.502), 6) AS med_hi,
-        |  CAST(1 AS BIGINT) AS d_in_bounds,
-        |  CAST(1 AS BIGINT) AS med_in_bounds
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
-
-    "q62_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN len(toks) >= 3 THEN list_transform(
-        |      range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-        |    ELSE CAST([] AS VARCHAR[]) END AS tri
-        |  FROM t)
-        |SELECT doc_id,
-        |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
-        |    AS dup_word_ratio,
-        |  CASE WHEN len(tri) > 0 THEN
-        |    round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
-        |  ELSE 0.0 END AS dup_trigram_ratio
-        |FROM s""".stripMargin,
-
-    "q63_zorder" -> {
-      val terms = (0 until 16).map(k =>
-        s"((((qx >> $k) & 1) << ${2 * k}) | (((qy >> $k) & 1) << ${2 * k + 1}))")
-        .mkString(" | ")
-      s"WITH ${Tables.pingsSql},\n" +
-        s"""q AS (
-           |  SELECT uid, event_id,
-           |    CAST(least(greatest(floor((latitude - 19.0) / 0.05 * 65536.0), 0.0), 65535.0) AS BIGINT) AS qx,
-           |    CAST(least(greatest(floor((longitude - (-99.0)) / 0.05 * 65536.0), 0.0), 65535.0) AS BIGINT) AS qy
-           |  FROM pings)
-           |SELECT uid, event_id, $terms AS z FROM q""".stripMargin
-    },
-
-    // Boundary semantics pinned empirically: Spark's session_window
-    // MERGES an event arriving exactly `gap` after the previous one (the
-    // next window's start equals the session end, and touching intervals
-    // coalesce) — so a new session starts only on a STRICTLY larger gap.
-    // sf0.01 had no exactly-1800 s inter-event gap; sf0.1 has one, which
-    // is what exposed a >= here.
-    "q64_session_window" -> sqlQ64Sessions,
-
-    // CMS gate, portable columns: exact top-20 twin under the same
-    // (count desc, value asc) total order; in_bounds pinned literal-1
-    // (never-undercount + eps*N — the engine computes it per row).
-    "q65_cms_estimates" ->
-      """WITH t AS (
-        |  SELECT unnest(string_split(text, ' ')) AS value
-        |  FROM documents),
-        |c AS (SELECT value, count(*) AS n_exact FROM t GROUP BY value)
-        |SELECT value, n_exact, CAST(1 AS BIGINT) AS in_bounds
-        |FROM c ORDER BY n_exact DESC, value ASC LIMIT 20""".stripMargin,
-
-    // the streaming form must produce the identical session set
-    "q89_stream_sessions" -> sqlQ64Sessions,
-
-    // Streaming stateful dedup over a finite file set = the distinct key
-    // set (see the q90 query comment for why only keys are emitted).
-    "q90_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events",
-
-    "q91_media_resize" -> sqlQ91MediaResize,
-
-    // chunk count = ceil(len/64) via integer arithmetic; stride-2 filter;
-    // 1-based substr start. ASCII fixture text => bytes == chars.
-    "q92_frame_sample" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, length(text) AS n FROM documents),
-        |idx AS (
-        |  SELECT doc_id, text, CAST(p AS BIGINT) AS chunk_idx
-        |  FROM t, unnest(range((n + 63) // 64)) AS u(p)
-        |  WHERE p % 2 = 0)
-        |SELECT doc_id AS media_id, chunk_idx,
-        |  substr(text, CAST(chunk_idx * 64 + 1 AS INT), 64) AS chunk
-        |FROM idx""".stripMargin,
-
-    "q66_salted_join" ->
-      """WITH dim AS (
-        |  SELECT user_id,
-        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS label
-        |  FROM (SELECT DISTINCT user_id FROM events))
-        |SELECT d.label, count(*) AS n, round(sum(e.value), 2) AS total
-        |FROM events e JOIN dim d ON e.user_id = d.user_id
-        |GROUP BY d.label""".stripMargin,
-
-    "q68_radius_pairs" -> (s"WITH ${Tables.pingsSql},\n" + stopEventsSql +
-      "," + """
-        |m AS (
-        |  SELECT uid, stop_events, median(latitude) AS lat,
-        |    median(longitude) AS lon
-        |  FROM stop_events WHERE stop_events != -1
-        |  GROUP BY uid, stop_events),
-        |p AS (
-        |  SELECT uid || '#' || CAST(stop_events AS VARCHAR) AS id, lat, lon
-        |  FROM m
-        |  WHERE substr(md5(uid || '#' || CAST(stop_events AS VARCHAR)), 1, 2) < '1a'),
-        |pairs AS (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM p a JOIN p b ON a.id < b.id
-        |  AND 2 * 6371000.0 * asin(sqrt(
-        |      pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
-        |      + cos(radians(a.lat)) * cos(radians(b.lat))
-        |        * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2)
-        |    )) <= 150.0)
-        |SELECT id, count(*) AS n_neighbors FROM (
-        |  SELECT id_a AS id FROM pairs
-        |  UNION ALL SELECT id_b AS id FROM pairs)
-        |GROUP BY id""".stripMargin),
-
-    // same graph, same canonical min-id components as q47 — the oracle is
-    // shared by construction
-    "q69_cc_logn" ->
-      (ccReachCtes + "\nSELECT id, min(r) AS component FROM reach GROUP BY id"),
-
-    "q70_pack_chunks" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      - n_tokens AS st
-        |  FROM t)
-        |SELECT doc_id, n_tokens, st // 2048 AS pack_id,
-        |  st % 2048 AS offset_in_pack,
-        |  CASE WHEN n_tokens > 0
-        |    THEN (st % 2048 + n_tokens - 1) // 2048 + 1
-        |    ELSE 1 END AS n_packs_spanned
-        |FROM c""".stripMargin,
-
-    "q71_norm_dedup" ->
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_key,
-        |  min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
-
-    "q72_quality_filter" -> (langVotesSql.stripSuffix("\n") +
-      """SELECT v.doc_id, v.lang,
-        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |  CASE WHEN v_en = best AND v_en > 0 THEN 'en'
-        |       WHEN v_es = best AND v_es > 0 THEN 'es'
-        |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
-        |       WHEN v_de = best AND v_de > 0 THEN 'de'
-        |       ELSE 'und' END AS lang_pred,
-        |  CAST(CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
-        |    AND (CASE WHEN v_en = best AND v_en > 0 THEN 'en'
-        |       WHEN v_es = best AND v_es > 0 THEN 'es'
-        |       WHEN v_fr = best AND v_fr > 0 THEN 'fr'
-        |       WHEN v_de = best AND v_de > 0 THEN 'de'
-        |       ELSE 'und' END) = v.lang THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM votes v JOIN documents d USING (doc_id)""".stripMargin),
-
-    // Mirrors Geometry.hullAndDiameterPoints' two regimes: a real chain
-    // hull's bbox is the point-set bbox (the chain keeps every extreme-
-    // coordinate point); the degenerate fallback (fewer than 3 distinct
-    // points, or all collinear — max |cross| vs the lexicographic
-    // extremes is 0) is the centroid square, bbox = mean(all rows) +/-
-    // side/2 with side = distance between the extremes (5e-5 for a
-    // single row). Same double arithmetic order as the Scala kernel.
-    "q73_hull_bbox" -> (clusterCtes + ",\n" +
-      """pts AS (
-        |  SELECT uid, stop_locations, latitude, longitude FROM clustered
-        |  WHERE stop_locations != -1),
-        |dp AS (
-        |  SELECT DISTINCT uid, stop_locations, latitude, longitude FROM pts),
-        |ext AS (
-        |  SELECT uid, stop_locations, count(*) AS n_distinct,
-        |    min(struct_pack(la := latitude, lo := longitude)) AS mn,
-        |    max(struct_pack(la := latitude, lo := longitude)) AS mx
-        |  FROM dp GROUP BY uid, stop_locations),
-        |colin AS (
-        |  SELECT d.uid, d.stop_locations,
-        |    max(abs((e.mx.la - e.mn.la) * (d.longitude - e.mn.lo)
-        |          - (e.mx.lo - e.mn.lo) * (d.latitude - e.mn.la))) AS maxcross
-        |  FROM dp d JOIN ext e
-        |    ON d.uid = e.uid AND d.stop_locations = e.stop_locations
-        |  GROUP BY d.uid, d.stop_locations),
-        |agg AS (
-        |  SELECT uid, stop_locations,
-        |    min(latitude) AS lat_min, max(latitude) AS lat_max,
-        |    min(longitude) AS lon_min, max(longitude) AS lon_max
-        |  FROM pts GROUP BY uid, stop_locations),
-        |shaped AS (
-        |  SELECT a.uid, a.stop_locations,
-        |    (e.n_distinct <= 2 OR c.maxcross = 0) AS deg,
-        |    a.lat_min, a.lat_max, a.lon_min, a.lon_max
-        |  FROM agg a
-        |  JOIN ext e ON a.uid = e.uid AND a.stop_locations = e.stop_locations
-        |  JOIN colin c ON a.uid = c.uid AND a.stop_locations = c.stop_locations)
-        |SELECT uid, stop_locations,
-        |  CAST(deg AS BIGINT) AS degenerate,
-        |  CASE WHEN deg THEN NULL ELSE round(lat_min, 6) END
-        |    AS hull_lat_min,
-        |  CASE WHEN deg THEN NULL ELSE round(lat_max, 6) END
-        |    AS hull_lat_max,
-        |  CASE WHEN deg THEN NULL ELSE round(lon_min, 6) END
-        |    AS hull_lon_min,
-        |  CASE WHEN deg THEN NULL ELSE round(lon_max, 6) END
-        |    AS hull_lon_max
-        |FROM shaped""".stripMargin),
-
-    // regexp_extract_all exists in both engines; the pattern's
-    // alternatives match disjoint first-character classes so Java regex
-    // and DuckDB's RE2 tokenize identically (TextFunctions scaladoc).
-    "q74_bpe_tokens" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpe,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
-        |FROM documents""".stripMargin,
-
-    "q75_decontaminate" -> sqlQ75Decontaminate,
-
-    "q76_token_budget" -> sqlQ76TokenBudget,
-
-    // range(0, n, stride) enumerates the same starts as Spark's
-    // sequence(0, n-1, stride); integer division gives the chunk index
-    "q77_chunk_windows" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(s // 8 AS BIGINT) AS chunk_idx,
-        |  CAST(s AS BIGINT) AS tok_start,
-        |  CAST(least(16, n - s) AS BIGINT) AS tok_len
-        |FROM t, unnest(range(0, n, 8)) AS u(s)""".stripMargin,
-
-    "q78_curation_pipeline" -> sqlQ78Curation,
-
-    "q79_source_cap" ->
-      """SELECT doc_id, source, n_chars FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY source
-        |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin,
-
-    // same pack assignment as q70 (exclusive prefix sum div budget) on
-    // the BPE count, then ordered string_agg per pack
-    "q80_pack_texts" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, text, n_tok,
-        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      - n_tok AS st
-        |  FROM t)
-        |SELECT st // 2048 AS pack_id,
-        |  string_agg(text, ' ' ORDER BY doc_id) AS text,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY 1""".stripMargin,
-
-    // 192 = 0xc0, 64 = 0x40; salt = source name + ':'
-    "q81_weighted_mix" ->
-      """SELECT doc_id, 'web' AS mix_source FROM documents
-        |WHERE doc_id % 2 = 0
-        |  AND substr(md5('web:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
-        |UNION ALL
-        |SELECT doc_id, 'books' FROM documents
-        |WHERE doc_id % 2 = 1
-        |  AND substr(md5('books:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-        |""".stripMargin,
-
-    // Community gate, portable columns (community ids are search-order
-    // engine state): the CC label recomputes exactly via the q37
-    // recursive CTE; refines/improves pinned literal-1 — the engine
-    // computes them from the found partition + map-equation codelengths.
-    "q82_infomap" -> (communityCtes +
-      """SELECT m.uid, m.stop_events, m.latitude, m.longitude,
-        |  m.start_timestamp, m.end_timestamp,
-        |  l.stop_locations AS cc_locations,
-        |  CAST(1 AS BIGINT) AS refines,
-        |  CAST(1 AS BIGINT) AS improves
-        |FROM medians m JOIN clabels l
-        |  ON m.uid = l.uid AND m.latitude = l.latitude
-        |    AND m.longitude = l.longitude""".stripMargin),
-
-    "q83_incremental_dedup" -> sqlQ83Incremental,
-
-    "q94_stream_ingest_gate" -> sqlQ94StreamGate,
-
-    // q95/q96 oracles run against the ORIGINAL events parquet — the Spark
-    // side's staged sink->scan roundtrip must be value-lossless for the
-    // hashes to agree (see the query scaladocs)
-    "q95_csv_roundtrip" ->
-      """WITH raw AS (
-        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS uid,
-        |    CAST(user_id % 90 AS DOUBLE) AS latitude,
-        |    CAST(event_id % 180 AS DOUBLE) AS longitude,
-        |    CAST(event_id % 50 AS DOUBLE) AS error,
-        |    epoch_us(ts) // 1000 AS ts_ms
-        |  FROM events
-        |), cleaned AS (
-        |  SELECT CAST(('0x' || substr(sha256(uid), 50, 15)) AS BIGINT)
-        |      AS uid_hash,
-        |    latitude, longitude, ts_ms
-        |  FROM raw WHERE error < 30
-        |)
-        |SELECT uid_hash % 8 AS bucket, count(*) AS n_pings,
-        |  count(DISTINCT uid_hash) AS n_uid,
-        |  CAST(sum(latitude) AS BIGINT) AS sum_lat,
-        |  CAST(sum(longitude) AS BIGINT) AS sum_lon,
-        |  max(ts_ms) AS max_ts_ms
-        |FROM cleaned GROUP BY 1""".stripMargin,
-
-    "q96_partitioned_roundtrip" ->
-      """WITH base AS (
-        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
-        |    DATE '1970-01-01'
-        |      + CAST((epoch_us(ts) // 1000000) // 86400 AS INT) AS dt
-        |  FROM events)
-        |SELECT dt, count(*) AS n, count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_eid, max(ts_s) AS max_ts_s
-        |FROM base WHERE day(dt) <= 15 GROUP BY dt""".stripMargin,
-
-    "q106_sharded_export" ->
-      """WITH c AS (
-        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      - n_chars AS st
-        |  FROM documents)
-        |SELECT st // 100000 AS shard, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM c GROUP BY 1""".stripMargin,
-
-    "q107_snapshot_upsert" ->
-      """SELECT source,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'new' ELSE 'old' END AS label,
-        |  count(*) AS n, min(doc_id) AS min_doc
-        |FROM documents GROUP BY 1, 2""".stripMargin,
-
-    "q108_daily_batch" ->
-      """WITH base AS (
-        |  SELECT user_id, DATE '1970-01-01'
-        |      + CAST((epoch_us(ts) // 1000000) // 86400 AS INT) AS dt
-        |  FROM events)
-        |SELECT dt, count(DISTINCT user_id) AS n_users,
-        |  count(*) AS n_events
-        |FROM base GROUP BY dt""".stripMargin,
-
-    "q104_stream_window" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events)
-        |SELECT user_id, (tsec // 3600) * 3600 AS w_start,
-        |  (tsec // 3600) * 3600 + 3600 AS w_end,
-        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM e GROUP BY 1, 2, 3""".stripMargin,
-
-    "q105_bucketed_join" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
-
-    "q103_orc_roundtrip" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-        |    AS BIGINT) AS sum_price_cents,
-        |  count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem WHERE l_quantity > 25.0
-        |GROUP BY l_returnflag""".stripMargin,
-
-    "q102_pii_redact" ->
-      """SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(
-        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-        |      || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
-        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
-        |      || ' tel +1 555 '
-        |      || CAST(1000000 + doc_id % 9000000 AS VARCHAR),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
-        |FROM documents""".stripMargin,
-
-    "q101_ann_int8" ->
-      """WITH qz AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
-        |      ELSE CAST(round(CAST(x AS DOUBLE) / s, 0) AS INT) END) AS qv
-        |  FROM (SELECT vec_id, embedding,
-        |          list_max(list_transform(embedding,
-        |            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
-        |        FROM embeddings)),
-        |q AS (SELECT vec_id AS query_id, qv AS q_q FROM qz
-        |      WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    round(CAST(list_sum(list_transform(list_zip(e.qv, q.q_q),
-        |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
-        |        AS DOUBLE)
-        |      / NULLIF(sqrt(CAST(list_sum(list_transform(e.qv,
-        |            v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS DOUBLE))
-        |        * sqrt(CAST(list_sum(list_transform(q.q_q,
-        |            v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS DOUBLE)),
-        |        0), 6) AS sim
-        |  FROM qz e, q),
-        |ranked AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC NULLS LAST, vec_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10""".stripMargin,
-
-    "q100_embed_quantize" ->
-      """WITH sc AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding,
-        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |  FROM embeddings),
-        |qq AS (
-        |  SELECT vec_id, scale, embedding,
-        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
-        |      ELSE CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) END)
-        |      AS qv
-        |  FROM sc)
-        |SELECT vec_id,
-        |  CAST(round(scale * 1000000000, 0) AS BIGINT) AS scale_x1e9,
-        |  CAST(len(qv) AS BIGINT) AS n_dims,
-        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
-        |  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT)
-        |    AS sum_abs_q,
-        |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
-        |  (scale = 0 OR list_max(list_transform(list_zip(embedding, qv),
-        |      p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
-        |    <= scale * 0.5 + 1e-12) AS err_ok
-        |FROM qq""".stripMargin,
-
-    "q99_jsonl_roundtrip" ->
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  count(DISTINCT lang) AS n_langs,
-        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
-        |    AS BIGINT) AS sum_text_hash,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents GROUP BY source""".stripMargin,
-
-    "q98_inline_dim" ->
-      """SELECT tier, count(*) AS n,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents
-        |FROM orders
-        |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
-        |  ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
-        |  ('5-LOW', 'cold')) AS dim(o_orderpriority, tier)
-        |USING (o_orderpriority)
-        |GROUP BY tier""".stripMargin,
-
-    "q84_grid_pois" -> sqlQ84GridPois,
-
-    "q86_asof_tolerance" -> sqlQ86AsofTolerance,
-
-    "q109_pagerank" -> sqlQ109PageRank,
-
-    "q110_stream_join" ->
-      """WITH base AS (
-        |  SELECT user_id, event_id, event_type,
-        |    epoch_us(ts) // 1000000 AS ts_s
-        |  FROM events),
-        |v AS (SELECT user_id, event_id, ts_s FROM base
-        |      WHERE event_type = 'view'),
-        |p AS (SELECT user_id, event_id AS purchase_id, ts_s AS pts_s
-        |      FROM base WHERE event_type = 'purchase')
-        |SELECT v.user_id, v.event_id AS view_id, p.purchase_id,
-        |  v.ts_s - p.pts_s AS gap_s
-        |FROM v JOIN p ON v.user_id = p.user_id
-        |  AND p.pts_s BETWEEN v.ts_s - 21600 AND v.ts_s""".stripMargin,
-
-    "q111_interpolate" ->
-      """WITH base AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
-        |    value
-        |  FROM events),
-        |v AS (SELECT user_id, event_id, ts_us FROM base
-        |      WHERE event_type = 'view'),
-        |sig AS (SELECT user_id, ts_us, max(value) AS value FROM base
-        |        WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
-        |u AS (
-        |  SELECT user_id, event_id, ts_us, 1 AS side,
-        |    CAST(NULL AS DOUBLE) AS rv
-        |  FROM v
-        |  UNION ALL SELECT user_id, NULL, ts_us, 0, value FROM sig),
-        |f AS (
-        |  SELECT user_id, event_id, ts_us, side,
-        |    last_value(CASE WHEN side = 0 THEN CAST(ts_us AS DOUBLE) END
-        |      IGNORE NULLS) OVER w_prev AS pts,
-        |    last_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
-        |      OVER w_prev AS pv,
-        |    first_value(CASE WHEN side = 0 THEN CAST(ts_us AS DOUBLE) END
-        |      IGNORE NULLS) OVER w_next AS nts,
-        |    first_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
-        |      OVER w_next AS nv
-        |  FROM u
-        |  WINDOW
-        |    w_prev AS (PARTITION BY user_id ORDER BY ts_us ASC, side ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    w_next AS (PARTITION BY user_id ORDER BY ts_us ASC, side ASC
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, event_id,
-        |  round(CASE WHEN pts IS NOT NULL AND nts IS NOT NULL
-        |      THEN pv + (nv - pv) * (CAST(ts_us AS DOUBLE) - pts)
-        |        / (nts - pts)
-        |    WHEN pts IS NOT NULL THEN pv
-        |    WHEN nts IS NOT NULL THEN nv END, 6) AS interp
-        |FROM f WHERE side = 1""".stripMargin,
-
-    "q112_schema_evolution" ->
-      """WITH merged AS (
-        |  SELECT o_orderkey, o_totalprice,
-        |    CAST(NULL AS VARCHAR) AS o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_totalprice, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 1)
-        |SELECT coalesce(o_orderpriority, 'UNKNOWN') AS priority,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents,
-        |  count(DISTINCT o_orderkey) AS n_orders
-        |FROM merged GROUP BY 1""".stripMargin,
-
-    "q113_pq_ann" -> sqlQ113PqAnn,
-
-    // HLL-merge gate, portable columns: exact-distinct twin + the sketch
-    // row count (one per (type, day) bucket) recompute here; in_bounds
-    // (|approx − exact| within 5%) pinned literal-1.
-    "q114_sketch_merge" ->
-      """SELECT event_type,
-        |  count(DISTINCT user_id) AS exact_distinct,
-        |  count(*) AS n_rows,
-        |  count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_sketches,
-        |  CAST(1 AS BIGINT) AS in_bounds
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q119_ivfpq_ann" -> sqlQ119IvfPq,
-
-    // The identical winnowing selection: same normalization, same gram
-    // hash, same fp_key encoding, same window min, same digest.
-    "q120_winnow" ->
-      """WITH nrm AS (
-        |  SELECT doc_id,
-        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id,
-        |    CAST(unnest(range(1, CAST(length(norm) - 8 + 2 AS BIGINT)))
-        |      AS BIGINT) AS p,
-        |    norm
-        |  FROM nrm WHERE length(norm) >= 11),
-        |keyed AS (
-        |  SELECT doc_id, p,
-        |    md5(substr(norm, CAST(p AS INT), 8))
-        |      || lpad(CAST(10000000 - p AS VARCHAR), 8, '0') AS key,
-        |    length(norm) - 8 + 1 AS n_grams
-        |  FROM grams),
-        |chosen AS (
-        |  SELECT DISTINCT doc_id,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_key
-        |  FROM keyed QUALIFY p <= n_grams - 4 + 1)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
-        |  md5(string_agg(fp_key, ',' ORDER BY fp_key)) AS fp_digest
-        |FROM chosen GROUP BY doc_id""".stripMargin,
-
-    // Naive id-ordered triangle enumeration over the same co-purchase
-    // edge set: each triangle (a < b < c) found exactly once, so the
-    // per-node counts equal the degree-oriented form's.
-    "q121_triangles" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity <= 10),
-        |und AS MATERIALIZED (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |    greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey),
-        |tri AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM und e1 JOIN und e2 ON e2.u = e1.v
-        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |nodes AS (
-        |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri)
-        |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM nodes GROUP BY id""".stripMargin,
-
-    // Four frontier expansions unrolled as chained CTEs; min(level) per
-    // node = BFS distance (level k holds ALL nodes at distance exactly k,
-    // possibly plus closer ones — the min collapses them).
-    "q122_bfs" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity <= 10),
-        |und AS MATERIALIZED (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |    greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey),
-        |sym AS MATERIALIZED (
-        |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-        |s0 AS (SELECT DISTINCT l_partkey AS id FROM lineitem
-        |       WHERE l_partkey < 3),
-        |s1 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s0 ON e.u = s0.id),
-        |s2 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s1 ON e.u = s1.id),
-        |s3 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s2 ON e.u = s2.id),
-        |s4 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN s3 ON e.u = s3.id),
-        |lv AS (
-        |  SELECT id, 0 AS d FROM s0 UNION ALL SELECT id, 1 FROM s1
-        |  UNION ALL SELECT id, 2 FROM s2 UNION ALL SELECT id, 3 FROM s3
-        |  UNION ALL SELECT id, 4 FROM s4)
-        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM lv GROUP BY id""".stripMargin,
-
-    // The same greedy-earliest chain: each stage a conditional min after
-    // an equi-join on the previous stage's time, stalls kept by the
-    // final left joins.
-    "q123_funnel" ->
-      (s"""WITH $sqlFunnelCtes
-        |SELECT f0.user_id, f0.t0, f1.t1, f2.t2,
-        |  1 + CAST(f1.t1 IS NOT NULL AS BIGINT)
-        |    + CAST(f2.t2 IS NOT NULL AS BIGINT) AS n_stages
-        |FROM f0 LEFT JOIN f1 USING (user_id)
-        |  LEFT JOIN f2 USING (user_id)""").stripMargin,
-
-    // The identical hash-addressed pairing: row_number index by doc_id,
-    // the portable 32-bit md5 hash mod N, self-pairs dropped, exact-dup
-    // pairs anti-joined on the canonical key.
-    "q124_negative_pairs" ->
-      """WITH idx AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    row_number() OVER (ORDER BY doc_id) - 1 AS idx
-        |  FROM documents),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |js AS (SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS j),
-        |cand AS (
-        |  SELECT i.doc_id AS anchor_id, js.j,
-        |    CAST(('0x' || substr(md5(
-        |      CAST(i.doc_id AS VARCHAR) || ':' || CAST(js.j AS VARCHAR)),
-        |      1, 8)) AS BIGINT) % n.n_docs AS neg_idx
-        |  FROM idx i, n, js),
-        |joined AS (
-        |  SELECT c.anchor_id, c.j, x.doc_id AS neg_id
-        |  FROM cand c JOIN idx x ON x.idx = c.neg_idx
-        |  WHERE x.doc_id <> c.anchor_id),
-        |nrm AS (
-        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
-        |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk
-        |  FROM documents),
-        |ex AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM nrm a JOIN nrm b ON a.nk = b.nk AND a.doc_id < b.doc_id)
-        |SELECT anchor_id, j, neg_id FROM joined jo
-        |WHERE NOT EXISTS (SELECT 1 FROM ex
-        |  WHERE ex.id_a = least(jo.anchor_id, jo.neg_id)
-        |    AND ex.id_b = greatest(jo.anchor_id, jo.neg_id))""".stripMargin,
-
-    // The identical integer-week retention matrix.
-    "q125_cohort" ->
-      """WITH active AS (
-        |  SELECT DISTINCT user_id AS u,
-        |    epoch_us(ts) // 86400000000 AS bucket
-        |  FROM events WHERE event_type = 'purchase'),
-        |fst AS (SELECT u, min(bucket) AS cohort FROM active GROUP BY u),
-        |sizes AS (SELECT cohort, count(*) AS cohort_size FROM fst
-        |          GROUP BY cohort)
-        |SELECT f.cohort, a.bucket - f.cohort AS bucket_offset,
-        |  count(DISTINCT a.u) AS n_active, s.cohort_size
-        |FROM active a JOIN fst f USING (u)
-        |JOIN sizes s ON s.cohort = f.cohort
-        |GROUP BY f.cohort, a.bucket - f.cohort, s.cohort_size""".stripMargin,
-
-    // Ground truth with NO prefix filter: every pair's exact bigram-set
-    // intersection, relationally (token equi-join + group count), with
-    // the identical integer cross-multiplied accept test.
-    "q126_setsim_join" -> sqlQ126SetSim,
-
-    "q128_kcore" -> sqlQ128KCore,
-
-    // Four relaxation rounds unrolled; each round = previous distances
-    // union one-edge extensions, min per node. Integer weights, exact.
-    "q129_sssp" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity <= 10),
-        |und AS MATERIALIZED (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |    greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey),
-        |sym AS MATERIALIZED (
-        |  SELECT u, v, 1 + (u + 2 * v) % 7 AS w FROM und
-        |  UNION ALL SELECT v, u, 1 + (u + 2 * v) % 7 FROM und),
-        |d0 AS MATERIALIZED (
-        |  SELECT DISTINCT l_partkey AS id, CAST(0 AS BIGINT) AS dist
-        |  FROM lineitem WHERE l_partkey < 3),
-        |d1 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
-        |  SELECT id, dist FROM d0 UNION ALL
-        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d0 d ON d.id = e.u)
-        |  GROUP BY id),
-        |d2 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
-        |  SELECT id, dist FROM d1 UNION ALL
-        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d1 d ON d.id = e.u)
-        |  GROUP BY id),
-        |d3 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
-        |  SELECT id, dist FROM d2 UNION ALL
-        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d2 d ON d.id = e.u)
-        |  GROUP BY id),
-        |d4 AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
-        |  SELECT id, dist FROM d3 UNION ALL
-        |  SELECT e.v, d.dist + e.w FROM sym e JOIN d3 d ON d.id = e.u)
-        |  GROUP BY id)
-        |SELECT id, dist FROM d4""".stripMargin,
-
-    // Identical hold-until-next integer arithmetic; one final division.
-    "q130_time_weighted" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |h AS (
-        |  SELECT user_id, ts_us, cents,
-        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
-        |      AS next_ts
-        |  FROM p)
-        |SELECT user_id, count(*) AS n_holds,
-        |  CAST(sum((next_ts - ts_us) * cents) AS BIGINT) AS weighted_sum,
-        |  CAST(sum(next_ts - ts_us) AS BIGINT) AS span_us,
-        |  round(CAST(sum((next_ts - ts_us) * cents) AS DOUBLE)
-        |    / sum(next_ts - ts_us), 6) AS twa_cents
-        |FROM h WHERE next_ts IS NOT NULL
-        |GROUP BY user_id""".stripMargin,
-
-    // The same exact integer moments assembled with the same one-shot
-    // double expression (each op correctly rounded once — engine-exact).
-    "q131_corr" ->
-      """WITH m AS (
-        |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy
-        |  FROM (SELECT l_returnflag,
-        |      CAST(l_quantity AS BIGINT) AS x,
-        |      CAST(round(l_extendedprice, 0) AS BIGINT) AS y
-        |    FROM lineitem)
-        |  GROUP BY l_returnflag)
-        |SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr6
-        |FROM m""".stripMargin,
-
-    // Single-pass recompute of the same integer state + the same
-    // one-shot double expressions — batch folding must land exactly here.
-    "q132_incremental_agg" ->
-      """WITH p AS (
-        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT user_id, count(*) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS total,
-        |  min(cents) AS mn, max(cents) AS mx,
-        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq,
-        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg6,
-        |  round((CAST(count(*) AS DOUBLE) * CAST(sum(cents * cents) AS DOUBLE)
-        |      - CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
-        |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
-        |    AS var6
-        |FROM p GROUP BY user_id""".stripMargin,
-
-    // Identical cross-multiplied integer flag — no sqrt on either side.
-    "q133_outliers" ->
-      """WITH p AS (
-        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |m AS (
-        |  SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
-        |    CAST(sum(cents * cents) AS BIGINT) AS sxx
-        |  FROM p GROUP BY user_id),
-        |f AS (
-        |  SELECT p.user_id, cents, n,
-        |    CASE WHEN (n * cents - sx) * (n * cents - sx)
-        |        > 4 * (n * sxx - sx * sx) THEN 1 ELSE 0 END AS flag
-        |  FROM p JOIN m USING (user_id))
-        |SELECT user_id, max(n) AS n,
-        |  CAST(sum(flag) AS BIGINT) AS n_outliers,
-        |  CAST(sum(CASE WHEN flag = 1 THEN cents END) AS BIGINT)
-        |    AS outlier_total
-        |FROM f GROUP BY user_id""".stripMargin,
-
-    // Same exact ranks (ceil(p*n) as integer div), same clip, same
-    // one-division average.
-    "q134_winsorize" ->
-      """WITH e AS (
-        |  SELECT event_type, event_id,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |r AS (
-        |  SELECT *,
-        |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS gn
-        |  FROM e),
-        |b AS (
-        |  SELECT event_type,
-        |    min(CASE WHEN rn = greatest(1, (gn * 5 + 99) // 100)
-        |      THEN cents END) AS lo,
-        |    min(CASE WHEN rn = greatest(1, (gn * 95 + 99) // 100)
-        |      THEN cents END) AS hi
-        |  FROM r GROUP BY event_type)
-        |SELECT e.event_type, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
-        |  CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS w_total,
-        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_clip_lo,
-        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_clip_hi,
-        |  round(CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE)
-        |    / count(*), 6) AS w_avg6
-        |FROM e JOIN b USING (event_type)
-        |GROUP BY e.event_type""".stripMargin,
-
-    // The four MERGE arms as one full-outer CASE: update adds the
-    // states, insert takes source, target-only passes through, and the
-    // matched-image delete drops combined n < 3.
-    "q135_merge" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |t AS (
-        |  SELECT user_id, d % 7 AS dow, count(*) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS total
-        |  FROM p WHERE d < 19738 GROUP BY 1, 2),
-        |s AS (
-        |  SELECT user_id, d % 7 AS dow, count(*) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS total
-        |  FROM p WHERE d >= 19738 GROUP BY 1, 2)
-        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
-        |  coalesce(t.dow, s.dow) AS dow,
-        |  CASE WHEN t.n IS NOT NULL AND s.n IS NOT NULL THEN t.n + s.n
-        |       WHEN t.n IS NULL THEN s.n ELSE t.n END AS n,
-        |  CASE WHEN t.n IS NOT NULL AND s.n IS NOT NULL
-        |         THEN t.total + s.total
-        |       WHEN t.n IS NULL THEN s.total ELSE t.total END AS total
-        |FROM t FULL OUTER JOIN s
-        |  ON t.user_id = s.user_id AND t.dow = s.dow
-        |WHERE NOT (t.n IS NOT NULL AND s.n IS NOT NULL
-        |  AND t.n + s.n < 3)""".stripMargin,
-
-    // Latest-non-null per column under the same (ts_us, event_id) total
-    // order, via IGNORE NULLS frame-end window (the q111 device).
-    "q136_golden" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    CASE WHEN event_type = 'purchase'
-        |      THEN CAST(round(value * 100, 0) AS BIGINT) END
-        |      AS purchase_cents,
-        |    CASE WHEN event_type = 'view'
-        |      THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS view_k,
-        |    CASE WHEN event_type = 'error' THEN event_id END AS error_event
-        |  FROM events)
-        |SELECT DISTINCT user_id,
-        |  last_value(purchase_cents IGNORE NULLS) OVER w AS purchase_cents,
-        |  last_value(view_k IGNORE NULLS) OVER w AS view_k,
-        |  last_value(error_event IGNORE NULLS) OVER w AS error_event
-        |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
-        .stripMargin,
-
-    // q126's exact pair set -> recursive reachability closure (min
-    // reachable id = the CC label) -> identical window canonical pick.
-    "q137_entity_resolution" ->
-      """WITH RECURSIVE toks AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |el AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
-        |  FROM toks),
-        |sz AS MATERIALIZED (
-        |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
-        |inter AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS MATERIALIZED (
-        |  SELECT i.id_a, i.id_b
-        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
-        |  JOIN sz sb ON sb.doc_id = i.id_b
-        |  WHERE i.c * 2 >= 1 * (sa.n + sb.n - i.c)),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM e),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT e.dst AS id, reach.r AS r
-        |  FROM e JOIN reach ON e.src = reach.id),
-        |comp AS MATERIALIZED (
-        |  SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
-        |m AS (
-        |  SELECT c.doc_id, c.cluster, d.n_chars
-        |  FROM comp c JOIN documents d USING (doc_id))
-        |SELECT doc_id, cluster,
-        |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
-        |  first_value(doc_id) OVER ord AS canonical_id,
-        |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER ord
-        |    THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-        |FROM m
-        |WINDOW ord AS (PARTITION BY cluster
-        |  ORDER BY n_chars DESC, doc_id)""".stripMargin,
-
-    // Same null-safe change flags (IS DISTINCT FROM) and close-out lead.
-    "q139_scd2" ->
-      """WITH snap AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |tiers AS (
-        |  SELECT user_id, day,
-        |    CASE WHEN n >= 6 THEN 'high' WHEN n >= 3 THEN 'mid'
-        |      ELSE 'low' END AS tier
-        |  FROM snap),
-        |c AS (
-        |  SELECT user_id, day, tier,
-        |    lag(day) OVER w AS pd, lag(tier) OVER w AS pt
-        |  FROM tiers WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-        |s AS (
-        |  SELECT user_id, tier, day AS valid_from FROM c
-        |  WHERE pd IS NULL OR tier IS DISTINCT FROM pt)
-        |SELECT user_id, tier, valid_from,
-        |  lead(valid_from) OVER w2 AS valid_to,
-        |  CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
-        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM s WINDOW w2 AS (PARTITION BY user_id
-        |  ORDER BY valid_from)""".stripMargin,
-
-    // The at-or-before + 7-day bound re-expressed as a range join with
-    // arg_max (latest-touch pick over unique (user, ts) touches);
-    // touch dedup mirrors the struct-max (event_id first).
-    "q140_attribution" ->
-      """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |t0 AS (
-        |  SELECT user_id, ts_us, event_id, event_type FROM ev
-        |  WHERE event_type IN ('click', 'view')),
-        |t AS (
-        |  SELECT user_id, ts_us, arg_max(event_type, event_id)
-        |    AS touch_type
-        |  FROM t0 GROUP BY 1, 2),
-        |p AS (
-        |  SELECT user_id, ts_us, event_id, cents FROM ev
-        |  WHERE event_type = 'purchase'),
-        |m AS (
-        |  SELECT p.event_id AS pid, any_value(p.cents) AS cents,
-        |    arg_max(t.touch_type, t.ts_us) AS touch_type
-        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
-        |    AND t.ts_us <= p.ts_us
-        |    AND p.ts_us - t.ts_us <= 604800000000
-        |  GROUP BY p.event_id)
-        |SELECT coalesce(touch_type, 'none') AS touch_type,
-        |  count(*) AS n_purchases,
-        |  CAST(sum(cents) AS BIGINT) AS cents_total
-        |FROM m GROUP BY 1""".stripMargin,
-
-    // The same seven single-scan rules + the anti-join referential
-    // check, as a UNION ALL of scalar report rows.
-    "q141_expectations" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type,
-        |    epoch_ns(ts) // 86400000000000 AS d, value,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |m AS (
-        |  SELECT count(*) AS n, count(DISTINCT event_id) AS nid,
-        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS nnull,
-        |    CAST(sum(CASE WHEN cents < 1 OR cents > 50000
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS nrange,
-        |    CAST(sum(CASE WHEN event_type NOT IN
-        |      ('click', 'view', 'purchase', 'signup', 'error')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS ndom,
-        |    count(DISTINCT event_type) AS ntypes,
-        |    max(d) - min(d) AS dspan
-        |  FROM e),
-        |o AS (
-        |  SELECT count(*) AS orphans FROM e
-        |  LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |  WHERE c.c_custkey IS NULL)
-        |SELECT 'row_count_positive' AS check_name, n AS observed,
-        |  CAST(n > 0 AS BIGINT) AS passed FROM m
-        |UNION ALL SELECT 'event_id_unique', n - nid,
-        |  CAST(n = nid AS BIGINT) FROM m
-        |UNION ALL SELECT 'value_nonnull', nnull,
-        |  CAST(nnull = 0 AS BIGINT) FROM m
-        |UNION ALL SELECT 'value_in_range', nrange,
-        |  CAST(nrange = 0 AS BIGINT) FROM m
-        |UNION ALL SELECT 'type_domain', ndom,
-        |  CAST(ndom = 0 AS BIGINT) FROM m
-        |UNION ALL SELECT 'type_cardinality', ntypes,
-        |  CAST(ntypes = 5 AS BIGINT) FROM m
-        |UNION ALL SELECT 'day_span_month', dspan,
-        |  CAST(dspan = 29 AS BIGINT) FROM m
-        |UNION ALL SELECT 'user_ref_integrity', orphans,
-        |  CAST(orphans = 0 AS BIGINT) FROM o""".stripMargin,
-
-    // The same SCD2 build + validity-range join, with open versions
-    // bounded by a sentinel upper day.
-    "q144_pit_join" ->
-      """WITH snap AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |tiers AS (
-        |  SELECT user_id, day,
-        |    CASE WHEN n >= 6 THEN 'high' WHEN n >= 3 THEN 'mid'
-        |      ELSE 'low' END AS tier
-        |  FROM snap),
-        |c AS (
-        |  SELECT user_id, day, tier,
-        |    lag(day) OVER w AS pd, lag(tier) OVER w AS pt
-        |  FROM tiers WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-        |s AS (
-        |  SELECT user_id, tier, day AS valid_from FROM c
-        |  WHERE pd IS NULL OR tier IS DISTINCT FROM pt),
-        |dim AS (
-        |  SELECT user_id, tier, valid_from,
-        |    coalesce(lead(valid_from) OVER (PARTITION BY user_id
-        |      ORDER BY valid_from), 9223372036854775807) AS valid_until
-        |  FROM s),
-        |p AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT dim.tier, count(*) AS n_purchases,
-        |  CAST(sum(p.cents) AS BIGINT) AS cents_total,
-        |  count(DISTINCT p.user_id) AS n_users
-        |FROM p JOIN dim ON p.user_id = dim.user_id
-        |  AND p.day >= dim.valid_from AND p.day < dim.valid_until
-        |GROUP BY dim.tier""".stripMargin,
-
-    // Unrolled integer-exact Lloyd trajectory (see sqlQ145KMeans).
-    "q145_kmeans" -> sqlQ145KMeans,
-
-    // The q145 trajectory + intra-cluster integer-cosine prune.
-    "q154_semdedup" -> sqlQ154SemDedup,
-
-    // The q85 chunking, banned on corpus document frequency instead of
-    // intra-doc position; NOT IN is null-safe here (chunk is never null).
-    "q155_crossdoc_dedup" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |chunks AS MATERIALIZED (
-        |  SELECT doc_id, i,
-        |    array_to_string(t[i * 5 + 1 : i * 5 + 5], ' ') AS chunk
-        |  FROM toks, unnest(range(0, greatest(
-        |    CAST(ceil(len(t) / 5.0) AS BIGINT), 1))) u(i)),
-        |banned AS (
-        |  SELECT chunk FROM (
-        |    SELECT chunk, count(DISTINCT doc_id) AS df
-        |    FROM chunks GROUP BY chunk)
-        |  WHERE df > 2),
-        |agg AS (
-        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS clean_text,
-        |    count(*) AS n_kept
-        |  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM banned)
-        |  GROUP BY doc_id)
-        |SELECT t.doc_id,
-        |  coalesce(a.clean_text, '') AS clean_text,
-        |  greatest(CAST(ceil(len(t.t) / 5.0) AS BIGINT), 1) AS n_chunks,
-        |  coalesce(a.n_kept, 0) AS n_kept
-        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
-
-    // Identical quota formula: sqrt/divide/multiply/floor are all
-    // IEEE-correctly-rounded, so the quota boundary is engine-exact.
-    "q156_temperature_mix" ->
-      """WITH c AS (
-        |  SELECT lang, count(*) AS src_n FROM documents GROUP BY lang),
-        |m AS (SELECT max(src_n) AS cmax FROM c),
-        |q AS (
-        |  SELECT lang, src_n,
-        |    CAST(floor(150 * sqrt(CAST(src_n AS DOUBLE))
-        |      / sqrt(CAST(cmax AS DOUBLE))) AS BIGINT) AS quota
-        |  FROM c, m),
-        |r AS (
-        |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents)
-        |SELECT r.doc_id, r.lang, q.src_n, q.quota
-        |FROM r JOIN q ON q.lang = r.lang
-        |WHERE r.rk <= q.quota""".stripMargin,
-
-    // Naive wedge enumeration over the same deduped co-purchase graph;
-    // NOT EXISTS is the anti-join (no nulls in the edge list).
-    "q157_link_prediction" ->
-      """WITH li AS (
-        |  SELECT l_orderkey AS ok, l_partkey FROM lineitem
-        |  WHERE l_quantity <= 10),
-        |und AS MATERIALIZED (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |    greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok
-        |  WHERE a.l_partkey < b.l_partkey),
-        |sym AS MATERIALIZED (
-        |  SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-        |deg AS MATERIALIZED (
-        |  SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
-        |cand AS MATERIALIZED (
-        |  SELECT n1.v AS a, n2.v AS b, count(*) AS common
-        |  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
-        |  GROUP BY n1.v, n2.v
-        |  HAVING count(*) >= 2)
-        |SELECT c.a AS u, c.b AS v, c.common,
-        |  da.d AS deg_u, db.d AS deg_v
-        |FROM cand c
-        |JOIN deg da ON da.id = c.a
-        |JOIN deg db ON db.id = c.b
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM und e WHERE e.u = c.a AND e.v = c.b)""".stripMargin,
-
-    // Each event contributes to both covering windows (k = 0 shares the
-    // event's own hour-start; k = 1 the hour before).
-    "q158_stream_sliding" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |k AS (SELECT unnest([0, 1]) AS k)
-        |SELECT user_id,
-        |  (tsec // 3600 - k) * 3600 AS w_start,
-        |  (tsec // 3600 - k) * 3600 + 7200 AS w_end,
-        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM e, k GROUP BY 1, 2, 3""".stripMargin,
-
-    // The two-phase salted cap is lossless, so the oracle ranks plainly.
-    "q159_inverted_index" ->
-      """WITH tf AS (
-        |  SELECT token, doc_id, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents)
-        |  GROUP BY 1, 2)
-        |SELECT token,
-        |  count(*) OVER (PARTITION BY token) AS df,
-        |  CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS cf,
-        |  row_number() OVER (PARTITION BY token
-        |    ORDER BY tf DESC, doc_id ASC) AS rank,
-        |  doc_id, tf
-        |FROM tf
-        |QUALIFY rank <= 10""".stripMargin,
-
-    "q160_collocations" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |tot AS (
-        |  SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
-        |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_big
-        |  FROM toks),
-        |uni AS MATERIALIZED (
-        |  SELECT token, count(*) AS c FROM (
-        |    SELECT unnest(t) AS token FROM toks) GROUP BY 1),
-        |bgc AS (
-        |  SELECT s, count(*) AS c_ab FROM (
-        |    SELECT unnest(list_transform(range(1, len(t)),
-        |      i -> t[i] || ' ' || t[i + 1])) AS s FROM toks)
-        |  GROUP BY 1 HAVING count(*) >= 5),
-        |sp AS (
-        |  SELECT string_split(s, ' ')[1] AS a, string_split(s, ' ')[2] AS b,
-        |    c_ab FROM bgc)
-        |SELECT sp.a, sp.b, sp.c_ab, ua.c AS c_a, ub.c AS c_b
-        |FROM sp
-        |JOIN uni ua ON ua.token = sp.a
-        |JOIN uni ub ON ub.token = sp.b, tot
-        |WHERE CAST(sp.c_ab AS HUGEINT) * n_uni * n_uni * 20
-        |  >= 21 * CAST(n_big AS HUGEINT) * ua.c * ub.c""".stripMargin,
-
-    // Stream scoring against the batch-trained model must equal the
-    // batch assignment bit for bit — the oracle IS q145's.
-    "q162_stream_score" -> sqlQ145KMeans,
-
-    // The synthetic pixel channels in closed form through the 8×8 floor
-    // map, ITU-601 integer luma, strict-mean bits, two-long packing
-    // (2^p sums never touch bit 31 of a half, so BIGINT is exact).
-    "q164_image_phash" -> (sqlPhashCtes +
-      "\nSELECT doc_id AS media_id, hi AS hash_hi, lo AS hash_lo FROM hh"),
-
-    // Same hash derivation + ALL-pairs over distinct hashes (no bands —
-    // the oracle verifies every pair) + the smallest-rep domination rule.
-    "q165_image_neardup" -> (sqlPhashCtes +
-      """,
-        |g AS (SELECT hi, lo, min(doc_id) AS rep FROM hh GROUP BY 1, 2),
-        |dom AS (
-        |  SELECT DISTINCT b.rep FROM g a JOIN g b ON a.rep < b.rep
-        |  WHERE bit_count(xor(CAST(a.hi AS BIT), CAST(b.hi AS BIT)))
-        |      + bit_count(xor(CAST(a.lo AS BIT), CAST(b.lo AS BIT))) <= 3)
-        |SELECT h.doc_id AS media_id, h.hi AS hash_hi, h.lo AS hash_lo,
-        |  (h.doc_id = g.rep AND g.rep NOT IN (SELECT rep FROM dom)) AS kept
-        |FROM hh h JOIN g USING (hi, lo)""".stripMargin),
-
-    // Stream hashing = batch hashing bit for bit, so the gate's flagged
-    // set is the plain batch join: odd-half images vs the even-half
-    // distinct-hash representative index at Hamming <= 3 (the banded
-    // candidates are recall-lossless there by pigeonhole).
-    "q166_stream_image_gate" -> (sqlPhashCtes +
-      """,
-        |idx AS (
-        |  SELECT hi, lo, min(doc_id) AS hist_id FROM hh
-        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-        |inc AS (
-        |  SELECT doc_id AS in_id, hi, lo FROM hh WHERE doc_id % 2 = 1)
-        |SELECT i.in_id, x.hist_id
-        |FROM inc i JOIN idx x
-        |ON bit_count(xor(CAST(i.hi AS BIT), CAST(x.hi AS BIT)))
-        |  + bit_count(xor(CAST(i.lo AS BIT), CAST(x.lo AS BIT))) <= 3"""
-        .stripMargin),
-
-    // Same micro-nat discipline as q147, at order 2: conditional
-    // ln(c_ab / c_a-prefix), each ln rounded once, exact integer sums.
-    "q163_bigram_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |tf AS (
-        |  SELECT doc_id, s, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |      i -> t[i] || ' ' || t[i + 1])) AS s FROM toks)
-        |  GROUP BY doc_id, s),
-        |bg AS (
-        |  SELECT s, CAST(sum(tf) AS BIGINT) AS c_ab FROM tf GROUP BY s),
-        |pre AS (
-        |  SELECT string_split(s, ' ')[1] AS a,
-        |    CAST(sum(c_ab) AS BIGINT) AS c_a
-        |  FROM bg GROUP BY 1),
-        |cond AS (
-        |  SELECT s,
-        |    CAST(round(ln(CAST(c_ab AS DOUBLE)) * 1e6, 0) AS BIGINT)
-        |      - CAST(round(ln(CAST(c_a AS DOUBLE)) * 1e6, 0) AS BIGINT)
-        |      AS cond_micro
-        |  FROM bg JOIN pre ON pre.a = string_split(bg.s, ' ')[1])
-        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(t.tf * c.cond_micro) AS BIGINT) AS lp_micro,
-        |  round(CAST(sum(t.tf * c.cond_micro) AS DOUBLE)
-        |    / (CAST(sum(t.tf) AS DOUBLE) * 1e6), 6) AS avg_logprob
-        |FROM tf t JOIN cond c USING (s)
-        |GROUP BY t.doc_id""".stripMargin,
-
-    // The identical wrap + strip chain in RE2 ('g' = global, inline
-    // (?s) dotall); &amp; unescapes last on both sides.
-    "q167_html_extract" ->
-      """WITH wrapped AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id ||
-        |    '</title><style>.x{color:red}</style><script>var n=' ||
-        |    doc_id || ';</script></head><body>' ||
-        |    '<div class="nav"><a href="/">home</a> | ' ||
-        |    '<a href="/about">about</a></div><p>' || text ||
-        |    '</p><p>fish &amp; chips &lt;tag&gt; &quot;q&quot;</p>' ||
-        |    '<div class="footer">site ' || doc_id ||
-        |    '</div></body></html>' AS html,
-        |    text || ' fish & chips <tag> "q"' AS expected
-        |  FROM documents),
-        |ext AS (
-        |  SELECT doc_id, expected,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(
-        |        regexp_replace(regexp_replace(regexp_replace(
-        |          regexp_replace(regexp_replace(html,
-        |            '(?s)<script.*?</script>', ' ', 'g'),
-        |          '(?s)<style.*?</style>', ' ', 'g'),
-        |          '(?s)<title.*?</title>', ' ', 'g'),
-        |          '(?s)<div class="(nav|footer)">.*?</div>', ' ', 'g'),
-        |          '<[^>]*>', ' ', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |        '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS extracted
-        |  FROM wrapped)
-        |SELECT doc_id, extracted,
-        |  CAST(len(extracted) AS BIGINT) AS n_chars,
-        |  extracted = expected AS matches_original
-        |FROM ext""".stripMargin,
-
-    // Quadratic all-pairs under the SOUND ±1 length band (Levenshtein
-    // distance <= 1 implies |len(a)-len(b)| <= 1) — no blocking
-    // assumption shared with the Spark side's deletion-neighborhood
-    // join; identical noisy-name derivation.
-    "q168_fuzzy_join" ->
-      """WITH b AS (
-        |  SELECT p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS base,
-        |    p_partkey % 11 AS m FROM part),
-        |u AS (SELECT DISTINCT CASE
-        |    WHEN m = 0 THEN substr(base, 1, 2) || substr(base, 4, 1000)
-        |    WHEN m = 1 THEN substr(base, 1, 3) || 'x' || substr(base, 5, 1000)
-        |    WHEN m = 2 THEN substr(base, 1, 4) || 'q' || substr(base, 5, 1000)
-        |    ELSE base END AS s FROM b)
-        |SELECT a.s AS name_a, b2.s AS name_b,
-        |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
-        |FROM u a JOIN u b2
-        |  ON a.s < b2.s AND abs(len(a.s) - len(b2.s)) <= 1
-        |WHERE levenshtein(a.s, b2.s) <= 1""".stripMargin,
-
-    // The same local-recode ladder as two window passes: level-1
-    // counts only the rows level 0 rejected (FILTER c0 < k), so the
-    // count is the published group size.
-    "q169_kanonymity" ->
-      """WITH c AS (
-        |  SELECT c_custkey, c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS b0,
-        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b1
-        |  FROM customer),
-        |l0 AS (SELECT *, count(*) OVER
-        |  (PARTITION BY c_nationkey, c_mktsegment, b0) AS c0 FROM c),
-        |l1 AS (SELECT *, count(*) FILTER (WHERE c0 < 4) OVER
-        |  (PARTITION BY c_nationkey, b1) AS c1 FROM l0),
-        |lv AS (SELECT *, CASE WHEN c0 >= 4 THEN 0
-        |  WHEN c1 >= 4 THEN 1 ELSE 2 END AS gen_level FROM l1)
-        |SELECT c_custkey, CAST(gen_level AS BIGINT) AS gen_level,
-        |  CASE WHEN gen_level < 2 THEN CAST(c_nationkey AS BIGINT) END
-        |    AS qi_nation,
-        |  CASE WHEN gen_level = 0 THEN c_mktsegment END AS qi_segment,
-        |  CASE WHEN gen_level = 0 THEN b0 * 500
-        |    WHEN gen_level = 1 THEN b1 * 2000 END AS qi_bal_lo,
-        |  CAST(CASE WHEN gen_level = 0 THEN 500
-        |    WHEN gen_level = 1 THEN 2000 END AS BIGINT) AS qi_bal_w
-        |FROM lv""".stripMargin,
-
-    // The identical magic-number bit-spread ladder on BIGINTs
-    // (0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555 in decimal), then
-    // the same top-6-bit bucket aggregate.
-    "q170_zorder" ->
-      """WITH pts AS (
-        |  SELECT (l_partkey % 2000) * 32 AS qx,
-        |    (l_suppkey % 100) * 640 AS qy FROM lineitem),
-        |s1 AS (SELECT qx, qy, (qx | (qx << 8)) & 16711935 AS x1,
-        |  (qy | (qy << 8)) & 16711935 AS y1 FROM pts),
-        |s2 AS (SELECT qx, qy, (x1 | (x1 << 4)) & 252645135 AS x2,
-        |  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
-        |s3 AS (SELECT qx, qy, (x2 | (x2 << 2)) & 858993459 AS x3,
-        |  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
-        |s4 AS (SELECT qx, qy, (x3 | (x3 << 1)) & 1431655765 AS x4,
-        |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
-        |z AS (SELECT qx, qy, x4 | (y4 << 1) AS zval FROM s4)
-        |SELECT zval >> 26 AS bucket, count(*) AS cnt,
-        |  min(qx) AS x_min, max(qx) AS x_max,
-        |  min(qy) AS y_min, max(qy) AS y_max,
-        |  min(zval) AS z_min, max(zval) AS z_max
-        |FROM z GROUP BY 1""".stripMargin,
-
-    // q24's cosine expression verbatim (round 6 before the max; round
-    // is monotone so max(round) = round(max)), grouped to the per-id
-    // flag.
-    "q171_semantic_decontam" ->
-      """WITH b AS (
-        |  SELECT embedding AS bq FROM embeddings WHERE vec_id < 40),
-        |s AS (
-        |  SELECT e.vec_id,
-        |    round(list_sum(list_transform(list_zip(e.embedding, b.bq),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.bq,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-        |  FROM embeddings e, b WHERE e.vec_id >= 40)
-        |SELECT vec_id, max(sim) AS max_sim,
-        |  max(sim) >= 0.35 AS contaminated
-        |FROM s GROUP BY 1""".stripMargin,
-
-    // The identical 3-round merge chain as scalar-subquery CTEs: each
-    // round's (count -> top-1 -> literal replace) feeds the next, so a
-    // wrong winner in any round cascades. ·x· wrapping as in the Spark
-    // side (each symbol owns both delimiters — back-to-back merges).
-    "q172_bpe_train" ->
-      """WITH w AS (
-        |  SELECT tok AS w, count(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  WHERE len(tok) > 0 GROUP BY 1),
-        |s0 AS (SELECT regexp_replace(w, '(.)', '·\1·', 'g') AS seq, freq FROM w),
-        |c0 AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
-        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
-        |                 freq FROM s0))
-        |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-        |s1 AS (SELECT replace(seq,
-        |         '·' || (SELECT a FROM c0) || '··' || (SELECT b FROM c0) || '·',
-        |         '·' || (SELECT a FROM c0) || (SELECT b FROM c0) || '·') AS seq,
-        |         freq FROM s0),
-        |c1 AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
-        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
-        |                 freq FROM s1))
-        |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
-        |s2 AS (SELECT replace(seq,
-        |         '·' || (SELECT a FROM c1) || '··' || (SELECT b FROM c1) || '·',
-        |         '·' || (SELECT a FROM c1) || (SELECT b FROM c1) || '·') AS seq,
-        |         freq FROM s1),
-        |c2 AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
-        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
-        |                 freq FROM s2))
-        |       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)
-        |SELECT CAST(0 AS BIGINT) AS round, a AS sym_a, b AS sym_b,
-        |  a || b AS merged, cnt FROM c0
-        |UNION ALL
-        |SELECT CAST(1 AS BIGINT), a, b, a || b, cnt FROM c1
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM c2""".stripMargin,
-
-    // Every decoded sample re-derived in closed form from the synthetic
-    // PCM formula (the q164 discipline for audio): band energies,
-    // >=-chain peak, and the adjacent-peak fingerprint via lead().
-    "q173_audio_fingerprint" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, 1024 + (doc_id % 7) * 256 AS n
-        |  FROM documents),
-        |idx AS (SELECT media_id, unnest(range(0, n)) AS i FROM d),
-        |s AS (SELECT media_id, i // 256 AS frame_idx, (i % 256) // 64 AS band,
-        |        abs((media_id * 31 + i * i * 7) % 4096 - 2048) AS a FROM idx),
-        |e AS (SELECT media_id, frame_idx,
-        |        CAST(sum(CASE WHEN band = 0 THEN a ELSE 0 END) AS BIGINT) AS e0,
-        |        CAST(sum(CASE WHEN band = 1 THEN a ELSE 0 END) AS BIGINT) AS e1,
-        |        CAST(sum(CASE WHEN band = 2 THEN a ELSE 0 END) AS BIGINT) AS e2,
-        |        CAST(sum(CASE WHEN band = 3 THEN a ELSE 0 END) AS BIGINT) AS e3
-        |      FROM s GROUP BY 1, 2),
-        |p AS (SELECT *, CAST(CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0
-        |        WHEN e1 >= e2 AND e1 >= e3 THEN 1
-        |        WHEN e2 >= e3 THEN 2 ELSE 3 END AS BIGINT) AS peak_band FROM e)
-        |SELECT media_id, frame_idx, e0, e1, e2, e3, peak_band,
-        |  peak_band * 4 + lead(peak_band) OVER
-        |    (PARTITION BY media_id ORDER BY frame_idx) AS fp
-        |FROM p""".stripMargin,
-
-    // The identical per-row verdicts in batch: NULL verdicts count as
-    // failed (NOT coalesce(valid, FALSE)), concat_ws skips passing
-    // checks' null slots.
-    "q174_stream_quarantine" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, value,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |r AS (SELECT event_id, concat_ws(',',
-        |    CASE WHEN NOT coalesce(value IS NOT NULL, FALSE)
-        |      THEN 'value_nonnull' END,
-        |    CASE WHEN NOT coalesce(cents BETWEEN 100 AND 20000, FALSE)
-        |      THEN 'cents_range' END,
-        |    CASE WHEN NOT coalesce(event_type IN
-        |        ('click', 'view', 'purchase', 'signup'), FALSE)
-        |      THEN 'type_domain' END) AS reasons
-        |  FROM e)
-        |SELECT event_id, reasons, reasons <> '' AS quarantined
-        |FROM r""".stripMargin,
-
-    // q150's BM25 chain + a q24-style single-query cosine ranking,
-    // fused with exact integer micro-RRF (1000000 // (60 + rank)).
-    "q175_hybrid_retrieval" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |st AS (
-        |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT)
-        |    AS sum_dl FROM base),
-        |tf AS (
-        |  SELECT doc_id, dl, token, count(*) AS tf FROM (
-        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-        |      unnest(toks) AS token FROM base)
-        |  WHERE token IN ('data', 'scan', 'merge')
-        |  GROUP BY doc_id, dl, token),
-        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |sc AS (
-        |  SELECT t.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (CAST(st.n_docs - d.df AS DOUBLE) + 0.5)
-        |        / (CAST(d.df AS DOUBLE) + 0.5))
-        |      * (CAST(t.tf AS DOUBLE) * 2.2
-        |        / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |          * (CAST(t.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
-        |            / CAST(st.sum_dl AS DOUBLE)))))
-        |      * 1e6, 0) AS BIGINT) AS s
-        |  FROM tf t JOIN dfr d USING (token), st),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
-        |  FROM sc GROUP BY doc_id),
-        |bm AS (SELECT doc_id, r FROM (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro
-        |    DESC, doc_id ASC) AS BIGINT) AS r FROM agg) WHERE r <= 100),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |cs AS (
-        |  SELECT e.vec_id AS doc_id,
-        |    round(list_sum(list_transform(list_zip(e.embedding, q.qe),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.qe,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6) AS sim
-        |  FROM embeddings e, q),
-        |cos AS (SELECT doc_id, r FROM (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC,
-        |    doc_id ASC) AS BIGINT) AS r FROM cs) WHERE r <= 100),
-        |u AS (SELECT * FROM bm UNION ALL SELECT * FROM cos),
-        |f AS (SELECT doc_id, count(*) AS n_lists,
-        |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micro
-        |  FROM u GROUP BY 1)
-        |SELECT doc_id, n_lists, rrf_micro,
-        |  CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
-        |    AS BIGINT) AS rank
-        |FROM f""".stripMargin,
-
-    // The identical rolling polynomial, boundary rule, and interval
-    // reconstruction; md5 fingerprints compare byte-for-byte.
-    "q176_cdc_chunks" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text AS t FROM documents
-        |  WHERE len(text) > 0),
-        |codes AS (
-        |  SELECT id, len, pos,
-        |    CAST(ascii(substr(t, CAST(pos AS INT), 1)) AS BIGINT) AS c
-        |  FROM (SELECT id, t, len(t) AS len,
-        |          unnest(range(1, len(t) + 1)) AS pos FROM base)),
-        |r AS (
-        |  SELECT id, len, pos,
-        |    c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
-        |      + 29791 * lag(c, 3) OVER w AS h
-        |  FROM codes WINDOW w AS (PARTITION BY id ORDER BY pos)),
-        |b AS (SELECT DISTINCT id, pos FROM r
-        |      WHERE (pos >= 4 AND h % 32 = 0) OR pos = len),
-        |ch AS (
-        |  SELECT id, pos,
-        |    coalesce(lag(pos, 1) OVER v, 0) + 1 AS start,
-        |    CAST(row_number() OVER v AS BIGINT) AS chunk_idx
-        |  FROM b WINDOW v AS (PARTITION BY id ORDER BY pos)),
-        |cf AS (
-        |  SELECT id, chunk_idx,
-        |    CAST(pos - start + 1 AS BIGINT) AS chunk_len,
-        |    md5(substr(t, CAST(start AS INT),
-        |      CAST(pos - start + 1 AS INT))) AS fp
-        |  FROM ch JOIN base USING (id)),
-        |sh AS (SELECT fp, count(DISTINCT id) AS nd FROM cf GROUP BY 1)
-        |SELECT id AS doc_id, chunk_idx, chunk_len, cf.fp, nd > 1 AS shared
-        |FROM cf JOIN sh USING (fp)""".stripMargin,
-
-    // The identical 16-term dyadic lag sum (terms generated, not
-    // hand-kept) and the one micro-scaled integer division.
-    "q177_ewma" -> {
-      val ws = (0 until 16).map { j =>
-        s"coalesce(lag(cents, $j) OVER w * ${1L << (15 - j)}, 0)"
-      }.mkString("\n      + ")
-      val wt = (0 until 16).map { j =>
-        s"CASE WHEN lag(cents, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END"
-      }.mkString("\n      + ")
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
-         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-         |  FROM events WHERE event_type = 'purchase'),
-         |r AS (
-         |  SELECT user_id, event_id, cents,
-         |    CAST($ws AS BIGINT) AS ws,
-         |    CAST($wt AS BIGINT) AS wt
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id))
-         |SELECT user_id, event_id, cents, ws, wt,
-         |  (ws * 1000000) // wt AS ewma_micro
-         |FROM r""".stripMargin
-    },
-
-    // q172's merge chain (c0/c1/c2 verbatim) applied to the DOCUMENTS:
-    // in-place wrapping, three scalar-subquery rewrites, arithmetic
-    // unit count.
-    "q178_bpe_apply" ->
-      """WITH w AS (
-        |  SELECT tok AS w, count(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  WHERE len(tok) > 0 GROUP BY 1),
-        |s0 AS (SELECT regexp_replace(w, '(.)', '·\1·', 'g') AS seq, freq FROM w),
-        |c0 AS (SELECT p[1] AS a, p[2] AS b FROM (
-        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
-        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
-        |                 freq FROM s0))
-        |       GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
-        |s1 AS (SELECT replace(seq,
-        |         '·' || (SELECT a FROM c0) || '··' || (SELECT b FROM c0) || '·',
-        |         '·' || (SELECT a FROM c0) || (SELECT b FROM c0) || '·') AS seq,
-        |         freq FROM s0),
-        |c1 AS (SELECT p[1] AS a, p[2] AS b FROM (
-        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
-        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
-        |                 freq FROM s1))
-        |       GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
-        |s2 AS (SELECT replace(seq,
-        |         '·' || (SELECT a FROM c1) || '··' || (SELECT b FROM c1) || '·',
-        |         '·' || (SELECT a FROM c1) || (SELECT b FROM c1) || '·') AS seq,
-        |         freq FROM s1),
-        |c2 AS (SELECT p[1] AS a, p[2] AS b FROM (
-        |         SELECT unnest(list_zip(la[1:len(la)-1], la[2:len(la)])) AS p, freq
-        |         FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '··') AS la,
-        |                 freq FROM s2))
-        |       GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
-        |d0 AS (SELECT doc_id, text,
-        |         regexp_replace(text, '(\S)', '·\1·', 'g') AS sx
-        |       FROM documents),
-        |d1 AS (SELECT doc_id, text, replace(sx,
-        |         '·' || (SELECT a FROM c0) || '··' || (SELECT b FROM c0) || '·',
-        |         '·' || (SELECT a FROM c0) || (SELECT b FROM c0) || '·') AS sx
-        |       FROM d0),
-        |d2 AS (SELECT doc_id, text, replace(sx,
-        |         '·' || (SELECT a FROM c1) || '··' || (SELECT b FROM c1) || '·',
-        |         '·' || (SELECT a FROM c1) || (SELECT b FROM c1) || '·') AS sx
-        |       FROM d1),
-        |d3 AS (SELECT doc_id, text, replace(sx,
-        |         '·' || (SELECT a FROM c2) || '··' || (SELECT b FROM c2) || '·',
-        |         '·' || (SELECT a FROM c2) || (SELECT b FROM c2) || '·') AS sx
-        |       FROM d2)
-        |SELECT doc_id,
-        |  CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_units_before,
-        |  CAST(len(string_split(text, ' '))
-        |    + (len(sx) - len(replace(sx, '··', ''))) // 2 AS BIGINT)
-        |    AS n_units_after
-        |FROM d3""".stripMargin,
-
-    // The identical gram enumeration (positions x widths), arg-max by
-    // (count, gram) per width, duplicated-5-gram char sum, and integer
-    // bps divisions.
-    "q179_gopher_rep" ->
-      """WITH base AS (
-        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
-        |    string_split(text, ' ') AS toks FROM documents),
-        |p AS (
-        |  SELECT doc_id, n_chars, toks,
-        |    unnest(range(1, len(toks) + 1)) AS pos FROM base),
-        |g AS (
-        |  SELECT doc_id, n_chars, v.n AS n,
-        |    array_to_string(toks[pos:pos + v.n - 1], ' ') AS gram
-        |  FROM p, (VALUES (2), (3), (4)) v(n)
-        |  WHERE pos + v.n - 1 <= len(toks)),
-        |c AS (SELECT doc_id, n, gram, count(*) AS cnt
-        |      FROM g GROUP BY 1, 2, 3),
-        |tops AS (
-        |  SELECT doc_id, n, cnt * len(gram) AS chars FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rk
-        |    FROM c)
-        |  WHERE rk = 1),
-        |dup AS (
-        |  SELECT doc_id, sum(cnt * len(gram)) AS chars
-        |  FROM c WHERE n = 3 AND cnt > 1 GROUP BY 1),
-        |a AS (
-        |  SELECT base.doc_id, base.n_chars,
-        |    coalesce(t2.chars, 0) * 10000 // base.n_chars AS top2_bps,
-        |    coalesce(t3.chars, 0) * 10000 // base.n_chars AS top3_bps,
-        |    coalesce(t4.chars, 0) * 10000 // base.n_chars AS top4_bps,
-        |    coalesce(dup.chars, 0) * 10000 // base.n_chars AS dup_bps
-        |  FROM base
-        |  LEFT JOIN tops t2 ON t2.doc_id = base.doc_id AND t2.n = 2
-        |  LEFT JOIN tops t3 ON t3.doc_id = base.doc_id AND t3.n = 3
-        |  LEFT JOIN tops t4 ON t4.doc_id = base.doc_id AND t4.n = 4
-        |  LEFT JOIN dup ON dup.doc_id = base.doc_id)
-        |SELECT doc_id, n_chars,
-        |  CAST(top2_bps AS BIGINT) AS top2_bps,
-        |  CAST(top3_bps AS BIGINT) AS top3_bps,
-        |  CAST(top4_bps AS BIGINT) AS top4_bps,
-        |  CAST(dup_bps AS BIGINT) AS dup_bps,
-        |  top2_bps <= 2000 AND top3_bps <= 1800 AND top4_bps <= 1600
-        |    AND dup_bps <= 800 AS pass
-        |FROM a""".stripMargin,
-
-    // The identical two lower-median rank extractions ((gn+1)//2 under
-    // (value, id) / (dev, id) orders) and the cross-multiplied flag.
-    "q180_mad" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |r1 AS (
-        |  SELECT *, row_number() OVER
-        |      (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS gn FROM e),
-        |m AS (SELECT user_id, cents AS med FROM r1 WHERE rn = (gn + 1) // 2),
-        |dv AS (
-        |  SELECT e.user_id, e.event_id, e.cents, m.med,
-        |    abs(e.cents - m.med) AS dev
-        |  FROM e JOIN m USING (user_id)),
-        |r2 AS (
-        |  SELECT *, row_number() OVER
-        |      (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS gn FROM dv),
-        |md AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (gn + 1) // 2)
-        |SELECT d.user_id, count(*) AS n, max(d.med) AS med,
-        |  max(md.mad) AS mad,
-        |  CAST(sum(CASE WHEN d.dev > 2 * md.mad THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_outliers,
-        |  CAST(sum(CASE WHEN d.dev > 2 * md.mad THEN d.cents END)
-        |    AS BIGINT) AS outlier_total
-        |FROM dv d JOIN md USING (user_id)
-        |GROUP BY d.user_id""".stripMargin,
-
-    // The identical basket collapse, pair self-join, direction union,
-    // and integer threshold cuts (lift in HUGEINT, the DECIMAL twin).
-    "q181_assoc_rules" ->
-      """WITH it AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
-        |pc AS (
-        |  SELECT a.item AS ia, b.item AS ib, count(*) AS c_ab
-        |  FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
-        |ic AS (SELECT item, count(*) AS c FROM it GROUP BY 1),
-        |dr AS (
-        |  SELECT ia AS ante, ib AS cons, c_ab FROM pc
-        |  UNION ALL SELECT ib AS ante, ia AS cons, c_ab FROM pc),
-        |j AS (
-        |  SELECT dr.ante, dr.cons, dr.c_ab, a.c AS c_ante, b.c AS c_cons,
-        |    tot.n_baskets
-        |  FROM dr JOIN ic a ON a.item = dr.ante
-        |    JOIN ic b ON b.item = dr.cons, tot
-        |  WHERE dr.c_ab * 7 >= a.c
-        |    AND CAST(dr.c_ab AS HUGEINT) * tot.n_baskets * 1000
-        |      >= CAST(1001 AS HUGEINT) * a.c * b.c)
-        |SELECT ante, cons, c_ab, CAST(c_ante AS BIGINT) AS c_ante,
-        |  CAST(c_cons AS BIGINT) AS c_cons,
-        |  CAST(n_baskets AS BIGINT) AS n_baskets,
-        |  c_ab * 10000 // c_ante AS conf_bps,
-        |  CAST(CAST(c_ab AS HUGEINT) * n_baskets * 1000
-        |    // (CAST(c_ante AS HUGEINT) * c_cons) AS BIGINT) AS lift_milli
-        |FROM j""".stripMargin,
-
-    // The q169 local-recode ladder (segment NOT in the QI), published
-    // levels only, then exact distinct-sensitive per group.
-    "q182_ldiversity" ->
-      """WITH c AS (
-        |  SELECT c_custkey, c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 500) AS BIGINT) AS b0,
-        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b1
-        |  FROM customer),
-        |l0 AS (SELECT *, count(*) OVER
-        |  (PARTITION BY c_nationkey, b0) AS c0 FROM c),
-        |l1 AS (SELECT *, count(*) FILTER (WHERE c0 < 4) OVER
-        |  (PARTITION BY c_nationkey, b1) AS c1 FROM l0),
-        |lv AS (SELECT *, CASE WHEN c0 >= 4 THEN 0
-        |  WHEN c1 >= 4 THEN 1 ELSE 2 END AS gen_level FROM l1),
-        |pub AS (
-        |  SELECT CAST(gen_level AS BIGINT) AS gen_level,
-        |    CAST(c_nationkey AS BIGINT) AS qi_nation,
-        |    CASE WHEN gen_level = 0 THEN b0 * 500
-        |      ELSE b1 * 2000 END AS qi_bal_lo,
-        |    CAST(CASE WHEN gen_level = 0 THEN 500 ELSE 2000 END AS BIGINT)
-        |      AS qi_bal_w,
-        |    c_mktsegment
-        |  FROM lv WHERE gen_level < 2)
-        |SELECT gen_level, qi_nation, qi_bal_lo, qi_bal_w,
-        |  count(*) AS n,
-        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
-        |  count(DISTINCT c_mktsegment) >= 3 AS diverse
-        |FROM pub GROUP BY 1, 2, 3, 4""".stripMargin,
-
-    // The identical URL synthesis (every branch off the same md5-derived
-    // h), regex canonicalization chain, and smallest-id-wins group.
-    "q183_url_dedup" ->
-      (s"""WITH ${sqlUrlCanonCtes("documents")},
-        |g AS (SELECT canonical_url, min(doc_id) AS keep_id,
-        |        count(*) AS n_urls
-        |      FROM c GROUP BY 1)
-        |SELECT c.doc_id, c.url, c.canonical_url, g.n_urls,
-        |  c.doc_id = g.keep_id AS keep
-        |FROM c JOIN g USING (canonical_url)""").stripMargin,
-
-    // The identical top-k vocab cut (count desc, token asc) and per-doc
-    // OOV aggregate.
-    "q184_vocab_coverage" ->
-      """WITH tf AS (
-        |  SELECT doc_id, tok AS token FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents)
-        |  WHERE len(tok) > 0),
-        |v AS (
-        |  SELECT token, 1 AS in_vocab FROM (
-        |    SELECT token, count(*) AS c FROM tf GROUP BY 1)
-        |  QUALIFY row_number() OVER (ORDER BY c DESC, token ASC) <= 28)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_oov,
-        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) * 10000 // count(*) AS oov_bps
-        |FROM tf LEFT JOIN v USING (token)
-        |GROUP BY doc_id""".stripMargin,
-
-    // The identical quantization, three disc-rank extractions, and the
-    // toward-zero integer division.
-    "q185_robust_scale" ->
-      """WITH x AS (
-        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
-        |    CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000000, 0)
-        |      AS BIGINT) AS q
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
-        |r AS (
-        |  SELECT *, row_number() OVER
-        |      (PARTITION BY dim ORDER BY q, vec_id) AS rn,
-        |    count(*) OVER (PARTITION BY dim) AS gn FROM x),
-        |b AS (
-        |  SELECT dim,
-        |    min(q) FILTER (rn = (gn + 1) // 2) AS med,
-        |    min(q) FILTER (rn = (gn + 3) // 4) AS q1,
-        |    min(q) FILTER (rn = (3 * gn + 3) // 4) AS q3
-        |  FROM r
-        |  WHERE rn = (gn + 1) // 2 OR rn = (gn + 3) // 4
-        |    OR rn = (3 * gn + 3) // 4
-        |  GROUP BY 1)
-        |SELECT x.dim, x.vec_id, x.q, b.med, b.q1, b.q3,
-        |  b.q3 - b.q1 AS iqr,
-        |  CASE WHEN b.q3 - b.q1 > 0
-        |    THEN ((x.q - b.med) * 1000000) // (b.q3 - b.q1)
-        |    ELSE 0 END AS scaled_micro
-        |FROM x JOIN b USING (dim)""".stripMargin,
-
-    // The identical normalization, nested cluster-size counts, and
-    // integer share.
-    "q186_dup_profile" ->
-      """WITH alltexts AS (
-        |  SELECT text FROM documents
-        |  UNION ALL SELECT text FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL SELECT text FROM documents WHERE doc_id % 9 = 0),
-        |n AS (
-        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
-        |  FROM alltexts),
-        |cl AS (SELECT count(*) AS cluster_size FROM n GROUP BY norm),
-        |tot AS (SELECT count(*) AS n_total FROM n)
-        |SELECT cluster_size, count(*) AS n_clusters,
-        |  cluster_size * count(*) AS n_docs, tot.n_total,
-        |  cluster_size * count(*) * 10000 // tot.n_total AS docs_bps
-        |FROM cl, tot GROUP BY cluster_size, tot.n_total""".stripMargin,
-
-    // Every ordered pair re-verified from the element equi-join (pairs
-    // sharing zero elements cannot pass a positive threshold), no
-    // prefix filter — the operator's candidate pruning must be lossless
-    // against this.
-    "q187_containment" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |el AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS e
-        |  FROM toks),
-        |sz AS MATERIALIZED (
-        |  SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM el a JOIN el b ON a.e = b.e AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT i.id_a, i.id_b, sa.n AS na, sb.n AS nb, i.c,
-        |  i.c * 10000 // sa.n AS cont_bps
-        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
-        |JOIN sz sb ON sb.doc_id = i.id_b
-        |WHERE i.c * 5 >= 4 * sa.n""".stripMargin,
-
-    // Track energies/peaks re-derived in closed form (the q173 CTEs);
-    // clip fingerprints ARE the track fingerprints at frames
-    // off..off+2 (same samples), re-indexed to clip frames; then the
-    // identical join + offset histogram + (votes desc, track, dt)
-    // winner.
-    "q188_audio_match" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, 1024 + (doc_id % 7) * 256 AS n
-        |  FROM documents),
-        |idx AS (SELECT media_id, unnest(range(0, n)) AS i FROM d),
-        |s AS (SELECT media_id, i // 256 AS frame_idx, (i % 256) // 64 AS band,
-        |        abs((media_id * 31 + i * i * 7) % 4096 - 2048) AS a FROM idx),
-        |e AS (SELECT media_id, frame_idx,
-        |        CAST(sum(CASE WHEN band = 0 THEN a ELSE 0 END) AS BIGINT) AS e0,
-        |        CAST(sum(CASE WHEN band = 1 THEN a ELSE 0 END) AS BIGINT) AS e1,
-        |        CAST(sum(CASE WHEN band = 2 THEN a ELSE 0 END) AS BIGINT) AS e2,
-        |        CAST(sum(CASE WHEN band = 3 THEN a ELSE 0 END) AS BIGINT) AS e3
-        |      FROM s GROUP BY 1, 2),
-        |p AS (SELECT *, CAST(CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0
-        |        WHEN e1 >= e2 AND e1 >= e3 THEN 1
-        |        WHEN e2 >= e3 THEN 2 ELSE 3 END AS BIGINT) AS peak_band FROM e),
-        |tf AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |        (peak_band * 4 + lead(peak_band) OVER
-        |          (PARTITION BY media_id ORDER BY frame_idx)) * 65536
-        |          + (e0 + e1 + e2 + e3) % 65536 AS fp
-        |      FROM p),
-        |tfv AS (SELECT * FROM tf WHERE fp IS NOT NULL),
-        |qf AS (SELECT media_id AS query_id,
-        |        frame_idx - (1 + media_id % 3) AS qf, fp
-        |      FROM tfv
-        |      WHERE media_id % 5 = 0 AND media_id % 7 >= 4
-        |        AND frame_idx BETWEEN (1 + media_id % 3)
-        |          AND (3 + media_id % 3)),
-        |h AS (SELECT q.query_id, t.media_id AS track_id,
-        |        t.frame_idx - q.qf AS dt, count(*) AS n_matches
-        |      FROM qf q JOIN tfv t USING (fp) GROUP BY 1, 2, 3)
-        |SELECT query_id, track_id, dt, n_matches FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY n_matches DESC, track_id, dt) AS rk FROM h)
-        |WHERE rk = 1""".stripMargin,
-
-    // The identical six window functions; rank = row_number under the
-    // unique (date, key) order, so every ratio is the same
-    // small-integer division.
-    "q189_window_breadth" ->
-      """SELECT o_orderkey, o_custkey,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd,
-        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  nth_value(o_totalprice, 2) OVER w AS second_price,
-        |  last_value(o_totalprice) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |    AS last_price
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
-
-    // q29's candidate SQL and q126's exact-truth SQL verbatim, full
-    // outer joined on the pair key; counts and bps are exact integers.
-    "q190_dedup_eval" ->
-      s"""WITH cand AS (SELECT id_a, id_b FROM ($sqlQ29Minhash)),
-         |truth AS (SELECT id_a, id_b FROM ($sqlQ126SetSim)),
-         |j AS (
-         |  SELECT c.id_a IS NOT NULL AS in_p, t.id_a IS NOT NULL AS in_t
-         |  FROM cand c FULL JOIN truth t
-         |    ON c.id_a = t.id_a AND c.id_b = t.id_b),
-         |agg AS (
-         |  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS tp,
-         |    CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS fpos,
-         |    CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS fneg
-         |  FROM j)
-         |SELECT tp, fpos, fneg,
-         |  CASE WHEN tp + fpos > 0 THEN tp * 10000 // (tp + fpos) END
-         |    AS precision_bps,
-         |  CASE WHEN tp + fneg > 0 THEN tp * 10000 // (tp + fneg) END
-         |    AS recall_bps
-         |FROM agg""".stripMargin,
-
-    // Four unrolled depth CTEs (tree walk with the diamond edges), sum
-    // of per-path products, min depth, path count.
-    "q191_bom_rollup" ->
-      """WITH e AS (
-        |  SELECT p_partkey AS child, p_partkey // 10 AS parent,
-        |    p_partkey % 4 + 1 AS q
-        |  FROM part WHERE p_partkey >= 10
-        |  UNION ALL
-        |  SELECT p_partkey, p_partkey // 10 + 1, 2
-        |  FROM part WHERE p_partkey >= 10 AND p_partkey % 3 = 0),
-        |d1 AS (SELECT parent AS anc, child AS dsc, 1 AS depth, q AS ext
-        |       FROM e),
-        |d2 AS (SELECT e.parent AS anc, d1.dsc, 2 AS depth,
-        |         d1.ext * e.q AS ext
-        |       FROM d1 JOIN e ON d1.anc = e.child),
-        |d3 AS (SELECT e.parent AS anc, d2.dsc, 3 AS depth,
-        |         d2.ext * e.q AS ext
-        |       FROM d2 JOIN e ON d2.anc = e.child),
-        |d4 AS (SELECT e.parent AS anc, d3.dsc, 4 AS depth,
-        |         d3.ext * e.q AS ext
-        |       FROM d3 JOIN e ON d3.anc = e.child),
-        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
-        |      UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
-        |SELECT anc AS ancestor, dsc AS descendant,
-        |  CAST(sum(ext) AS BIGINT) AS ext_qty,
-        |  CAST(min(depth) AS BIGINT) AS min_depth,
-        |  count(*) AS n_paths
-        |FROM u GROUP BY 1, 2""".stripMargin,
-
-    // The identical two-window dominance test (strict-x range frame +
-    // same-x partition max).
-    "q192_skyline" ->
-      """WITH p AS (
-        |  SELECT p_partkey, p_brand,
-        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
-        |    CAST(p_size AS BIGINT) AS size
-        |  FROM part)
-        |SELECT p_partkey, p_brand, price_cents, size,
-        |  NOT (coalesce(max(size) OVER (PARTITION BY p_brand
-        |      ORDER BY price_cents
-        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      >= size, FALSE)
-        |    OR coalesce(max(size) OVER (PARTITION BY p_brand, price_cents)
-        |      > size, FALSE)) AS on_frontier
-        |FROM p""".stripMargin,
-
-    // The identical five integer moments and HUGEINT integral division
-    // to micro units; zero-variance x emits null.
-    "q193_trend" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |d0 AS (SELECT min(day) AS day0 FROM p),
-        |x AS (SELECT user_id, day - d0.day0 AS x, cents AS y FROM p, d0),
-        |m AS (
-        |  SELECT user_id, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx
-        |  FROM x GROUP BY 1)
-        |SELECT user_id, n, sx, sy, sxy, sxx,
-        |  CASE WHEN n * sxx - sx * sx > 0 THEN
-        |    CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |      * 1000000 // (CAST(n AS HUGEINT) * sxx
-        |      - CAST(sx AS HUGEINT) * sx) AS BIGINT)
-        |  END AS slope_micro
-        |FROM m""".stripMargin,
-
-    // Same aggregate as q115 — VARIANT extraction must agree with the
-    // schema'd from_json path bit for bit.
-    "q194_variant" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CAST(json_extract(props, '$.k') AS INT) AS k
-        |  FROM events)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(k) AS min_k, max(k) AS max_k,
-        |  count(DISTINCT k) AS n_k
-        |FROM e GROUP BY event_type""".stripMargin,
-
-    // count(DISTINCT norm) equals Spark's distinct-md5(norm) count (the
-    // 16-byte key is an agg-state optimization, not a semantic change).
-    "q161_dataset_card" ->
-      """WITH n AS (
-        |  SELECT source, lang, text,
-        |    trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
-        |  FROM documents)
-        |SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
-        |  CAST(min(len(text)) AS BIGINT) AS min_chars,
-        |  CAST(max(len(text)) AS BIGINT) AS max_chars,
-        |  count(DISTINCT norm) AS n_unique,
-        |  (count(*) - count(DISTINCT norm)) * 10000 // count(*) AS dup_bp
-        |FROM n GROUP BY 1, 2""".stripMargin,
-
-    // Latest-change collapse (window twin of the struct max) + the same
-    // full-outer apply with D-drop.
-    "q146_cdc_apply" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |sp AS (SELECT min(day) + 15 AS split FROM p),
-        |base AS (
-        |  SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total
-        |  FROM p, sp WHERE day < split AND user_id % 5 <> 0
-        |  GROUP BY user_id),
-        |feed AS (
-        |  SELECT user_id, day AS seq,
-        |    CASE WHEN day % 7 = 1 THEN 'D' ELSE 'U' END AS op,
-        |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS total
-        |  FROM p, sp WHERE day >= split AND user_id % 5 <> 1
-        |  GROUP BY user_id, day),
-        |latest AS (
-        |  SELECT user_id, op, n, total FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY seq DESC) AS rn FROM feed) WHERE rn = 1)
-        |SELECT user_id,
-        |  CASE WHEN l.user_id IS NOT NULL THEN l.n ELSE b.n END AS n,
-        |  CASE WHEN l.user_id IS NOT NULL THEN l.total ELSE b.total
-        |    END AS total
-        |FROM base b FULL OUTER JOIN latest l USING (user_id)
-        |WHERE l.user_id IS NULL OR l.op <> 'D'""".stripMargin,
-
-    // Identical micro-nat integer arithmetic: round each ln once, sum
-    // longs, one rounded division at the end.
-    "q147_unigram_logprob" ->
-      """WITH tf AS (
-        |  SELECT doc_id, token, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents) GROUP BY doc_id, token),
-        |vocab AS (
-        |  SELECT token, CAST(sum(tf) AS BIGINT) AS c,
-        |    CAST(round(ln(CAST(sum(tf) AS DOUBLE)) * 1e6, 0) AS BIGINT)
-        |      AS l_micro
-        |  FROM tf GROUP BY token),
-        |tot AS (
-        |  SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1e6, 0) AS BIGINT)
-        |    AS lt_micro
-        |  FROM vocab)
-        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
-        |  CAST(sum(t.tf * v.l_micro) - sum(t.tf) * any_value(tot.lt_micro)
-        |    AS BIGINT) AS lp_micro,
-        |  round(CAST(sum(t.tf * v.l_micro) - sum(t.tf)
-        |      * any_value(tot.lt_micro) AS DOUBLE)
-        |    / (CAST(sum(t.tf) AS DOUBLE) * 1e6), 6) AS avg_logprob
-        |FROM tf t JOIN vocab v USING (token), tot
-        |GROUP BY t.doc_id""".stripMargin,
-
-    // Relational twin of the unrolled sign expressions: the ±1 matrix
-    // from the same md5-hex-parity formula, the projection as an exact
-    // integer sum, the code from the same strict >0 sign bits.
-    "q148_random_projection" ->
-      """WITH sgn AS MATERIALIZED (
-        |  SELECT j, d,
-        |    CASE WHEN substr(md5(j || ':' || d), 32, 1)
-        |      IN ('0','2','4','6','8','a','c','e')
-        |    THEN 1 ELSE -1 END AS s
-        |  FROM (SELECT unnest(range(0, 16)) AS j),
-        |       (SELECT unnest(range(0, 64)) AS d)),
-        |q AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
-        |      AS BIGINT) AS qd
-        |  FROM embeddings),
-        |pr AS MATERIALIZED (
-        |  SELECT vec_id, j, CAST(sum(qd * s) AS BIGINT) AS p
-        |  FROM q JOIN sgn USING (d) GROUP BY vec_id, j),
-        |code AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j)
-        |      ELSE 0 END) AS BIGINT) AS srp_code
-        |  FROM pr GROUP BY vec_id)
-        |SELECT pr.vec_id, CAST(pr.j AS BIGINT) AS j, pr.p, code.srp_code
-        |FROM pr JOIN code USING (vec_id)""".stripMargin,
-
-    // Identical contingency cells and the same fixed-order double
-    // expression (exact-long difference first, then three multiplies and
-    // one division, rounded once).
-    "q149_chi2" ->
-      """WITH pres AS (
-        |  SELECT DISTINCT doc_id, source AS label, token FROM (
-        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
-        |    FROM documents)),
-        |n11t AS (
-        |  SELECT token, label, count(*) AS n11
-        |  FROM pres GROUP BY token, label),
-        |dft AS (SELECT token, CAST(sum(n11) AS BIGINT) AS df
-        |        FROM n11t GROUP BY token),
-        |nl AS (SELECT source AS label, count(*) AS n_label
-        |       FROM documents GROUP BY source),
-        |nt AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT token, label, n11,
-        |  df - n11 AS n10, n_label - n11 AS n01,
-        |  n_docs - df - n_label + n11 AS n00,
-        |  round(CAST(n_docs AS DOUBLE)
-        |    * CAST(n11 * (n_docs - df - n_label + n11)
-        |        - (df - n11) * (n_label - n11) AS DOUBLE)
-        |    * CAST(n11 * (n_docs - df - n_label + n11)
-        |        - (df - n11) * (n_label - n11) AS DOUBLE)
-        |    / (CAST(df AS DOUBLE) * CAST(n_docs - df AS DOUBLE)
-        |      * CAST(n_label AS DOUBLE)
-        |      * CAST(n_docs - n_label AS DOUBLE)), 6) AS chi2
-        |FROM n11t JOIN dft USING (token) JOIN nl USING (label), nt
-        |WHERE df >= 10 AND df < n_docs AND n_label < n_docs""".stripMargin,
-
-    // Same fixed-order BM25 expression, micro-rounded per (doc, term),
-    // exact long sums, same (score, doc) top-k order.
-    "q150_bm25" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |st AS (
-        |  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT)
-        |    AS sum_dl FROM base),
-        |tf AS (
-        |  SELECT doc_id, dl, token, count(*) AS tf FROM (
-        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-        |      unnest(toks) AS token FROM base)
-        |  WHERE token IN ('data', 'scan', 'merge')
-        |  GROUP BY doc_id, dl, token),
-        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |sc AS (
-        |  SELECT t.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (CAST(st.n_docs - d.df AS DOUBLE) + 0.5)
-        |        / (CAST(d.df AS DOUBLE) + 0.5))
-        |      * (CAST(t.tf AS DOUBLE) * 2.2
-        |        / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |          * (CAST(t.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
-        |            / CAST(st.sum_dl AS DOUBLE)))))
-        |      * 1e6, 0) AS BIGINT) AS s
-        |  FROM tf t JOIN dfr d USING (token), st),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
-        |    count(*) AS n_terms
-        |  FROM sc GROUP BY doc_id)
-        |SELECT doc_id, score_micro, n_terms, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC,
-        |    doc_id ASC) AS BIGINT) AS rank FROM agg)
-        |WHERE rank <= 100""".stripMargin,
-
-    // Plain batch left range join — the contract the watermarked
-    // streaming replay must land on exactly.
-    "q151_stream_outer_join" ->
-      """WITH base AS (
-        |  SELECT user_id, event_id, event_type,
-        |    epoch_us(ts) // 1000000 AS ts_s
-        |  FROM events),
-        |v AS (SELECT user_id, event_id, ts_s FROM base
-        |      WHERE event_type = 'view'),
-        |p AS (SELECT user_id, event_id AS purchase_id, ts_s AS pts_s
-        |      FROM base WHERE event_type = 'purchase')
-        |SELECT v.user_id, v.event_id AS view_id, p.purchase_id,
-        |  v.ts_s - p.pts_s AS gap_s
-        |FROM v LEFT JOIN p ON v.user_id = p.user_id
-        |  AND p.pts_s BETWEEN v.ts_s - 21600 AND v.ts_s""".stripMargin,
-
-    // Identical lead pairing under the same (ts, event_id) total order,
-    // same 'end' terminal, same single rounded division.
-    "q152_markov" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_type AS from_state,
-        |    coalesce(lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id), 'end') AS to_state
-        |  FROM events),
-        |c AS (
-        |  SELECT from_state, to_state, count(*) AS n
-        |  FROM seq GROUP BY from_state, to_state),
-        |t AS (
-        |  SELECT from_state, CAST(sum(n) AS BIGINT) AS row_total
-        |  FROM c GROUP BY from_state)
-        |SELECT c.from_state, c.to_state, c.n,
-        |  round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6) AS p
-        |FROM c JOIN t USING (from_state)""".stripMargin,
-
-    // Same two keyed aggregates + full-outer + integer cross-multiplied
-    // drift flag.
-    "q153_drift" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
-        |    user_id % 25 AS cohort
-        |  FROM events WHERE event_type = 'purchase'),
-        |sp AS (SELECT min(day) + 15 AS split FROM p),
-        |a AS (
-        |  SELECT cohort, count(*) AS n_a,
-        |    count(DISTINCT user_id) AS entities_a,
-        |    CAST(sum(cents) AS BIGINT) AS sum_a
-        |  FROM p, sp WHERE day < split GROUP BY cohort),
-        |b AS (
-        |  SELECT cohort, count(*) AS n_b,
-        |    count(DISTINCT user_id) AS entities_b,
-        |    CAST(sum(cents) AS BIGINT) AS sum_b
-        |  FROM p, sp WHERE day >= split GROUP BY cohort)
-        |SELECT cohort,
-        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
-        |  coalesce(entities_a, 0) AS entities_a,
-        |  coalesce(entities_b, 0) AS entities_b,
-        |  coalesce(sum_a, 0) AS sum_a, coalesce(sum_b, 0) AS sum_b,
-        |  CAST(abs(coalesce(n_a, 0) - coalesce(n_b, 0)) * 5
-        |    > coalesce(n_a, 0) * 1 AS BIGINT) AS drifted
-        |FROM a FULL OUTER JOIN b USING (cohort)""".stripMargin,
-
-    // The whole-history recompute the four folded micro-batch
-    // snapshots must land on exactly.
-    "q143_stream_matview" ->
-      """WITH p AS (
-        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT user_id, count(*) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS total,
-        |  min(cents) AS mn, max(cents) AS mx,
-        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq
-        |FROM p GROUP BY user_id""".stripMargin,
-
-    // generate_series twin of the sequence() day range; identical
-    // integer cross-multiplied completeness verdict.
-    "q142_completeness" ->
-      """WITH c AS (
-        |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
-        |  FROM events GROUP BY 1),
-        |span AS (
-        |  SELECT min(day) AS d0, max(day) AS d1, sum(n) AS total,
-        |    max(day) - min(day) + 1 AS n_days
-        |  FROM c),
-        |days AS (
-        |  SELECT unnest(generate_series(d0, d1)) AS day, n_days, total
-        |  FROM span)
-        |SELECT days.day, coalesce(c.n, 0) AS n,
-        |  CAST(coalesce(c.n, 0) * n_days * 2 >= total * 1 AS BIGINT)
-        |    AS complete
-        |FROM days LEFT JOIN c ON c.day = days.day""".stripMargin,
-
-    // Same trailing-window list, same sort, same ceil(n/2) pick.
-    "q138_rolling_median" ->
-      """WITH daily AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-        |      AS cents
-        |  FROM events WHERE event_type = 'purchase'
-        |  GROUP BY 1, 2),
-        |r AS (
-        |  SELECT user_id, day, cents,
-        |    list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY day
-        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
-        |  FROM daily)
-        |SELECT user_id, day, cents,
-        |  arr[(len(arr) + 1) // 2] AS med7
-        |FROM r""".stripMargin,
-
-    // GROUPING() bits composed in Spark's grouping_id order
-    // (first listed column = most significant bit).
-    "q127_cube" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  CAST(2 * GROUPING(o_orderstatus)
-        |    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
-
-    "q115_json_extract" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CAST(json_extract(props, '$.k') AS INT) AS k
-        |  FROM events)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(k) AS min_k, max(k) AS max_k,
-        |  count(DISTINCT k) AS n_k
-        |FROM e GROUP BY event_type""".stripMargin,
-
-    // The identical three grouping sets; gid = 2*GROUPING(status) +
-    // GROUPING(priority), the q127 mapping.
-    "q195_grouping_sets" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  CAST(2 * GROUPING(o_orderstatus)
-        |    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |""".stripMargin,
-
-    // HLL-intersect gate, portable columns: the exact pairwise
-    // overlap/union twins recompute here (distinct equi-join under the
-    // same label_a < label_b order); in_bounds pinned literal-1.
-    "q196_hll_intersect" ->
-      """WITH f AS (
-        |  SELECT event_type AS label, user_id AS v FROM events
-        |  WHERE (user_id + length(event_type)) % 4 <> 0),
-        |n AS (
-        |  SELECT label, count(DISTINCT v) AS exact_n FROM f GROUP BY label),
-        |dv AS (SELECT DISTINCT label, v FROM f),
-        |ov AS (
-        |  SELECT a.label AS label_a, b.label AS label_b,
-        |    count(*) AS cnt
-        |  FROM dv a JOIN dv b ON a.v = b.v AND a.label < b.label
-        |  GROUP BY 1, 2)
-        |SELECT a.label AS label_a, b.label AS label_b,
-        |  a.exact_n AS exact_a, b.exact_n AS exact_b,
-        |  CAST(coalesce(ov.cnt, 0) AS BIGINT) AS exact_overlap,
-        |  CAST(a.exact_n + b.exact_n - coalesce(ov.cnt, 0) AS BIGINT)
-        |    AS exact_union,
-        |  CAST(1 AS BIGINT) AS in_bounds
-        |FROM n a JOIN n b ON a.label < b.label
-        |LEFT JOIN ov ON ov.label_a = a.label AND ov.label_b = b.label
-        |""".stripMargin,
-
-    // The identical first-4 prefix assembly (string_agg under the same
-    // total order), count, and deterministic top-10.
-    "q197_top_paths" ->
-      """WITH r AS (
-        |  SELECT user_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |p AS (
-        |  SELECT user_id,
-        |    string_agg(event_type, '>' ORDER BY rn) AS path
-        |  FROM r WHERE rn <= 4 GROUP BY user_id),
-        |tot AS (SELECT count(*) AS n_users FROM p),
-        |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
-        |SELECT path, n, tot.n_users, n * 10000 // tot.n_users AS share_bps
-        |FROM c, tot
-        |ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
-
-    // The identical injection, per-user lower-median of the observed
-    // values, left-join fill; all-null users keep null.
-    "q198_impute" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id,
-        |    CASE WHEN event_id % 7 = 0 OR user_id % 50 = 0 THEN NULL
-        |      ELSE CAST(round(value * 100, 0) AS BIGINT) END AS cents_raw
-        |  FROM events WHERE event_type = 'purchase'),
-        |nn AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY cents_raw, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS gn
-        |  FROM e WHERE cents_raw IS NOT NULL),
-        |m AS (SELECT user_id, cents_raw AS med FROM nn
-        |      WHERE rn = (gn + 1) // 2)
-        |SELECT e.user_id, e.event_id, e.cents_raw,
-        |  coalesce(e.cents_raw, m.med) AS imputed,
-        |  e.cents_raw IS NULL AND m.med IS NOT NULL AS was_imputed
-        |FROM e LEFT JOIN m USING (user_id)""".stripMargin,
-
-    // The identical bit_or fold and popcount projections; the weekday
-    // mask is the same plan-time constant.
-    "q199_activity_bitmap" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
-        |  FROM events),
-        |d0 AS (SELECT min(day) AS day0 FROM e),
-        |idx AS (
-        |  SELECT user_id, day - d0.day0 AS day FROM e, d0
-        |  WHERE day - d0.day0 >= 0 AND day - d0.day0 < 60),
-        |b AS (
-        |  SELECT user_id,
-        |    bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bmp
-        |  FROM idx GROUP BY 1)
-        |SELECT user_id, bmp,
-        |  CAST(bit_count(bmp) AS BIGINT) AS n_active_days,
-        |  CAST(bit_count(bmp & (bmp >> 7)) AS BIGINT)
-        |    AS wow_retained_days,
-        |  CAST(bit_count(bmp & 1098452772105736095) AS BIGINT)
-        |    AS n_weekdays
-        |FROM b""".stripMargin,
-
-    // The identical quantization (operand order fixed), the q170
-    // interleave ladder with lat on even / lon on odd bits, and the
-    // same base32 slices.
-    "q200_geohash" ->
-      (s"""WITH ${Tables.pingsSql},
-        |q AS (
-        |  SELECT uid,
-        |    CAST(least(floor((latitude + 90.0) * 32768.0 / 180.0),
-        |      32767) AS BIGINT) AS qla,
-        |    CAST(least(floor((longitude + 180.0) * 32768.0 / 360.0),
-        |      32767) AS BIGINT) AS qlo
-        |  FROM pings),
-        |s1 AS (SELECT uid, (qla | (qla << 8)) & 16711935 AS x1,
-        |  (qlo | (qlo << 8)) & 16711935 AS y1 FROM q),
-        |s2 AS (SELECT uid, (x1 | (x1 << 4)) & 252645135 AS x2,
-        |  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
-        |s3 AS (SELECT uid, (x2 | (x2 << 2)) & 858993459 AS x3,
-        |  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
-        |s4 AS (SELECT uid, (x3 | (x3 << 1)) & 1431655765 AS x4,
-        |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
-        |z AS (SELECT uid, x4 | (y4 << 1) AS zv FROM s4),
-        |g AS (SELECT uid,
-        |  substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST((zv >> 25) & 31 AS INT) + 1, 1)
-        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST((zv >> 20) & 31 AS INT) + 1, 1)
-        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST((zv >> 15) & 31 AS INT) + 1, 1)
-        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST((zv >> 10) & 31 AS INT) + 1, 1)
-        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST((zv >> 5) & 31 AS INT) + 1, 1)
-        |  || substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST(zv & 31 AS INT) + 1, 1) AS gh
-        |  FROM z)
-        |SELECT gh, count(*) AS n_pings,
-        |  CAST(count(DISTINCT uid) AS BIGINT) AS n_users
-        |FROM g GROUP BY 1""").stripMargin,
-
-    // The identical six-table join and exact cents·percent revenue.
-    "q201_tpch_like" ->
-      """SELECT r_name AS region, n_name AS nation,
-        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
-        |  count(*) AS n_items,
-        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
-        |    AS BIGINT) AS rev_c100
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE c_nationkey = s_nationkey
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    // Windowed DISTINCT over the same 3-day RANGE frame at type grain,
-    // collapsed to day grain.
-    "q202_rolling_distinct" ->
-      """WITH t AS (
-        |  SELECT DISTINCT user_id,
-        |    epoch_ns(ts) // 86400000000000 AS day, event_type
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, day,
-        |    count(DISTINCT event_type) OVER (PARTITION BY user_id
-        |      ORDER BY day RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
-        |      AS n
-        |  FROM t)
-        |SELECT DISTINCT user_id, day, CAST(n AS BIGINT) AS n_types_3d
-        |FROM r""".stripMargin,
-
-    // The q199 fold (same day0 derivation) — the stream's versioned
-    // OR-merge must land exactly on the batch bitmap.
-    "q203_stream_bitmap" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
-        |  FROM events),
-        |d0 AS (SELECT min(day) AS day0 FROM e),
-        |idx AS (
-        |  SELECT user_id, day - d0.day0 AS day FROM e, d0
-        |  WHERE day - d0.day0 >= 0 AND day - d0.day0 < 60),
-        |b AS (
-        |  SELECT user_id,
-        |    bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bmp
-        |  FROM idx GROUP BY 1)
-        |SELECT user_id, bmp,
-        |  CAST(bit_count(bmp) AS BIGINT) AS n_active_days
-        |FROM b""".stripMargin,
-
-    // ntile twins under the same (metric, user) total order; the bin
-    // arithmetic is quantileBins' closed form of exactly ntile.
-    "q204_rfm" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |b AS (
-        |  SELECT user_id, max(day) AS last_day, count(*) AS f,
-        |    CAST(sum(cents) AS BIGINT) AS m
-        |  FROM p GROUP BY 1),
-        |mx AS (SELECT max(last_day) AS cm FROM b),
-        |w AS (SELECT user_id, mx.cm - last_day AS r, f, m FROM b, mx),
-        |sc AS (
-        |  SELECT user_id, r, f, m,
-        |    CAST(ntile(5) OVER (ORDER BY r, user_id) AS BIGINT) AS r_score,
-        |    CAST(ntile(5) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
-        |    CAST(ntile(5) OVER (ORDER BY m, user_id) AS BIGINT) AS m_score
-        |  FROM w)
-        |SELECT user_id, r, f, m, r_score, f_score, m_score,
-        |  r_score * 100 + f_score * 10 + m_score AS segment
-        |FROM sc""".stripMargin,
-
-    // The identical per-dow aggregates and HUGEINT deviation cut.
-    "q205_dow_profile" ->
-      """WITH p AS (
-        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |d AS (SELECT day % 7 AS dow, count(*) AS n,
-        |        CAST(sum(cents) AS BIGINT) AS total
-        |      FROM p GROUP BY 1),
-        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
-        |        CAST(sum(total) AS BIGINT) AS t_all FROM d)
-        |SELECT dow, n, total, total * 1000000 // n AS avg_micro,
-        |  CAST((CAST(total AS HUGEINT) * a.n_all
-        |    - CAST(a.t_all AS HUGEINT) * n) * 10000
-        |    // (CAST(a.t_all AS HUGEINT) * n) AS BIGINT) AS dev_bps
-        |FROM d, a""".stripMargin,
-
-    // The same two tiers over the dup-injected union: URL keep-group
-    // first, content keep-group over URL survivors only.
-    "q206_dedup_cascade" ->
-      (s"""WITH dd AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents
-        |  WHERE doc_id % 3 = 0),
-        |${sqlUrlCanonCtes("dd", siteMod = 5, pathMod = 40, idMod = 23)},
-        |g AS (SELECT canonical_url, min(doc_id) AS keep_id
-        |      FROM c GROUP BY 1),
-        |k AS (SELECT c.doc_id, c.doc_id = g.keep_id AS url_keep
-        |      FROM c JOIN g USING (canonical_url)),
-        |n AS (SELECT doc_id,
-        |        trim(regexp_replace(regexp_replace(lower(text),
-        |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nk
-        |      FROM dd),
-        |ck AS (SELECT n.nk, min(n.doc_id) AS ck
-        |       FROM n JOIN k ON k.doc_id = n.doc_id AND k.url_keep
-        |       GROUP BY 1)
-        |SELECT k.doc_id,
-        |  CASE WHEN NOT k.url_keep THEN 'url_dup'
-        |    WHEN k.doc_id <> ck.ck THEN 'content_dup'
-        |    ELSE 'kept' END AS verdict
-        |FROM k JOIN n USING (doc_id)
-        |LEFT JOIN ck ON ck.nk = n.nk""").stripMargin,
-
-    // The identical byte-position frame energies, lag boundary test,
-    // and running boundary count.
-    "q207_scene_detect" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id, text, len(text) AS n FROM documents),
-        |p AS (
-        |  SELECT media_id, (i - 1) // 32 AS frame_idx,
-        |    ascii(substr(text, CAST(i AS INT), 1)) AS c
-        |  FROM b, unnest(range(1, n + 1)) u(i)),
-        |e AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |        CAST(sum(c) AS BIGINT) AS energy
-        |      FROM p GROUP BY 1, 2),
-        |r AS (SELECT *, lag(energy) OVER
-        |        (PARTITION BY media_id ORDER BY frame_idx) AS prev
-        |      FROM e),
-        |x AS (SELECT media_id, frame_idx, energy,
-        |        prev IS NOT NULL
-        |          AND abs(energy - prev) * 20 >= (energy + prev)
-        |          AS is_boundary
-        |      FROM r)
-        |SELECT media_id, frame_idx, energy, is_boundary,
-        |  CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER
-        |    (PARTITION BY media_id ORDER BY frame_idx
-        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
-        |FROM x""".stripMargin,
-
-    // Token band + the q72 stopword occurrence idiom + q179's width-2
-    // arg-max fragment, fused to the identical reasons string.
-    "q208_scorecard" ->
-      """WITH base AS (
-        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(string_split(' ' || text || ' ', ' the ')) - 1
-        |      + len(string_split(' ' || text || ' ', ' a ')) - 1
-        |      AS BIGINT) AS sw,
-        |    string_split(text, ' ') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    array_to_string(toks[pos:pos + 1], ' ') AS gram
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(range(1, len(toks) + 1)) AS pos FROM base)
-        |  WHERE pos + 1 <= len(toks)),
-        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
-        |t2 AS (
-        |  SELECT doc_id, cnt * len(gram) AS chars FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY cnt DESC, gram DESC) AS rk FROM c)
-        |  WHERE rk = 1),
-        |j AS (
-        |  SELECT b.doc_id, b.n_tokens,
-        |    sw * 10000 // b.n_tokens AS stop_bps,
-        |    coalesce(t2.chars, 0) * 10000 // b.n_chars AS top2_bps
-        |  FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id),
-        |r AS (
-        |  SELECT *, concat_ws(',',
-        |    CASE WHEN NOT coalesce(n_tokens BETWEEN 25 AND 70, FALSE)
-        |      THEN 'len_range' END,
-        |    CASE WHEN NOT coalesce(stop_bps <= 800, FALSE)
-        |      THEN 'stopword' END,
-        |    CASE WHEN NOT coalesce(top2_bps <= 2000, FALSE)
-        |      THEN 'repetition' END) AS reasons
-        |  FROM j)
-        |SELECT doc_id, n_tokens, top2_bps, stop_bps, reasons,
-        |  reasons <> '' AS quarantined
-        |FROM r""".stripMargin,
-
-    // The identical row-md5 half sums mod 2^61.
-    "q209_table_checksum" ->
-      """WITH r AS (
-        |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
-        |    || CAST(l_partkey AS VARCHAR) || '|'
-        |    || CAST(l_suppkey AS VARCHAR) || '|'
-        |    || CAST(l_linenumber AS VARCHAR) || '|'
-        |    || CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) || '|'
-        |    || CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-        |         AS VARCHAR) || '|'
-        |    || l_returnflag || '|' || l_linestatus) AS h
-        |  FROM lineitem)
-        |SELECT count(*) AS n_rows,
-        |  CAST(CAST(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT))
-        |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_h1,
-        |  CAST(CAST(sum(CAST(('0x' || substr(h, 9, 8)) AS BIGINT))
-        |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_h2
-        |FROM r""".stripMargin,
-
-    // The identical sorted-multiset delta walk and span certificate.
-    "q210_delta_encode" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
-        |g AS (SELECT user_id, list_sort(list(sec)) AS vs
-        |      FROM e GROUP BY 1)
-        |SELECT user_id, vs[1] AS base, CAST(len(vs) AS BIGINT) AS n,
-        |  vs[-1] - vs[1] AS span,
-        |  array_to_string(list_transform(range(2, len(vs) + 1),
-        |    i -> vs[i] - vs[i - 1]), ',') AS deltas
-        |FROM g""".stripMargin,
-
-    // The identical vocabulary-prefix explode and per-prefix top-k.
-    "q211_autocomplete" ->
-      """WITH v AS (
-        |  SELECT token, count(*) AS c FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS token
-        |    FROM documents)
-        |  WHERE len(token) > 0 GROUP BY 1),
-        |p AS (
-        |  SELECT substr(token, 1, CAST(plen AS INT)) AS prefix, token, c
-        |  FROM v, unnest(range(1, least(len(token), 3) + 1)) u(plen))
-        |SELECT prefix, token, c,
-        |  CAST(row_number() OVER (PARTITION BY prefix
-        |    ORDER BY c DESC, token ASC) AS BIGINT) AS rank
-        |FROM p
-        |QUALIFY rank <= 3""".stripMargin,
-
-    // The identical three disc-rank extractions in one pass.
-    "q212_group_percentiles" ->
-      """WITH e AS (
-        |  SELECT event_type, event_id,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type
-        |      ORDER BY cents, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS gn FROM e)
-        |SELECT event_type, max(gn) AS n,
-        |  min(cents) FILTER (rn = greatest(1, (gn + 1) // 2)) AS p50,
-        |  min(cents) FILTER (rn = greatest(1, (gn * 19 + 19) // 20))
-        |    AS p95,
-        |  min(cents) FILTER (rn = greatest(1, (gn * 99 + 99) // 100))
-        |    AS p99
-        |FROM r
-        |WHERE rn = greatest(1, (gn + 1) // 2)
-        |  OR rn = greatest(1, (gn * 19 + 19) // 20)
-        |  OR rn = greatest(1, (gn * 99 + 99) // 100)
-        |GROUP BY 1""".stripMargin,
-
-    // The SQL-standard set operations, distinct and multiset forms.
-    "q213_set_ops" ->
-      """WITH ec AS (
-        |  SELECT * FROM events
-        |  WHERE (user_id + len(event_type)) % 5 <> 0),
-        |v AS (SELECT DISTINCT user_id FROM ec
-        |      WHERE event_type = 'view'),
-        |p AS (SELECT DISTINCT user_id FROM ec
-        |      WHERE event_type = 'purchase'),
-        |vd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
-        |       FROM ec WHERE event_type = 'view'),
-        |pd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
-        |       FROM ec WHERE event_type = 'purchase')
-        |SELECT 'intersect' AS op, user_id, CAST(NULL AS BIGINT) AS day
-        |FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
-        |UNION ALL
-        |SELECT 'except', user_id, CAST(NULL AS BIGINT)
-        |FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
-        |UNION ALL
-        |SELECT 'intersect_all', user_id, day
-        |FROM (SELECT * FROM vd INTERSECT ALL SELECT * FROM pd)
-        |UNION ALL
-        |SELECT 'except_all', user_id, day
-        |FROM (SELECT * FROM vd EXCEPT ALL SELECT * FROM pd)""".stripMargin,
-
-    // The identical lag rule under the same total order.
-    "q214_event_dedup" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, event_id,
-        |    epoch_ns(ts) // 1000000000 AS sec
-        |  FROM events),
-        |r AS (SELECT *, lag(sec) OVER (PARTITION BY user_id, event_type
-        |        ORDER BY sec, event_id) AS prev FROM e)
-        |SELECT user_id, event_type, event_id, sec,
-        |  prev IS NOT NULL AND sec - prev <= 7200 AS is_dup
-        |FROM r""".stripMargin,
-
-    // The same range join, per-purchase count + latest rank, and the
-    // div/mod conservation split.
-    "q215_linear_attribution" ->
-      """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
-        |t0 AS (
-        |  SELECT user_id, ts_us, event_id, event_type FROM ev
-        |  WHERE event_type IN ('click', 'view')),
-        |t AS (
-        |  SELECT user_id, ts_us, arg_max(event_type, event_id)
-        |    AS touch_type
-        |  FROM t0 GROUP BY 1, 2),
-        |p AS (
-        |  SELECT user_id, ts_us, event_id, cents FROM ev
-        |  WHERE event_type = 'purchase'),
-        |j AS (
-        |  SELECT p.event_id AS pid, p.cents, t.ts_us AS tts,
-        |    t.touch_type
-        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
-        |    AND t.ts_us <= p.ts_us
-        |    AND p.ts_us - t.ts_us <= 604800000000),
-        |c AS (
-        |  SELECT *, count(touch_type) OVER (PARTITION BY pid) AS n,
-        |    row_number() OVER (PARTITION BY pid ORDER BY tts DESC) AS rk
-        |  FROM j),
-        |cr AS (
-        |  SELECT coalesce(touch_type, 'none') AS touch_type,
-        |    CASE WHEN n = 0 THEN cents * 1000000
-        |      ELSE cents * 1000000 // n
-        |        + CASE WHEN rk = 1 THEN cents * 1000000 % n ELSE 0 END
-        |    END AS credit
-        |  FROM c)
-        |SELECT touch_type, count(*) AS n_credits,
-        |  CAST(sum(credit) AS BIGINT) AS credit_micro_total
-        |FROM cr GROUP BY 1""".stripMargin,
-
-    // The identical cosine ranking (q24's expression), neighbor vote,
-    // and (votes desc, label asc) winner.
-    "q216_knn_classify" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qe, label
-        |  FROM embeddings WHERE vec_id % 20 = 0),
-        |c AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
-        |s AS (
-        |  SELECT q.query_id, c.vec_id, c.label,
-        |    round(list_sum(list_transform(list_zip(c.embedding, q.qe),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(c.embedding,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.qe,
-        |            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))), 6)
-        |      AS sim
-        |  FROM c, q),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, vec_id ASC) AS rank FROM s),
-        |v AS (SELECT query_id, label, count(*) AS v FROM r
-        |      WHERE rank <= 10 GROUP BY 1, 2),
-        |p AS (SELECT query_id, label AS pred_label, v AS n_votes FROM (
-        |        SELECT *, row_number() OVER (PARTITION BY query_id
-        |          ORDER BY v DESC, label ASC) AS rk FROM v)
-        |      WHERE rk = 1)
-        |SELECT p.query_id, CAST(p.pred_label AS BIGINT) AS pred_label,
-        |  p.n_votes, CAST(q.label AS BIGINT) AS true_label,
-        |  p.pred_label = q.label AS correct
-        |FROM p JOIN q USING (query_id)""".stripMargin,
-
-    // The identical session sweep-line and earliest-peak pick.
-    "q217_peak_concurrency" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
-        |r AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
-        |        ORDER BY sec) AS prev FROM e),
-        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR sec - prev > 1800
-        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
-        |        ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM r),
-        |iv AS (SELECT user_id, sid, min(sec) AS st, max(sec) AS en
-        |       FROM s GROUP BY 1, 2),
-        |d AS (SELECT st AS sec, 1 AS d FROM iv
-        |      UNION ALL SELECT en + 1, -1 FROM iv),
-        |g AS (SELECT sec, sum(d) AS d FROM d GROUP BY 1),
-        |cum AS (SELECT sec, sum(d) OVER
-        |        (ORDER BY sec ROWS UNBOUNDED PRECEDING) AS conc FROM g),
-        |p AS (SELECT max(conc) AS peak FROM cum)
-        |SELECT CAST(min(sec) AS BIGINT) AS at_sec,
-        |  CAST(max(p.peak) AS BIGINT) AS peak
-        |FROM cum, p WHERE cum.conc = p.peak""".stripMargin,
-
-    // q123's stage CTEs + the q212 disc-rank extraction per cohort day.
-    "q218_funnel_latency" ->
-      (s"""WITH $sqlFunnelCtes,
-        |c AS (SELECT f0.user_id, f0.t0, f2.t2
-        |      FROM f0 JOIN f1 USING (user_id) JOIN f2 USING (user_id)),
-        |l AS (SELECT user_id, t0 // 86400000000 AS day,
-        |        (t2 - t0) // 1000000 AS lat FROM c),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY day
-        |        ORDER BY lat, user_id) AS rn,
-        |      count(*) OVER (PARTITION BY day) AS gn FROM l)
-        |SELECT day, max(gn) AS n,
-        |  min(lat) FILTER (rn = greatest(1, (gn + 1) // 2)) AS p50,
-        |  min(lat) FILTER (rn = greatest(1, (gn * 19 + 19) // 20)) AS p95
-        |FROM r
-        |WHERE rn = greatest(1, (gn + 1) // 2)
-        |  OR rn = greatest(1, (gn * 19 + 19) // 20)
-        |GROUP BY 1""").stripMargin,
-
-    // Recursive component closure (bounded: the qty<=2 graph's largest
-    // component is 11 nodes), then the identical exact modularity
-    // arithmetic in HUGEINT.
-    "q219_modularity" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity <= 2),
-        |und AS (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |    greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT u AS s, v AS d FROM und
-        |      UNION SELECT v, u FROM und),
-        |nodes AS (SELECT DISTINCT s AS id FROM e),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT e.d, reach.r FROM e JOIN reach ON e.s = reach.id),
-        |comp AS (SELECT id, min(r) AS community FROM reach GROUP BY 1),
-        |mm AS (SELECT count(*) AS m FROM und),
-        |ein AS (
-        |  SELECT ca.community, count(*) AS e_in
-        |  FROM und JOIN comp ca ON ca.id = und.u
-        |  JOIN comp cb ON cb.id = und.v
-        |  WHERE ca.community = cb.community GROUP BY 1),
-        |deg AS (SELECT id, count(*) AS deg FROM (
-        |          SELECT u AS id FROM und
-        |          UNION ALL SELECT v FROM und) GROUP BY 1),
-        |agg AS (
-        |  SELECT c.community, count(*) AS n_nodes,
-        |    CAST(sum(d.deg) AS BIGINT) AS d_sum
-        |  FROM deg d JOIN comp c ON c.id = d.id GROUP BY 1)
-        |SELECT a.community, a.n_nodes,
-        |  CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, a.d_sum,
-        |  a.d_sum - 2 * coalesce(e.e_in, 0) AS cut,
-        |  CAST(mm.m AS BIGINT) AS m,
-        |  CAST((4 * CAST(mm.m AS HUGEINT) * coalesce(e.e_in, 0)
-        |      - CAST(a.d_sum AS HUGEINT) * a.d_sum) * 1000000
-        |    // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_micro
-        |FROM agg a LEFT JOIN ein e USING (community), mm""".stripMargin,
-
-    // The identical dedup/degree aggregates and the bin-length bucket.
-    "q220_degree_profile" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity <= 10),
-        |und AS (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |    greatest(a.l_partkey, b.l_partkey) AS v
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_partkey < b.l_partkey),
-        |deg AS (SELECT id, count(*) AS deg FROM (
-        |          SELECT u AS id FROM und
-        |          UNION ALL SELECT v FROM und) GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_nodes_total FROM deg)
-        |SELECT CAST(len(bin(deg)) - 1 AS BIGINT) AS bucket,
-        |  count(*) AS n_nodes, min(deg) AS deg_min, max(deg) AS deg_max,
-        |  CAST(tot.n_nodes_total AS BIGINT) AS n_nodes_total,
-        |  count(*) * 10000 // tot.n_nodes_total AS share_bps
-        |FROM deg, tot GROUP BY 1, tot.n_nodes_total""".stripMargin,
-
-    // The identical per-count micro-nat rounding, exact sums, one div.
-    "q221_token_entropy" ->
-      """WITH t AS (
-        |  SELECT doc_id, tok AS token FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents)
-        |  WHERE len(tok) > 0),
-        |c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2),
-        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c
-        |      GROUP BY 1),
-        |term AS (
-        |  SELECT c.doc_id, n.n,
-        |    c.c * CAST(round(ln(CAST(n.n AS DOUBLE) / c.c) * 1e6, 0)
-        |      AS BIGINT) AS term
-        |  FROM c JOIN n USING (doc_id))
-        |SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct,
-        |  CAST(sum(term) // max(n) AS BIGINT) AS entropy_micro_nats
-        |FROM term GROUP BY 1""".stripMargin,
-
-    // The identical rational two-draw concentration.
-    "q222_simpson" ->
-      """WITH c AS (
-        |  SELECT user_id, event_type, count(*) AS c FROM events
-        |  GROUP BY 1, 2),
-        |g AS (
-        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
-        |    count(*) AS n_categories,
-        |    CAST(sum(c * (c - 1)) AS BIGINT) AS pairs
-        |  FROM c GROUP BY 1)
-        |SELECT user_id, n, n_categories,
-        |  CASE WHEN n >= 2 THEN pairs * 10000 // (n * (n - 1)) END
-        |    AS concentration_bps,
-        |  CASE WHEN n >= 2 THEN 10000 - pairs * 10000 // (n * (n - 1)) END
-        |    AS diversity_bps
-        |FROM g""".stripMargin,
-
-    // The identical single-scan conditional aggregates.
-    "q223_null_profile" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
-        |      AS value_n,
-        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END
-        |      AS props_n
-        |  FROM events),
-        |a AS (
-        |  SELECT count(*) AS n_total,
-        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS z1,
-        |    CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS z2,
-        |    CAST(sum(CASE WHEN props_n IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS z3
-        |  FROM e)
-        |SELECT 'event_type' AS column, n_total, z1 AS n_null,
-        |  z1 * 10000 // n_total AS null_bps FROM a
-        |UNION ALL SELECT 'value_n', n_total, z2,
-        |  z2 * 10000 // n_total FROM a
-        |UNION ALL SELECT 'props_n', n_total, z3,
-        |  z3 * 10000 // n_total FROM a""".stripMargin,
-
-    // The identical counts, top-k cut, and skew-milli arithmetic.
-    "q224_skew_report" ->
-      """WITH t AS (
-        |  SELECT tok AS key FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok
-        |    FROM documents)
-        |  WHERE len(tok) > 0),
-        |c AS (SELECT key, count(*) AS n FROM t GROUP BY 1),
-        |st AS (SELECT CAST(sum(n) AS BIGINT) AS total,
-        |        count(*) AS n_keys, max(n) AS max_n FROM c),
-        |top AS (SELECT key, n,
-        |          CAST(row_number() OVER (ORDER BY n DESC, key ASC)
-        |            AS BIGINT) AS rank
-        |        FROM c QUALIFY rank <= 10)
-        |SELECT rank, key, n, n * 10000 // st.total AS share_bps,
-        |  st.max_n * st.n_keys * 1000 // st.total AS skew_milli
-        |FROM top, st""".stripMargin,
-
-    // The identical margins-from-cells and DECIMAL chi-square floor.
-    "q225_crosstab_chi2" ->
-      """WITH e AS (
-        |  SELECT event_type AS a,
-        |    (epoch_ns(ts) // 86400000000000) % 7 AS b
-        |  FROM events),
-        |cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
-        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r_a FROM cells
-        |       GROUP BY 1),
-        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c_b FROM cells
-        |       GROUP BY 1),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells)
-        |SELECT cells.a, cells.b, cells.o, ra.r_a, cb.c_b, tot.n_total,
-        |  CAST((CAST(cells.o AS HUGEINT) * tot.n_total
-        |      - CAST(ra.r_a AS HUGEINT) * cb.c_b)
-        |    * (CAST(cells.o AS HUGEINT) * tot.n_total
-        |      - CAST(ra.r_a AS HUGEINT) * cb.c_b) * 1000000
-        |    // (CAST(tot.n_total AS HUGEINT) * ra.r_a * cb.c_b)
-        |    AS BIGINT) AS chi2_micro
-        |FROM cells JOIN ra USING (a) JOIN cb USING (b), tot""".stripMargin,
-
-    // The identical cohort aggregates and the squared-z DECIMAL cut.
-    "q226_ab_test" ->
-      """WITH u AS (
-        |  SELECT user_id, count(*) AS ne,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
-        |      END) AS BIGINT) AS np
-        |  FROM events GROUP BY 1),
-        |v AS (
-        |  SELECT CASE WHEN user_id % 4 = 0 THEN 'va'
-        |      WHEN user_id % 4 = 2 THEN 'vd'
-        |      WHEN ne < 67 THEN 'vb' ELSE 'vc' END AS variant,
-        |    CAST(np >= 14 AS INT) AS conv
-        |  FROM u),
-        |p AS (SELECT variant, count(*) AS n,
-        |        CAST(sum(conv) AS BIGINT) AS x FROM v GROUP BY 1)
-        |SELECT a.variant AS variant_a, b.variant AS variant_b,
-        |  a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
-        |  a.x * 10000 // a.n AS rate_a_bps,
-        |  b.x * 10000 // b.n AS rate_b_bps,
-        |  a.x * 10000 // a.n - b.x * 10000 // b.n AS diff_bps,
-        |  a.x + b.x > 0 AND a.x + b.x < a.n + b.n
-        |    AND (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n)
-        |      * (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n)
-        |      * (a.n + b.n) * 625
-        |      >= CAST(2401 AS HUGEINT) * a.n * b.n * (a.x + b.x)
-        |        * (a.n + b.n - (a.x + b.x))
-        |    AS significant
-        |FROM p a JOIN p b ON a.variant < b.variant""".stripMargin,
-
-    "q116_unpivot" ->
-      """WITH longf AS (
-        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
-        |  FROM lineitem
-        |  UNION ALL SELECT l_returnflag, 'l_extendedprice',
-        |    l_extendedprice FROM lineitem
-        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount
-        |  FROM lineitem
-        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
-        |SELECT l_returnflag, measure, count(*) AS n,
-        |  CAST(sum(CAST(round(val * 100, 0) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents
-        |FROM longf GROUP BY 1, 2""".stripMargin,
-
-    "q117_resample" ->
-      """WITH grid AS (
-        |  SELECT u.user_id, g.ts_s
-        |  FROM (SELECT DISTINCT user_id FROM events) u,
-        |    unnest(generate_series(1704067200,
-        |      1704067200 + 30 * 86400, 21600)) AS g(ts_s)),
-        |sig AS (
-        |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
-        |    max(value) AS value
-        |  FROM events WHERE event_type = 'purchase'
-        |  GROUP BY user_id, epoch_us(ts) // 1000000),
-        |u AS (
-        |  SELECT user_id, ts_s, 1 AS side, CAST(NULL AS DOUBLE) AS rv
-        |  FROM grid
-        |  UNION ALL SELECT user_id, ts_s, 0, value FROM sig),
-        |f AS (
-        |  SELECT user_id, ts_s, side,
-        |    last_value(CASE WHEN side = 0 THEN CAST(ts_s AS DOUBLE) END
-        |      IGNORE NULLS) OVER w_prev AS pts,
-        |    last_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
-        |      OVER w_prev AS pv,
-        |    first_value(CASE WHEN side = 0 THEN CAST(ts_s AS DOUBLE) END
-        |      IGNORE NULLS) OVER w_next AS nts,
-        |    first_value(CASE WHEN side = 0 THEN rv END IGNORE NULLS)
-        |      OVER w_next AS nv
-        |  FROM u
-        |  WINDOW
-        |    w_prev AS (PARTITION BY user_id ORDER BY ts_s ASC, side ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    w_next AS (PARTITION BY user_id ORDER BY ts_s ASC, side ASC
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, ts_s,
-        |  round(CASE WHEN pts IS NOT NULL AND nts IS NOT NULL
-        |      THEN pv + (nv - pv) * (CAST(ts_s AS DOUBLE) - pts)
-        |        / (nts - pts)
-        |    WHEN pts IS NOT NULL THEN pv
-        |    WHEN nts IS NOT NULL THEN nv END, 6) AS interp
-        |FROM f WHERE side = 1""".stripMargin,
-
-    "q118_compact" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents,
-        |  count(DISTINCT user_id) AS n_users,
-        |  min(event_id) AS min_ev, max(event_id) AS max_ev
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q88_group_quantiles" ->
-      """SELECT doc_id, source,
-        |  CAST(ntile(10) OVER (PARTITION BY source
-        |    ORDER BY n_chars, doc_id) AS BIGINT) AS bin
-        |FROM documents""".stripMargin,
-
-    // q85: identical chunking (the 1-based inclusive list slice clamps
-    // at the end in both engines), first occurrence via min(i), ordered
-    // rebuild
-    "q85_intradoc_dedup" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |chunks AS MATERIALIZED (
-        |  SELECT doc_id, i,
-        |    array_to_string(t[i * 2 + 1 : i * 2 + 2], ' ') AS chunk
-        |  FROM toks, unnest(range(0, greatest(
-        |    CAST(ceil(len(t) / 2.0) AS BIGINT), 1))) u(i)),
-        |kept AS (
-        |  SELECT doc_id, chunk, min(i) AS i
-        |  FROM chunks GROUP BY doc_id, chunk)
-        |SELECT k.doc_id,
-        |  string_agg(k.chunk, ' ' ORDER BY k.i) AS clean_text,
-        |  greatest(CAST(ceil(len(any_value(t.t)) / 2.0) AS BIGINT), 1)
-        |    AS n_chunks,
-        |  count(*) AS n_kept
-        |FROM kept k JOIN toks t ON t.doc_id = k.doc_id
-        |GROUP BY k.doc_id""".stripMargin
-  )
-
-  /** q84 oracle: the occupied-cell connectivity clustering in DuckDB —
-    * identical integer cell packing, the same 4 canonical neighbor
-    * probes as an equi-join, recursive min-label closure over the cell
-    * graph (singleton cells seed themselves), then per-POI stop/user
-    * counts.
-    */
-  private def sqlQ84GridPois: String =
-    s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
-      """
-        |medians AS (
-        |  SELECT uid, stop_events, median(latitude) AS latitude,
-        |    median(longitude) AS longitude
-        |  FROM stop_events WHERE stop_events != -1
-        |  GROUP BY uid, stop_events
-        |),
-        |pcell AS (
-        |  SELECT uid,
-        |    (CAST(floor(latitude / 0.001) AS BIGINT) + 1073741824)
-        |      * 4294967296
-        |    + (CAST(floor(longitude / 0.001) AS BIGINT) + 1073741824)
-        |      AS cell
-        |  FROM medians
-        |),
-        |cells AS (SELECT DISTINCT cell FROM pcell),
-        |probes AS (
-        |  SELECT cell AS src, cell + o AS dst
-        |  FROM cells, (VALUES (1), (4294967296), (4294967297),
-        |    (4294967295)) t(o)
-        |),
-        |edges AS (
-        |  SELECT p.src AS i, p.dst AS j
-        |  FROM probes p JOIN cells c ON c.cell = p.dst
-        |),
-        |sym AS (SELECT i, j FROM edges UNION ALL SELECT j, i FROM edges),
-        |reach AS (
-        |  SELECT cell AS i, cell AS r FROM cells
-        |  UNION
-        |  SELECT s.j, reach.r FROM sym s JOIN reach ON s.i = reach.i
-        |),
-        |comp AS (SELECT i AS cell, min(r) AS poi_id FROM reach GROUP BY i)
-        |SELECT c.poi_id, count(*) AS n_stops,
-        |  count(DISTINCT p.uid) AS n_users
-        |FROM pcell p JOIN comp c ON p.cell = c.cell
-        |GROUP BY 1""".stripMargin
-
-  /** q78 oracle: the four curation stages chained as CTEs — the same
-    * langid votes as q72, the q71 normalization key, the q75 gram-hash
-    * halves, and the q76 seeded-hash cumsum (CAST per the q70 HUGEINT
-    * lesson).
-    */
-  private val sqlQ78Curation: String = {
-    val n = 5
-    val gram = (1 to n).map(k => s"t[i + ${k - 1}]").mkString(" || ' ' || ")
-    langVotesSql.trim + ",\n" +
-      s"""q AS MATERIALIZED (
-         |  SELECT d.doc_id, d.text
-         |  FROM votes v JOIN documents d USING (doc_id)
-         |  WHERE len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
-         |    AND (CASE WHEN v_en = best AND v_en > 0 THEN 'en'
-         |         WHEN v_es = best AND v_es > 0 THEN 'es'
-         |         WHEN v_fr = best AND v_fr > 0 THEN 'fr'
-         |         WHEN v_de = best AND v_de > 0 THEN 'de'
-         |         ELSE 'und' END) = v.lang),
-         |k AS (
-         |  SELECT min(doc_id) AS doc_id FROM q
-         |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
-         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
-         |dd AS MATERIALIZED (
-         |  SELECT q.doc_id, q.text FROM q JOIN k USING (doc_id)),
-         |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
-         |cg AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5($gram), 1, 8) AS BIGINT) AS hi,
-         |    CAST('0x' || substr(md5($gram), 9, 8) AS BIGINT) AS lo
-         |  FROM ct, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
-         |bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |  WHERE doc_id % 41 = 0),
-         |bg AS MATERIALIZED (
-         |  SELECT DISTINCT
-         |    CAST('0x' || substr(md5($gram), 1, 8) AS BIGINT) AS hi,
-         |    CAST('0x' || substr(md5($gram), 9, 8) AS BIGINT) AS lo
-         |  FROM bt, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
-         |contam AS (SELECT DISTINCT c.doc_id FROM cg c
-         |  JOIN bg b ON c.hi = b.hi AND c.lo = b.lo),
-         |clean AS (SELECT dd.doc_id, dd.text FROM dd
-         |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM contam)),
-         |tt AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_tokens,
-         |    substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
-         |  FROM clean),
-         |cc AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |      AS cum_tokens
-         |  FROM tt)
-         |SELECT doc_id, n_tokens, cum_tokens FROM cc
-         |WHERE cum_tokens <= 8000""".stripMargin
-  }
-
-  /** q75 oracle: the decontamination pipeline in DuckDB SQL. N-gram
-    * hashes are handled as (hi, lo) 32-bit md5 halves (the q57 trick —
-    * DuckDB errors on signed-64 overflow where the JVM wraps), packed
-    * into a HUGEINT for the distinct counts; Spark counts distinct over
-    * the bijectively-packed signed long, so the counts agree. Every doc
-    * survives via the final left join (short docs score 0), mirroring
-    * keepEmptyDocs = true.
-    */
-  private val sqlQ75Decontaminate: String = {
-    val n = 5
-    val gram = (1 to n).map(k => s"t[i + ${k - 1}]").mkString(" || ' ' || ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |cg AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST('0x' || substr(md5($gram), 1, 8) AS BIGINT) AS hi,
-       |    CAST('0x' || substr(md5($gram), 9, 8) AS BIGINT) AS lo
-       |  FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)),
-       |bg AS MATERIALIZED (
-       |  SELECT DISTINCT hi, lo FROM cg WHERE doc_id % 41 = 0),
-       |agg AS (
-       |  SELECT c.doc_id,
-       |    count(DISTINCT CAST(c.hi AS HUGEINT) * 4294967296 + c.lo)
-       |      AS n_grams,
-       |    count(DISTINCT CASE WHEN b.hi IS NOT NULL
-       |      THEN CAST(c.hi AS HUGEINT) * 4294967296 + c.lo END) AS n_hit
-       |  FROM cg c
-       |  LEFT JOIN bg b ON c.hi = b.hi AND c.lo = b.lo
-       |  GROUP BY c.doc_id)
-       |SELECT d.doc_id,
-       |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
-       |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
-       |  CAST(CASE WHEN coalesce(a.n_hit, 0) >= 1 THEN 1 ELSE 0 END
-       |    AS BIGINT) AS contaminated
-       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
-  }
-
-  /** q76 oracle: seeded-hash order + window cumsum. The window form is
-    * fine HERE (DuckDB is single-node by design); the Spark side uses the
-    * distributed globalCumSum instead. CAST to BIGINT per the q70 lesson
-    * (DuckDB window sum returns HUGEINT -> float64 in pandas). Order keys
-    * (hex md5 prefix, doc_id) are total and engine-neutral.
-    */
-  private val sqlQ76TokenBudget: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text,
-      |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_tokens,
-      |    substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, n_tokens,
-      |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-      |      AS cum_tokens
-      |  FROM t)
-      |SELECT doc_id, n_tokens, cum_tokens FROM c
-      |WHERE cum_tokens <= 15000""".stripMargin
-
-  /** Oracle CTE chain: pings -> stop_events -> medians -> per-user
-    * connected-components clustering (min_samples=2 DBSCAN degenerate
-    * case) -> cluster stats. Mirrors stopClusters(...) above.
-    */
-  /** Oracle CTEs for q37: community labels via connected components of
-    * the r2 radius graph over each user's UNIQUE median coordinates
-    * (the LPA kernel's downsample step — a coordinate with no DISTINCT
-    * neighbor inside r2 is a singleton labeled -1 even when several
-    * stops collapse onto it). On clustered mobility data the LPA labels
-    * equal these components (checked empirically at sf0.01: 150 users,
-    * 0 mismatching rows); a pathological bridge topology could split a
-    * component under LPA, in which case this oracle would catch the
-    * divergence rather than hide it. Canonicalization matches
-    * Communities.labelGroup: dense_rank by component min-index =
-    * first-appearance order, singletons excluded from the id space.
-    */
-  private def communityCtes: String =
-    s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
-      s"""
-         |medians AS (
-         |  SELECT uid, stop_events, median(latitude) AS latitude,
-         |    median(longitude) AS longitude,
-         |    min("timestamp") AS start_timestamp,
-         |    max("timestamp") AS end_timestamp
-         |  FROM stop_events WHERE stop_events != -1
-         |  GROUP BY uid, stop_events
-         |),
-         |cnodes AS (
-         |  SELECT uid, latitude, longitude,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY uid ORDER BY min_se) - 1
-         |      AS BIGINT) AS i
-         |  FROM (SELECT uid, latitude, longitude, min(stop_events) AS min_se
-         |        FROM medians GROUP BY uid, latitude, longitude)
-         |),
-         |cedges AS (
-         |  -- node index >= 20000 (Params.maxGroupSize default) is the
-         |  -- whale trim: the engine neither partitions nor certifies
-         |  -- those nodes (labels pinned -1), so the oracle graph
-         |  -- excludes them identically
-         |  SELECT a.uid, a.i AS i, b.i AS j FROM cnodes a JOIN cnodes b
-         |  ON a.uid = b.uid AND a.i != b.i
-         |  AND a.i < 20000 AND b.i < 20000
-         |  AND 2 * 6371000.0 * asin(sqrt(
-         |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
-         |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
-         |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
-         |    )) <= 100.0
-         |),
-         |creach AS (
-         |  SELECT uid, i, i AS r FROM (SELECT DISTINCT uid, i FROM cedges)
-         |  UNION
-         |  SELECT e.uid, e.i, creach.r FROM cedges e
-         |  JOIN creach ON e.uid = creach.uid AND e.j = creach.i
-         |),
-         |ccomp AS (SELECT uid, i, min(r) AS root FROM creach GROUP BY uid, i),
-         |clabels AS (
-         |  SELECT n.uid, n.latitude, n.longitude,
-         |    CASE WHEN n.i >= 20000 THEN -1
-         |      WHEN c.root IS NULL THEN -1
-         |      ELSE CAST(dense_rank() OVER (PARTITION BY n.uid
-         |        ORDER BY coalesce(c.root, 9223372036854775807)) AS BIGINT) - 1
-         |    END AS stop_locations
-         |  FROM cnodes n LEFT JOIN ccomp c ON n.uid = c.uid AND n.i = c.i
-         |)
-         |""".stripMargin
-
-  private def clusterCtes: String =
-    s"WITH RECURSIVE ${Tables.pingsSql},\n" + stopEventsSql + "," +
-      s"""
-         |medians AS (
-         |  SELECT uid, stop_events, median(latitude) AS latitude,
-         |    median(longitude) AS longitude,
-         |    min("timestamp") AS start_timestamp,
-         |    max("timestamp") AS end_timestamp
-         |  FROM stop_events WHERE stop_events != -1
-         |  GROUP BY uid, stop_events
-         |),
-         |idx AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY uid
-         |    ORDER BY stop_events) - 1 AS BIGINT) AS i
-         |  FROM medians
-         |),
-         |edges AS (
-         |  SELECT a.uid, a.i AS i, b.i AS j FROM idx a JOIN idx b
-         |  ON a.uid = b.uid AND a.i != b.i
-         |  AND 2 * 6371000.0 * asin(sqrt(
-         |      pow(sin((radians(b.latitude) - radians(a.latitude)) / 2), 2)
-         |      + cos(radians(a.latitude)) * cos(radians(b.latitude))
-         |        * pow(sin((radians(b.longitude) - radians(a.longitude)) / 2), 2)
-         |    )) <= ${clusterParams.eps}
-         |),
-         |reach AS (
-         |  SELECT uid, i, i AS r FROM (SELECT DISTINCT uid, i FROM edges)
-         |  UNION
-         |  SELECT e.uid, e.i, reach.r FROM edges e
-         |  JOIN reach ON e.uid = reach.uid AND e.j = reach.i
-         |),
-         |comp AS (SELECT uid, i, min(r) AS root FROM reach GROUP BY uid, i),
-         |labeled AS (
-         |  SELECT idx.uid, idx.stop_events, idx.latitude, idx.longitude,
-         |    idx.start_timestamp, idx.end_timestamp,
-         |    CASE WHEN comp.root IS NULL THEN -1
-         |      ELSE CAST(dense_rank() OVER (PARTITION BY idx.uid
-         |        ORDER BY coalesce(comp.root, 9223372036854775807)) AS BIGINT) - 1
-         |    END AS stop_locations
-         |  FROM idx LEFT JOIN comp ON idx.uid = comp.uid AND idx.i = comp.i
-         |),
-         |clustered AS (
-         |  SELECT uid, stop_events, latitude, longitude, start_timestamp,
-         |    end_timestamp, stop_locations,
-         |    CAST(CASE WHEN stop_locations = -1 THEN 1
-         |      ELSE count(*) OVER c END AS BIGINT) AS cluster_counts,
-         |    CASE WHEN stop_locations = -1 THEN latitude
-         |      ELSE median(latitude) OVER c END AS cluster_latitude,
-         |    CASE WHEN stop_locations = -1 THEN longitude
-         |      ELSE median(longitude) OVER c END AS cluster_longitude
-         |  FROM labeled
-         |  WINDOW c AS (PARTITION BY uid, stop_locations)
-         |)
-         |""".stripMargin
-
-  /** Oracle CTEs for home/work labeling over `clustered`. Local wall clock
-    * is fixed UTC-6 integer arithmetic (America/Mexico_City, DST-free
-    * since 2022; data is 2024) so no session-timezone dependence.
-    */
-  private def hwCtes: String =
-    s"""prep0 AS (
-       |  SELECT *, start_timestamp - 21600 AS ls,
-       |    end_timestamp - start_timestamp AS duration
-       |  FROM clustered
-       |),
-       |prep1 AS (
-       |  SELECT *, DATE '1970-01-01' + CAST(ls // 86400 AS INT) AS "date",
-       |    CAST((ls % 86400) // 3600 AS INT) AS hour,
-       |    CAST(((ls // 86400) + 3) % 7 + 1 AS INT) AS weekday
-       |  FROM prep0
-       |),
-       |prep AS (
-       |  SELECT *, CAST(year("date") AS INT) AS year,
-       |    CAST(month("date") AS INT) AS month,
-       |    CAST(day("date") AS INT) AS day
-       |  FROM prep1
-       |),
-       |home_cand AS (
-       |  SELECT * FROM prep
-       |  WHERE (hour >= ${hwParams.endHourDay} OR hour <= ${hwParams.startHourDay}
-       |    OR weekday BETWEEN 6 AND 7) AND stop_locations != -1
-       |),
-       |home_counts AS (
-       |  SELECT uid, stop_locations, count(DISTINCT "date") AS cluster_dates
-       |  FROM home_cand GROUP BY uid, stop_locations
-       |),
-       |home_tot AS (
-       |  SELECT uid, count(DISTINCT "date") AS total_dates
-       |  FROM home_cand GROUP BY uid
-       |),
-       |home_lab AS (
-       |  SELECT hc.uid, hc.stop_locations FROM home_counts hc
-       |  JOIN home_tot ht ON hc.uid = ht.uid
-       |  WHERE hc.cluster_dates / ht.total_dates >= ${hwParams.minPeriodsHome}
-       |    AND hc.cluster_dates / (SELECT CAST(floor((max(start_timestamp)
-       |      - min(start_timestamp)) / 86400) + 1 AS BIGINT) FROM home_cand)
-       |      >= ${hwParams.spanPeriodHome}
-       |),
-       |homed AS (
-       |  SELECT p.*,
-       |    CASE WHEN hl.uid IS NOT NULL THEN 'H' ELSE 'O' END AS location_type,
-       |    CASE WHEN hl.uid IS NOT NULL THEN CAST(${hwParams.minPeriodsHome} AS DOUBLE)
-       |      ELSE CAST(-1.0 AS DOUBLE) END AS home_label
-       |  FROM prep p LEFT JOIN home_lab hl
-       |  ON p.uid = hl.uid AND p.stop_locations = hl.stop_locations
-       |),
-       |work_cand AS (
-       |  SELECT * FROM homed
-       |  WHERE hour BETWEEN ${hwParams.startWorkingHour} AND ${hwParams.endWorkingHour}
-       |    AND weekday BETWEEN 1 AND 5
-       |    AND location_type != 'H' AND stop_locations != -1
-       |),
-       |work_counts AS (
-       |  SELECT uid, stop_locations, count(DISTINCT "date") AS cluster_dates
-       |  FROM work_cand GROUP BY uid, stop_locations
-       |),
-       |work_tot AS (
-       |  SELECT uid, count(DISTINCT "date") AS total_dates
-       |  FROM work_cand GROUP BY uid
-       |),
-       |work_lab AS (
-       |  SELECT wc.uid, wc.stop_locations FROM work_counts wc
-       |  JOIN work_tot wt ON wc.uid = wt.uid
-       |  WHERE wc.cluster_dates / wt.total_dates >= ${hwParams.minPeriodsWork}
-       |    AND wc.cluster_dates / (SELECT CAST(floor((max(start_timestamp)
-       |      - min(start_timestamp)) / 86400) + 1 AS BIGINT) FROM work_cand)
-       |      >= ${hwParams.spanPeriodWork}
-       |),
-       |hw_final AS (
-       |  SELECT h.* EXCLUDE (location_type, ls),
-       |    CASE WHEN wl.uid IS NOT NULL THEN 'W' ELSE h.location_type END
-       |      AS location_type,
-       |    CASE WHEN wl.uid IS NOT NULL THEN CAST(${hwParams.minPeriodsWork} AS DOUBLE)
-       |      ELSE CAST(-1.0 AS DOUBLE) END AS work_label
-       |  FROM homed h LEFT JOIN work_lab wl
-       |  ON h.uid = wl.uid AND h.stop_locations = wl.stop_locations
-       |)
-       |""".stripMargin
-
-  /** Oracle CTE computing per-language marker votes for q22. */
-  private def langVotesSql: String = {
-    def cnt(m: String) =
-      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) // ${m.length + 2}"
-    val votes = TextFunctions.langMarkers.map { case (lang, ms) =>
-      ms.map(cnt).mkString(" + ") + s" AS v_$lang"
-    }.mkString(",\n    ")
-    s"""WITH votes AS (
-       |  SELECT doc_id, lang,
-       |    $votes,
-       |    greatest(${TextFunctions.langMarkers.map("v_" + _._1).mkString(", ")}) AS best
-       |  FROM documents
-       |)
-       |""".stripMargin
-  }
-
-  /** DuckDB CTEs replicating StopDetect.stopEvents over the pings CTE —
-    * shared by the mobility oracle queries. Mirrors stopParams above.
-    */
-  private def stopEventsSql: String =
-    s"""base AS (
-       |  SELECT uid, latitude, longitude, "timestamp",
-       |    2 * 6371000.0 * asin(sqrt(
-       |      pow(sin((radians(lead(latitude) OVER w) - radians(latitude)) / 2), 2)
-       |      + cos(radians(latitude)) * cos(radians(lead(latitude) OVER w))
-       |        * pow(sin((radians(lead(longitude) OVER w) - radians(longitude)) / 2), 2)
-       |    )) AS distance,
-       |    lead("timestamp") OVER w - "timestamp" AS time_diff
-       |  FROM pings
-       |  WINDOW w AS (PARTITION BY uid ORDER BY "timestamp")
-       |),
-       |flagged AS (
-       |  SELECT *,
-       |    (distance <= ${stopParams.rC}
-       |      AND (time_diff IS NULL OR time_diff <= ${stopParams.maxStayingTime}))
-       |      AS stationary
-       |  FROM base
-       |),
-       |changes AS (
-       |  SELECT *, CASE WHEN stationary AND NOT coalesce(
-       |      lag(stationary) OVER (PARTITION BY uid ORDER BY "timestamp"),
-       |      false) THEN 1 ELSE 0 END AS event_change
-       |  FROM flagged
-       |),
-       |ids AS (
-       |  SELECT *, CAST(CASE WHEN stationary THEN
-       |      sum(event_change)
-       |        OVER (PARTITION BY uid ORDER BY "timestamp"
-       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |    ELSE -1 END AS BIGINT) AS event_id
-       |  FROM changes
-       |),
-       |stop_events AS (
-       |  SELECT uid, latitude, longitude, "timestamp",
-       |    CAST(CASE WHEN event_id != -1
-       |      AND count(*) OVER e >= ${stopParams.minSize}
-       |      AND sum(time_diff) OVER e >= ${stopParams.minStayingTime}
-       |    THEN event_id ELSE -1 END AS BIGINT) AS stop_events
-       |  FROM ids
-       |  WINDOW e AS (PARTITION BY uid, event_id)
-       |)
-       |""".stripMargin
 }
