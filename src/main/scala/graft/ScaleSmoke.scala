@@ -198,10 +198,11 @@ object ScaleSmoke {
       "q191_bom_rollup", "q192_skyline", "q193_trend",
       "q199_activity_bitmap", "q201_tpch_like", "q202_rolling_distinct",
       "q204_rfm", "q206_dedup_cascade", "q207_scene_detect",
-      "q208_scorecard", "q210_delta_encode", "q214_event_dedup",
-      "q215_linear_attribution", "q216_knn_classify",
-      "q217_peak_concurrency", "q219_modularity", "q221_token_entropy",
-      "q222_simpson")
+      "q208_scorecard", "q209_table_checksum", "q210_delta_encode",
+      "q214_event_dedup", "q215_linear_attribution", "q216_knn_classify",
+      "q217_peak_concurrency", "q218_funnel_latency", "q219_modularity",
+      "q220_degree_profile", "q221_token_entropy", "q222_simpson",
+      "q225_crosstab_chi2", "q226_ab_test")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -244,8 +245,12 @@ object ScaleSmoke {
     // materialization of x100-sized emissions) + per-run state-store
     // peaks from StreamSessions.lastRunMetrics — the bounded-state
     // evidence rows for SCALE_sf10 (r9 verdict ask #1)
-    if (sys.env.get("SPARK_GRAFT_STREAM_NOOP").contains("1"))
+    if (sys.env.get("SPARK_GRAFT_STREAM_NOOP").contains("1")) {
       spark.conf.set("spark.graft.streamSinkNoop", "true")
+      // pin the replay structure so both scales evict at the same 16
+      // watermark advances — state-peak fractions stay comparable
+      spark.conf.set("spark.graft.streamChunks", "16")
+    }
     val streamStats = scala.collection.mutable
       .Map.empty[(String, String), graft.streaming.StreamSessions.StreamRunMetrics]
     def time(name: String, dir: String): Double = {

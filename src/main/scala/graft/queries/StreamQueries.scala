@@ -262,25 +262,40 @@ private[graft] object StreamQueries extends QuerySlice {
     // (StreamSessions.intervalJoin). Inner join => matches emit when both
     // sides have arrived, so the AvailableNow run equals the batch join
     // bit-for-bit: the oracle is the plain range-bounded SQL join.
+    //
+    // Both sides stage as 16 time-ordered chunks (timeChunks) replayed
+    // one file per trigger: the watermark advances 16 times mid-run and
+    // state actually EVICTS — a single-file staging never advances the
+    // watermark, so any measured state peak is input-sized by harness
+    // construction, not by operator design. Eviction cannot drop a
+    // matchable pair: a purchase evicts only once the VIEW watermark
+    // passes pts + 6h, and any later view chunk's matches have
+    // pts >= chunkStart - 6h > that bound (the 1-day delay covers the
+    // chunk-boundary overlap; chunks are time-aligned across sides, so
+    // per-batch skew is ~zero).
     "q110_stream_join" -> ((s, d) => {
       val base = Tables.events(s, d).select(
         col("user_id"), col("event_id"), col("event_type"),
         timestamp_seconds(expr("ts div 1000000000")).as("ts"))
-      val vDir = graft.streaming.StreamSessions.stageFrameAsDir(s"q110v:$d") {
-        base.filter(col("event_type") === "view")
-          .select("user_id", "event_id", "ts")
-      }
-      val pDir = graft.streaming.StreamSessions.stageFrameAsDir(s"q110p:$d") {
-        base.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"),
-            col("ts").as("pts"))
-      }
-      val v = graft.streaming.StreamSessions.readParquetStream(
+      val vDir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q110v:$d") {
+          graft.streaming.StreamSessions.timeChunks(
+            base.filter(col("event_type") === "view")
+              .select("user_id", "event_id", "ts"), "ts", 16)
+        }
+      val pDir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q110p:$d") {
+          graft.streaming.StreamSessions.timeChunks(
+            base.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("event_id").as("purchase_id"),
+                col("ts").as("pts")), "pts", 16)
+        }
+      val v = graft.streaming.StreamSessions.readParquetStreamThrottled(
         s, vDir, s.read.parquet(vDir).schema)
-      val p = graft.streaming.StreamSessions.readParquetStream(
+      val p = graft.streaming.StreamSessions.readParquetStreamThrottled(
         s, pDir, s.read.parquet(pDir).schema)
       val joined = graft.streaming.StreamSessions.intervalJoin(
-        v, p, "user_id", "ts", "pts", "6 HOURS", "3650 days")
+        v, p, "user_id", "ts", "pts", "6 HOURS", "1 day")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("purchase_id"),
           (unix_timestamp(col("ts")) - unix_timestamp(col("pts")))
@@ -337,6 +352,9 @@ private[graft] object StreamQueries extends QuerySlice {
           .collect()(0).getLong(0)
         maxTs + off
       }
+      // real data as 16 time-ordered chunks (see q110: single-file
+      // staging makes any state-peak measurement input-sized by harness
+      // construction), then the two pushers that flush the outer tail
       val vDir = graft.streaming.StreamSessions
         .stageOrderedFrames(s"q151v:$d") {
           val v = base.filter(col("event_type") === "view")
@@ -344,7 +362,8 @@ private[graft] object StreamQueries extends QuerySlice {
           def pusher(off: Long) = s.range(1).select(
             lit(-1L).as("user_id"), lit(-1L).as("event_id"),
             timestamp_seconds(lit(pusherTs(off))).as("ts"))
-          Seq(v, pusher(86400L * 30), pusher(86400L * 60))
+          graft.streaming.StreamSessions.timeChunks(v, "ts", 16) ++
+            Seq(pusher(86400L * 30), pusher(86400L * 60))
         }
       val pDir = graft.streaming.StreamSessions
         .stageOrderedFrames(s"q151p:$d") {
@@ -354,7 +373,8 @@ private[graft] object StreamQueries extends QuerySlice {
           def pusher(off: Long) = s.range(1).select(
             lit(-1L).as("user_id"), lit(-1L).as("purchase_id"),
             timestamp_seconds(lit(pusherTs(off))).as("pts"))
-          Seq(p, pusher(86400L * 30), pusher(86400L * 60))
+          graft.streaming.StreamSessions.timeChunks(p, "pts", 16) ++
+            Seq(pusher(86400L * 30), pusher(86400L * 60))
         }
       val v = graft.streaming.StreamSessions.readParquetStreamThrottled(
         s, vDir, s.read.parquet(vDir).schema)

@@ -117,6 +117,52 @@ object StreamSessions {
       out.toString
     })
 
+  /** Split a frame into `nChunks` event-time-ordered frames over equal
+    * time ranges — the staging step that makes a replayed stream
+    * exercise REAL watermark progression and state EVICTION. A fixture
+    * staged as one file collapses into one micro-batch: the watermark
+    * never advances mid-run, nothing evicts, and the measured state peak
+    * is input-sized no matter how tight the watermark — which is a
+    * harness artifact, not evidence. Chunked by TIME (not row count) so
+    * two streams staged with the same chunk count stay aligned per
+    * micro-batch and the watermark delay only has to cover the chunk
+    * boundary overlap, not a row-skew bound.
+    *
+    * The input is persisted (CacheScope-tracked) for the min/max agg +
+    * nChunks filtered writes; callers release after staging.
+    */
+  def timeChunks(df: DataFrame, tsCol: String, maxChunks: Int)
+  : Seq[DataFrame] = {
+    require(maxChunks >= 1, s"maxChunks must be >= 1: $maxChunks")
+    val cached = graft.CacheScope.track(df.persist())
+    val mm = cached.agg(
+      min(col(tsCol).cast("long")), max(col(tsCol).cast("long")),
+      count(lit(1)))
+      .collect()(0)
+    if (mm.isNullAt(0)) return Seq(cached) // empty input: one empty chunk
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // chunk count ADAPTS to input size (conf `spark.graft.streamChunks`
+    // overrides, e.g. the scale smoke pins it so both scales replay the
+    // same batch structure): each micro-batch costs per-store commits +
+    // planning, so a tiny oracle fixture replays in 2 chunks (one real
+    // watermark advance — the semantics are chunk-count-invariant and
+    // parity-gated) while a scale-smoke input gets up to `maxChunks`
+    // eviction points.
+    val nChunks = df.sparkSession.conf
+      .getOption("spark.graft.streamChunks").map(_.toInt)
+      .getOrElse(
+        math.min(maxChunks.toLong,
+          math.max(2L, mm.getLong(2) / 50000L)).toInt)
+    val step = math.max(1L, (hi - lo) / nChunks + 1L)
+    (0 until nChunks).map { i =>
+      val a = lo + i * step
+      val b = a + step
+      cached.filter(col(tsCol).cast("long") >= a &&
+        (if (i == nChunks - 1) lit(true)
+         else col(tsCol).cast("long") < b))
+    }
+  }
+
   /** Event-time sessionization: per (user, session_window(gap)) counts.
     * Input needs columns (user_id, ts: timestamp-compatible).
     * The batch twin is Intervals.coalesceRuns / q11_sessions.

@@ -42,8 +42,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     if os.path.exists(manifest_path):
         declared = json.load(open(manifest_path))
         current = gtm.manifest(con, oracle)
-        for q in sorted(set(declared) | set(current)):
-            if declared.get(q) != current.get(q):
+        # compare only the queries in THIS run's oracle dump: a filtered
+        # Verify (SPARK_GRAFT_VERIFY_ONLY) dumps a subset, and key-set
+        # completeness is TypeContractSpec's job, not this pass's
+        for q in sorted(current):
+            if declared.get(q) != current[q]:
                 print(f"FAIL {q}: type manifest stale: declared "
                       f"{declared.get(q)} != oracle {current.get(q)} — "
                       "rerun tools/gen_type_manifest.py")
