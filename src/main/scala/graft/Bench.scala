@@ -60,16 +60,7 @@ object Bench {
     // is self-diagnosing.
     val loads = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
       .withDefaultValue(Nil)
-    // (steal, idle+iowait, total) jiffies from the aggregate cpu line
-    def cpuTicks(): Option[(Long, Long, Long)] =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val v = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          Some((if (v.length > 7) v(7) else 0L,
-            v(3) + (if (v.length > 4) v(4) else 0L), v.sum))
-        } finally src.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
+    def cpuTicks() = HostLoad.cpuTicks()
     val errors = scala.collection.mutable.Map.empty[String, String]
     // Noise gate (r9 verdict ask #5): a pass is QUIET iff its steal% is
     // at or under this bound — min-of-passes only protects the record
@@ -93,12 +84,7 @@ object Bench {
       try {
         force(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
-        val (stealPct, busyPct) = (ticks0, cpuTicks()) match {
-          case (Some((s0, i0, a0)), Some((s1, i1, a1))) if a1 > a0 =>
-            val d = (a1 - a0).toDouble
-            (100.0 * (s1 - s0) / d, 100.0 * ((a1 - a0) - (i1 - i0)) / d)
-          case _ => (-1.0, -1.0)
-        }
+        val (stealPct, busyPct) = HostLoad.loadBetween(ticks0, cpuTicks())
         // a pass with unreadable /proc/stat counts as quiet: better one
         // possibly-noisy measurement than none on an exotic host
         val quiet = stealPct < 0 || stealPct <= quietSteal
