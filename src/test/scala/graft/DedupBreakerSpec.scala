@@ -63,6 +63,38 @@ class DedupBreakerSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("property: prefix filtering stays lossless vs a naive twin on " +
+    "random corpora, with the breaker active (seeded sweep)") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Array("red", "blue", "fox", "dog", "run", "sky", "sun",
+      "map", "cat", "box")
+    for (caseNo <- 1 to 5) {
+      val (tNum, tDen) = Seq((1, 2), (1, 3), (2, 3))(rnd.nextInt(3))
+      val docs = Seq.tabulate(30) { i =>
+        val words = Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+        (i.toLong, words.mkString(" "))
+      }.toDF("id", "text")
+      val got = Dedup.setSimilarityJoin(docs, "id", "text", tNum, tDen,
+        shingleN = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      CacheScope.releaseAll()
+      // naive twin: exact distinct-bigram Jaccard over ALL pairs
+      val rows = docs.as[(Long, String)].collect()
+      def sh(t: String) =
+        t.split(" ").sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ta) <- rows; (b, tb) <- rows if a < b
+        sa = sh(ta); sb = sh(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        c = (sa intersect sb).size
+        if c.toLong * tDen >= tNum.toLong * (sa.size + sb.size - c)
+      } yield (a, b)).toSet
+      assert(got == want, s"case $caseNo t=$tNum/$tDen: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("cap 0 disables the breaker; results match the default-cap run") {
     val dflt = Dedup.setSimilarityJoin(benign, "id", "text", 1, 2,
       shingleN = 2).orderBy("id_a", "id_b").collect()
