@@ -103,4 +103,71 @@ class StreamRecoverySpec extends SparkSpec {
     // automaton state came back from the checkpoint
     assert(streamed === batch)
   }
+
+  test("stream-stream interval join restores join state from checkpoint " +
+    "and replays exactly once") {
+    // the load-bearing pair STRADDLES the restart: purchase p2 arrives
+    // before the stop, its matching view v2 after — the match can only
+    // emit if the right side's join state came back from the checkpoint
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-recovery2-")
+    val vSrc = base.resolve("v"); java.nio.file.Files.createDirectories(vSrc)
+    val pSrc = base.resolve("p"); java.nio.file.Files.createDirectories(pSrc)
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+
+    def vdf(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "event_id", "sec")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    def pdf(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "purchase_id", "sec")
+      .select(col("user_id"), col("purchase_id"),
+        timestamp_seconds(col("sec")).as("pts"))
+    def addParquet(dir: java.nio.file.Path, idx: Int,
+                   df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-rec2-scr-")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve(f"f$idx%02d.parquet"))
+    }
+
+    val vSchema = vdf(Seq((1L, 1L, 1L))).schema
+    val pSchema = pdf(Seq((1L, 1L, 1L))).schema
+    def runOnce(): Unit = {
+      val v = spark.readStream.schema(vSchema).parquet(vSrc.toString)
+      val p = spark.readStream.schema(pSchema).parquet(pSrc.toString)
+      val q = graft.streaming.StreamSessions
+        .intervalJoin(v, p, "user_id", "ts", "pts", "6 HOURS", "1 day")
+        .select(col("user_id"), col("event_id"), col("purchase_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: pair (v1, p1) complete; p2 arrives with no view yet
+    addParquet(vSrc, 0, vdf(Seq((1L, 101L, 1500L))))
+    addParquet(pSrc, 0, pdf(Seq((1L, 201L, 1000L), (1L, 202L, 2000L))))
+    runOnce()
+    val run1 = spark.read.parquet(out)
+      .select("event_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(run1 === Set((101L, 201L)))
+
+    // run 2 (new query instance, same checkpoint): v2 matches the
+    // RESTORED p2 state; (v3, p3) is a fresh same-batch pair
+    addParquet(vSrc, 1, vdf(Seq((1L, 102L, 3000L), (2L, 103L, 3600L))))
+    addParquet(pSrc, 1, pdf(Seq((2L, 203L, 3500L))))
+    runOnce()
+    val all = spark.read.parquet(out)
+      .select("event_id", "purchase_id").as[(Long, Long)].collect().toSeq
+    // exactly once: run 1's pair did not re-emit
+    assert(all.size === all.distinct.size)
+    // v2 matches BOTH p1 (2000 s back) and p2 (1000 s back) — both within
+    // the 6 h lookback and only available via restored state
+    assert(all.toSet === Set((101L, 201L), (102L, 201L), (102L, 202L),
+      (103L, 203L)))
+  }
 }
