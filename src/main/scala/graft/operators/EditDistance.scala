@@ -58,4 +58,33 @@ object EditDistance {
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  /** Jaro-Winkler near-duplicate pairs over the DISTINCT values of
+    * `strCol`, blocked on the first whitespace token: pairs are compared
+    * only within a block, which bounds candidates to Σ(block size)² over
+    * the VOCABULARY (distinct-collapse first — corpus row count never
+    * enters the join), vs an all-pairs quadratic. The similarity itself
+    * is the native codegen [[graft.plans.JaroWinkler]] expression,
+    * DuckDB-parity-pinned, evaluated once per candidate inside the
+    * block join's codegen stage. The threshold compares the ROUNDED
+    * score (6 dp, the repo's derived-double convention) so an IEEE
+    * last-ulp difference between engines can never flip a boundary row.
+    *
+    * First-token blocking is the name-matching analog of the LSH band
+    * buckets: complete for pairs agreeing on their leading token (the
+    * high-signal field in "modifier noun" vocabularies), and the block
+    * key's frequency — not the corpus size — caps the per-task work.
+    */
+  def jaroWinklerPairs(df: DataFrame, strCol: String,
+                       threshold: Double): DataFrame = {
+    val u = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
+      .distinct()
+      .withColumn("blk", split(col("s"), " ").getItem(0))
+    u.alias("a")
+      .join(u.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("name_a"), col("b.s").as("name_b"),
+        round(graft.plans.JaroWinkler(col("a.s"), col("b.s")), 6).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
 }

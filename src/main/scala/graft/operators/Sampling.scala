@@ -116,6 +116,30 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement per group —
+    * Efraimidis-Spirakis A-ES: each row draws priority u^(1/w) (u a
+    * 24-bit hash-uniform in [0,1) from the key's md5, w = `weightCol`),
+    * and the k highest priorities per group are exactly a weighted
+    * sample without replacement. Hash-derived u makes the draw a pure
+    * function of the data (reproducible from any engine — the oracle
+    * rebuilds the same 24-bit integer from the same md5 hex), and rows
+    * with w <= 0 are excluded by definition.
+    *
+    * Same rank-cap plan as every take here (topKPerGroup →
+    * WindowGroupLimit): one exchange on the group key, per-partition
+    * top-k short-circuit — never a global sort, never a driver loop.
+    * Ties (identical priority) break on the key for determinism.
+    */
+  def weightedTake(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   weightCol: String, k: Int): DataFrame = {
+    val u = conv(substring(
+        md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("double") / lit((1 << 24).toDouble)
+    val priority = pow(u, lit(1.0) / col(weightCol))
+    topKPerGroup(df.filter(col(weightCol) > 0), groupCols, k,
+      priority.desc, col(keyCol))
+  }
+
   /** Temperature-scaled source rebalancing — the multilingual sampling
     * rule of mT5/XLM-R (sample source s with p_s proportional to
     * c_s^tau, tau < 1, so head languages shrink and tail languages

@@ -322,6 +322,16 @@ private[graft] object DedupQueries extends QuerySlice {
           col("event_id"), expr("ts div 1000000000").as("sec")),
         Seq("user_id", "event_type"), "sec", "event_id",
         windowSec = 7200)),
+
+    // Jaro-Winkler fuzzy vocabulary dedup (EditDistance.jaroWinklerPairs):
+    // distinct-collapse -> first-token block join -> native codegen
+    // jaro_winkler expression (plans/JaroWinkler.scala, DuckDB-parity-
+    // pinned down to integer transposition halving and the 0.7 boost
+    // threshold). The typo/variant tier between q168's Levenshtein<=1
+    // and q29's MinHash: order-sensitive, prefix-weighted name matching.
+    "q227_jaro_winkler" -> ((s, d) =>
+      graft.operators.EditDistance.jaroWinklerPairs(
+        Tables.part(s, d), "p_name", threshold = 0.84)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -669,5 +679,17 @@ private[graft] object DedupQueries extends QuerySlice {
         |  count(*) AS n_kept
         |FROM kept k JOIN toks t ON t.doc_id = k.doc_id
         |GROUP BY k.doc_id""".stripMargin,
+
+    // q227: same distinct -> first-token block -> threshold on the
+    // ROUNDED score (both engines compare round(jw, 6), so a last-ulp
+    // engine difference cannot flip a boundary pair).
+    "q227_jaro_winkler" ->
+      """WITH u AS (
+        |  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL),
+        |b AS (SELECT s, string_split(s, ' ')[1] AS blk FROM u)
+        |SELECT a.s AS name_a, b2.s AS name_b,
+        |  round(jaro_winkler_similarity(a.s, b2.s), 6) AS jw
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.s < b2.s
+        |WHERE round(jaro_winkler_similarity(a.s, b2.s), 6) >= 0.84""".stripMargin,
   )
 }

@@ -251,6 +251,16 @@ private[graft] object RelationalQueries extends QuerySlice {
       graft.operators.Sampling.hashSample(
         Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", 26)),
 
+    // Weighted sampling WITHOUT replacement (Sampling.weightedTake,
+    // Efraimidis-Spirakis): priority u^(1/w) with a 24-bit md5-uniform
+    // u, top-20 per lang weighted by n_chars — longer docs
+    // proportionally likelier, reproducible from any engine (the
+    // oracle rebuilds the identical u from the same md5 hex digits).
+    "q232_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedTake(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "doc_id", "n_chars", k = 20)),
+
     // Bloom-pruned semi join: dim keys -> 2^20-bit filter built by a
     // bit_or aggregation, fact side pre-filtered by a pure-expression
     // membership test before its shuffle; exact via the follow-up semi
@@ -738,6 +748,26 @@ private[graft] object RelationalQueries extends QuerySlice {
     "q55_hash_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin,
+
+    // q232: the 24-bit uniform is rebuilt digit-by-digit from the same
+    // md5 hex prefix (Spark: conv(…,16,10)); pow/div of identical
+    // doubles order identically, ties break on doc_id
+    "q232_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents WHERE n_chars > 0),
+        |u AS (SELECT doc_id, lang, n_chars,
+        |   ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 1048576.0 +
+        |    (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 65536 +
+        |    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1))
+        |     / 16777216.0 AS uu
+        |  FROM h)
+        |SELECT doc_id, lang, n_chars FROM u
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY pow(uu, 1.0 / n_chars) DESC, doc_id) <= 20""".stripMargin,
 
     "q59_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

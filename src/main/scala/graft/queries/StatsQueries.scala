@@ -629,6 +629,49 @@ private[graft] object StatsQueries extends QuerySlice {
       graft.operators.Experiment.twoProportionTest(
         u, "variant", col("converted"))
     }),
+
+    // Binned quantile normalization (Distribution.quantileNormalize):
+    // per-source ntile(10) over (n_chars, doc_id), normalized value =
+    // global bin mean — the unequal-group-size-safe discretized form of
+    // microarray quantile norm. Windows run per source; the bin
+    // reference is a 10-row broadcast.
+    "q228_quantile_norm" -> ((s, d) =>
+      graft.operators.Distribution.quantileNormalize(
+        Tables.documents(s, d), "source", "doc_id", "n_chars", bins = 10)),
+
+    // Mutual information lang<->source (Distribution.mutualInformation):
+    // population MI in nats + marginal entropies + arithmetic-mean NMI,
+    // all p·ln(p) terms over exact integer-count rationals, domain-sized
+    // frames only after the first aggregate.
+    "q229_mutual_info" -> ((s, d) =>
+      graft.operators.Distribution.mutualInformation(
+        Tables.documents(s, d), "lang", "source")),
+
+    // Exact two-sample Kolmogorov-Smirnov (Distribution.ksTest):
+    // purchase vs click value distributions in integer cents; D's
+    // numerator max|c1·n2−c2·n1| is exact, the α=0.05 cut is the
+    // squared/cross-multiplied DECIMAL(38,0) decision (c² = 1.844164).
+    "q230_ks_test" -> ((s, d) =>
+      graft.operators.Distribution.ksTest(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+            col("event_type")),
+        "cents", col("event_type") === "purchase")),
+
+    // Source-concentration per lang (Distribution.concentration): Gini
+    // via the exact rank identity + Herfindahl index over n_chars mass
+    // — integer sums, two rationals, round 6.
+    "q231_concentration" -> ((s, d) =>
+      graft.operators.Distribution.concentration(
+        Tables.documents(s, d), "lang", "source", "n_chars")),
+
+    // IPF raking of the lang×source table to uniform marginals
+    // (Distribution.ipfBalance, 3 alternating scalings; oracle unrolls
+    // the same rounds as CTEs). Corpus scanned once; loop is O(cells).
+    "q234_ipf_balance" -> ((s, d) =>
+      graft.operators.Distribution.ipfBalance(
+        Tables.documents(s, d), "lang", "source", iters = 3)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1398,5 +1441,104 @@ private[graft] object StatsQueries extends QuerySlice {
         |        * (a.n + b.n - (a.x + b.x))
         |    AS significant
         |FROM p a JOIN p b ON a.variant < b.variant""".stripMargin,
+
+    // q228: same ntile binning (ties broken by doc_id in both engines),
+    // bin means are exact-integer-sum / count divisions
+    "q228_quantile_norm" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |  FROM documents),
+        |ref AS (SELECT bin, round(CAST(sum(n_chars) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 6) AS norm_value
+        |  FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.source, b.bin, ref.norm_value
+        |FROM b JOIN ref USING (bin)""".stripMargin,
+
+    // q229: every ln() argument is a ratio of exact BIGINT products, so
+    // both engines evaluate identical doubles; only the ~|cells| summation
+    // order differs, far inside round(…,6)
+    "q229_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS nab
+        |  FROM documents GROUP BY 1, 2),
+        |att AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |btt AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM cells),
+        |raw AS (SELECT
+        |  (SELECT sum((nab / CAST(n AS DOUBLE))
+        |     * ln((nab * n) / CAST(na * nb AS DOUBLE)))
+        |   FROM cells JOIN att USING (a) JOIN btt USING (b), t) AS mi,
+        |  (SELECT sum((na / CAST(n AS DOUBLE)) * -ln(na / CAST(n AS DOUBLE)))
+        |   FROM att, t) AS h_a,
+        |  (SELECT sum((nb / CAST(n AS DOUBLE)) * -ln(nb / CAST(n AS DOUBLE)))
+        |   FROM btt, t) AS h_b)
+        |SELECT round(mi, 6) AS mi_nats, round(h_a, 6) AS h_a,
+        |  round(h_b, 6) AS h_b,
+        |  round(mi / ((h_a + h_b) / 2), 6) AS nmi FROM raw""".stripMargin,
+
+    // q230: integer-exact KS — cumulative counts over the DISTINCT cent
+    // domain, D's numerator and the squared α-cut in HUGEINT (Spark:
+    // DECIMAL(38,0)), division of exact integers for the statistic
+    "q230_ks_test" ->
+      """WITH s AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT c, CAST(sum(i1) AS BIGINT) AS a,
+        |    CAST(count(*) - sum(i1) AS BIGINT) AS b FROM s GROUP BY 1),
+        |cum AS (SELECT sum(a) OVER (ORDER BY c) AS c1,
+        |    sum(b) OVER (ORDER BY c) AS c2 FROM g),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2 FROM g)
+        |SELECT t.n1, t.n2,
+        |  CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT)
+        |    / CAST(t.n1 * t.n2 AS DOUBLE), 6) AS ks_stat,
+        |  CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS HUGEINT)
+        |      * CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS HUGEINT) * 1000000
+        |    > CAST(1844164 AS HUGEINT) * (t.n1 + t.n2) * t.n1 * t.n2
+        |    AS significant
+        |FROM cum, t GROUP BY t.n1, t.n2""".stripMargin,
+
+    // q231: Gini by the exact rank identity (rank ties broken by source
+    // in both engines), HHI from integer weight sums
+    "q231_concentration" ->
+      """WITH g AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY w, source) AS BIGINT) AS i FROM g),
+        |a AS (SELECT lang, count(*) AS n_units,
+        |    CAST(sum(w) AS BIGINT) AS total_w,
+        |    CAST(sum(i * w) AS BIGINT) AS siw,
+        |    CAST(sum(w * w) AS BIGINT) AS sww FROM r GROUP BY 1)
+        |SELECT lang, n_units, total_w,
+        |  round((2 * siw - (n_units + 1) * total_w)
+        |    / CAST(n_units * total_w AS DOUBLE), 6) AS gini,
+        |  round(sww / (CAST(total_w AS DOUBLE) * total_w), 6) AS hhi
+        |FROM a""".stripMargin,
+
+    // q234: the same 3 alternating IPF scalings unrolled as CTEs; the
+    // only FP divergence is marginal-sum order over ≤|cells| doubles
+    "q234_ipf_balance" ->
+      """WITH cells AS (SELECT lang AS r, source AS c, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    count(DISTINCT r) AS nr, count(DISTINCT c) AS nc FROM cells),
+        |w0 AS (SELECT r, c, n, CAST(n AS DOUBLE) AS w FROM cells),
+        |a1 AS (SELECT r, c, n, w * ((t.nn / CAST(t.nr AS DOUBLE))
+        |    / sum(w) OVER (PARTITION BY r)) AS w FROM w0, t),
+        |b1 AS (SELECT r, c, n, w * ((t.nn / CAST(t.nc AS DOUBLE))
+        |    / sum(w) OVER (PARTITION BY c)) AS w FROM a1, t),
+        |a2 AS (SELECT r, c, n, w * ((t.nn / CAST(t.nr AS DOUBLE))
+        |    / sum(w) OVER (PARTITION BY r)) AS w FROM b1, t),
+        |b2 AS (SELECT r, c, n, w * ((t.nn / CAST(t.nc AS DOUBLE))
+        |    / sum(w) OVER (PARTITION BY c)) AS w FROM a2, t),
+        |a3 AS (SELECT r, c, n, w * ((t.nn / CAST(t.nr AS DOUBLE))
+        |    / sum(w) OVER (PARTITION BY r)) AS w FROM b2, t),
+        |b3 AS (SELECT r, c, n, w * ((t.nn / CAST(t.nc AS DOUBLE))
+        |    / sum(w) OVER (PARTITION BY c)) AS w FROM a3, t)
+        |SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n,
+        |  round(w, 6) AS weight FROM b3""".stripMargin,
   )
 }

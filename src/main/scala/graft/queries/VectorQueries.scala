@@ -228,6 +228,16 @@ private[graft] object VectorQueries extends QuerySlice {
           col("label").cast("long").as("true_label")), "query_id")
         .withColumn("correct", col("pred_label") === col("true_label"))
     }),
+
+    // Leading principal component with an integer-exact covariance
+    // oracle (Pca.leadingComponentCertified): coords quantize to
+    // round(x·1e6) longs in ONE distributed aggregate (45 longs out);
+    // cov_ij is an exact integer rational both engines recompute
+    // bit-for-bit; the eigenvector is deterministic driver power
+    // iteration certified by pc1_ok (residual bound, oracle-pinned).
+    "q233_pca_power" -> ((s, d) =>
+      graft.operators.Pca.leadingComponentCertified(
+        s, Tables.embeddings(s, d), "embedding", dims = 8)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -433,5 +443,27 @@ private[graft] object VectorQueries extends QuerySlice {
         |  p.n_votes, CAST(q.label AS BIGINT) AS true_label,
         |  p.pred_label = q.label AS correct
         |FROM p JOIN q USING (query_id)""".stripMargin,
+
+    // q233: covariance recomputed from the same quantized longs in
+    // HUGEINT (numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ exactly), one double
+    // division; pc1_ok is the certificate column pinned true
+    "q233_pca_power" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ql AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |      * 1000000, 0) AS BIGINT) AS q
+        |  FROM e, unnest(range(0, 8)) u(i)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |m AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM ql GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS p
+        |  FROM ql a JOIN ql b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  round(CAST(CAST(t.n AS HUGEINT) * p.p
+        |      - CAST(ma.s AS HUGEINT) * mb.s AS DOUBLE)
+        |    / CAST(CAST(t.n AS HUGEINT) * t.n * 1000000000000 AS DOUBLE), 6)
+        |    AS cov,
+        |  TRUE AS pc1_ok
+        |FROM p, t, m ma, m mb WHERE ma.i = p.i AND mb.i = p.j""".stripMargin,
   )
 }

@@ -308,6 +308,30 @@ class CohortSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("weightedTake: weight-biased, deterministic, excludes w<=0") {
+    // 50 groups, each with one heavy (w=1e6) and nine light (w=1) rows:
+    // priority u^(1/w) -> heavy ~ u^1e-6 ~ 1, so k=1 picks the heavy
+    // row in almost every group
+    val rows = for (g <- 1 to 50; i <- 0 to 9)
+      yield (s"g$g", g * 100L + i, if (i == 0) 1000000L else 1L)
+    val df = rows.toDF("grp", "id", "w")
+    val takeOne = Sampling.weightedTake(df, Seq("grp"), "id", "w", 1)
+      .collect().map(r => r.getLong(1))
+    assert(takeOne.length === 50)
+    val heavyWins = takeOne.count(_ % 100 == 0)
+    assert(heavyWins >= 45, s"heavy row won only $heavyWins/50 groups")
+    // deterministic rerun
+    val again = Sampling.weightedTake(df, Seq("grp"), "id", "w", 1)
+      .collect().map(r => r.getLong(1))
+    assert(takeOne.toSeq === again.toSeq)
+    // zero/negative weights never selected, even when k exceeds the rest
+    val withZero = (rows :+ (("g1", 9999L, 0L))).toDF("grp", "id", "w")
+    val all = Sampling.weightedTake(withZero, Seq("grp"), "id", "w", 100)
+      .collect().map(r => r.getLong(1))
+    assert(!all.contains(9999L))
+    assert(all.length === 500)
+  }
+
   test("offset-0 row always counts the whole cohort") {
     val rnd = new scala.util.Random(5)
     val ev = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(12).toLong))
