@@ -202,7 +202,10 @@ object ScaleSmoke {
       "q214_event_dedup", "q215_linear_attribution", "q216_knn_classify",
       "q217_peak_concurrency", "q218_funnel_latency", "q219_modularity",
       "q220_degree_profile", "q221_token_entropy", "q222_simpson",
-      "q225_crosstab_chi2", "q226_ab_test")
+      "q225_crosstab_chi2", "q226_ab_test", "q227_jaro_winkler",
+      "q228_quantile_norm", "q230_ks_test", "q231_concentration",
+      "q232_weighted_sample", "q233_pca_power", "q234_ipf_balance",
+      "q235_log_odds_terms", "q236_changepoint")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -836,4 +836,54 @@ object Frequency {
         col("top2_bps") <= top2Max && col("top3_bps") <= top3Max &&
           col("top4_bps") <= top4Max && col("dup_bps") <= dupMax)
   }
+
+  /** Distinctive terms per group — Monroe et al.'s weighted log-odds
+    * with an informative Dirichlet prior ("Fightin' Words"): for token
+    * w in group L vs the rest R, with the corpus as prior
+    * (α_w = a0·y0_w/n0),
+    *
+    *   δ = ln((y_L+α)/(n_L+a0−y_L−α)) − ln((y_R+α)/(n_R+a0−y_R−α))
+    *   z = δ / sqrt(1/(y_L+α) + 1/(y_R+α))
+    *
+    * The curation question it answers: which tokens make this language
+    * / source / time-slice LOOK different — raw frequency ratios
+    * overweight rare terms; the prior + variance term fixes that.
+    *
+    * Engine-exact by construction: every z is ONE fixed expression tree
+    * over exact integer counts (no multi-term float summation anywhere),
+    * so both engines produce bit-identical doubles and the top-k order
+    * (z desc, token) cannot diverge; the emitted z still rounds 6 by
+    * convention. Scale shape: one (group, token) count aggregate, one
+    * token-marginal aggregate joined back on token, rank-cap top-k per
+    * group — vocabulary-sized frames after the first exchange.
+    */
+  def logOddsTerms(docs: DataFrame, groupCol: String, textCol: String,
+                   a0: Long, minCount: Long, k: Int): DataFrame = {
+    val cnt = docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("g", "token").agg(count(lit(1)).as("yl"))
+    val gTot = cnt.groupBy("g").agg(sum("yl").as("nl"))
+    val wTot = cnt.groupBy("token").agg(sum("yl").as("y0"))
+      .filter(col("y0") >= minCount)
+    val n0 = cnt.agg(sum("yl").as("n0"))
+    val scored = cnt
+      .join(wTot, "token") // vocab-sized, shuffles on token once
+      .join(broadcast(gTot), "g")
+      .crossJoin(broadcast(n0))
+      .withColumn("alpha", lit(a0) * col("y0") / col("n0"))
+      .withColumn("yr", col("y0") - col("yl"))
+      .withColumn("nr", col("n0") - col("nl"))
+      .withColumn("delta",
+        log((col("yl") + col("alpha")) /
+          (col("nl") + lit(a0) - col("yl") - col("alpha"))) -
+          log((col("yr") + col("alpha")) /
+            (col("nr") + lit(a0) - col("yr") - col("alpha"))))
+      .withColumn("z", col("delta") /
+        sqrt(lit(1.0) / (col("yl") + col("alpha")) +
+          lit(1.0) / (col("yr") + col("alpha"))))
+    Sampling.topKPerGroup(scored, Seq("g"), k, col("z").desc, col("token"))
+      .select(col("g").as(groupCol), col("token"), col("yl").as("y"),
+        round(col("z"), 6).as("z"))
+  }
 }

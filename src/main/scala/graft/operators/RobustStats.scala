@@ -334,4 +334,50 @@ object RobustStats {
         sum(when(col("dev") * kDen > lit(kNum) * col("mad"), v))
           .as("outlier_total"))
   }
+
+  /** Single least-squares changepoint over a bucketed integer series —
+    * "which day did the metric regime shift": per bucket t (1..T in
+    * `bucketCol` order), totals S_t sum in ONE distributed aggregate;
+    * the best two-segment split maximizes the between-segment score
+    *
+    *   F(k) = (L_k·T − k·L_T)² / (k·(T−k)·T)   (L_k = Σ_{t≤k} S_t)
+    *
+    * which is binary-segmentation's variance-reduction objective up to
+    * the constant within-variance term. The numerator is an exact
+    * DECIMAL integer; only the final per-row division is a double —
+    * one fixed expression tree per candidate k, so both engines order
+    * candidates identically (ties break on the bucket).
+    *
+    * Scale shape: the corpus collapses to the bucket domain first; the
+    * prefix-sum window and the argmax rank run over that domain frame.
+    * Returns one row: the split bucket, segment means (round 6), and
+    * the score (round 6).
+    */
+  def changepoint(df: DataFrame, bucketCol: String, valueCol: String)
+  : DataFrame = {
+    val daily = df.groupBy(col(bucketCol).as("b"))
+      .agg(sum(col(valueCol)).as("s"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = Window.orderBy("b")
+    val cum = daily.select(col("b"),
+      sum("s").over(w).as("lk"),
+      row_number().over(idx).cast("long").as("k"))
+    val tot = daily.agg(count(lit(1)).as("t"), sum("s").as("lt"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("k") < col("t")) // a split needs a non-empty right side
+      .withColumn("a", expr(
+        "CAST(lk AS DECIMAL(38,0)) * t - CAST(k AS DECIMAL(38,0)) * lt"))
+      .withColumn("score", col("a").cast("double") * col("a").cast("double")
+        / (col("k") * (col("t") - col("k")) * col("t")).cast("double"))
+    scored
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("b"))))
+      .filter(col("rk") === 1)
+      .select(col("b").as("split_bucket"), col("t"), col("k").as("k_left"),
+        round(col("lk") / col("k"), 6).as("mean_before"),
+        round((col("lt") - col("lk")) / (col("t") - col("k")), 6)
+          .as("mean_after"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -101,6 +101,10 @@ object GraftExtensions {
       descriptor("interleave_bits", classOf[InterleaveBits], { args =>
         arity("interleave_bits", args, 2)
         InterleaveBits(args(0), args(1))
+      }),
+      descriptor("jaro_winkler", classOf[JaroWinkler], { args =>
+        arity("jaro_winkler", args, 2)
+        JaroWinkler(args(0), args(1))
       }))
 
   /** Imperative registration on an existing session. */

@@ -672,6 +672,18 @@ private[graft] object StatsQueries extends QuerySlice {
     "q234_ipf_balance" -> ((s, d) =>
       graft.operators.Distribution.ipfBalance(
         Tables.documents(s, d), "lang", "source", iters = 3)),
+
+    // Least-squares changepoint on the daily purchase series
+    // (RobustStats.changepoint): variance-reduction argmax over the
+    // day domain, exact DECIMAL numerator, one double division per
+    // candidate split — engine-identical candidate order.
+    "q236_changepoint" -> ((s, d) =>
+      graft.operators.RobustStats.changepoint(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents")),
+        "day", "cents")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1540,5 +1552,31 @@ private[graft] object StatsQueries extends QuerySlice {
         |    / sum(w) OVER (PARTITION BY c)) AS w FROM a3, t)
         |SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n,
         |  round(w, 6) AS weight FROM b3""".stripMargin,
+
+    // q236: daily exact-cent totals -> prefix sums over the day domain,
+    // HUGEINT split numerator (Spark: DECIMAL(38,0)), one double
+    // division per candidate, argmax by (score DESC, day)
+    "q236_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS b,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cum AS (SELECT b, CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS lk,
+        |    CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS k
+        |  FROM daily),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(s) AS BIGINT) AS lt FROM daily),
+        |sc AS (SELECT b, k, lk, tt.t, tt.lt,
+        |    CAST(CAST(lk AS HUGEINT) * tt.t
+        |      - CAST(k AS HUGEINT) * tt.lt AS DOUBLE) AS ad
+        |  FROM cum, tt WHERE k < tt.t),
+        |scored AS (SELECT *,
+        |    ad * ad / CAST(k * (t - k) * t AS DOUBLE) AS score FROM sc)
+        |SELECT b AS split_bucket, t, k AS k_left,
+        |  round(lk / CAST(k AS DOUBLE), 6) AS mean_before,
+        |  round((lt - lk) / CAST(t - k AS DOUBLE), 6) AS mean_after,
+        |  round(score, 6) AS score
+        |FROM scored
+        |QUALIFY row_number() OVER (ORDER BY score DESC, b) = 1""".stripMargin,
   )
 }

@@ -296,6 +296,16 @@ private[graft] object TextQueries extends QuerySlice {
       graft.operators.Expectations.corpusCard(
         Tables.documents(s, d), Seq("source", "lang"), "text")),
 
+    // Distinctive terms per lang (Frequency.logOddsTerms): Monroe
+    // weighted log-odds vs the rest with a corpus Dirichlet prior
+    // (a0=1000). Each z is one fixed expression tree over exact counts,
+    // so the top-10 rank (z desc, token) is engine-identical even
+    // before the round(…,6).
+    "q235_log_odds_terms" -> ((s, d) =>
+      graft.operators.Frequency.logOddsTerms(
+        Tables.documents(s, d), "lang", "text",
+        a0 = 1000, minCount = 20, k = 10)),
+
     // Bigram conditional LM score (Frequency.bigramLogProb): q147's
     // order-2 upgrade — per-doc mean ln P(b|a) in exact micro-nat
     // integer sums, one rounded division.
@@ -1208,5 +1218,31 @@ private[graft] object TextQueries extends QuerySlice {
         |  CASE WHEN n >= 2 THEN 10000 - pairs * 10000 // (n * (n - 1)) END
         |    AS diversity_bps
         |FROM g""".stripMargin,
+
+    // q235: identical expression tree per (lang, token) — exact integer
+    // counts into ln/sqrt, left-to-right operand order matched to the
+    // Spark side so z is bit-identical before rounding
+    "q235_log_odds_terms" ->
+      """WITH toks AS (
+        |  SELECT lang AS g, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT g, token, count(*) AS yl FROM toks GROUP BY 1, 2),
+        |gt AS (SELECT g, CAST(sum(yl) AS BIGINT) AS nl FROM cnt GROUP BY 1),
+        |wt AS (SELECT token, CAST(sum(yl) AS BIGINT) AS y0 FROM cnt
+        |  GROUP BY 1 HAVING sum(yl) >= 20),
+        |nt AS (SELECT CAST(sum(yl) AS BIGINT) AS n0 FROM cnt),
+        |sc AS (SELECT cnt.g, cnt.token, cnt.yl,
+        |    1000 * wt.y0 / CAST(nt.n0 AS DOUBLE) AS alpha,
+        |    wt.y0 - cnt.yl AS yr, nt.n0 - gt.nl AS nr, gt.nl AS nl
+        |  FROM cnt JOIN wt USING (token) JOIN gt USING (g), nt),
+        |z AS (SELECT g, token, yl,
+        |    (ln((yl + alpha) / (nl + 1000 - yl - alpha))
+        |      - ln((yr + alpha) / (nr + 1000 - yr - alpha)))
+        |      / sqrt(1.0 / (yl + alpha) + 1.0 / (yr + alpha)) AS z
+        |  FROM sc)
+        |SELECT g AS lang, token, CAST(yl AS BIGINT) AS y,
+        |  round(z, 6) AS z FROM z
+        |QUALIFY row_number() OVER (PARTITION BY g
+        |  ORDER BY z DESC, token) <= 10""".stripMargin,
   )
 }

@@ -60,6 +60,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r > 11000 && r < 11200) // ~11.1 km per 0.1 deg latitude
   }
 
+  test("jaro_winkler available from SQL after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 0.9611111111111111) < 1e-12)
+  }
+
   test("cosine_sim available from SQL after registration") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Frequency, RobustStats}
+import org.apache.spark.sql.functions._
+
+/** logOddsTerms + changepoint — the corpus/metric drift diagnostics
+  * added alongside DistributionSpec's family.
+  */
+class TrendDiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logOddsTerms surfaces a group's planted marker token") {
+    // two groups share a common vocabulary; group A additionally uses
+    // "markerA" heavily, B uses "markerB" — each group's top term must
+    // be its marker, and shared filler must score near zero
+    val common = Seq("the", "quick", "fox", "ran", "home")
+    val docsA = (1 to 40).map(i =>
+      ("A", (common ++ Seq("markerA", "markerA")).mkString(" ") + s" d$i"))
+    val docsB = (1 to 40).map(i =>
+      ("B", (common ++ Seq("markerB", "markerB")).mkString(" ") + s" d$i"))
+    val df = (docsA ++ docsB).toDF("lang", "text")
+    val top = Frequency.logOddsTerms(df, "lang", "text",
+      a0 = 100, minCount = 10, k = 3)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(r => r.getString(1)).toSeq }
+    assert(top("A").head === "markerA")
+    assert(top("B").head === "markerB")
+    // markers score positive in their group; the other group's top list
+    // must not contain the foreign marker above its own
+    val z = Frequency.logOddsTerms(df, "lang", "text", 100, 10, 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(z(("A", "markerA")) > 2.0)
+    assert(z(("B", "markerB")) > 2.0)
+    // shared filler is NOT distinctive for either side
+    assert(math.abs(z(("A", "the"))) < 1.0)
+  }
+
+  test("changepoint finds a planted level shift exactly") {
+    // days 1..20 at total 100/day, days 21..40 at 500/day: the best
+    // two-segment split is after day 20
+    val rows = (1L to 40L).flatMap { d =>
+      val per = if (d <= 20) 100L else 500L
+      Seq((d, per / 2), (d, per - per / 2)) // two rows per day
+    }
+    val df = rows.toDF("day", "cents")
+    val r = RobustStats.changepoint(df, "day", "cents").collect().head
+    assert(r.getAs[Long]("split_bucket") === 20L)
+    assert(r.getAs[Long]("k_left") === 20L)
+    assert(r.getAs[Double]("mean_before") === 100.0)
+    assert(r.getAs[Double]("mean_after") === 500.0)
+  }
+
+  test("changepoint on a flat series scores zero everywhere") {
+    val df = (1L to 30L).map(d => (d, 250L)).toDF("day", "cents")
+    val r = RobustStats.changepoint(df, "day", "cents").collect().head
+    assert(r.getAs[Double]("score") === 0.0)
+    // argmax ties broken by bucket: first day wins
+    assert(r.getAs[Long]("split_bucket") === 1L)
+    assert(r.getAs[Double]("mean_before") === 250.0)
+    assert(r.getAs[Double]("mean_after") === 250.0)
+  }
+}
