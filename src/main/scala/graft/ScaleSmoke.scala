@@ -205,7 +205,8 @@ object ScaleSmoke {
       "q225_crosstab_chi2", "q226_ab_test", "q227_jaro_winkler",
       "q228_quantile_norm", "q230_ks_test", "q231_concentration",
       "q232_weighted_sample", "q233_pca_power", "q234_ipf_balance",
-      "q235_log_odds_terms", "q236_changepoint")
+      "q235_log_odds_terms", "q236_changepoint", "q237_kaplan_meier",
+      "q238_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -160,4 +160,33 @@ object MergeOps {
       .select(keys.map(col) ++ attrCols.map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
+
+  /** Snapshot content diff — the audit report between two corpus
+    * snapshots: per key, `added` (only in new), `removed` (only in
+    * old), `changed` (present in both, fingerprint differs); identical
+    * rows are NOT emitted, so the output is delta-sized. This is the
+    * inverse direction of cdcApply: that operator APPLIES a known
+    * change feed; this one DERIVES the change feed from two states —
+    * the "what did this recrawl/reprocess actually touch" question.
+    *
+    * One co-partitioned full-outer join on the key — both sides shuffle
+    * once on the same key (or none with bucketed snapshots); the
+    * fingerprint comparison is null-safe so a snapshot with null
+    * fingerprints can never alias `changed`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   fpCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol), col(fpCol).as("fp_old"),
+      lit(true).as("in_old"))
+    val n = newDf.select(col(keyCol), col(fpCol).as("fp_new"),
+      lit(true).as("in_new"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("fp_old") <=> col("fp_new")), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+      .select(col(keyCol), col("status"))
+  }
 }

@@ -684,6 +684,27 @@ private[graft] object StatsQueries extends QuerySlice {
           .select(expr("ts div 86400000000000").as("day"),
             expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents")),
         "day", "cents")),
+
+    // Kaplan-Meier retention (Survival.kaplanMeier): duration = days
+    // from a user's first event to its first high-value purchase
+    // (death, value > 200 — ~20% of users, both arms live at every sf)
+    // or to its last event (right-censored). Exact integer d/n per
+    // death time; survival via exp(Σ ln) over the duration domain.
+    "q237_kaplan_meier" -> ((s, d) => {
+      val day = expr("ts div 86400000000000")
+      val ev = Tables.events(s, d)
+      val fe = ev.groupBy("user_id")
+        .agg(min(day).as("f"), max(day).as("l"))
+      val dth = ev
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .groupBy("user_id").agg(min(day).as("dday"))
+      val lives = fe.join(dth, Seq("user_id"), "left")
+        .select(
+          when(col("dday").isNotNull, col("dday") - col("f"))
+            .otherwise(col("l") - col("f")).as("dur"),
+          col("dday").isNotNull.as("died"))
+      graft.operators.Survival.kaplanMeier(lives, "dur", "died")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1578,5 +1599,45 @@ private[graft] object StatsQueries extends QuerySlice {
         |  round(score, 6) AS score
         |FROM scored
         |QUALIFY row_number() OVER (ORDER BY score DESC, b) = 1""".stripMargin,
+
+    // q237: identical rationals into ln, identical running-sum order
+    // over the duration domain; the extinct flag (d = n_at_risk) pins
+    // 0.0 structurally so ln(0) is unreachable in both engines
+    "q237_kaplan_meier" ->
+      """WITH fe AS (SELECT user_id,
+        |    CAST(min(epoch_ns(ts) // 86400000000000) AS BIGINT) AS f,
+        |    CAST(max(epoch_ns(ts) // 86400000000000) AS BIGINT) AS l
+        |  FROM events GROUP BY 1),
+        |dth AS (SELECT user_id,
+        |    CAST(min(epoch_ns(ts) // 86400000000000) AS BIGINT) AS dday
+        |  FROM events WHERE event_type = 'purchase' AND value > 200
+        |  GROUP BY 1),
+        |lives AS (SELECT fe.user_id,
+        |    CASE WHEN dday IS NOT NULL THEN dday - f ELSE l - f END AS dur,
+        |    dday IS NOT NULL AS died
+        |  FROM fe LEFT JOIN dth USING (user_id)),
+        |d AS (SELECT dur AS t,
+        |    CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS ct FROM lives GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM d),
+        |r AS (SELECT t, d,
+        |    tot.n - coalesce(sum(ct) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM d, tot),
+        |s AS (SELECT t, d, n_at_risk,
+        |    CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) = 1
+        |      THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d > 0 AND d < n_at_risk
+        |          THEN ln(1 - d / CAST(n_at_risk AS DOUBLE)) ELSE 0.0 END)
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW))
+        |      END AS surv
+        |  FROM r)
+        |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d,
+        |  round(surv, 6) AS survival
+        |FROM s WHERE d > 0""".stripMargin,
   )
 }

@@ -421,6 +421,24 @@ private[graft] object TableQueries extends QuerySlice {
           round(col("l_quantity"), 0).cast("long"),
           round(col("l_extendedprice") * 100, 0).cast("long"),
           col("l_returnflag"), col("l_linestatus")))),
+
+    // Snapshot content diff (MergeOps.snapshotDiff): two deterministic
+    // recrawl states carved from documents (old drops id%17=3, new
+    // drops id%19=5 and rewrites id%13=2), diffed by md5 fingerprint
+    // into delta-sized added/removed/changed rows — the inverse of
+    // q146's cdcApply (derive the feed, don't apply one). All three
+    // arms live at every sf by construction.
+    "q238_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldS = docs.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val newS = docs.filter(pmod(col("doc_id"), lit(19)) =!= 5)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(13)) === 2,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast("binary")).as("fp"))
+      graft.operators.MergeOps.snapshotDiff(oldS, newS, "doc_id", "fp")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -730,5 +748,22 @@ private[graft] object TableQueries extends QuerySlice {
         |  count(DISTINCT user_id) AS n_users,
         |  min(event_id) AS min_ev, max(event_id) AS max_ev
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q238: same carved snapshots, FULL JOIN with presence markers (a
+    // null fingerprint can never alias absence), delta rows only
+    "q238_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp, TRUE AS in_old
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v2'
+        |      ELSE text END) AS fp, TRUE AS in_new
+        |  FROM documents WHERE doc_id % 19 <> 5),
+        |j AS (SELECT doc_id,
+        |    CASE WHEN in_old IS NULL THEN 'added'
+        |      WHEN in_new IS NULL THEN 'removed'
+        |      WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+        |      ELSE 'same' END AS status
+        |  FROM o FULL JOIN n USING (doc_id))
+        |SELECT doc_id, status FROM j WHERE status <> 'same'""".stripMargin,
   )
 }

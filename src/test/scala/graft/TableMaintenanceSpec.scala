@@ -330,3 +330,29 @@ class EwmaSpec extends SparkSpec {
     assert(got((2L, 1L))._3 === 900000000L)
   }
 }
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("added/removed/changed detected; identical rows suppressed") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))
+      .toDF("id", "fp")
+    val newS = Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e"))
+      .toDF("id", "fp")
+    val got = MergeOps.snapshotDiff(oldS, newS, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("null fingerprints compare null-safely, never alias absence") {
+    val oldS = Seq((1L, null.asInstanceOf[String]), (2L, "x"),
+      (3L, null.asInstanceOf[String])).toDF("id", "fp")
+    val newS = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "fp")
+    val got = MergeOps.snapshotDiff(oldS, newS, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1: null == null -> same (suppressed); id 2: x -> null = changed;
+    // id 3: present only in old (with a null fp!) -> removed, not aliased
+    assert(got === Map(2L -> "changed", 3L -> "removed"))
+  }
+}
