@@ -197,4 +197,28 @@ object Expectations {
         expr(s"CAST(__s1 % $m AS BIGINT)").as("sum_h1"),
         expr(s"CAST(__s2 % $m AS BIGINT)").as("sum_h2"))
   }
+
+  /** Benford first-digit audit over a positive integer column — the
+    * classic fabricated-data / unit-mix-up screen: naturally occurring
+    * multi-scale amounts follow P(d) = log10(1 + 1/d); capped,
+    * truncated, or synthesized columns don't. Emits one row per leading
+    * digit with the observed count, the Benford share, and the exact
+    * chi-square contribution (obs − n·p)²/(n·p) — every term one fixed
+    * expression tree over the integer counts, engine-identical before
+    * the round(…,6). One digit-keyed aggregate; the digit frame (≤9
+    * rows) crosses a one-row total.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.filter(col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val tot = d.agg(sum("obs").as("n"))
+    val e = log10(lit(1) + lit(1.0) / col("digit"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("obs"),
+        round(e, 6).as("exp_share"),
+        round((col("obs") - col("n") * e) * (col("obs") - col("n") * e)
+          / (col("n") * e), 6).as("chi2_term"))
+  }
 }

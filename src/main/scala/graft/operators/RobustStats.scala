@@ -380,4 +380,47 @@ object RobustStats {
           .as("mean_after"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Exact autocorrelation function of a bucketed integer series at
+    * lags 1..maxLag — the seasonality/persistence diagnostic behind
+    * q193's trend and q236's changepoint: Pearson r between the series
+    * and its lag-k shift (positions, not calendar gaps: the series is
+    * re-indexed densely so missing buckets don't silently misalign),
+    * with every sum carried in DECIMAL(38,0) so the correlation
+    * numerator/denominators are exact integers and the single double
+    * division + sqrt is the same fixed tree in both engines.
+    * Zero-variance windows (flat series) emit null, not a 0/0 NaN.
+    *
+    * Scale shape: the corpus collapses to the bucket domain first; the
+    * lag self-join and per-lag aggregate run over that domain frame
+    * (maxLag·T pair rows).
+    */
+  def autocorrelation(df: DataFrame, bucketCol: String, valueCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1,64], got $maxLag")
+    val daily = df.groupBy(col(bucketCol).as("b"))
+      .agg(sum(col(valueCol)).as("s"))
+    val idx = daily.select(
+      row_number().over(Window.orderBy("b")).cast("long").as("t"),
+      col("s"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val lags = df.sparkSession.range(1, maxLag + 1).toDF("lag")
+    val pairs = idx.as("a").crossJoin(broadcast(lags))
+      .join(idx.as("bb"), col("bb.t") === col("a.t") + col("lag"))
+      .select(col("lag"), col("a.s").as("x"), col("bb.s").as("y"))
+    val m = pairs.groupBy("lag").agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val vx = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val vy = (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    m.select(col("lag"), col("n"),
+      when(vx * vy > 0,
+        round((dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / sqrt(vx * vy), 6)).as("acf"))
+  }
 }

@@ -705,6 +705,29 @@ private[graft] object StatsQueries extends QuerySlice {
           col("dday").isNotNull.as("died"))
       graft.operators.Survival.kaplanMeier(lives, "dur", "died")
     }),
+
+    // Benford first-digit audit (Expectations.benfordAudit) over the
+    // purchase cents column: observed leading-digit counts vs
+    // log10(1+1/d) with exact chi-square contributions — the
+    // fabricated-data / unit-mix-up screen.
+    "q239_benford" -> ((s, d) =>
+      graft.operators.Expectations.benfordAudit(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(expr("CAST(round(value * 100, 0) AS BIGINT)")
+            .as("cents")),
+        "cents")),
+
+    // Autocorrelation of the daily purchase series at lags 1..7
+    // (RobustStats.autocorrelation): DECIMAL-exact Pearson sums over
+    // the densely re-indexed day domain, one double division per lag.
+    "q240_acf" -> ((s, d) =>
+      graft.operators.RobustStats.autocorrelation(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents")),
+        "day", "cents", maxLag = 7)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1639,5 +1662,46 @@ private[graft] object StatsQueries extends QuerySlice {
         |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d,
         |  round(surv, 6) AS survival
         |FROM s WHERE d > 0""".stripMargin,
+
+    // q239: same fixed tree per digit row — log10 over the identical
+    // rational, (obs − n·p)²/(n·p) in doubles, round 6
+    "q239_benford" ->
+      """WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit, CAST(count(*) AS BIGINT) AS obs
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
+        |SELECT digit, obs, round(log10(1 + 1.0 / digit), 6) AS exp_share,
+        |  round((obs - t.n * log10(1 + 1.0 / digit))
+        |      * (obs - t.n * log10(1 + 1.0 / digit))
+        |    / (t.n * log10(1 + 1.0 / digit)), 6) AS chi2_term
+        |FROM d, t""".stripMargin,
+
+    // q240: HUGEINT-exact Pearson sums over the densely re-indexed day
+    // domain; zero-variance lags null out instead of dividing by zero
+    "q240_acf" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS b,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS t,
+        |    s FROM daily),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |p AS (SELECT l.lag, a.s AS x, b2.s AS y
+        |  FROM lags l JOIN idx a ON true JOIN idx b2 ON b2.t = a.t + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |    END AS acf
+        |FROM m""".stripMargin,
   )
 }

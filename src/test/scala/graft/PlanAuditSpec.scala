@@ -427,4 +427,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"quantileBins must not plan a window (global ntile trap):\n$plan")
   }
+
+  test("q227 Jaro-Winkler: blocked equi-join (no cartesian), native " +
+    "expression in the join stage") {
+    val plan = planOf(SparkEntry.queries("q227_jaro_winkler")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"block key must make this an equi-join:\n$plan")
+    assert(plan.contains("jaro_winkler"),
+      s"native expression must appear in the plan:\n$plan")
+  }
+
+  test("q232 weighted take: rank short-circuits via WindowGroupLimit") {
+    val plan = planOf(
+      SparkEntry.queries("q232_weighted_sample")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k per group must short-circuit, not rank every row:\n$plan")
+  }
+
+  test("q228 quantile norm: the bin reference joins back as a broadcast") {
+    val plan = planOf(SparkEntry.queries("q228_quantile_norm")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bins-row reference frame must broadcast:\n$plan")
+  }
+
+  test("q230 KS: the only window runs AFTER the cent-domain aggregate") {
+    // the cumulative window is domain-bounded by construction: it must
+    // consume a HashAggregate output, never the raw events scan. AQE is
+    // disabled for THIS plan so the static tree is fully traversable
+    // (query-stage wrappers stop TreeNode.collect at stage boundaries).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = SparkEntry.queries("q230_ks_test")(spark, sf)
+        .queryExecution.executedPlan
+      val windows = root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, s"expected a cumulative window:\n$root")
+      windows.foreach { w =>
+        val hasAggBelow = w.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }.nonEmpty
+        assert(hasAggBelow,
+          s"KS window must sit above the distinct-cent aggregate:\n$root")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -61,4 +61,39 @@ class TrendDiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_before") === 250.0)
     assert(r.getAs[Double]("mean_after") === 250.0)
   }
+
+  test("benfordAudit: exact counts, shares sum to 1, nonpositive dropped") {
+    // 30 values with digit 1, 10 with digit 2, 5 with digit 9, plus
+    // zeros/negatives that must be excluded
+    val vals = Seq.fill(30)(123L) ++ Seq.fill(10)(2L) ++
+      Seq.fill(5)(900L) ++ Seq(0L, -7L)
+    val out = graft.operators.Expectations
+      .benfordAudit(vals.toDF("v"), "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 9L))
+    assert(out(1L)._1 === 30L && out(2L)._1 === 10L && out(9L)._1 === 5L)
+    val n = 45.0
+    for ((d, (obs, share, chi2)) <- out) {
+      val p = math.log10(1 + 1.0 / d)
+      assert(math.abs(share - BigDecimal(p)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      val want = (obs - n * p) * (obs - n * p) / (n * p)
+      assert(math.abs(chi2 - want) < 1e-5, s"digit $d")
+    }
+  }
+
+  test("autocorrelation: alternating series gives -1/+1, flat gives null") {
+    val alt = (1L to 20L).map(d => (d, if (d % 2 == 0) 100L else 300L))
+      .toDF("day", "cents")
+    val acf = RobustStats.autocorrelation(alt, "day", "cents", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(acf(1L) === -1.0)
+    assert(acf(2L) === 1.0)
+    val flat = (1L to 20L).map(d => (d, 100L)).toDF("day", "cents")
+    val rows = RobustStats.autocorrelation(flat, "day", "cents", 2)
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.isNullAt(2), "flat series acf is null"))
+  }
 }
