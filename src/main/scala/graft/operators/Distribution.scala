@@ -90,6 +90,54 @@ object Distribution {
             dec(col("n1")) * dec(col("n2"))).as("significant"))
   }
 
+  /** Exact Mann-Whitney U (Wilcoxon rank-sum) between two cohorts of an
+    * integer-quantized value column — the rank-based two-sample test
+    * beside [[ksTest]]'s distribution-distance: robust to outliers,
+    * sensitive to location shift. EVERYTHING is integer-exact via
+    * DOUBLED rank units (tie-averaged ranks are half-integers, so 2·R
+    * is an integer): per distinct value v with c₁(v)/c₂(v) cohort
+    * counts and cum(v) values strictly below,
+    *
+    *   2·R₁ = Σ c₁(v)·(2·cum(v) + cnt(v) + 1),   U₁ = R₁ − n₁(n₁+1)/2
+    *
+    * and the normal-approximation significance cut (tie-corrected
+    * variance) is squared and cross-multiplied in DECIMAL(38,0):
+    * (2U₁−n₁n₂)²·3·N(N−1)·critDen ≥ 4·critNum·n₁n₂·((N+1)N(N−1)−ΣT),
+    * ΣT = Σ(t³−t) — no sqrt, no float in the decision. Also emits the
+    * rank-biserial effect size (2U/(n₁n₂)−1, rounded 6).
+    *
+    * Scale shape: ksTest's — one value-domain aggregate, one cumulative
+    * window over the domain frame; doubled rank sums stay exact in
+    * BIGINT while n·N < 2^62 (lift the sums to DECIMAL past that).
+    */
+  def mannWhitney(df: DataFrame, centsCol: String, isFirstCohort: Column,
+                  critNum: Long = 2401, critDen: Long = 625): DataFrame = {
+    require(critNum > 0 && critDen > 0, "critical value must be positive")
+    val g = df.select(col(centsCol).as("c"),
+        when(isFirstCohort, 1L).otherwise(0L).as("i1"))
+      .groupBy("c")
+      .agg(sum("i1").as("a"), (count(lit(1)) - sum("i1")).as("b"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cnt", col("a") + col("b"))
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val m = r.agg(sum("a").as("n1"), sum("b").as("n2"),
+      sum(col("a") * (lit(2) * col("cumb") + col("cnt") + 1)).as("r1d"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    m.withColumn("u1d", col("r1d") - col("n1") * (col("n1") + 1))
+      .withColumn("dd", col("u1d") - col("n1") * col("n2"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .select(col("n1"), col("n2"),
+        (col("u1d") / lit(2)).as("u"), // exact half-integer double
+        round(col("dd") / (col("n1") * col("n2")), 6).as("rank_biserial"),
+        (dec(col("dd")) * dec(col("dd")) * dec(lit(3)) * dec(col("nn")) *
+          dec(col("nn") - 1) * dec(lit(critDen)) >=
+          dec(lit(4 * critNum)) * dec(col("n1")) * dec(col("n2")) *
+            (dec(col("nn") + 1) * dec(col("nn")) * dec(col("nn") - 1) -
+              dec(col("tsum")))).as("significant"))
+  }
+
   /** Source-concentration profile per group: Gini coefficient and
     * Herfindahl-Hirschman index of `weightCol` mass over `unitCol`
     * within each `groupCol` — the "is this language dominated by one

@@ -381,6 +381,46 @@ object RobustStats {
         round(col("score"), 6).as("score"))
   }
 
+  /** Theil-Sen robust trend over a bucketed integer series — the
+    * breakdown-resistant alternative to [[groupTrend]]'s least squares
+    * (a third of the buckets can be corrupt before the estimate moves):
+    * the slope is the LOWER MEDIAN of all pairwise slopes
+    * (yⱼ−yᵢ)/(xⱼ−xᵢ), i<j, under the deterministic (slope, x1, x2)
+    * total order. Every pairwise slope is one division of exact
+    * integers (identical doubles in both engines, so the median RANK
+    * lands on the same pair), and the emitted `slope_micro` is the
+    * exact integer division (yⱼ−yᵢ)·10⁶ div (xⱼ−xᵢ) of that pair — no
+    * float in the reported figure.
+    *
+    * Scale shape: the corpus collapses to the bucket domain first; the
+    * pairwise non-equi self-join is O(T²) over the DOMAIN (not rows) —
+    * `maxBuckets` guards the quadratic blowup explicitly.
+    */
+  def theilSen(df: DataFrame, bucketCol: String, valueCol: String,
+               maxBuckets: Int = 4096): DataFrame = {
+    val daily = df.groupBy(col(bucketCol).as("b"))
+      .agg(sum(col(valueCol)).as("s"))
+    val t = daily.count()
+    require(t >= 2, "need at least 2 buckets")
+    require(t <= maxBuckets,
+      s"$t buckets exceed maxBuckets=$maxBuckets — the pairwise join " +
+        "is quadratic in the bucket domain; coarsen the bucketing")
+    val pairs = daily.as("a")
+      .join(daily.as("bb"), col("bb.b") > col("a.b"))
+      .select(col("a.b").as("x1"), col("bb.b").as("x2"),
+        col("a.s").as("y1"), col("bb.s").as("y2"))
+      .withColumn("slope",
+        (col("y2") - col("y1")) / (col("x2") - col("x1")))
+    pairs
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope"), col("x1"), col("x2"))))
+      .filter(col("rk") === expr("(np + 1) div 2")) // lower median
+      .select(col("np").as("n_pairs"),
+        expr("(y2 - y1) * 1000000 div (x2 - x1)").as("slope_micro"),
+        round(col("slope"), 6).as("slope"))
+  }
+
   /** Exact autocorrelation function of a bucketed integer series at
     * lags 1..maxLag — the seasonality/persistence diagnostic behind
     * q193's trend and q236's changepoint: Pearson r between the series

@@ -728,6 +728,30 @@ private[graft] object StatsQueries extends QuerySlice {
           .select(expr("ts div 86400000000000").as("day"),
             expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents")),
         "day", "cents", maxLag = 7)),
+
+    // Theil-Sen robust trend of the daily purchase series
+    // (RobustStats.theilSen): lower median of all pairwise slopes under
+    // the deterministic (slope, x1, x2) order; the reported figure is
+    // the chosen pair's EXACT micro-slope integer division.
+    "q241_theil_sen" -> ((s, d) =>
+      graft.operators.RobustStats.theilSen(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents")),
+        "day", "cents")),
+
+    // Exact Mann-Whitney U purchase vs click (Distribution.mannWhitney):
+    // doubled tie-averaged rank sums are integers, the tie-corrected
+    // normal cut is one DECIMAL(38,0) inequality — the rank-based
+    // sibling of q230's KS.
+    "q242_mann_whitney" -> ((s, d) =>
+      graft.operators.Distribution.mannWhitney(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+            col("event_type")),
+        "cents", col("event_type") === "purchase")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1703,5 +1727,51 @@ private[graft] object StatsQueries extends QuerySlice {
         |           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
         |    END AS acf
         |FROM m""".stripMargin,
+
+    // q241: identical pairwise-slope doubles -> identical median rank;
+    // the emitted micro-slope is the chosen pair's exact integer div
+    "q241_theil_sen" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS b,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT a.b AS x1, b2.b AS x2, a.s AS y1, b2.s AS y2,
+        |    (b2.s - a.s) / CAST(b2.b - a.b AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b2 ON b2.b > a.b),
+        |r AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS np,
+        |    row_number() OVER (ORDER BY slope, x1, x2) AS rk FROM p)
+        |SELECT np AS n_pairs,
+        |  CAST((y2 - y1) * 1000000 // (x2 - x1) AS BIGINT) AS slope_micro,
+        |  round(slope, 6) AS slope
+        |FROM r WHERE rk = (np + 1) // 2""".stripMargin,
+
+    // q242: doubled tie-averaged rank sums are exact integers; the
+    // tie-corrected normal cut is one HUGEINT inequality (Spark:
+    // DECIMAL(38,0))
+    "q242_mann_whitney" ->
+      """WITH s AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT c, CAST(sum(i1) AS BIGINT) AS a,
+        |    CAST(count(*) - sum(i1) AS BIGINT) AS b FROM s GROUP BY 1),
+        |r AS (SELECT *, a + b AS cnt,
+        |    CAST(coalesce(sum(a + b) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cumb
+        |  FROM g),
+        |m AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2,
+        |    CAST(sum(a * (2 * cumb + cnt + 1)) AS BIGINT) AS r1d,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum FROM r),
+        |f AS (SELECT n1, n2, r1d - n1 * (n1 + 1) AS u1d, tsum,
+        |    n1 + n2 AS nn FROM m)
+        |SELECT n1, n2, u1d / 2 AS u,
+        |  round((u1d - n1 * n2) / CAST(n1 * n2 AS DOUBLE), 6)
+        |    AS rank_biserial,
+        |  CAST(u1d - n1 * n2 AS HUGEINT) * (u1d - n1 * n2) * 3 * nn
+        |      * (nn - 1) * 625
+        |    >= CAST(9604 AS HUGEINT) * n1 * n2
+        |      * (CAST(nn + 1 AS HUGEINT) * nn * (nn - 1) - tsum)
+        |    AS significant
+        |FROM f""".stripMargin,
   )
 }

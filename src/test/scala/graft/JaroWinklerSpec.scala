@@ -42,6 +42,22 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("random-string invariants: symmetry, bounds, identity") {
+    // small alphabet + short lengths stress the match-window and
+    // transposition logic where hand-picked cases have gaps
+    val rnd = new scala.util.Random(42)
+    def rs(): String =
+      (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+    for (_ <- 1 to 5000) {
+      val (a, b) = (rs(), rs())
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"bounds: jw($a, $b) = $s")
+      assert(s === jw(b, a), s"symmetry: $a / $b")
+      if (a.nonEmpty) assert(jw(a, a) === 1.0, s"identity: $a")
+    }
+  }
+
   test("null propagation and codegen/interpreted agreement") {
     val df = Tables.part(spark, "/root/testdata/sf0.001")
       .select(col("p_name"),

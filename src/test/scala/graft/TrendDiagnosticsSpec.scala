@@ -83,6 +83,59 @@ class TrendDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("theilSen: exact slope on a line, unmoved by a heavy outlier") {
+    val line = (1L to 21L).map(d => (d, 50L + 5L * d)).toDF("day", "cents")
+    val r1 = RobustStats.theilSen(line, "day", "cents").collect().head
+    assert(r1.getAs[Long]("n_pairs") === 210L)
+    assert(r1.getAs[Long]("slope_micro") === 5000000L)
+    assert(r1.getAs[Double]("slope") === 5.0)
+    // one wildly corrupt bucket: least squares would move, the median
+    // pairwise slope must not
+    val dirty = ((1L to 21L).filter(_ != 11L).map(d => (d, 50L + 5L * d))
+      :+ ((11L, 1000000L))).toDF("day", "cents")
+    val r2 = RobustStats.theilSen(dirty, "day", "cents").collect().head
+    assert(r2.getAs[Long]("slope_micro") === 5000000L,
+      s"outlier moved the robust slope: ${r2}")
+  }
+
+  test("theilSen guards the quadratic domain blowup") {
+    val big = (1L to 50L).map(d => (d, d)).toDF("day", "cents")
+    intercept[IllegalArgumentException] {
+      RobustStats.theilSen(big, "day", "cents", maxBuckets = 10)
+    }
+  }
+
+  test("mannWhitney: identical cohorts U = n1n2/2; disjoint shift wins all") {
+    import graft.operators.Distribution
+    val same = (1L to 100L).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("cents", "c1")
+    val r1 = Distribution.mannWhitney(same, "cents", col("c1"))
+      .collect().head
+    assert(r1.getAs[Double]("u") === 100.0 * 100 / 2)
+    assert(r1.getAs[Double]("rank_biserial") === 0.0)
+    assert(!r1.getAs[Boolean]("significant"))
+    val shifted = ((1L to 100L).map(v => (v + 1000L, true)) ++
+      (1L to 100L).map(v => (v, false))).toDF("cents", "c1")
+    val r2 = Distribution.mannWhitney(shifted, "cents", col("c1"))
+      .collect().head
+    assert(r2.getAs[Double]("u") === 10000.0) // every comparison won
+    assert(r2.getAs[Double]("rank_biserial") === 1.0)
+    assert(r2.getAs[Boolean]("significant"))
+  }
+
+  test("mannWhitney tie-averaged ranks match a hand computation") {
+    // cohort1 = {1, 2, 2}, cohort2 = {2, 3}: ranks 1, 3, 3, 3, 5
+    // (three 2s share rank (2+3+4)/3 = 3) -> R1 = 1+3+3 = 7,
+    // U1 = 7 - 3*4/2 = 1 -> u = 1.0; ties tsum = 3^3-3 = 24
+    val df = Seq((1L, true), (2L, true), (2L, true), (2L, false),
+      (3L, false)).toDF("cents", "c1")
+    val r = graft.operators.Distribution.mannWhitney(df, "cents", col("c1"))
+      .collect().head
+    assert(r.getAs[Long]("n1") === 3L && r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Double]("u") === 1.0)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
   test("autocorrelation: alternating series gives -1/+1, flat gives null") {
     val alt = (1L to 20L).map(d => (d, if (d % 2 == 0) 100L else 300L))
       .toDF("day", "cents")
