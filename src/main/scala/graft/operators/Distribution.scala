@@ -30,8 +30,12 @@ object Distribution {
     */
   def mutualInformation(df: DataFrame, colA: String, colB: String)
   : DataFrame = {
-    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
-      .agg(count(lit(1)).as("nab"))
+    // the corpus collapses to the cell domain ONCE: cells feeds four
+    // consumers (marginals, total, the MI join) — without the tracked
+    // persist each consumer re-runs the corpus aggregate
+    val cells = graft.CacheScope.track(
+      df.groupBy(col(colA).as("a"), col(colB).as("b"))
+        .agg(count(lit(1)).as("nab")).persist())
     val aTot = cells.groupBy("a").agg(sum("nab").as("na"))
     val bTot = cells.groupBy("b").agg(sum("nab").as("nb"))
     val tot = cells.agg(sum("nab").as("n"))
@@ -67,10 +71,11 @@ object Distribution {
              critNum: Long = 1844164, critDen: Long = 1000000)
   : DataFrame = {
     require(critNum > 0 && critDen > 0, "critical value must be positive")
-    val g = df.select(col(centsCol).as("c"),
+    val g = graft.CacheScope.track(df.select(col(centsCol).as("c"),
         when(isFirstCohort, 1L).otherwise(0L).as("i1"))
       .groupBy("c")
       .agg(sum("i1").as("a"), (count(lit(1)) - sum("i1")).as("b"))
+      .persist()) // cum + totals both read the cent domain
     val w = Window.orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = g.select(sum("a").over(w).as("c1"), sum("b").over(w).as("c2"))
@@ -177,10 +182,14 @@ object Distribution {
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String, bins: Int): DataFrame = {
     require(bins > 1, "need at least 2 bins")
-    val binned = df.select(col(groupCol), col(idCol), col(valueCol))
-      .withColumn("bin",
-        ntile(bins).over(Window.partitionBy(groupCol)
-          .orderBy(col(valueCol), col(idCol))).cast("long"))
+    // binned is corpus-sized and read twice (bin means + the join
+    // back): persist so the per-group ntile window runs once
+    val binned = graft.CacheScope.track(
+      df.select(col(groupCol), col(idCol), col(valueCol))
+        .withColumn("bin",
+          ntile(bins).over(Window.partitionBy(groupCol)
+            .orderBy(col(valueCol), col(idCol))).cast("long"))
+        .persist())
     val ref = binned.groupBy("bin")
       .agg(sum(col(valueCol)).as("s"), count(lit(1)).as("c"))
       .select(col("bin"), round(col("s") / col("c"), 6).as("norm_value"))

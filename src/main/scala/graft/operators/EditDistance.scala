@@ -77,9 +77,13 @@ object EditDistance {
     */
   def jaroWinklerPairs(df: DataFrame, strCol: String,
                        threshold: Double): DataFrame = {
-    val u = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
-      .distinct()
-      .withColumn("blk", split(col("s"), " ").getItem(0))
+    // the vocabulary contraction is read by BOTH join sides: persist so
+    // the corpus scan + distinct run once (q126's element-frame rule)
+    val u = graft.CacheScope.track(
+      df.select(col(strCol).as("s")).filter(col("s").isNotNull)
+        .distinct()
+        .withColumn("blk", split(col("s"), " ").getItem(0))
+        .persist())
     u.alias("a")
       .join(u.alias("b"),
         col("a.blk") === col("b.blk") && col("a.s") < col("b.s"))

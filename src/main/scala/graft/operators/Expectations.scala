@@ -209,10 +209,11 @@ object Expectations {
     * rows) crosses a one-row total.
     */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
-    val d = df.filter(col(valueCol) > 0)
+    val d = graft.CacheScope.track(df.filter(col(valueCol) > 0)
       .select(substring(col(valueCol).cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("obs"))
+      .persist()) // the total and the report both read the digit frame
     val tot = d.agg(sum("obs").as("n"))
     val e = log10(lit(1) + lit(1.0) / col("digit"))
     d.crossJoin(broadcast(tot))

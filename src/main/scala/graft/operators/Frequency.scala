@@ -859,10 +859,14 @@ object Frequency {
     */
   def logOddsTerms(docs: DataFrame, groupCol: String, textCol: String,
                    a0: Long, minCount: Long, k: Int): DataFrame = {
-    val cnt = docs
+    // (group, token) counts feed four consumers (group totals, token
+    // marginals, corpus total, the scored join): persist so the token
+    // explode over the corpus runs once
+    val cnt = graft.CacheScope.track(docs
       .select(col(groupCol).as("g"),
         explode(split(col(textCol), " ")).as("token"))
       .groupBy("g", "token").agg(count(lit(1)).as("yl"))
+      .persist())
     val gTot = cnt.groupBy("g").agg(sum("yl").as("nl"))
     val wTot = cnt.groupBy("token").agg(sum("yl").as("y0"))
       .filter(col("y0") >= minCount)

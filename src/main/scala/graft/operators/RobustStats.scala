@@ -355,8 +355,9 @@ object RobustStats {
     */
   def changepoint(df: DataFrame, bucketCol: String, valueCol: String)
   : DataFrame = {
-    val daily = df.groupBy(col(bucketCol).as("b"))
+    val daily = graft.CacheScope.track(df.groupBy(col(bucketCol).as("b"))
       .agg(sum(col(valueCol)).as("s"))
+      .persist()) // prefix sums + totals both read the bucket domain
     val w = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val idx = Window.orderBy("b")
@@ -398,8 +399,9 @@ object RobustStats {
     */
   def theilSen(df: DataFrame, bucketCol: String, valueCol: String,
                maxBuckets: Int = 4096): DataFrame = {
-    val daily = df.groupBy(col(bucketCol).as("b"))
+    val daily = graft.CacheScope.track(df.groupBy(col(bucketCol).as("b"))
       .agg(sum(col(valueCol)).as("s"))
+      .persist()) // guard count + both self-join sides read the domain
     val t = daily.count()
     require(t >= 2, "need at least 2 buckets")
     require(t <= maxBuckets,
@@ -439,11 +441,12 @@ object RobustStats {
                       maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64,
       s"maxLag must be in [1,64], got $maxLag")
-    val daily = df.groupBy(col(bucketCol).as("b"))
+    val idx = graft.CacheScope.track(df.groupBy(col(bucketCol).as("b"))
       .agg(sum(col(valueCol)).as("s"))
-    val idx = daily.select(
-      row_number().over(Window.orderBy("b")).cast("long").as("t"),
-      col("s"))
+      .select(
+        row_number().over(Window.orderBy("b")).cast("long").as("t"),
+        col("s"))
+      .persist()) // both lag-join sides read the indexed domain
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val lags = df.sparkSession.range(1, maxLag + 1).toDF("lag")
     val pairs = idx.as("a").crossJoin(broadcast(lags))

@@ -36,9 +36,10 @@ object Survival {
     */
   def kaplanMeier(lives: DataFrame, durCol: String, diedCol: String)
   : DataFrame = {
-    val d = lives.groupBy(col(durCol).as("t"))
+    val d = graft.CacheScope.track(lives.groupBy(col(durCol).as("t"))
       .agg(sum(when(col(diedCol), 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("ct"))
+      .persist()) // totals + the cumulative chain both read the domain
     val tot = d.agg(sum("ct").as("n"))
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)

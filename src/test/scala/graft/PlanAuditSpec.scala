@@ -464,12 +464,18 @@ class PlanAuditSpec extends SparkSpec {
         case w: org.apache.spark.sql.execution.window.WindowExec => w }
       assert(windows.nonEmpty, s"expected a cumulative window:\n$root")
       windows.foreach { w =>
+        // the domain aggregate may be live (HashAggregate) or behind the
+        // tracked persist (InMemoryTableScan of the cached aggregate) —
+        // both satisfy the claim; a window straight over the file scan
+        // would show neither
         val hasAggBelow = w.collect {
           case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
         }.nonEmpty
         assert(hasAggBelow,
           s"KS window must sit above the distinct-cent aggregate:\n$root")
       }
+      graft.CacheScope.releaseAll()
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
