@@ -1029,4 +1029,74 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("__keep_id"))
       .drop("__ck", "__keep_id")
   }
+
+  /** Exact substring deduplication at token granularity L — the
+    * "deduplicating training data" span remover (Lee et al. 2022's
+    * ExactSubstr, re-expressed relationally instead of via a suffix
+    * array): every L-token window that occurs MORE THAN ONCE in the
+    * corpus is removed from every occurrence except the globally first
+    * (min (id, position)), and a document's surviving tokens are
+    * rejoined in order. Catches the partial overlaps exact doc-dedup
+    * (q15) misses and the spans MinHash (q29) only scores: boilerplate
+    * headers, quoted passages, copy-pasted paragraphs.
+    *
+    * Relational decomposition — no suffix array, no driver state:
+    *  1. one explode to (id, p, md5(L-gram)) — the 16-byte key shuffles,
+    *     the gram TEXT never does (q15 discipline);
+    *  2. first occurrence per gram = min struct(id, p), one aggregate;
+    *  3. duplicate occurrences explode to their covered positions —
+    *     DISTINCT position coverage replaces interval merging;
+    *  4. anti-join the token table, per-doc ordered rebuild (the
+    *     collect is document-bounded, q85's intra-doc bound).
+    *
+    * Removal is deterministic (global (id, p) order) and
+    * self-consistent: a document that is itself the first occurrence
+    * keeps its text; an exact copy loses every covered token; a
+    * near-copy keeps exactly the tokens whose every covering window is
+    * unique (its edits).
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          l: Int): DataFrame = {
+    require(l >= 2 && l <= 64, s"window length must be in [2,64], got $l")
+    // arr is read by the gram pass and the rebuild: persist the
+    // tokenized form once (CacheScope contract)
+    val toks = graft.CacheScope.track(
+      docs.select(col(idCol).as("id"), split(col(textCol), " ").as("arr"))
+        .persist())
+    val grams = toks
+      .filter(size(col("arr")) >= l)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("arr")) - l)).as("p"),
+        col("arr"))
+      .select(col("id"), col("p"),
+        md5(array_join(slice(col("arr"), col("p") + 1, lit(l)), " ")
+          .cast("binary")).as("g"))
+    val firsts = grams.groupBy("g")
+      .agg(min(struct(col("id"), col("p"))).as("f"),
+        count(lit(1)).as("c"))
+    val dups = grams.join(firsts, "g")
+      .filter(col("c") >= 2 &&
+        !(col("id") === col("f.id") && col("p") === col("f.p")))
+    val removed = dups
+      .select(col("id"), explode(sequence(col("p"), col("p") + (l - 1)))
+        .as("tp"))
+      .distinct()
+    val tok2 = toks.select(col("id"),
+      posexplode(col("arr")).as(Seq("tp", "tok")))
+    val rebuilt = tok2.join(removed, Seq("id", "tp"), "left_anti")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("tp"), col("tok"))))
+        .as("a"), count(lit(1)).as("n_kept"))
+      .select(col("id"),
+        array_join(expr("transform(a, x -> x.tok)"), " ").as("ct"),
+        col("n_kept"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("ct"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

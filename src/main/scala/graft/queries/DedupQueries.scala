@@ -332,6 +332,15 @@ private[graft] object DedupQueries extends QuerySlice {
     "q227_jaro_winkler" -> ((s, d) =>
       graft.operators.EditDistance.jaroWinklerPairs(
         Tables.part(s, d), "p_name", threshold = 0.84)),
+
+    // Exact substring dedup (Dedup.exactSubstringDedup, Lee et al.'s
+    // ExactSubstr re-expressed relationally): every 8-token window
+    // occurring >1 time corpus-wide is removed from all but its
+    // globally-first occurrence; surviving tokens rejoin in order. The
+    // span-level tier above q15 (whole-doc) and beside q29 (scored).
+    "q243_exact_substring" -> ((s, d) =>
+      graft.operators.Dedup.exactSubstringDedup(
+        Tables.documents(s, d), "doc_id", "text", l = 8)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +700,39 @@ private[graft] object DedupQueries extends QuerySlice {
         |  round(jaro_winkler_similarity(a.s, b2.s), 6) AS jw
         |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.s < b2.s
         |WHERE round(jaro_winkler_similarity(a.s, b2.s), 6) >= 0.84""".stripMargin,
+
+    // q243: identical md5 gram keys, identical global (id, p) keep rule,
+    // DISTINCT position coverage instead of interval merging, ordered
+    // string_agg rebuild
+    "q243_exact_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |pos AS (SELECT doc_id, arr,
+        |    unnest(range(0, greatest(len(arr) - 8 + 1, 0))) AS p FROM toks),
+        |grams AS (SELECT doc_id, p,
+        |    md5(array_to_string(
+        |      arr[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' ')) AS g
+        |  FROM pos),
+        |firsts AS (SELECT g, min(struct_pack(doc_id := doc_id, p := p)) AS f,
+        |    count(*) AS c FROM grams GROUP BY 1),
+        |dups AS (SELECT gr.doc_id, gr.p FROM grams gr JOIN firsts f
+        |  ON gr.g = f.g
+        |  WHERE f.c >= 2 AND NOT (gr.doc_id = f.f.doc_id AND gr.p = f.f.p)),
+        |rem AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS rp
+        |  FROM dups),
+        |tok2 AS (SELECT doc_id, unnest(arr) AS tok,
+        |    CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS tp FROM toks),
+        |kept AS (SELECT t.doc_id, t.tok, t.tp FROM tok2 t
+        |  LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.rp = t.tp
+        |  WHERE r.doc_id IS NULL),
+        |outp AS (SELECT doc_id,
+        |    coalesce(string_agg(tok, ' ' ORDER BY tp), '') AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(o.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(o.n_kept, 0)
+        |    AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN outp o USING (doc_id)""".stripMargin,
   )
 }
