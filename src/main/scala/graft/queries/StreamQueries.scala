@@ -231,6 +231,35 @@ private[graft] object StreamQueries extends QuerySlice {
     // the events file stream vs the batch hour-bucket oracle. Values
     // ride as integer cents (exact, order-free sums) so the streaming
     // and batch aggregates agree bit-for-bit.
+    // Streaming Benford gate (9th gate): the q239 first-digit audit fed
+    // by the events FILE STREAM — a complete-mode global digit aggregate
+    // whose state is the 9-row digit domain no matter the input volume
+    // (the bounded-state shape in its purest form); the Benford
+    // expectation/chi2 projection runs batch-side on the streamed
+    // counts. Oracle = q239's SQL verbatim: the streamed path must be
+    // hash-identical to the batch audit.
+    "q244_stream_benford" -> ((s, d) => {
+      val path = s"$d/events.parquet"
+      val fileSchema = Tables.table(s, d, "events").schema
+      val srcDir = graft.streaming.StreamSessions.stageFileAsDir(path)
+      val raw = graft.streaming.StreamSessions
+        .readParquetStream(s, srcDir, fileSchema)
+      val digits = raw
+        .filter(col("event_type") === "purchase" && col("value") > 0)
+        .select(substring(round(col("value") * 100, 0).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val counts = graft.streaming.StreamSessions
+        .runToCompletion(digits, "q244_stream_benford")
+      val tot = counts.agg(sum("obs").as("n"))
+      val e = log10(lit(1) + lit(1.0) / col("digit"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("obs"),
+          round(e, 6).as("exp_share"),
+          round((col("obs") - col("n") * e) * (col("obs") - col("n") * e)
+            / (col("n") * e), 6).as("chi2_term"))
+    }),
+
     "q104_stream_window" -> ((s, d) => {
       val path = s"$d/events.parquet"
       val fileSchema = Tables.table(s, d, "events").schema
@@ -691,5 +720,20 @@ private[graft] object StreamQueries extends QuerySlice {
         |SELECT user_id, bmp,
         |  CAST(bit_count(bmp) AS BIGINT) AS n_active_days
         |FROM b""".stripMargin,
+
+    // q244: the q239 batch twin verbatim — the streaming digit counts
+    // must be indistinguishable from the batch audit
+    "q244_stream_benford" ->
+      """WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit, CAST(count(*) AS BIGINT) AS obs
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
+        |SELECT digit, obs, round(log10(1 + 1.0 / digit), 6) AS exp_share,
+        |  round((obs - t.n * log10(1 + 1.0 / digit))
+        |      * (obs - t.n * log10(1 + 1.0 / digit))
+        |    / (t.n * log10(1 + 1.0 / digit)), 6) AS chi2_term
+        |FROM d, t""".stripMargin,
   )
 }
