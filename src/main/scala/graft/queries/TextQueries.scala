@@ -296,6 +296,21 @@ private[graft] object TextQueries extends QuerySlice {
       graft.operators.Expectations.corpusCard(
         Tables.documents(s, d), Seq("source", "lang"), "text")),
 
+    // Trained multinomial Naive Bayes language classifier
+    // (Classifier.naiveBayes): Laplace-smoothed, trained on the 75%
+    // md5-split, scored on the held-out 25% — every parameter and every
+    // document score is an exact micro-nat LONG (q147 discipline), so
+    // train+predict are hash-exact across engines. The learned upgrade
+    // of q22's heuristic langid.
+    "q245_naive_bayes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      graft.operators.Classifier.naiveBayes(
+        docs.filter(bucket >= "40"), docs.filter(bucket < "40"),
+        "doc_id", "text", "lang")
+    }),
+
     // Distinctive terms per lang (Frequency.logOddsTerms): Monroe
     // weighted log-odds vs the rest with a corpus Dirichlet prior
     // (a0=1000). Each z is one fixed expression tree over exact counts,
@@ -1244,5 +1259,46 @@ private[graft] object TextQueries extends QuerySlice {
         |  round(z, 6) AS z FROM z
         |QUALIFY row_number() OVER (PARTITION BY g
         |  ORDER BY z DESC, token) <= 10""".stripMargin,
+
+    // q245: identical md5 split, identical one-rounding-per-ln micro-nat
+    // parameters, exact long score sums, argmax by (score desc, class)
+    "q245_naive_bayes" ->
+      """WITH tr AS (SELECT * FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'),
+        |te AS (SELECT * FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+        |tok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS t
+        |  FROM tr),
+        |ct AS (SELECT c, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ncl AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c FROM ct
+        |  GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM ct),
+        |dcs AS (SELECT lang AS c, count(*) AS docs_c FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS docs FROM tr),
+        |cls AS (SELECT d.c,
+        |    CAST(round(ln(d.docs_c / CAST(tot.docs AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS prior_micro,
+        |    CAST(round(ln(1 / CAST(n.n_c + voc.v AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS l0_micro,
+        |    n.n_c, voc.v
+        |  FROM dcs d JOIN ncl n USING (c), voc, tot),
+        |seen AS (SELECT ct.t, ct.c,
+        |    CAST(round(ln((ct.cnt + 1) / CAST(cls.n_c + cls.v AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS l_micro
+        |  FROM ct JOIN cls USING (c)),
+        |tt AS (SELECT doc_id AS id, lang AS truth, t, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |    FROM te) GROUP BY 1, 2, 3),
+        |sc AS (SELECT tt.id, tt.truth, cls.c,
+        |    max(cls.prior_micro) + CAST(sum(tt.tf
+        |      * coalesce(seen.l_micro, cls.l0_micro)) AS BIGINT)
+        |      AS score_micro
+        |  FROM tt CROSS JOIN cls
+        |  LEFT JOIN seen ON seen.t = tt.t AND seen.c = cls.c
+        |  GROUP BY 1, 2, 3)
+        |SELECT id AS doc_id, truth AS lang, c AS pred, score_micro,
+        |  c = truth AS correct
+        |FROM sc QUALIFY row_number() OVER (PARTITION BY id
+        |  ORDER BY score_micro DESC, c) = 1""".stripMargin,
   )
 }
