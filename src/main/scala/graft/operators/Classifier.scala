@@ -74,4 +74,39 @@ object Classifier {
         col("c").as("pred"), col("score_micro"),
         (col("c") === col("truth")).as("correct"))
   }
+
+  /** Per-class evaluation of a (truth, pred) frame — exact integer
+    * confusion counts and basis-point precision/recall/F1 (one integer
+    * division each, the repo's ratio discipline; a class with zero
+    * predicted or zero actual rows nulls the undefined ratio instead of
+    * dividing by zero — DuckDB ERRORS on integer // 0, Spark nulls, so
+    * the CASE is structural, not cosmetic). Classes = everything seen
+    * as truth OR prediction (full outer on the class key). Three
+    * class-keyed aggregates over the prediction frame; nothing scans
+    * the corpus again.
+    */
+  def evaluatePerClass(pred: DataFrame, truthCol: String,
+                       predCol: String): DataFrame = {
+    val t = col(truthCol)
+    val p = col(predCol)
+    val byTruth = pred.groupBy(t.as("class"))
+      .agg(sum(when(p === t, 1L).otherwise(0L)).as("tp"),
+        sum(when(p =!= t, 1L).otherwise(0L)).as("fn"))
+    val byPred = pred.groupBy(p.as("class"))
+      .agg(sum(when(p =!= t, 1L).otherwise(0L)).as("fp"))
+    byTruth.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision_bps",
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 10000 div (tp + fp)")))
+      .withColumn("recall_bps",
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 10000 div (tp + fn)")))
+      .withColumn("f1_bps",
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 10000 div (2 * tp + fp + fn)")))
+  }
 }

@@ -311,6 +311,20 @@ private[graft] object TextQueries extends QuerySlice {
         "doc_id", "text", "lang")
     }),
 
+    // Classifier evaluation (Classifier.evaluatePerClass): per-class
+    // exact confusion counts + basis-point precision/recall/F1 over
+    // q245's held-out predictions — the model-eval step of the trained
+    // pipeline, every ratio one integer division.
+    "q246_classifier_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val preds = graft.operators.Classifier.naiveBayes(
+        docs.filter(bucket >= "40"), docs.filter(bucket < "40"),
+        "doc_id", "text", "lang")
+      graft.operators.Classifier.evaluatePerClass(preds, "lang", "pred")
+    }),
+
     // Distinctive terms per lang (Frequency.logOddsTerms): Monroe
     // weighted log-odds vs the rest with a corpus Dirichlet prior
     // (a0=1000). Each z is one fixed expression tree over exact counts,
@@ -478,6 +492,47 @@ private[graft] object TextQueries extends QuerySlice {
       graft.operators.Frequency.simpsonDiversity(
         Tables.events(s, d), Seq("user_id"), "event_type")),
   )
+
+  // q245's full train+predict chain, shared verbatim by q246's eval
+  // oracle (the eval must judge EXACTLY the predictions q245 emits)
+  private val nbPredictSql: String =
+    """WITH tr AS (SELECT * FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'),
+      |te AS (SELECT * FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+      |tok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS t
+      |  FROM tr),
+      |ct AS (SELECT c, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |ncl AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c FROM ct
+      |  GROUP BY 1),
+      |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM ct),
+      |dcs AS (SELECT lang AS c, count(*) AS docs_c FROM tr GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS docs FROM tr),
+      |cls AS (SELECT d.c,
+      |    CAST(round(ln(d.docs_c / CAST(tot.docs AS DOUBLE))
+      |      * 1000000, 0) AS BIGINT) AS prior_micro,
+      |    CAST(round(ln(1 / CAST(n.n_c + voc.v AS DOUBLE))
+      |      * 1000000, 0) AS BIGINT) AS l0_micro,
+      |    n.n_c, voc.v
+      |  FROM dcs d JOIN ncl n USING (c), voc, tot),
+      |seen AS (SELECT ct.t, ct.c,
+      |    CAST(round(ln((ct.cnt + 1) / CAST(cls.n_c + cls.v AS DOUBLE))
+      |      * 1000000, 0) AS BIGINT) AS l_micro
+      |  FROM ct JOIN cls USING (c)),
+      |tt AS (SELECT doc_id AS id, lang AS truth, t, count(*) AS tf
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |    FROM te) GROUP BY 1, 2, 3),
+      |sc AS (SELECT tt.id, tt.truth, cls.c,
+      |    max(cls.prior_micro) + CAST(sum(tt.tf
+      |      * coalesce(seen.l_micro, cls.l0_micro)) AS BIGINT)
+      |      AS score_micro
+      |  FROM tt CROSS JOIN cls
+      |  LEFT JOIN seen ON seen.t = tt.t AND seen.c = cls.c
+      |  GROUP BY 1, 2, 3),
+      |pr AS (SELECT id AS doc_id, truth AS lang, c AS pred, score_micro,
+      |    c = truth AS correct
+      |  FROM sc QUALIFY row_number() OVER (PARTITION BY id
+      |    ORDER BY score_micro DESC, c) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1262,43 +1317,32 @@ private[graft] object TextQueries extends QuerySlice {
 
     // q245: identical md5 split, identical one-rounding-per-ln micro-nat
     // parameters, exact long score sums, argmax by (score desc, class)
-    "q245_naive_bayes" ->
-      """WITH tr AS (SELECT * FROM documents
-        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'),
-        |te AS (SELECT * FROM documents
-        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
-        |tok AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS t
-        |  FROM tr),
-        |ct AS (SELECT c, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
-        |ncl AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c FROM ct
-        |  GROUP BY 1),
-        |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM ct),
-        |dcs AS (SELECT lang AS c, count(*) AS docs_c FROM tr GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS docs FROM tr),
-        |cls AS (SELECT d.c,
-        |    CAST(round(ln(d.docs_c / CAST(tot.docs AS DOUBLE))
-        |      * 1000000, 0) AS BIGINT) AS prior_micro,
-        |    CAST(round(ln(1 / CAST(n.n_c + voc.v AS DOUBLE))
-        |      * 1000000, 0) AS BIGINT) AS l0_micro,
-        |    n.n_c, voc.v
-        |  FROM dcs d JOIN ncl n USING (c), voc, tot),
-        |seen AS (SELECT ct.t, ct.c,
-        |    CAST(round(ln((ct.cnt + 1) / CAST(cls.n_c + cls.v AS DOUBLE))
-        |      * 1000000, 0) AS BIGINT) AS l_micro
-        |  FROM ct JOIN cls USING (c)),
-        |tt AS (SELECT doc_id AS id, lang AS truth, t, count(*) AS tf
-        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
-        |    FROM te) GROUP BY 1, 2, 3),
-        |sc AS (SELECT tt.id, tt.truth, cls.c,
-        |    max(cls.prior_micro) + CAST(sum(tt.tf
-        |      * coalesce(seen.l_micro, cls.l0_micro)) AS BIGINT)
-        |      AS score_micro
-        |  FROM tt CROSS JOIN cls
-        |  LEFT JOIN seen ON seen.t = tt.t AND seen.c = cls.c
-        |  GROUP BY 1, 2, 3)
-        |SELECT id AS doc_id, truth AS lang, c AS pred, score_micro,
-        |  c = truth AS correct
-        |FROM sc QUALIFY row_number() OVER (PARTITION BY id
-        |  ORDER BY score_micro DESC, c) = 1""".stripMargin,
+    "q245_naive_bayes" -> (nbPredictSql + "\nSELECT * FROM pr"),
+
+    // q246: exact confusion counts + one integer division per ratio
+    // over the SAME prediction CTEs q245 hashes
+    "q246_classifier_eval" -> (nbPredictSql + "\n" +
+      """,
+        |bt AS (SELECT lang AS class,
+        |    CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fn
+        |  FROM pr GROUP BY 1),
+        |bp AS (SELECT pred AS class,
+        |    CAST(sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fp
+        |  FROM pr GROUP BY 1),
+        |j AS (SELECT class, coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp,
+        |    coalesce(fn, 0) AS fn
+        |  FROM bt FULL JOIN bp USING (class))
+        |SELECT class, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) END
+        |    AS precision_bps,
+        |  CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) END
+        |    AS recall_bps,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |    THEN 2 * tp * 10000 // (2 * tp + fp + fn) END AS f1_bps
+        |FROM j""".stripMargin),
   )
 }

@@ -46,6 +46,33 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getAs[Long]("score_micro") === want)
   }
 
+  test("evaluatePerClass: hand-computed confusion matrix and ratios") {
+    // truths: a,a,a,b,b,c — preds: a,a,b,b,a,c
+    // a: tp=2 fp=1 fn=1 -> P=6666 R=6666 F1=6666
+    // b: tp=1 fp=1 fn=1 -> P=5000 R=5000 F1=5000
+    // c: tp=1 fp=0 fn=0 -> P=R=F1=10000
+    val pred = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "a"), ("c", "c")).toDF("truth", "pred")
+    val out = Classifier.evaluatePerClass(pred, "truth", "pred")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("a") === ((2L, 1L, 1L, 6666L, 6666L, 6666L)))
+    assert(out("b") === ((1L, 1L, 1L, 5000L, 5000L, 5000L)))
+    assert(out("c") === ((1L, 0L, 0L, 10000L, 10000L, 10000L)))
+  }
+
+  test("evaluatePerClass: never-predicted / never-true classes null " +
+    "their undefined ratio") {
+    // "x" is only ever a truth (never predicted): precision undefined;
+    // "y" only ever predicted: recall undefined
+    val pred = Seq(("x", "y")).toDF("truth", "pred")
+    val rows = Classifier.evaluatePerClass(pred, "truth", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("x").isNullAt(4) && rows("x").getLong(5) === 0L)
+    assert(rows("y").getLong(4) === 0L && rows("y").isNullAt(5))
+  }
+
   test("scores are exact micro-nat longs and deterministic across runs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def run() = {
