@@ -60,6 +60,13 @@ object Bench {
     // is self-diagnosing.
     val loads = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
       .withDefaultValue(Nil)
+    // Per-pass PROCESS CPU seconds next to [steal%, busy%] (verdict r10
+    // #5): steal-only gating is blind to neighbor-load noise — q17's
+    // quiet passes spanned 3.1-10.7 s with steal at 0%. Wall up with CPU
+    // flat = the host descheduled us; wall and CPU up together = the
+    // query genuinely did more work (plan nondeterminism).
+    val cpuSecs = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     def cpuTicks() = HostLoad.cpuTicks()
     val errors = scala.collection.mutable.Map.empty[String, String]
     // Noise gate (r9 verdict ask #5): a pass is QUIET iff its steal% is
@@ -80,10 +87,13 @@ object Bench {
       // cache. Targeted release, not clearCache — see Verify.
       CacheScope.releaseAll()
       val ticks0 = cpuTicks()
+      val cpu0 = HostLoad.processCpuSeconds()
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
+        val cpu1 = HostLoad.processCpuSeconds()
+        val cpuDt = if (cpu0 < 0 || cpu1 < 0) -1.0 else cpu1 - cpu0
         val (stealPct, busyPct) = HostLoad.loadBetween(ticks0, cpuTicks())
         // a pass with unreadable /proc/stat counts as quiet: better one
         // possibly-noisy measurement than none on an exotic host
@@ -91,9 +101,10 @@ object Bench {
         // progress to stderr: which query a stall is in, and per-pass
         // timings (min-of-passes hides a steal burst; the log keeps it)
         System.err.println(
-          f"[bench] pass $pass $name $dt%.2f s (steal $stealPct%.1f%% busy $busyPct%.1f%%${if (quiet) "" else " NOISY"})")
+          f"[bench] pass $pass $name $dt%.2f s (cpu $cpuDt%.2f s steal $stealPct%.1f%% busy $busyPct%.1f%%${if (quiet) "" else " NOISY"})")
         passes(name) = passes(name) :+ dt
         loads(name) = loads(name) :+ ((stealPct, busyPct))
+        cpuSecs(name) = cpuSecs(name) :+ cpuDt
         valid(name) = valid(name) :+ quiet
         if (quiet && dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
@@ -127,6 +138,32 @@ object Bench {
         noisy.foreach(n => runOne(s"retry$r", n, qmap(n)))
       }
     }
+    // Host-variance sweep (verdict r10 #5): a query whose QUIET passes
+    // span > 2x in wall while their process-CPU seconds stay within
+    // 1.5x was descheduled by the host, not re-planned — the steal gate
+    // can't see neighbor load. Each suspect gets one re-measure pass
+    // (tightens the min on a now-quieter host), and whatever still
+    // spans lands in "host_variance" so the record attributes the
+    // spread instead of leaving it a mystery.
+    def hostVariance(n: String): Boolean = {
+      val qw = passes(n).zip(valid(n)).collect { case (w, true) => w }
+      if (qw.size < 2 || qw.max <= qw.min * 2.0) false
+      else {
+        val qc = cpuSecs(n).zip(valid(n))
+          .collect { case (c, true) if c >= 0 => c }
+        qc.size >= 2 && qc.max <= math.max(qc.min, 1e-9) * 1.5
+      }
+    }
+    val suspects = named.map(_._1).filter(n =>
+      passes(n).nonEmpty && hostVariance(n))
+    if (suspects.nonEmpty) {
+      System.err.println(
+        s"[bench] host-variance re-measure: ${suspects.size} queries " +
+          s"with quiet wall span > 2x at flat CPU")
+      suspects.foreach(n => runOne("var1", n, qmap(n)))
+    }
+    val hostVar = named.map(_._1).filter(n =>
+      passes(n).nonEmpty && hostVariance(n))
     // no quiet pass after retries -> fall back to min over ALL passes and
     // flag the query; a missing entry would read as "not run"
     val neverQuiet = named.map(_._1)
@@ -181,9 +218,18 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val noisyArr = neverQuiet.sorted.map(jstr).mkString("[", ",", "]")
+    // cpu[name] = process-CPU seconds per pass (aligned with passes);
+    // host_variance = queries whose quiet walls still span > 2x at flat
+    // CPU after the re-measure pass (host-attributed, min still sound)
+    val cs = cpuSecs.toMap.map { case (k, vals) =>
+      jstr(k) + ":" + vals
+        .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val hostVarArr = hostVar.sorted.map(jstr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"quiet":$vs,"noisy":$noisyArr,"quiet_steal_pct":$quietSteal,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"cpu":$cs,"quiet":$vs,"noisy":$noisyArr,"host_variance":$hostVarArr,"quiet_steal_pct":$quietSteal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the FULL record (per-pass timings, medians) to a file first:
     // the driver keeps only a bounded TAIL of stdout, and r4/r5 both lost
     // the artifact because the full JSON line (~12 KB at 88 queries)

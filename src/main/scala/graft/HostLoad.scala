@@ -32,4 +32,34 @@ object HostLoad {
         (100.0 * (s1 - s0) / d, 100.0 * ((a1 - a0) - (i1 - i0)) / d)
       case _ => (-1.0, -1.0)
     }
+
+  /** Cumulative process CPU seconds (utime+stime over every thread of
+    * this JVM) from /proc/self/stat, falling back to the HotSpot
+    * OperatingSystemMXBean; -1 when neither is readable. The per-pass
+    * DELTA of this next to wall time separates host-state noise from
+    * plan nondeterminism: a pass whose wall doubled while its CPU
+    * seconds stayed flat was descheduled (steal, neighbor load), not
+    * doing more work.
+    */
+  def processCpuSeconds(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val line = src.getLines().next()
+        // the comm field (2) is parenthesized and may itself contain
+        // spaces/parens — split only AFTER the last ')'
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        // rest is fields 3..: utime = field 14 -> rest(11),
+        // stime = field 15 -> rest(12); USER_HZ is 100 on linux
+        (rest(11).toDouble + rest(12).toDouble) / 100.0
+      } finally src.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case x: com.sun.management.OperatingSystemMXBean =>
+            val ns = x.getProcessCpuTime
+            if (ns < 0) -1.0 else ns / 1e9
+          case _ => -1.0
+        }
+    }
 }

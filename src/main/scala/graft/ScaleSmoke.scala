@@ -176,19 +176,28 @@ object ScaleSmoke {
   }
 
   private val defaultTargets =
-    Seq("q29_minhash_pairs", "q47_connected_components", "q56_dedup_keep",
-      "q57_simhash_pairs", "q69_cc_logn", "q78_curation_pipeline",
-      "q83_incremental_dedup", "q84_grid_pois",
-      "q97_stream_stops_unordered", "q110_stream_join",
+    Seq("q16_stop_clusters", "q17_home_work", "q18_hw_wide",
+      "q29_minhash_pairs", "q30_simhash", "q37_communities",
+      "q47_connected_components", "q51_cluster_diameter", "q56_dedup_keep",
+      "q57_simhash_pairs", "q68_radius_pairs", "q69_cc_logn",
+      "q73_hull_bbox", "q75_decontaminate", "q78_curation_pipeline",
+      "q82_infomap", "q83_incremental_dedup", "q84_grid_pois",
+      "q87_leakage_split", "q89_stream_sessions", "q91_media_resize",
+      "q97_stream_stops_unordered", "q104_stream_window",
+      "q109_pagerank", "q110_stream_join", "q113_pq_ann",
+      "q117_resample", "q119_ivfpq_ann",
       "q151_stream_outer_join", "q120_winnow",
-      "q121_triangles", "q123_funnel", "q125_cohort", "q126_setsim_join",
-      "q128_kcore", "q132_incremental_agg", "q140_attribution",
+      "q121_triangles", "q122_bfs", "q123_funnel", "q125_cohort",
+      "q126_setsim_join",
+      "q128_kcore", "q132_incremental_agg", "q137_entity_resolution",
+      "q140_attribution",
       "q143_stream_matview", "q144_pit_join", "q145_kmeans",
       "q146_cdc_apply", "q147_unigram_logprob", "q148_random_projection",
       "q149_chi2", "q150_bm25", "q154_semdedup", "q155_crossdoc_dedup",
-      "q156_temperature_mix", "q157_link_prediction",
+      "q156_temperature_mix", "q157_link_prediction", "q158_stream_sliding",
       "q159_inverted_index", "q160_collocations", "q161_dataset_card",
-      "q163_bigram_lm", "q168_fuzzy_join", "q169_kanonymity",
+      "q162_stream_score", "q163_bigram_lm", "q165_image_neardup",
+      "q166_stream_image_gate", "q168_fuzzy_join", "q169_kanonymity",
       "q170_zorder", "q171_semantic_decontam", "q172_bpe_train",
       "q173_audio_fingerprint", "q175_hybrid_retrieval",
       "q176_cdc_chunks", "q177_ewma", "q178_bpe_apply",
@@ -197,13 +206,15 @@ object ScaleSmoke {
       "q187_containment", "q188_audio_match", "q190_dedup_eval",
       "q191_bom_rollup", "q192_skyline", "q193_trend",
       "q199_activity_bitmap", "q201_tpch_like", "q202_rolling_distinct",
-      "q204_rfm", "q206_dedup_cascade", "q207_scene_detect",
+      "q203_stream_bitmap", "q204_rfm", "q206_dedup_cascade",
+      "q207_scene_detect",
       "q208_scorecard", "q209_table_checksum", "q210_delta_encode",
       "q214_event_dedup", "q215_linear_attribution", "q216_knn_classify",
       "q217_peak_concurrency", "q218_funnel_latency", "q219_modularity",
       "q220_degree_profile", "q221_token_entropy", "q222_simpson",
       "q225_crosstab_chi2", "q226_ab_test", "q227_jaro_winkler",
-      "q228_quantile_norm", "q230_ks_test", "q231_concentration",
+      "q228_quantile_norm", "q229_mutual_info", "q230_ks_test",
+      "q231_concentration",
       "q232_weighted_sample", "q233_pca_power", "q234_ipf_balance",
       "q235_log_odds_terms", "q236_changepoint", "q237_kaplan_meier",
       "q238_snapshot_diff", "q239_benford", "q240_acf",
@@ -313,6 +324,13 @@ object ScaleSmoke {
     neverQuiet.foreach(k => best(k) = allMin(k))
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // super-linearity alarm: rows grow x nCopies, so any time ratio past
+    // that is growing FASTER than the data — the q216 failure mode (x764
+    // at x100 sat silently in the record until a human read it). The
+    // 1.2 slack absorbs constant-overhead shifts between scales; every
+    // flagged query must be explained or fixed, never shipped silent.
+    def isSuper(n: String): Boolean =
+      best((n, dst)) / best((n, src)) > nCopies * 1.2
     val parts = targets.map { n =>
       val a = best((n, src)); val b = best((n, dst))
       val (ea, eb) = (planEx((n, src)), planEx((n, dst)))
@@ -327,13 +345,16 @@ object ScaleSmoke {
         case _ => ""
       }
       s""""$n":{"sf0.1":${f3(a)},"sf1":${f3(b)},"ratio":${f3(b / a)}""" +
-        s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb$stream}"""
+        s""","exchanges_sf0.1":$ea,"exchanges_sf1":$eb""" +
+        s""","superlinear":${isSuper(n)}$stream}"""
     }
     val noisyArr = neverQuiet.sorted
       .map { case (n, dir) => s""""$n@${dir.split('/').last}"""" }
       .mkString("[", ",", "]")
+    val superArr = targets.filter(isSuper)
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     val json = parts.mkString(
-      s"""{"metric":"scale_smoke","copies":$nCopies,"noisy":$noisyArr,"quiet_steal_pct":$quietSteal,"queries":{""",
+      s"""{"metric":"scale_smoke","copies":$nCopies,"noisy":$noisyArr,"superlinear":$superArr,"quiet_steal_pct":$quietSteal,"queries":{""",
       ",", "}}")
     println(json)
     val out = new java.io.PrintWriter(

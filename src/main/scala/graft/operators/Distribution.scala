@@ -107,7 +107,9 @@ object Distribution {
     *
     * and the normal-approximation significance cut (tie-corrected
     * variance) is squared and cross-multiplied in DECIMAL(38,0):
-    * (2U₁−n₁n₂)²·3·N(N−1)·critDen ≥ 4·critNum·n₁n₂·((N+1)N(N−1)−ΣT),
+    * (2U₁−n₁n₂)²·3·N(N−1)·critDen ≥ critNum·n₁n₂·((N+1)N(N−1)−ΣT)
+    * (the doubled deviation 2U₁−n₁n₂ carries z²'s factor 4 into the
+    * 12 of the variance, leaving coefficient 3 on the left),
     * ΣT = Σ(t³−t) — no sqrt, no float in the decision. Also emits the
     * rank-biserial effect size (2U/(n₁n₂)−1, rounded 6).
     *
@@ -138,7 +140,7 @@ object Distribution {
         round(col("dd") / (col("n1") * col("n2")), 6).as("rank_biserial"),
         (dec(col("dd")) * dec(col("dd")) * dec(lit(3)) * dec(col("nn")) *
           dec(col("nn") - 1) * dec(lit(critDen)) >=
-          dec(lit(4 * critNum)) * dec(col("n1")) * dec(col("n2")) *
+          dec(lit(critNum)) * dec(col("n1")) * dec(col("n2")) *
             (dec(col("nn") + 1) * dec(col("nn")) * dec(col("nn") - 1) -
               dec(col("tsum")))).as("significant"))
   }

@@ -118,7 +118,8 @@ object Sampling {
 
   /** Deterministic weighted sampling WITHOUT replacement per group —
     * Efraimidis-Spirakis A-ES: each row draws priority u^(1/w) (u a
-    * 24-bit hash-uniform in [0,1) from the key's md5, w = `weightCol`),
+    * 24-bit hash-uniform bucket midpoint in (0,1) from the key's md5,
+    * w = `weightCol`),
     * and the k highest priorities per group are exactly a weighted
     * sample without replacement. Hash-derived u makes the draw a pure
     * function of the data (reproducible from any engine — the oracle
@@ -132,9 +133,12 @@ object Sampling {
     */
   def weightedTake(df: DataFrame, groupCols: Seq[String], keyCol: String,
                    weightCol: String, k: Int): DataFrame = {
-    val u = conv(substring(
+    // bucket MIDPOINT (h + 0.5)/2^24 keeps u in the open (0,1) A-ES
+    // requires: u = 0 would zero the priority regardless of weight
+    // (md5 prefix 000000, p = 2^-24 per key) and u = 1 would max it
+    val u = (conv(substring(
         md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
-      .cast("double") / lit((1 << 24).toDouble)
+      .cast("double") + lit(0.5)) / lit((1 << 24).toDouble)
     val priority = pow(u, lit(1.0) / col(weightCol))
     topKPerGroup(df.filter(col(weightCol) > 0), groupCols, k,
       priority.desc, col(keyCol))

@@ -762,7 +762,7 @@ private[graft] object RelationalQueries extends QuerySlice {
         |    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 4096 +
         |    (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 256 +
         |    (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1))
+        |    (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) + 0.5)
         |     / 16777216.0 AS uu
         |  FROM h)
         |SELECT doc_id, lang, n_chars FROM u

@@ -1691,10 +1691,10 @@ private[graft] object StatsQueries extends QuerySlice {
     // rational, (obs − n·p)²/(n·p) in doubles, round 6
     "q239_benford" ->
       """WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase' AND value > 0),
+        |  FROM events WHERE event_type = 'purchase'),
         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
         |    AS digit, CAST(count(*) AS BIGINT) AS obs
-        |  FROM v GROUP BY 1),
+        |  FROM v WHERE cents > 0 GROUP BY 1),
         |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
         |SELECT digit, obs, round(log10(1 + 1.0 / digit), 6) AS exp_share,
         |  round((obs - t.n * log10(1 + 1.0 / digit))
@@ -1769,7 +1769,7 @@ private[graft] object StatsQueries extends QuerySlice {
         |    AS rank_biserial,
         |  CAST(u1d - n1 * n2 AS HUGEINT) * (u1d - n1 * n2) * 3 * nn
         |      * (nn - 1) * 625
-        |    >= CAST(9604 AS HUGEINT) * n1 * n2
+        |    >= CAST(2401 AS HUGEINT) * n1 * n2
         |      * (CAST(nn + 1 AS HUGEINT) * nn * (nn - 1) - tsum)
         |    AS significant
         |FROM f""".stripMargin,

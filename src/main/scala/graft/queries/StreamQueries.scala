@@ -179,7 +179,11 @@ private[graft] object StreamQueries extends QuerySlice {
       import org.apache.spark.sql.types._
       val lateness = 300L
       val jitterBound = 120L
-      val nFiles = 8
+      // file count = watermark-advance cadence; the time-extended scale
+      // harness (ScaleTime) raises it in proportion to the horizon so
+      // per-batch event-time width stays constant across fixture shapes
+      val nFiles = s.conf.getOption("spark.graft.streamFiles")
+        .map(_.toInt).getOrElse(8)
       val dir = graft.streaming.StreamSessions.stageOrderedFrames(s"q97:$d") {
         val pings = Tables.pings(s, d)
           .select("uid", "latitude", "longitude", "timestamp")
@@ -245,9 +249,11 @@ private[graft] object StreamQueries extends QuerySlice {
       val raw = graft.streaming.StreamSessions
         .readParquetStream(s, srcDir, fileSchema)
       val digits = raw
-        .filter(col("event_type") === "purchase" && col("value") > 0)
-        .select(substring(round(col("value") * 100, 0).cast("long")
-          .cast("string"), 1, 1).cast("long").as("digit"))
+        .filter(col("event_type") === "purchase")
+        .select(round(col("value") * 100, 0).cast("long").as("cents"))
+        .filter(col("cents") > 0) // same quantized predicate as batch q239
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("obs"))
       val counts = graft.streaming.StreamSessions
         .runToCompletion(digits, "q244_stream_benford")
@@ -725,10 +731,10 @@ private[graft] object StreamQueries extends QuerySlice {
     // must be indistinguishable from the batch audit
     "q244_stream_benford" ->
       """WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase' AND value > 0),
+        |  FROM events WHERE event_type = 'purchase'),
         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
         |    AS digit, CAST(count(*) AS BIGINT) AS obs
-        |  FROM v GROUP BY 1),
+        |  FROM v WHERE cents > 0 GROUP BY 1),
         |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
         |SELECT digit, obs, round(log10(1 + 1.0 / digit), 6) AS exp_share,
         |  round((obs - t.n * log10(1 + 1.0 / digit))

@@ -89,21 +89,27 @@ object Export {
     * oracle); row ORDER is not a parquet-directory contract and is not
     * preserved.
     */
+  /** Recursive on-disk byte total of a parquet directory — the sizing
+    * input for [[compactParquet]] and the streaming mat-view state
+    * writer. One FS listing, no data read.
+    */
+  def parquetBytes(spark: SparkSession, dir: String): Long = {
+    // Hadoop FileSystem, not java.io: dir may be s3a://, hdfs://, …
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
+  }
+
   def compactParquet(spark: SparkSession, srcDir: String, dstDir: String,
                      targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val bytes = {
-      // Hadoop FileSystem, not java.io: srcDir may be s3a://, hdfs://, …
-      val p = new org.apache.hadoop.fs.Path(srcDir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(p, true)
-      var total = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
-      }
-      total
-    }
+    val bytes = parquetBytes(spark, srcDir)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(srcDir).repartition(n)
       .write.mode("overwrite").parquet(dstDir)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.IncrementalAgg
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming materialized-view maintenance: fold each micro-batch's
@@ -20,9 +21,37 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Scale shape per batch: one partial-agg shuffle over the BATCH, one
   * key-sized outer merge against the previous snapshot. State size is
-  * the key cardinality, not history volume.
+  * the key cardinality, not history volume — and the snapshot WRITE is
+  * key-hash partitioned with a file count sized from the previous
+  * snapshot's on-disk bytes ([[graft.sources.Export.parquetBytes]], the
+  * compactParquet sizing idiom), so a wide key space never funnels
+  * through one task the way the earlier `coalesce(1)` write did. The
+  * target file size rides `spark.graft.stateTargetBytes` (default
+  * 64 MiB); sizing from the b-1 snapshot lags growth by one batch,
+  * which stays within ~2x of ideal while keys accumulate.
   */
 object StreamMatView {
+
+  /** Snapshot file count for batch `bid`: previous snapshot bytes /
+    * target, 1 for the first batch (no predecessor to size from —
+    * a fresh state is one batch's key set).
+    */
+  private def stateFiles(spark: org.apache.spark.sql.SparkSession,
+                         stateDir: String, bid: Long): Int =
+    if (bid == 0) 1
+    else {
+      val target = spark.conf
+        .getOption("spark.graft.stateTargetBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val bytes = graft.sources.Export.parquetBytes(
+        spark, s"$stateDir/state_v${bid - 1}")
+      math.max(1L, (bytes + target - 1) / target).toInt
+    }
+
+  private def writeState(merged: DataFrame, keys: Seq[String],
+                         stateDir: String, bid: Long, nFiles: Int): Unit =
+    merged.repartition(nFiles, keys.map(col): _*)
+      .write.mode("overwrite").parquet(s"$stateDir/state_v$bid")
 
   /** Run the stream to completion (AvailableNow), folding batches into
     * `stateDir/state_v{batchId}`; returns the final state frame.
@@ -41,12 +70,12 @@ object StreamMatView {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val inc = IncrementalAgg.aggregate(prep(batch), keys, valueCol)
+        val nFiles = stateFiles(spark, stateDir, bid)
         val merged =
           if (bid == 0) inc
           else IncrementalAgg.merge(
             spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc, keys)
-        merged.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/state_v$bid")
+        writeState(merged, keys, stateDir, bid, nFiles)
         lastBid.getAndUpdate(m => math.max(m, bid))
         (): Unit
       }
@@ -72,12 +101,12 @@ object StreamMatView {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val inc = IncrementalAgg.aggregateBitmap(prep(batch), keys, dayCol)
+        val nFiles = stateFiles(spark, stateDir, bid)
         val merged =
           if (bid == 0) inc
           else IncrementalAgg.mergeBitmap(
             spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc, keys)
-        merged.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/state_v$bid")
+        writeState(merged, keys, stateDir, bid, nFiles)
         lastBid.getAndUpdate(m => math.max(m, bid))
         (): Unit
       }

@@ -43,6 +43,28 @@ class StreamMatViewSpec extends SparkSpec {
       1L -> (3L, 60L, 10L, 30L, 1400L), 2L -> (1L, 5L, 5L, 5L, 25L)))
   }
 
+  test("key-hash partitioned state: a multi-file snapshot round-trips") {
+    // force the byte-sized file count up: with a ~500-byte target every
+    // post-first snapshot (a few KB of parquet) spreads over several
+    // key-hash files — the scale path that replaced coalesce(1)
+    val dir = stage("c")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("mvspec3").toString
+    spark.conf.set("spark.graft.stateTargetBytes", "500")
+    try {
+      val fin = StreamMatView.runFold(
+        StreamSessions.readParquetStreamThrottled(spark, dir, schema),
+        Seq("k"), "v", stateDir, identity)
+      assert(state(fin) === Map(
+        1L -> (3L, 60L, 10L, 30L, 1400L),
+        2L -> (2L, 12L, 5L, 7L, 74L),
+        3L -> (1L, 100L, 100L, 100L, 10000L)))
+      val files = new java.io.File(s"$stateDir/state_v2").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files >= 2, s"expected a multi-file snapshot, got $files file")
+    } finally spark.conf.unset("spark.graft.stateTargetBytes")
+  }
+
   test("a full replay over the same state dir rewrites identical snapshots") {
     val dir = stage("b")
     val stateDir = java.nio.file.Files

@@ -123,6 +123,21 @@ class TrendDiagnosticsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("significant"))
   }
 
+  test("mannWhitney flags 1.96 < |z| < 3.92 (regression: cut was 2x)") {
+    import graft.operators.Distribution
+    // n1 = n2 = 10, no ties, U1 = 8*10 + 5 + 0 = 85:
+    // z = (85 - 50) / sqrt(100 * 21 / 12) = 2.646 — significant at
+    // alpha = 0.05 (1.96) but NOT at the doubled 3.92 cut the old
+    // 4*critNum coefficient silently imposed.
+    val c2 = (1L to 10L).map(v => (2L * v, false))
+    val c1 = (21L to 28L).map(v => (v, true)) ++ Seq((11L, true), (1L, true))
+    val r = Distribution.mannWhitney((c1 ++ c2).toDF("cents", "c1"),
+      "cents", col("c1")).collect().head
+    assert(r.getAs[Double]("u") === 85.0)
+    assert(r.getAs[Boolean]("significant"),
+      "z = 2.65 must be significant at the default 1.96 cut")
+  }
+
   test("mannWhitney tie-averaged ranks match a hand computation") {
     // cohort1 = {1, 2, 2}, cohort2 = {2, 3}: ranks 1, 3, 3, 3, 5
     // (three 2s share rank (2+3+4)/3 = 3) -> R1 = 1+3+3 = 7,
