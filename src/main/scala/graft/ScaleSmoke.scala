@@ -219,7 +219,8 @@ object ScaleSmoke {
       "q235_log_odds_terms", "q236_changepoint", "q237_kaplan_meier",
       "q238_snapshot_diff", "q239_benford", "q240_acf",
       "q241_theil_sen", "q242_mann_whitney", "q243_exact_substring",
-      "q244_stream_benford", "q245_naive_bayes", "q246_classifier_eval")
+      "q244_stream_benford", "q245_naive_bayes", "q246_classifier_eval",
+      "q247_stream_matview_delta")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -576,6 +576,38 @@ private[graft] object StreamQueries extends QuerySlice {
         .select(col("user_id"), col("bmp"),
           expr("bit_count(bmp)").cast("long").as("n_active_days"))
     }),
+
+    // Changed-bucket delta materialized view (StreamMatView.runFoldDelta):
+    // q143's fold, but each micro-batch rewrites only the key-hash state
+    // buckets it touches and carries the rest forward by manifest
+    // pointer — per-batch IO proportional to touched-bucket state, not
+    // to key cardinality. The final manifest-assembled state must
+    // hash-equal the same whole-history recompute as q143.
+    "q247_stream_matview_delta" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q247:$d") {
+          val e = Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 86400000000000").as("day"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          Seq(e.filter(col("day") < 19731),
+            e.filter(col("day") >= 19731 && col("day") < 19738),
+            e.filter(col("day") >= 19738 && col("day") < 19745),
+            e.filter(col("day") >= 19745))
+        }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("day", LongType), StructField("cents", LongType)))
+      val stateDir = graft.sources.Staging.once(s"q247state:$d") { _ => () }
+      graft.streaming.StreamMatView.runFoldDelta(
+        graft.streaming.StreamSessions
+          .readParquetStreamThrottled(s, dir, schema),
+        Seq("user_id"), "cents", stateDir,
+        prep = b => b.filter(col("event_type") === "purchase")
+          .select("user_id", "cents"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -741,5 +773,18 @@ private[graft] object StreamQueries extends QuerySlice {
         |      * (obs - t.n * log10(1 + 1.0 / digit))
         |    / (t.n * log10(1 + 1.0 / digit)), 6) AS chi2_term
         |FROM d, t""".stripMargin,
+
+    // q247: the q143 recompute verbatim — the manifest-assembled
+    // changed-bucket state must be indistinguishable from the
+    // full-snapshot fold
+    "q247_stream_matview_delta" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total,
+        |  min(cents) AS mn, max(cents) AS mx,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq
+        |FROM p GROUP BY user_id""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.IncrementalAgg
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming materialized-view maintenance: fold each micro-batch's
@@ -85,6 +85,114 @@ object StreamMatView {
     q.exception.foreach(throw _)
     require(lastBid.get() >= 0, s"runFold: stream produced no batches")
     spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
+  }
+
+  /** Changed-bucket delta fold — [[runFold]] upgraded so a micro-batch
+    * rewrites ONLY the state buckets its keys hash into, instead of the
+    * full snapshot. At 100 TB key cardinalities the full-snapshot fold
+    * reads and rewrites the entire rollup every batch even when the
+    * batch touches a sliver of the key space (the common shape: a
+    * time-local batch touches recently-active keys); here per-batch IO
+    * is proportional to the TOUCHED-bucket state, and untouched buckets
+    * are carried forward by manifest pointer — zero bytes moved.
+    *
+    * Layout: state rows live under `delta_v{bid}/__bucket={b}/` (hive
+    * partitioned by the key-hash bucket, `pmod(xxhash64(keys), B)`,
+    * `B` = `spark.graft.stateBuckets`, default 16 — the file-sizing
+    * knob: one bucket ≈ state bytes / B). `manifest_v{bid}.json` maps
+    * every bucket to the delta version currently holding it; the
+    * manifest write is the batch's commit point.
+    *
+    * Exactly-once is the same idempotent-replay contract as [[runFold]]:
+    * batch b derives everything from `manifest_v{b-1}` plus its own
+    * deterministic partial, so a retried batch overwrites
+    * `delta_v{b}` and `manifest_v{b}` with identical content. A crash
+    * between the delta write and the manifest write replays into the
+    * same overwrite. The touched-bucket list is a ≤B-element distinct
+    * collect — bounded by configuration, never by data.
+    */
+  def runFoldDelta(stream: DataFrame, keys: Seq[String], valueCol: String,
+                   stateDir: String, prep: DataFrame => DataFrame)
+  : DataFrame = {
+    val spark = stream.sparkSession
+    val nBuckets = spark.conf.getOption("spark.graft.stateBuckets")
+      .map(_.toInt).getOrElse(16)
+    require(nBuckets > 0, "stateBuckets must be positive")
+    def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+    val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val inc = IncrementalAgg.aggregate(prep(batch), keys, valueCol)
+          .withColumn("__bucket", bucketOf)
+        // bounded by nBuckets (a config constant), not by keys — safe
+        val touched = inc.select("__bucket").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val prev = if (bid == 0) Map.empty[Long, String]
+          else readManifest(stateDir, bid - 1)
+        val prevPaths = touched.flatMap(prev.get).distinct
+        if (touched.nonEmpty) {
+          // bucket is a pure function of the key, so the union of the
+          // touched buckets' rows merges by key and re-derives __bucket
+          // on the way out — no bucket column needs to live in the files
+          val merged =
+            if (prevPaths.isEmpty) inc
+            else IncrementalAgg.merge(
+              spark.read.parquet(prevPaths.map(p => s"$stateDir/$p"): _*),
+              inc.drop("__bucket"), keys).withColumn("__bucket", bucketOf)
+          merged.repartition(col("__bucket"))
+            .write.partitionBy("__bucket").mode("overwrite")
+            .parquet(s"$stateDir/delta_v$bid")
+        }
+        val manifest = prev ++ touched.map(b =>
+          b -> s"delta_v$bid/__bucket=$b")
+        writeManifest(stateDir, bid, manifest)
+        lastBid.getAndUpdate(m => math.max(m, bid))
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    q.exception.foreach(throw _)
+    require(lastBid.get() >= 0, "runFoldDelta: stream produced no batches")
+    readStateDelta(spark, stateDir, lastBid.get())
+  }
+
+  /** Current state under the delta layout: the union of every bucket's
+    * manifest-pointed file set (partition-pruned — only live versions
+    * are ever opened).
+    */
+  def readStateDelta(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String, bid: Long): DataFrame = {
+    val paths = readManifest(stateDir, bid).values.toSeq.sorted
+      .map(p => s"$stateDir/$p")
+    require(paths.nonEmpty, s"empty state manifest at version $bid")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** bucket -> relative path, one line per bucket, bucket-sorted — the
+    * content is a pure function of the fold history, so a replayed
+    * batch rewrites it byte-identically.
+    */
+  private def writeManifest(stateDir: String, bid: Long,
+                            m: Map[Long, String]): Unit = {
+    val f = new java.io.File(s"$stateDir/manifest_v$bid.json")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.println(m.toSeq.sortBy(_._1)
+      .map { case (b, p) => s""""$b":"$p"""" }.mkString("{", ",", "}"))
+    finally w.close()
+  }
+
+  private def readManifest(stateDir: String, bid: Long): Map[Long, String] = {
+    val src = scala.io.Source.fromFile(
+      s"$stateDir/manifest_v$bid.json", "UTF-8")
+    val txt = try src.mkString.trim finally src.close()
+    if (txt == "{}") Map.empty
+    else txt.stripPrefix("{").stripSuffix("}").split(",")
+      .map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"").toLong ->
+          v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
   }
 
   /** Bitmap-state twin of [[runFold]] over
