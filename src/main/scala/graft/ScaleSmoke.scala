@@ -222,6 +222,17 @@ object ScaleSmoke {
       "q244_stream_benford", "q245_naive_bayes", "q246_classifier_eval",
       "q247_stream_matview_delta")
 
+  /** Materialize the complete N-copy fixture into `dst` (all four
+    * builder steps, each marker-guarded) — shared with [[Macro]].
+    */
+  def ensureFixture(spark: SparkSession, src: String, dst: String,
+                    nCopies: Int): Unit = {
+    buildSf1(spark, src, dst, nCopies)
+    ensureEmbeddings(spark, src, dst, nCopies)
+    ensureDims(spark, src, dst, nCopies)
+    ensureFacts2(spark, src, dst, nCopies)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -242,10 +253,7 @@ object ScaleSmoke {
     val targets = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(f => defaultTargets.filter(t => f.split(",").exists(t.startsWith)))
       .getOrElse(defaultTargets)
-    buildSf1(spark, src, dst, nCopies)
-    ensureEmbeddings(spark, src, dst, nCopies)
-    ensureDims(spark, src, dst, nCopies)
-    ensureFacts2(spark, src, dst, nCopies)
+    ensureFixture(spark, src, dst, nCopies)
 
     // plan-shape fingerprint: shuffle count in the returned frame's
     // physical plan, captured from the SAME df the timed pass runs —
