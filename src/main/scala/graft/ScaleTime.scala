@@ -74,6 +74,11 @@ object ScaleTime {
       // counts summed over partitions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_TIME_SHUFFLE", "8"))
+      // metrics ride StreamingQuery.recentProgress, which retains only
+      // the last 100 updates by default — a 16·N-batch replay would
+      // silently truncate input_rows (and clip the peak window) past
+      // N ≈ 6; keep every batch's progress visible to the harness
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
