@@ -66,39 +66,54 @@ object Macro {
       back
     }
 
-    val docs = Tables.documents(spark, dst)
-    val quality = stage("quality", docs.filter(
+    // q78's quality gate checks langId(text) === lang; on the fixture
+    // the per-token copy salt (required to keep gram spaces disjoint
+    // for the dedup/decontam stages) shifts the char-gram profile, so
+    // the language check must run on the DE-salted text or every
+    // non-zero copy fails stage 1 and the downstream stages silently
+    // shrink back to sf0.1 volume (observed: 1509 rows instead of
+    // ~15k). Production text carries no salt; stripping "~c<n>"
+    // reconstructs copy 0's text exactly.
+    def quality(df: DataFrame): DataFrame = df.filter(
       TextFunctions.tokenCount(col("text")).between(20, 1000) &&
-        TextFunctions.langId(col("text")) === col("lang")))
-    val keepers = Dedup.normalizedExactDups(quality, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val deduped = stage("dedup",
-      quality.join(keepers, Seq("doc_id"), "left_semi"))
-    val flagged = graft.operators.Decontaminate.overlap(
-      deduped, "doc_id", "text",
-      Tables.documents(spark, dst).filter(col("doc_id") % 41 === 0),
-      "text", n = 5, minOverlap = 1)
-      .filter(col("contaminated") === 1L)
-      .select("doc_id")
-    val clean = stage("decontam",
-      deduped.join(flagged, Seq("doc_id"), "left_anti"))
-    val counted = clean.select(col("doc_id"),
-      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+        TextFunctions.langId(
+          regexp_replace(col("text"), "~c\\d+", "")) === col("lang"))
+    def dedup(df: DataFrame): DataFrame =
+      df.join(Dedup.normalizedExactDups(df, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    def decontam(df: DataFrame): DataFrame =
+      df.join(graft.operators.Decontaminate.overlap(
+        df, "doc_id", "text",
+        Tables.documents(spark, dst).filter(col("doc_id") % 41 === 0),
+        "text", n = 5, minOverlap = 1)
+        .filter(col("contaminated") === 1L)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
     // budget scales with the fixture so the selection's sort/cumsum
     // passes see fixture-sized input, same as q78's shape at sf0.1
-    val selected = stage("select",
+    def select_(df: DataFrame): DataFrame =
       graft.operators.Sampling.tokenBudgetSelect(
-        counted, "doc_id", col("n_bpe"),
-        budget = 8000L * nCopies, seed = "cur")
-        .select(col("doc_id"), col("n_tokens"), col("cum_tokens")))
+        df.select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
+        "doc_id", col("n_bpe"), budget = 8000L * nCopies, seed = "cur")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+
+    val docs = Tables.documents(spark, dst)
+    val selected = stage("select",
+      select_(stage("decontam",
+        decontam(stage("dedup", dedup(stage("quality", quality(docs))))))))
     Bench.force(selected)
 
-    // the fused single-plan form over the same fixture, for the
-    // stage-boundary overhead comparison (q78 pins budget=8000; run it
-    // verbatim — it IS the oracled query)
+    // the fused single-plan form: the SAME four stages chained with no
+    // stage boundary, so Catalyst plans them as one query — the
+    // stage-materialization overhead is the difference. Like q78, the
+    // quality frame is persisted: it feeds four plan branches (dedup
+    // agg, semi-join left side, decontam grams, token counting) and
+    // Spark does not share common subplans across joins
     CacheScope.releaseAll()
     val (_, fusedSec) = timed {
-      Bench.force(SparkEntry.queries("q78_curation_pipeline")(spark, dst))
+      val q = CacheScope.track(quality(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Bench.force(select_(decontam(dedup(q))))
     }
 
     val stageSum = stages.values.map(_._1).sum
