@@ -548,11 +548,13 @@ private[graft] object StreamQueries extends QuerySlice {
     }),
 
     // Streaming engagement-bitmap materialized view
-    // (StreamMatView.runFoldBitmap over IncrementalAgg's bitmap
+    // (StreamMatView.runFoldBitmapDelta over IncrementalAgg's bitmap
     // algebra): day-sliced micro-batches OR-fold each user's activity
-    // bitmap into versioned snapshots — idempotent merge state, 8
-    // bytes per user, replay-safe beyond the version contract. The
-    // final snapshot must equal the batch q199 fold exactly.
+    // bitmap under the changed-bucket manifest layout — idempotent
+    // merge state, 8 bytes per user, per-batch IO proportional to the
+    // touched key-hash buckets (never a full-snapshot rewrite). The
+    // final manifest-assembled state must equal the batch q199 fold
+    // exactly.
     "q203_stream_bitmap" -> ((s, d) => {
       val day0 = Tables.events(s, d)
         .agg(min(expr("ts div 86400000000000"))).head().getLong(0)
@@ -569,7 +571,7 @@ private[graft] object StreamQueries extends QuerySlice {
       val schema = StructType(Seq(
         StructField("user_id", LongType), StructField("day", LongType)))
       val stateDir = graft.sources.Staging.once(s"q203state:$d") { _ => () }
-      graft.streaming.StreamMatView.runFoldBitmap(
+      graft.streaming.StreamMatView.runFoldBitmapDelta(
         graft.streaming.StreamSessions
           .readParquetStreamThrottled(s, dir, schema),
         Seq("user_id"), "day", stateDir, prep = identity)

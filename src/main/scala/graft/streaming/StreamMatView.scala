@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.operators.IncrementalAgg
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.Trigger
 
@@ -29,6 +30,14 @@ import org.apache.spark.sql.streaming.Trigger
   * target file size rides `spark.graft.stateTargetBytes` (default
   * 64 MiB); sizing from the b-1 snapshot lags growth by one batch,
   * which stays within ~2x of ideal while keys accumulate.
+  *
+  * All state-dir IO — including the delta layout's manifest, its
+  * COMMIT POINT — goes through the Hadoop `FileSystem` API resolved
+  * from the path itself, never `java.io`: a production rollup's state
+  * lives on s3a/hdfs, and the manifest must commit where the data
+  * does. Manifest publication is write-tmp-then-rename — the
+  * atomic-visibility idiom — so a reader never observes a torn
+  * manifest.
   */
 object StreamMatView {
 
@@ -36,7 +45,7 @@ object StreamMatView {
     * target, 1 for the first batch (no predecessor to size from —
     * a fresh state is one batch's key set).
     */
-  private def stateFiles(spark: org.apache.spark.sql.SparkSession,
+  private def stateFiles(spark: SparkSession,
                          stateDir: String, bid: Long): Int =
     if (bid == 0) 1
     else {
@@ -53,14 +62,16 @@ object StreamMatView {
     merged.repartition(nFiles, keys.map(col): _*)
       .write.mode("overwrite").parquet(s"$stateDir/state_v$bid")
 
-  /** Run the stream to completion (AvailableNow), folding batches into
-    * `stateDir/state_v{batchId}`; returns the final state frame.
-    * `prep` shapes each raw micro-batch into (keys..., valueCol) rows
-    * before aggregation (filters/derivations — kept OUT of the stream
-    * plan so the whole pipeline is plain batch code under foreachBatch).
+  /** Full-snapshot fold loop shared by [[runFold]] and
+    * [[runFoldBitmap]]: every batch merges the previous snapshot with
+    * its own partial (already shaped by `aggregate`) and overwrites
+    * `state_v{bid}`.
     */
-  def runFold(stream: DataFrame, keys: Seq[String], valueCol: String,
-              stateDir: String, prep: DataFrame => DataFrame): DataFrame = {
+  private def foldSnapshotLoop(stream: DataFrame, keys: Seq[String],
+                               stateDir: String,
+                               aggregate: DataFrame => DataFrame,
+                               merge: (DataFrame, DataFrame) => DataFrame,
+                               opName: String): DataFrame = {
     val spark = stream.sparkSession
     // the final version is THIS run's highest written batchId — never
     // inferred from the directory listing, which may hold more versions
@@ -69,12 +80,11 @@ object StreamMatView {
     val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val inc = IncrementalAgg.aggregate(prep(batch), keys, valueCol)
+        val inc = aggregate(batch)
         val nFiles = stateFiles(spark, stateDir, bid)
         val merged =
           if (bid == 0) inc
-          else IncrementalAgg.merge(
-            spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc, keys)
+          else merge(spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc)
         writeState(merged, keys, stateDir, bid, nFiles)
         lastBid.getAndUpdate(m => math.max(m, bid))
         (): Unit
@@ -83,9 +93,34 @@ object StreamMatView {
       .start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
-    require(lastBid.get() >= 0, s"runFold: stream produced no batches")
+    require(lastBid.get() >= 0, s"$opName: stream produced no batches")
     spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
   }
+
+  /** Run the stream to completion (AvailableNow), folding batches into
+    * `stateDir/state_v{batchId}`; returns the final state frame.
+    * `prep` shapes each raw micro-batch into (keys..., valueCol) rows
+    * before aggregation (filters/derivations — kept OUT of the stream
+    * plan so the whole pipeline is plain batch code under foreachBatch).
+    */
+  def runFold(stream: DataFrame, keys: Seq[String], valueCol: String,
+              stateDir: String, prep: DataFrame => DataFrame): DataFrame =
+    foldSnapshotLoop(stream, keys, stateDir,
+      b => IncrementalAgg.aggregate(prep(b), keys, valueCol),
+      (s, i) => IncrementalAgg.merge(s, i, keys), "runFold")
+
+  /** Bitmap-state twin of [[runFold]] over
+    * [[IncrementalAgg.aggregateBitmap]]/[[IncrementalAgg.mergeBitmap]]:
+    * the streaming engagement-bitmap maintainer. OR-merge is idempotent,
+    * so a replayed batch is harmless even beyond the versioned-snapshot
+    * replay contract.
+    */
+  def runFoldBitmap(stream: DataFrame, keys: Seq[String], dayCol: String,
+                    stateDir: String, prep: DataFrame => DataFrame)
+  : DataFrame =
+    foldSnapshotLoop(stream, keys, stateDir,
+      b => IncrementalAgg.aggregateBitmap(prep(b), keys, dayCol),
+      (s, i) => IncrementalAgg.mergeBitmap(s, i, keys), "runFoldBitmap")
 
   /** Changed-bucket delta fold — [[runFold]] upgraded so a micro-batch
     * rewrites ONLY the state buckets its keys hash into, instead of the
@@ -99,9 +134,14 @@ object StreamMatView {
     * Layout: state rows live under `delta_v{bid}/__bucket={b}/` (hive
     * partitioned by the key-hash bucket, `pmod(xxhash64(keys), B)`,
     * `B` = `spark.graft.stateBuckets`, default 16 — the file-sizing
-    * knob: one bucket ≈ state bytes / B). `manifest_v{bid}.json` maps
-    * every bucket to the delta version currently holding it; the
-    * manifest write is the batch's commit point.
+    * knob: one bucket ≈ state bytes / B). `manifest_v{bid}.tsv` maps
+    * every bucket to the delta version currently holding it (one
+    * `bucket<TAB>path` line per bucket — trivially parseable, robust
+    * to any path charset short of tab/newline); the manifest rename
+    * into place is the batch's commit point. Batch 0 also writes an
+    * empty `state_schema` parquet so an all-empty stream still has a
+    * well-defined (empty, correctly-typed) state — the same contract
+    * as [[runFold]]'s empty snapshot.
     *
     * Exactly-once is the same idempotent-replay contract as [[runFold]]:
     * batch b derives everything from `manifest_v{b-1}` plus its own
@@ -110,10 +150,46 @@ object StreamMatView {
     * between the delta write and the manifest write replays into the
     * same overwrite. The touched-bucket list is a ≤B-element distinct
     * collect — bounded by configuration, never by data.
+    *
+    * Retention: superseded bucket directories (rewritten by a later
+    * batch) are NOT reclaimed inline — they keep every historical
+    * version readable (time travel / crash replay). A long-running
+    * fold's state dir therefore grows with touched-bucket CHURN, not
+    * live state; reclaim with [[gcDelta]] once versions ≤ v are no
+    * longer needed, or set `spark.graft.stateGcOnComplete=true` to
+    * collect down to the final version when the run completes.
     */
   def runFoldDelta(stream: DataFrame, keys: Seq[String], valueCol: String,
                    stateDir: String, prep: DataFrame => DataFrame)
-  : DataFrame = {
+  : DataFrame =
+    foldDeltaLoop(stream, keys, stateDir,
+      b => IncrementalAgg.aggregate(prep(b), keys, valueCol),
+      (s, i) => IncrementalAgg.merge(s, i, keys), "runFoldDelta")
+
+  /** Changed-bucket delta twin of [[runFoldBitmap]]: the engagement
+    * bitmap maintained under the manifest/delta layout. OR-state is the
+    * ideal delta algebra — idempotent merge on top of the layout's own
+    * replay contract — and per-batch IO is touched-bucket state, not
+    * key cardinality.
+    */
+  def runFoldBitmapDelta(stream: DataFrame, keys: Seq[String],
+                         dayCol: String, stateDir: String,
+                         prep: DataFrame => DataFrame): DataFrame =
+    foldDeltaLoop(stream, keys, stateDir,
+      b => IncrementalAgg.aggregateBitmap(prep(b), keys, dayCol),
+      (s, i) => IncrementalAgg.mergeBitmap(s, i, keys), "runFoldBitmapDelta")
+
+  /** The delta-layout fold loop shared by [[runFoldDelta]] and
+    * [[runFoldBitmapDelta]] — `aggregate` collapses a raw batch to
+    * per-key state, `merge` folds two state frames; both algebras are
+    * associative/commutative so the per-bucket re-merge lands on the
+    * same state as a whole-history fold.
+    */
+  private def foldDeltaLoop(stream: DataFrame, keys: Seq[String],
+                            stateDir: String,
+                            aggregate: DataFrame => DataFrame,
+                            merge: (DataFrame, DataFrame) => DataFrame,
+                            opName: String): DataFrame = {
     val spark = stream.sparkSession
     val nBuckets = spark.conf.getOption("spark.graft.stateBuckets")
       .map(_.toInt).getOrElse(16)
@@ -122,13 +198,17 @@ object StreamMatView {
     val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val inc = IncrementalAgg.aggregate(prep(batch), keys, valueCol)
-          .withColumn("__bucket", bucketOf)
+        val inc = aggregate(batch).withColumn("__bucket", bucketOf)
+        if (bid == 0)
+          // empty-state contract: an all-empty (or empty-after-prep)
+          // stream must still read back as a typed empty frame
+          inc.drop("__bucket").limit(0)
+            .write.mode("overwrite").parquet(s"$stateDir/state_schema")
         // bounded by nBuckets (a config constant), not by keys — safe
         val touched = inc.select("__bucket").distinct()
           .collect().map(_.getLong(0)).sorted
         val prev = if (bid == 0) Map.empty[Long, String]
-          else readManifest(stateDir, bid - 1)
+          else readManifest(spark, stateDir, bid - 1)
         val prevPaths = touched.flatMap(prev.get).distinct
         if (touched.nonEmpty) {
           // bucket is a pure function of the key, so the union of the
@@ -136,16 +216,16 @@ object StreamMatView {
           // on the way out — no bucket column needs to live in the files
           val merged =
             if (prevPaths.isEmpty) inc
-            else IncrementalAgg.merge(
+            else merge(
               spark.read.parquet(prevPaths.map(p => s"$stateDir/$p"): _*),
-              inc.drop("__bucket"), keys).withColumn("__bucket", bucketOf)
+              inc.drop("__bucket")).withColumn("__bucket", bucketOf)
           merged.repartition(col("__bucket"))
             .write.partitionBy("__bucket").mode("overwrite")
             .parquet(s"$stateDir/delta_v$bid")
         }
         val manifest = prev ++ touched.map(b =>
           b -> s"delta_v$bid/__bucket=$b")
-        writeManifest(stateDir, bid, manifest)
+        writeManifest(spark, stateDir, bid, manifest)
         lastBid.getAndUpdate(m => math.max(m, bid))
         (): Unit
       }
@@ -153,76 +233,100 @@ object StreamMatView {
       .start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
-    require(lastBid.get() >= 0, "runFoldDelta: stream produced no batches")
+    require(lastBid.get() >= 0, s"$opName: stream produced no batches")
+    if (spark.conf.getOption("spark.graft.stateGcOnComplete")
+        .contains("true"))
+      gcDelta(spark, stateDir, lastBid.get())
     readStateDelta(spark, stateDir, lastBid.get())
   }
 
   /** Current state under the delta layout: the union of every bucket's
     * manifest-pointed file set (partition-pruned — only live versions
-    * are ever opened).
+    * are ever opened). An empty manifest reads the batch-0
+    * `state_schema` sentinel: an empty frame with the state's schema,
+    * matching [[runFold]]'s empty-snapshot behavior.
     */
-  def readStateDelta(spark: org.apache.spark.sql.SparkSession,
+  def readStateDelta(spark: SparkSession,
                      stateDir: String, bid: Long): DataFrame = {
-    val paths = readManifest(stateDir, bid).values.toSeq.sorted
+    val paths = readManifest(spark, stateDir, bid).values.toSeq.sorted
       .map(p => s"$stateDir/$p")
-    require(paths.nonEmpty, s"empty state manifest at version $bid")
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty) spark.read.parquet(s"$stateDir/state_schema")
+    else spark.read.parquet(paths: _*)
   }
 
-  /** bucket -> relative path, one line per bucket, bucket-sorted — the
-    * content is a pure function of the fold history, so a replayed
-    * batch rewrites it byte-identically.
+  /** Reclaim delta-layout storage: delete every `__bucket=…` directory
+    * (under any `delta_v…`) NOT referenced by the manifest at
+    * `version`, and every
+    * manifest older than `version`. After GC only `version` (and later
+    * manifests, if any) remain readable — call it when history below
+    * `version` is no longer needed for replay/time travel. Returns
+    * (bucket dirs deleted, manifests deleted).
     */
-  private def writeManifest(stateDir: String, bid: Long,
-                            m: Map[Long, String]): Unit = {
-    val f = new java.io.File(s"$stateDir/manifest_v$bid.json")
-    val w = new java.io.PrintWriter(f, "UTF-8")
-    try w.println(m.toSeq.sortBy(_._1)
-      .map { case (b, p) => s""""$b":"$p"""" }.mkString("{", ",", "}"))
-    finally w.close()
-  }
-
-  private def readManifest(stateDir: String, bid: Long): Map[Long, String] = {
-    val src = scala.io.Source.fromFile(
-      s"$stateDir/manifest_v$bid.json", "UTF-8")
-    val txt = try src.mkString.trim finally src.close()
-    if (txt == "{}") Map.empty
-    else txt.stripPrefix("{").stripSuffix("}").split(",")
-      .map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"").toLong ->
-          v.trim.stripPrefix("\"").stripSuffix("\"")
-      }.toMap
-  }
-
-  /** Bitmap-state twin of [[runFold]] over
-    * [[IncrementalAgg.aggregateBitmap]]/[[IncrementalAgg.mergeBitmap]]:
-    * the streaming engagement-bitmap maintainer. OR-merge is idempotent,
-    * so a replayed batch is harmless even beyond the versioned-snapshot
-    * replay contract.
-    */
-  def runFoldBitmap(stream: DataFrame, keys: Seq[String], dayCol: String,
-                    stateDir: String, prep: DataFrame => DataFrame)
-  : DataFrame = {
-    val spark = stream.sparkSession
-    val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val inc = IncrementalAgg.aggregateBitmap(prep(batch), keys, dayCol)
-        val nFiles = stateFiles(spark, stateDir, bid)
-        val merged =
-          if (bid == 0) inc
-          else IncrementalAgg.mergeBitmap(
-            spark.read.parquet(s"$stateDir/state_v${bid - 1}"), inc, keys)
-        writeState(merged, keys, stateDir, bid, nFiles)
-        lastBid.getAndUpdate(m => math.max(m, bid))
-        (): Unit
+  def gcDelta(spark: SparkSession, stateDir: String, version: Long)
+  : (Int, Int) = {
+    val root = new Path(stateDir)
+    val hfs = fsOf(spark, stateDir)
+    val live = readManifest(spark, stateDir, version).values.toSet
+    var buckets = 0
+    var manifests = 0
+    hfs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("delta_v")) {
+        // only bucket children count as live content — the write's
+        // _SUCCESS marker must not keep an emptied version dir alive
+        val kept = hfs.listStatus(st.getPath)
+          .filter(_.getPath.getName.startsWith("__bucket=")).count { b =>
+            val rel = s"$name/${b.getPath.getName}"
+            if (!live(rel)) {
+              hfs.delete(b.getPath, true); buckets += 1; false
+            } else true
+          }
+        if (kept == 0) hfs.delete(st.getPath, true)
+      } else if (st.isFile && name.startsWith("manifest_v") &&
+                 name.endsWith(".tsv")) {
+        val v = name.stripPrefix("manifest_v").stripSuffix(".tsv").toLong
+        if (v < version) { hfs.delete(st.getPath, false); manifests += 1 }
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    q.exception.foreach(throw _)
-    require(lastBid.get() >= 0, "runFoldBitmap: stream produced no batches")
-    spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
+    }
+    (buckets, manifests)
+  }
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** bucket -> relative path, one `bucket<TAB>path` line per bucket,
+    * bucket-sorted — the content is a pure function of the fold
+    * history, so a replayed batch rewrites it byte-identically.
+    * Published via write-tmp-then-rename on the Hadoop `FileSystem`
+    * resolved from the path (works on file:/hdfs:/s3a:, creates parent
+    * dirs, never exposes a torn manifest).
+    */
+  private def writeManifest(spark: SparkSession, stateDir: String,
+                            bid: Long, m: Map[Long, String]): Unit = {
+    val hfs = fsOf(spark, stateDir)
+    val tmp = new Path(s"$stateDir/_tmp_manifest_v$bid")
+    val dst = new Path(s"$stateDir/manifest_v$bid.tsv")
+    val out = hfs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (hfs.exists(dst)) hfs.delete(dst, false)
+    require(hfs.rename(tmp, dst), s"manifest rename failed: $tmp -> $dst")
+  }
+
+  private def readManifest(spark: SparkSession, stateDir: String,
+                           bid: Long): Map[Long, String] = {
+    val hfs = fsOf(spark, stateDir)
+    val in = hfs.open(new Path(s"$stateDir/manifest_v$bid.tsv"))
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+    finally in.close()
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"malformed manifest entry: '$line'")
+        line.substring(0, i).toLong -> line.substring(i + 1)
+      }.toMap
   }
 }

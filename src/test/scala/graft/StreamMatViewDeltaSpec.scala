@@ -26,6 +26,10 @@ class StreamMatViewDeltaSpec extends SparkSpec {
       StreamSessions.readParquetStreamThrottled(spark, dir, schema),
       Seq("k"), "v", stateDir, identity)
 
+  private def manifest(stateDir: String, bid: Long): String =
+    scala.io.Source.fromFile(
+      s"$stateDir/manifest_v$bid.tsv", "UTF-8").mkString
+
   test("delta fold equals the full-snapshot fold and the whole-input agg") {
     val frames = Seq(
       Seq((1L, 10L), (1L, 20L), (2L, 5L)),
@@ -60,7 +64,7 @@ class StreamMatViewDeltaSpec extends SparkSpec {
       val v1 = new java.io.File(s"$sd/delta_v1").listFiles()
         .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSeq
       assert(v1.size === 1, s"batch 1 (one key) rewrote buckets: $v1")
-      val m1 = scala.io.Source.fromFile(s"$sd/manifest_v1.json").mkString
+      val m1 = manifest(sd, 1)
       val v0Refs = "delta_v0".r.findAllIn(m1).size
       assert(v0Refs >= 4,
         s"untouched buckets must still point at delta_v0: $m1")
@@ -89,9 +93,102 @@ class StreamMatViewDeltaSpec extends SparkSpec {
       StreamSessions.readParquetStreamThrottled(spark, dir, schema),
       Seq("k"), "v", sd, prep = _.filter(col("v") > 0))
     assert(state(fin) === Map(1L -> (1L, 10L, 10L, 10L, 100L)))
-    val m0 = scala.io.Source.fromFile(s"$sd/manifest_v0.json").mkString.trim
-    val m1 = scala.io.Source.fromFile(s"$sd/manifest_v1.json").mkString.trim
-    assert(m0 === m1)
+    assert(manifest(sd, 0).trim === manifest(sd, 1).trim)
     assert(!new java.io.File(s"$sd/delta_v1").exists())
+  }
+
+  test("an empty FIRST batch must not kill the stream (commit-point dirs)") {
+    // the regression: writeManifest on batch 0 with no prior parquet
+    // write ran before any directory existed — the manifest write (the
+    // commit point) must create its own parents
+    val dir = StreamSessions.stageOrderedFrames("mvdelta:e") {
+      Seq(Seq((1L, -5L)).toDF("k", "v"), Seq((3L, 8L)).toDF("k", "v"))
+    }
+    val sd = java.nio.file.Files.createTempDirectory("mvdelta5")
+      .resolve("nested/state").toString
+    val fin = StreamMatView.runFoldDelta(
+      StreamSessions.readParquetStreamThrottled(spark, dir, schema),
+      Seq("k"), "v", sd, prep = _.filter(col("v") > 0))
+    assert(state(fin) === Map(3L -> (1L, 8L, 8L, 8L, 64L)))
+  }
+
+  test("an all-empty stream reads back as a typed empty frame") {
+    // same contract as runFold's empty snapshot: schema, zero rows —
+    // not an exception
+    val dir = StreamSessions.stageOrderedFrames("mvdelta:f") {
+      Seq(Seq((1L, -1L)).toDF("k", "v"), Seq((2L, -2L)).toDF("k", "v"))
+    }
+    val sd = java.nio.file.Files.createTempDirectory("mvdelta6").toString
+    val fin = StreamMatView.runFoldDelta(
+      StreamSessions.readParquetStreamThrottled(spark, dir, schema),
+      Seq("k"), "v", sd, prep = _.filter(col("v") > 0))
+    assert(fin.columns.toSeq === Seq("k", "n", "total", "mn", "mx", "sumsq"))
+    assert(fin.count() === 0L)
+  }
+
+  test("the manifest commit point works through a file: URI (no java.io)") {
+    // a production stateDir is s3a://…/hdfs://… — pin that every
+    // manifest/GC path resolves a Hadoop FileSystem from the URI
+    // instead of assuming a local path
+    val frames = Seq(Seq((1L, 2L), (2L, 3L)), Seq((1L, 5L)))
+    val dir = stage("g", frames)
+    val local = java.nio.file.Files.createTempDirectory("mvdelta7")
+    val sd = "file://" + local.toString
+    val fin = run(dir, sd)
+    assert(state(fin) === Map(
+      1L -> (2L, 7L, 2L, 5L, 29L),
+      2L -> (1L, 3L, 3L, 3L, 9L)))
+    assert(java.nio.file.Files.exists(local.resolve("manifest_v1.tsv")))
+  }
+
+  test("bitmap delta fold equals the full-snapshot bitmap fold") {
+    val dayFrames = Seq(
+      Seq((1L, 0L), (1L, 3L), (2L, 1L)),
+      Seq((1L, 3L), (2L, 59L), (3L, 7L)))
+    val dir = StreamSessions.stageOrderedFrames("mvdelta:h") {
+      dayFrames.map(_.toDF("k", "day"))
+    }
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("day", LongType)))
+    val sdD = java.nio.file.Files.createTempDirectory("mvbmpD").toString
+    val sdF = java.nio.file.Files.createTempDirectory("mvbmpF").toString
+    def bmp(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = StreamMatView.runFoldBitmapDelta(
+      StreamSessions.readParquetStreamThrottled(spark, dir, sch),
+      Seq("k"), "day", sdD, identity)
+    val full = StreamMatView.runFoldBitmap(
+      StreamSessions.readParquetStreamThrottled(spark, dir, sch),
+      Seq("k"), "day", sdF, identity)
+    val expect = Map(
+      1L -> ((1L << 0) | (1L << 3)),
+      2L -> ((1L << 1) | (1L << 59)),
+      3L -> (1L << 7))
+    assert(bmp(delta) === expect)
+    assert(bmp(full) === expect)
+  }
+
+  test("gcDelta reclaims superseded buckets; live state is untouched") {
+    spark.conf.set("spark.graft.stateBuckets", "4")
+    try {
+      // every batch touches ALL four buckets → batch 2 supersedes the
+      // delta_v0 and delta_v1 copies entirely
+      val frames = Seq(
+        Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+          (6L, 1L), (7L, 1L)),
+        Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 2L),
+          (6L, 2L), (7L, 2L)),
+        Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 3L),
+          (6L, 3L), (7L, 3L)))
+      val dir = stage("i", frames)
+      val sd = java.nio.file.Files.createTempDirectory("mvgc").toString
+      val before = state(run(dir, sd))
+      val (buckets, manifests) = StreamMatView.gcDelta(spark, sd, 2L)
+      assert(buckets === 8, "two fully-superseded versions x 4 buckets")
+      assert(manifests === 2)
+      assert(!new java.io.File(s"$sd/delta_v0").exists())
+      assert(!new java.io.File(s"$sd/delta_v1").exists())
+      assert(state(StreamMatView.readStateDelta(spark, sd, 2L)) === before)
+    } finally spark.conf.unset("spark.graft.stateBuckets")
   }
 }
