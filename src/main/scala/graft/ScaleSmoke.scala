@@ -340,6 +340,16 @@ object ScaleSmoke {
     // flagged query must be explained or fixed, never shipped silent.
     def isSuper(n: String): Boolean =
       best((n, dst)) / best((n, src)) > nCopies * 1.2
+    // state-peak twin of the wall alarm (the q166 failure mode: state
+    // grew x139 under x100 input while the wall-only flag stayed green):
+    // a streaming gate whose state peak outgrows the input multiplier is
+    // storing MORE than proportionally to the data — never ship silent.
+    def isSuperState(n: String): Boolean =
+      (streamStats.get((n, src)), streamStats.get((n, dst))) match {
+        case (Some(ma), Some(mb)) if ma.statePeakRows > 0 =>
+          mb.statePeakRows.toDouble / ma.statePeakRows > nCopies * 1.2
+        case _ => false
+      }
     val parts = targets.map { n =>
       val a = best((n, src)); val b = best((n, dst))
       val (ea, eb) = (planEx((n, src)), planEx((n, dst)))
@@ -350,7 +360,8 @@ object ScaleSmoke {
         case (Some(ma), Some(mb)) =>
           s""","state_peak_src":${ma.statePeakRows},"input_rows_src":${ma.inputRows}""" +
             s""","state_peak_dst":${mb.statePeakRows},"input_rows_dst":${mb.inputRows}""" +
-            s""","batches_src":${ma.batches},"batches_dst":${mb.batches}"""
+            s""","batches_src":${ma.batches},"batches_dst":${mb.batches}""" +
+            s""","superlinear_state":${isSuperState(n)}"""
         case _ => ""
       }
       s""""$n":{"sf0.1":${f3(a)},"sf1":${f3(b)},"ratio":${f3(b / a)}""" +
@@ -360,7 +371,8 @@ object ScaleSmoke {
     val noisyArr = neverQuiet.sorted
       .map { case (n, dir) => s""""$n@${dir.split('/').last}"""" }
       .mkString("[", ",", "]")
-    val superArr = targets.filter(isSuper)
+    val superArr = (targets.filter(isSuper) ++
+      targets.filter(isSuperState).map(n => s"$n#state")).distinct
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val json = parts.mkString(
       s"""{"metric":"scale_smoke","copies":$nCopies,"noisy":$noisyArr,"superlinear":$superArr,"quiet_steal_pct":$quietSteal,"queries":{""",
