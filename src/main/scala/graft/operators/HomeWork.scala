@@ -112,14 +112,22 @@ object HomeWork {
       .drop("__hit")
   }
 
-  /** Night-or-weekend recurrence -> 'H' (detect_home, models.py:349-401). */
-  def detectHome(prepared: DataFrame, p: Params): DataFrame = {
-    val cand = prepared.filter(
+  private def homeCandidates(prepared: DataFrame, p: Params): DataFrame =
+    prepared.filter(
       (col("hour") >= p.endHourDay || col("hour") <= p.startHourDay ||
         col("weekday").between(6, 7)) &&
         col("stop_locations") =!= -1L)
-    val labels =
-      qualifyingClusters(cand, p.minPeriodsHome, p.spanPeriodHome, p.totalDays)
+
+  private def workHourCandidates(df: DataFrame, p: Params): DataFrame =
+    df.filter(
+      col("hour").between(p.startWorkingHour, p.endWorkingHour) &&
+        col("weekday").between(1, 5) &&
+        col("stop_locations") =!= -1L)
+
+  /** Night-or-weekend recurrence -> 'H' (detect_home, models.py:349-401). */
+  def detectHome(prepared: DataFrame, p: Params): DataFrame = {
+    val labels = qualifyingClusters(homeCandidates(prepared, p),
+      p.minPeriodsHome, p.spanPeriodHome, p.totalDays)
     applyLabel(prepared, labels, "H", "home_label", p.minPeriodsHome)
   }
 
@@ -127,11 +135,8 @@ object HomeWork {
     * models.py:403-453). Must run on detectHome's output.
     */
   def detectWork(homed: DataFrame, p: Params): DataFrame = {
-    val cand = homed.filter(
-      col("hour").between(p.startWorkingHour, p.endWorkingHour) &&
-        col("weekday").between(1, 5) &&
-        col("location_type") =!= "H" &&
-        col("stop_locations") =!= -1L)
+    val cand = workHourCandidates(homed, p)
+      .filter(col("location_type") =!= "H")
     val labels =
       qualifyingClusters(cand, p.minPeriodsWork, p.spanPeriodWork, p.totalDays)
     applyLabel(homed, labels, "W", "work_label", p.minPeriodsWork)
@@ -139,25 +144,47 @@ object HomeWork {
 
   /** Full phase: prepare -> home -> work.
     *
-    * `prepared` is persisted: detectHome reads it twice (candidates, label
-    * base) and detectWork reads detectHome's output twice more, so without
-    * a cache the whole upstream stop pipeline (3 windows + per-user DBSCAN
-    * kernel) executes ~4x inside one plan. With it, the pipeline runs once
-    * and the three re-reads are cache scans + broadcast label joins. At
-    * cluster scale the same role is played by checkpointing the prepared
-    * frame to storage; MEMORY_AND_DISK spills rather than OOMs either way.
+    * `prepared` is persisted: it feeds the home candidates, the work
+    * candidates, and the final label base, so without a cache the whole
+    * upstream stop pipeline (3 windows + per-user DBSCAN kernel)
+    * executes several times inside one plan. At cluster scale the same
+    * role is played by checkpointing the prepared frame to storage;
+    * MEMORY_AND_DISK spills rather than OOMs either way.
+    *
+    * Unlike the naive `detectWork(detectHome(...))` chaining, BOTH label
+    * tables derive from `prepared` directly: work candidacy's
+    * "not already labeled H" condition is exactly (uid, stop_locations)
+    * ∉ homeLabels, so a broadcast anti-join against the (persisted,
+    * key-pair-sized) home-label table replaces re-reading detectHome's
+    * output — the home qualification windows run ONCE instead of being
+    * re-planned under each detectWork branch, and the final frame is one
+    * cache scan plus two broadcast label joins (the r11 plan carried
+    * 52-54 exchanges for q17/q18; this shape halves the window
+    * subplans).
     *
     * Cache lifecycle: the returned frame is lazy and reads the cached
-    * `prepared` four times, so unpersisting here would reintroduce the 4x
-    * recompute. The frame is registered with [[graft.CacheScope]]; the
-    * caller materializes the result then calls `CacheScope.releaseAll()`
-    * (Verify/Bench do this between queries), which unpersists ONLY
-    * operator-created caches — no global clearCache.
+    * `prepared` and `homeLabels` lazily, so unpersisting here would
+    * reintroduce the recompute. Both frames are registered with
+    * [[graft.CacheScope]]; the caller materializes the result then calls
+    * `CacheScope.releaseAll()` (Verify/Bench do this between queries),
+    * which unpersists ONLY operator-created caches — no global
+    * clearCache.
     */
   def label(clusters: DataFrame, p: Params): DataFrame = {
     val prepared = graft.CacheScope.track(prepare(clusters, p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    detectWork(detectHome(prepared, p), p)
+    val homeLabels = graft.CacheScope.track(
+      qualifyingClusters(homeCandidates(prepared, p),
+        p.minPeriodsHome, p.spanPeriodHome, p.totalDays)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val workLabels = qualifyingClusters(
+      workHourCandidates(prepared, p)
+        .join(broadcast(homeLabels), Seq("uid", "stop_locations"),
+          "left_anti"),
+      p.minPeriodsWork, p.spanPeriodWork, p.totalDays)
+    applyLabel(
+      applyLabel(prepared, homeLabels, "H", "home_label", p.minPeriodsHome),
+      workLabels, "W", "work_label", p.minPeriodsWork)
   }
 
   /** Wide export: one row per uid with home/work coordinates
