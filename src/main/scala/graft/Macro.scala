@@ -82,11 +82,17 @@ object Macro {
         System.err.println(s"[macro] $name SKIPPED (marker present)")
         back
       } else {
+        // evaluate the upstream chain BEFORE the timer: `out` is
+        // by-name (the resume short-circuit needs it), so upstream
+        // stage() calls — and their writes — fire here; this stage's
+        // own timing must not absorb them or stage secs nest and
+        // double-count
+        val frame = out
         // write AND read-back count inside the timing: the boundary's
         // cost is both sides of its IO (ADVICE r11 — the count was
         // previously untimed, understating every stage)
         val (rows, sec) = timed {
-          out.write.mode("overwrite").parquet(path)
+          frame.write.mode("overwrite").parquet(path)
           spark.read.parquet(path).count()
         }
         // marker AFTER the commit + count: a crash anywhere above
