@@ -198,35 +198,42 @@ object StreamMatView {
     val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // persisted: the key-sized partial feeds TWO actions (the
+        // touched-bucket collect and the merged write) — without the
+        // cache the batch aggregation shuffle runs twice per batch
         val inc = aggregate(batch).withColumn("__bucket", bucketOf)
-        if (bid == 0)
-          // empty-state contract: an all-empty (or empty-after-prep)
-          // stream must still read back as a typed empty frame
-          inc.drop("__bucket").limit(0)
-            .write.mode("overwrite").parquet(s"$stateDir/state_schema")
-        // bounded by nBuckets (a config constant), not by keys — safe
-        val touched = inc.select("__bucket").distinct()
-          .collect().map(_.getLong(0)).sorted
-        val prev = if (bid == 0) Map.empty[Long, String]
-          else readManifest(spark, stateDir, bid - 1)
-        val prevPaths = touched.flatMap(prev.get).distinct
-        if (touched.nonEmpty) {
-          // bucket is a pure function of the key, so the union of the
-          // touched buckets' rows merges by key and re-derives __bucket
-          // on the way out — no bucket column needs to live in the files
-          val merged =
-            if (prevPaths.isEmpty) inc
-            else merge(
-              spark.read.parquet(prevPaths.map(p => s"$stateDir/$p"): _*),
-              inc.drop("__bucket")).withColumn("__bucket", bucketOf)
-          merged.repartition(col("__bucket"))
-            .write.partitionBy("__bucket").mode("overwrite")
-            .parquet(s"$stateDir/delta_v$bid")
-        }
-        val manifest = prev ++ touched.map(b =>
-          b -> s"delta_v$bid/__bucket=$b")
-        writeManifest(spark, stateDir, bid, manifest)
-        lastBid.getAndUpdate(m => math.max(m, bid))
+          .persist()
+        try {
+          if (bid == 0)
+            // empty-state contract: an all-empty (or empty-after-prep)
+            // stream must still read back as a typed empty frame
+            inc.drop("__bucket").limit(0)
+              .write.mode("overwrite").parquet(s"$stateDir/state_schema")
+          // bounded by nBuckets (a config constant), not by keys — safe
+          val touched = inc.select("__bucket").distinct()
+            .collect().map(_.getLong(0)).sorted
+          val prev = if (bid == 0) Map.empty[Long, String]
+            else readManifest(spark, stateDir, bid - 1)
+          val prevPaths = touched.flatMap(prev.get).distinct
+          if (touched.nonEmpty) {
+            // bucket is a pure function of the key, so the union of the
+            // touched buckets' rows merges by key and re-derives
+            // __bucket on the way out — no bucket column needs to live
+            // in the files
+            val merged =
+              if (prevPaths.isEmpty) inc
+              else merge(
+                spark.read.parquet(prevPaths.map(p => s"$stateDir/$p"): _*),
+                inc.drop("__bucket")).withColumn("__bucket", bucketOf)
+            merged.repartition(col("__bucket"))
+              .write.partitionBy("__bucket").mode("overwrite")
+              .parquet(s"$stateDir/delta_v$bid")
+          }
+          val manifest = prev ++ touched.map(b =>
+            b -> s"delta_v$bid/__bucket=$b")
+          writeManifest(spark, stateDir, bid, manifest)
+          lastBid.getAndUpdate(m => math.max(m, bid))
+        } finally inc.unpersist(): Unit
         (): Unit
       }
       .trigger(Trigger.AvailableNow())
