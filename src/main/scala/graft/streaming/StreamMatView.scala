@@ -62,6 +62,26 @@ object StreamMatView {
     merged.repartition(nFiles, keys.map(col): _*)
       .write.mode("overwrite").parquet(s"$stateDir/state_v$bid")
 
+  /** Durable-checkpoint hook: when `spark.graft.streamCheckpointDir` is
+    * set, the fold stream commits its source offsets there — a LATER
+    * run over the same source/state/checkpoint trio resumes from the
+    * next unprocessed file and keeps FOLDING FORWARD (batchIds and
+    * state versions continue), instead of replaying history. This is
+    * the production incremental-refresh shape: the job restarts daily,
+    * each run folds only what arrived since the last commit. Without
+    * the conf, each run gets a fresh temp checkpoint and replays the
+    * whole source — the deterministic-replay contract the oracle gates
+    * rely on.
+    */
+  private def withCheckpoint(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row],
+      spark: SparkSession)
+  : org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    spark.conf.getOption("spark.graft.streamCheckpointDir")
+      .fold(w)(dir => w.option("checkpointLocation", dir))
+
   /** Full-snapshot fold loop shared by [[runFold]] and
     * [[runFoldBitmap]]: every batch merges the previous snapshot with
     * its own partial (already shaped by `aggregate`) and overwrites
@@ -78,7 +98,7 @@ object StreamMatView {
     // from an earlier, longer run sharing the stateDir (a listing-max
     // would silently return that stale snapshot)
     val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val q = stream.writeStream
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val inc = aggregate(batch)
         val nFiles = stateFiles(spark, stateDir, bid)
@@ -90,7 +110,7 @@ object StreamMatView {
         (): Unit
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withCheckpoint(w, spark).start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
     require(lastBid.get() >= 0, s"$opName: stream produced no batches")
@@ -196,7 +216,7 @@ object StreamMatView {
     require(nBuckets > 0, "stateBuckets must be positive")
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
     val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val q = stream.writeStream
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // persisted: the key-sized partial feeds TWO actions (the
         // touched-bucket collect and the merged write) — without the
@@ -237,7 +257,7 @@ object StreamMatView {
         (): Unit
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withCheckpoint(w, spark).start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
     require(lastBid.get() >= 0, s"$opName: stream produced no batches")

@@ -168,6 +168,51 @@ class StreamMatViewDeltaSpec extends SparkSpec {
     assert(bmp(full) === expect)
   }
 
+  private def writeFrame(dir: java.nio.file.Path, idx: Int,
+                         df: DataFrame): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory("mvckpt-scr")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = scratch.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val target = dir.resolve(f"f$idx%04d.parquet")
+    java.nio.file.Files.move(part.toPath, target)
+    target.toFile.setLastModified(1700000000000L + idx * 60000L): Unit
+  }
+
+  test("a checkpointed fold resumes from the commit instead of replaying") {
+    // the production incremental-refresh shape: the job restarts after
+    // new files arrive and folds ONLY them — batchIds and state
+    // versions continue, and untouched buckets still point at the
+    // PRE-restart delta versions (carry-forward across restarts, not
+    // just across batches)
+    val src = java.nio.file.Files.createTempDirectory("mvckpt-src")
+    writeFrame(src, 0, Seq((1L, 10L), (2L, 5L)).toDF("k", "v"))
+    writeFrame(src, 1, Seq((1L, 20L)).toDF("k", "v"))
+    val sd = java.nio.file.Files.createTempDirectory("mvckpt-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mvckpt-ck").toString
+    spark.conf.set("spark.graft.streamCheckpointDir", ckpt)
+    try {
+      val s1 = state(run(src.toString, sd))
+      assert(s1 === Map(
+        1L -> (2L, 30L, 10L, 20L, 500L),
+        2L -> (1L, 5L, 5L, 5L, 25L)))
+      writeFrame(src, 2, Seq((2L, 7L), (3L, 1L)).toDF("k", "v"))
+      val s2 = state(run(src.toString, sd))
+      assert(s2 === Map(
+        1L -> (2L, 30L, 10L, 20L, 500L),
+        2L -> (2L, 12L, 5L, 7L, 74L),
+        3L -> (1L, 1L, 1L, 1L, 1L)))
+      // bids continued past the restart (no replay of batches 0-1)...
+      assert(new java.io.File(s"$sd/manifest_v2.tsv").exists())
+      // ...and key 1's bucket (untouched by batch 2) still points at a
+      // pre-restart delta version
+      val m2 = manifest(sd, 2)
+      assert("delta_v[01]".r.findAllIn(m2).nonEmpty,
+        s"restart must carry pre-restart buckets forward: $m2")
+    } finally spark.conf.unset("spark.graft.streamCheckpointDir")
+  }
+
   test("gcDelta reclaims superseded buckets; live state is untouched") {
     spark.conf.set("spark.graft.stateBuckets", "4")
     try {
