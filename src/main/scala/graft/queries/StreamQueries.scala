@@ -610,6 +610,40 @@ private[graft] object StreamQueries extends QuerySlice {
         prep = b => b.filter(col("event_type") === "purchase")
           .select("user_id", "cents"))
     }),
+
+    // Time-travel read of the delta mat-view: the manifest at version k
+    // IS the rollup as of batch k, so reading version 2 after the full
+    // four-slice fold must equal the prefix recompute over slices 0-2
+    // (day < 19745) — the audit/debug contract the versioned manifests
+    // exist for (what did the rollup say BEFORE the last refresh).
+    "q248_matview_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q248:$d") {
+          val e = Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 86400000000000").as("day"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          Seq(e.filter(col("day") < 19731),
+            e.filter(col("day") >= 19731 && col("day") < 19738),
+            e.filter(col("day") >= 19738 && col("day") < 19745),
+            e.filter(col("day") >= 19745))
+        }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("day", LongType), StructField("cents", LongType)))
+      val stateDir = graft.sources.Staging.once(s"q248state:$d") { _ => () }
+      // the fold materializes every version; the QUERY is the read of
+      // the non-final version 2 (batches 0-2 = the first three slices)
+      graft.streaming.StreamMatView.runFoldDelta(
+        graft.streaming.StreamSessions
+          .readParquetStreamThrottled(s, dir, schema),
+        Seq("user_id"), "cents", stateDir,
+        prep = b => b.filter(col("event_type") === "purchase")
+          .select("user_id", "cents"))
+      graft.streaming.StreamMatView.readStateDelta(s, stateDir, 2L)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -783,6 +817,19 @@ private[graft] object StreamQueries extends QuerySlice {
       """WITH p AS (
         |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
         |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total,
+        |  min(cents) AS mn, max(cents) AS mx,
+        |  CAST(sum(cents * cents) AS BIGINT) AS sumsq
+        |FROM p GROUP BY user_id""".stripMargin,
+
+    // q248: the version-2 read must equal the PREFIX recompute — the
+    // first three week slices only (day < 19745)
+    "q248_matview_time_travel" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND epoch_ns(ts) // 86400000000000 < 19745)
         |SELECT user_id, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS total,
         |  min(cents) AS mn, max(cents) AS mx,
