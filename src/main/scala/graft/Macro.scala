@@ -72,11 +72,19 @@ object Macro {
     // (sec, rows_out, skipped)
     val stages = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Long, Boolean)]
+    // markers ride the Hadoop FileSystem resolved from the work dir —
+    // java.io would silently never-skip (and write bogus local files)
+    // under an hdfs:/s3a: SPARK_GRAFT_MACRO_DIR, which is exactly where
+    // a durable-boundary pipeline puts its stage outputs
+    val hconf = spark.sessionState.newHadoopConf()
+    def marker(path: String) =
+      new org.apache.hadoop.fs.Path(s"$path/_GRAFT_DONE")
     def stage(name: String, resume: Boolean)(out: => DataFrame)
     : DataFrame = {
       val path = s"$work/$name"
-      val marker = new java.io.File(s"$path/_GRAFT_DONE")
-      if (resume && marker.exists()) {
+      val mk = marker(path)
+      val mfs = mk.getFileSystem(hconf)
+      if (resume && mfs.exists(mk)) {
         val back = spark.read.parquet(path)
         stages(name) = (0.0, back.count(), true)
         System.err.println(s"[macro] $name SKIPPED (marker present)")
@@ -97,7 +105,7 @@ object Macro {
         }
         // marker AFTER the commit + count: a crash anywhere above
         // leaves no marker and the stage recomputes on restart
-        marker.createNewFile()
+        mfs.create(mk, true).close()
         stages(name) = (sec, rows, false)
         System.err.println(f"[macro] $name $sec%.1f s, $rows rows")
         spark.read.parquet(path)

@@ -63,24 +63,53 @@ object StreamMatView {
       .write.mode("overwrite").parquet(s"$stateDir/state_v$bid")
 
   /** Durable-checkpoint hook: when `spark.graft.streamCheckpointDir` is
-    * set, the fold stream commits its source offsets there — a LATER
-    * run over the same source/state/checkpoint trio resumes from the
-    * next unprocessed file and keeps FOLDING FORWARD (batchIds and
-    * state versions continue), instead of replaying history. This is
-    * the production incremental-refresh shape: the job restarts daily,
-    * each run folds only what arrived since the last commit. Without
-    * the conf, each run gets a fresh temp checkpoint and replays the
-    * whole source — the deterministic-replay contract the oracle gates
-    * rely on.
+    * set, the fold stream commits its source offsets under that BASE
+    * directory — a LATER run over the same source/state/checkpoint trio
+    * resumes from the next unprocessed file and keeps FOLDING FORWARD
+    * (batchIds and state versions continue), instead of replaying
+    * history. This is the production incremental-refresh shape: the job
+    * restarts daily, each run folds only what arrived since the last
+    * commit. Without the conf, each run gets a fresh temp checkpoint
+    * and replays the whole source — the deterministic-replay contract
+    * the oracle gates rely on.
+    *
+    * The actual checkpoint location is `base/md5(stateDir)`: the conf
+    * is session-global, but offsets are a property of ONE fold's
+    * source/state pairing — two folds sharing a literal checkpoint
+    * would inherit each other's batchId sequence and file log (the
+    * second fold's first bid would be > 0 against a state dir with no
+    * manifest history). Keying by stateDir keeps the conf a one-line
+    * opt-in while giving every fold its own offset lineage, stable
+    * across restarts.
     */
+  private def checkpointFor(spark: SparkSession, stateDir: String)
+  : Option[String] =
+    spark.conf.getOption("spark.graft.streamCheckpointDir").map { base =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(stateDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      s"$base/$key"
+    }
+
   private def withCheckpoint(
       w: org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row],
-      spark: SparkSession)
+      spark: SparkSession, stateDir: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[
       org.apache.spark.sql.Row] =
-    spark.conf.getOption("spark.graft.streamCheckpointDir")
+    checkpointFor(spark, stateDir)
       .fold(w)(dir => w.option("checkpointLocation", dir))
+
+  /** Committed manifest versions present in a delta state dir. */
+  private def manifestVersions(spark: SparkSession, stateDir: String)
+  : Seq[Long] = {
+    val hfs = fsOf(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest_v") && n.endsWith(".tsv"))
+      .map(_.stripPrefix("manifest_v").stripSuffix(".tsv").toLong)
+  }
 
   /** Full-snapshot fold loop shared by [[runFold]] and
     * [[runFoldBitmap]]: every batch merges the previous snapshot with
@@ -110,10 +139,26 @@ object StreamMatView {
         (): Unit
       }
       .trigger(Trigger.AvailableNow())
-    val q = withCheckpoint(w, spark).start()
+    val q = withCheckpoint(w, spark, stateDir).start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
-    require(lastBid.get() >= 0, s"$opName: stream produced no batches")
+    if (lastBid.get() < 0) {
+      // zero batches is legitimate ONLY under the durable-checkpoint
+      // contract (a daily restart with no new files): the trio pins the
+      // offset lineage, so the highest committed snapshot IS this
+      // fold's last state. Without a checkpoint, no batches means the
+      // source was empty — a caller error, as before.
+      require(checkpointFor(spark, stateDir).isDefined,
+        s"$opName: stream produced no batches")
+      val hfs = fsOf(spark, stateDir)
+      val vs = hfs.listStatus(new Path(stateDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("state_v"))
+        .map(_.stripPrefix("state_v").toLong)
+      require(vs.nonEmpty,
+        s"$opName: no batches ran and no committed state exists")
+      return spark.read.parquet(s"$stateDir/state_v${vs.max}")
+    }
     spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
   }
 
@@ -257,14 +302,26 @@ object StreamMatView {
         (): Unit
       }
       .trigger(Trigger.AvailableNow())
-    val q = withCheckpoint(w, spark).start()
+    val q = withCheckpoint(w, spark, stateDir).start()
     try q.processAllAvailable() finally q.stop()
     q.exception.foreach(throw _)
-    require(lastBid.get() >= 0, s"$opName: stream produced no batches")
+    val last =
+      if (lastBid.get() >= 0) lastBid.get()
+      else {
+        // zero batches: legitimate only under the durable-checkpoint
+        // contract (see foldSnapshotLoop) — the highest committed
+        // manifest is this fold's last state
+        require(checkpointFor(spark, stateDir).isDefined,
+          s"$opName: stream produced no batches")
+        val vs = manifestVersions(spark, stateDir)
+        require(vs.nonEmpty,
+          s"$opName: no batches ran and no committed state exists")
+        vs.max
+      }
     if (spark.conf.getOption("spark.graft.stateGcOnComplete")
         .contains("true"))
-      gcDelta(spark, stateDir, lastBid.get())
-    readStateDelta(spark, stateDir, lastBid.get())
+      gcDelta(spark, stateDir, last)
+    readStateDelta(spark, stateDir, last)
   }
 
   /** Current state under the delta layout: the union of every bucket's
@@ -282,10 +339,12 @@ object StreamMatView {
   }
 
   /** Reclaim delta-layout storage: delete every `__bucket=…` directory
-    * (under any `delta_v…`) NOT referenced by the manifest at
-    * `version`, and every
-    * manifest older than `version`. After GC only `version` (and later
-    * manifests, if any) remain readable — call it when history below
+    * (under any `delta_v…`) NOT referenced by any manifest at or after
+    * `version`, and every manifest older than `version`. After GC,
+    * `version` and every later committed version remain readable —
+    * liveness is the UNION of the surviving manifests, not just
+    * `version`'s (a bucket referenced only by a later manifest is
+    * current state and must survive). Call it when history below
     * `version` is no longer needed for replay/time travel. Returns
     * (bucket dirs deleted, manifests deleted).
     */
@@ -293,7 +352,11 @@ object StreamMatView {
   : (Int, Int) = {
     val root = new Path(stateDir)
     val hfs = fsOf(spark, stateDir)
-    val live = readManifest(spark, stateDir, version).values.toSet
+    val versions = manifestVersions(spark, stateDir)
+    require(versions.contains(version),
+      s"gcDelta: no manifest at version $version in $stateDir")
+    val live = versions.filter(_ >= version)
+      .flatMap(v => readManifest(spark, stateDir, v).values).toSet
     var buckets = 0
     var manifests = 0
     hfs.listStatus(root).foreach { st =>
@@ -324,12 +387,20 @@ object StreamMatView {
   /** bucket -> relative path, one `bucket<TAB>path` line per bucket,
     * bucket-sorted — the content is a pure function of the fold
     * history, so a replayed batch rewrites it byte-identically.
-    * Published via write-tmp-then-rename on the Hadoop `FileSystem`
+    * Published via write-tmp-then-rename on the Hadoop filesystem
     * resolved from the path (works on file:/hdfs:/s3a:, creates parent
-    * dirs, never exposes a torn manifest).
+    * dirs). The rename goes through `FileContext` with
+    * `Options.Rename.OVERWRITE` — an atomic REPLACE, so a concurrent
+    * reader of an already-committed version sees old-or-new content
+    * during a replayed batch's rewrite, never a missing or torn file
+    * (a `FileSystem.rename` can't overwrite, and delete-then-rename
+    * would expose a not-found window at the commit point). Filesystems
+    * without an `AbstractFileSystem` binding fall back to
+    * delete-then-rename, trading that window for portability.
     */
-  private def writeManifest(spark: SparkSession, stateDir: String,
-                            bid: Long, m: Map[Long, String]): Unit = {
+  private[graft] def writeManifest(spark: SparkSession,
+                                       stateDir: String, bid: Long,
+                                       m: Map[Long, String]): Unit = {
     val hfs = fsOf(spark, stateDir)
     val tmp = new Path(s"$stateDir/_tmp_manifest_v$bid")
     val dst = new Path(s"$stateDir/manifest_v$bid.tsv")
@@ -338,12 +409,22 @@ object StreamMatView {
       .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (hfs.exists(dst)) hfs.delete(dst, false)
-    require(hfs.rename(tmp, dst), s"manifest rename failed: $tmp -> $dst")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (hfs.exists(dst)) hfs.delete(dst, false)
+        require(hfs.rename(tmp, dst),
+          s"manifest rename failed: $tmp -> $dst")
+    }
   }
 
-  private def readManifest(spark: SparkSession, stateDir: String,
-                           bid: Long): Map[Long, String] = {
+  private[graft] def readManifest(spark: SparkSession,
+                                      stateDir: String,
+                                      bid: Long): Map[Long, String] = {
     val hfs = fsOf(spark, stateDir)
     val in = hfs.open(new Path(s"$stateDir/manifest_v$bid.tsv"))
     val buf = new java.io.ByteArrayOutputStream()

@@ -213,6 +213,90 @@ class StreamMatViewDeltaSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.streamCheckpointDir")
   }
 
+  test("writeManifest creates its own parents and replaces atomically") {
+    // the commit point must not depend on a prior parquet write having
+    // created the state dir (an empty-prep batch 0 writes no delta),
+    // and a replayed batch's rewrite must be a REPLACE, not
+    // delete-then-create
+    val sd = java.nio.file.Files.createTempDirectory("mvmanifest")
+      .resolve("deep/nested").toString
+    val m = Map(3L -> "delta_v0/__bucket=3", 1L -> "delta_v0/__bucket=1")
+    StreamMatView.writeManifest(spark, sd, 0L, m)
+    assert(StreamMatView.readManifest(spark, sd, 0L) === m)
+    val m2 = m + (2L -> "delta_v1/__bucket=2")
+    StreamMatView.writeManifest(spark, sd, 0L, m2) // replay-style rewrite
+    assert(StreamMatView.readManifest(spark, sd, 0L) === m2)
+  }
+
+  test("gcDelta keeps buckets referenced only by manifests AFTER the cut") {
+    spark.conf.set("spark.graft.stateBuckets", "4")
+    try {
+      val frames = Seq(
+        Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+          (6L, 1L), (7L, 1L)),
+        Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 2L),
+          (6L, 2L), (7L, 2L)),
+        Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 3L),
+          (6L, 3L), (7L, 3L)))
+      val dir = stage("j", frames)
+      val sd = java.nio.file.Files.createTempDirectory("mvgc2").toString
+      val fin = state(run(dir, sd))
+      // cut at version 1: liveness must be the UNION of manifests 1 AND
+      // 2 — delta_v2 (the CURRENT state, referenced only by
+      // manifest_v2) must survive, only delta_v0 goes
+      val (buckets, manifests) = StreamMatView.gcDelta(spark, sd, 1L)
+      assert(buckets === 4, "exactly version 0's four buckets")
+      assert(manifests === 1)
+      assert(!new java.io.File(s"$sd/delta_v0").exists())
+      assert(new java.io.File(s"$sd/delta_v2").exists())
+      assert(state(StreamMatView.readStateDelta(spark, sd, 2L)) === fin)
+      assert(StreamMatView.readStateDelta(spark, sd, 1L).count() === 8L)
+    } finally spark.conf.unset("spark.graft.stateBuckets")
+  }
+
+  test("a checkpointed restart with NO new files returns committed state") {
+    val src = java.nio.file.Files.createTempDirectory("mvnoop-src")
+    writeFrame(src, 0, Seq((1L, 10L), (2L, 5L)).toDF("k", "v"))
+    val sd = java.nio.file.Files.createTempDirectory("mvnoop-st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mvnoop-ck").toString
+    spark.conf.set("spark.graft.streamCheckpointDir", ckpt)
+    try {
+      val s1 = state(run(src.toString, sd))
+      // the daily no-op refresh: zero new files must be a clean no-op
+      // returning the committed state, not a crash
+      val s2 = state(run(src.toString, sd))
+      assert(s2 === s1)
+      // snapshot-loop twin of the same contract
+      val sdFull = java.nio.file.Files
+        .createTempDirectory("mvnoop-full").toString
+      def runFull() = StreamMatView.runFold(
+        StreamSessions.readParquetStreamThrottled(spark, src.toString,
+          schema), Seq("k"), "v", sdFull, identity)
+      val f1 = state(runFull())
+      assert(state(runFull()) === f1)
+    } finally spark.conf.unset("spark.graft.streamCheckpointDir")
+  }
+
+  test("two folds under ONE checkpoint conf keep separate offset lineages") {
+    // the conf names a BASE dir; each fold's offsets are keyed by its
+    // state dir — a shared literal location would make fold B inherit
+    // fold A's batchId sequence and file log
+    val base = java.nio.file.Files.createTempDirectory("mviso-ck").toString
+    spark.conf.set("spark.graft.streamCheckpointDir", base)
+    try {
+      val srcA = java.nio.file.Files.createTempDirectory("mviso-a")
+      writeFrame(srcA, 0, Seq((1L, 10L)).toDF("k", "v"))
+      val srcB = java.nio.file.Files.createTempDirectory("mviso-b")
+      writeFrame(srcB, 0, Seq((2L, 7L)).toDF("k", "v"))
+      val sdA = java.nio.file.Files.createTempDirectory("mviso-sa").toString
+      val sdB = java.nio.file.Files.createTempDirectory("mviso-sb").toString
+      assert(state(run(srcA.toString, sdA)) ===
+        Map(1L -> (1L, 10L, 10L, 10L, 100L)))
+      assert(state(run(srcB.toString, sdB)) ===
+        Map(2L -> (1L, 7L, 7L, 7L, 49L)))
+    } finally spark.conf.unset("spark.graft.streamCheckpointDir")
+  }
+
   test("gcDelta reclaims superseded buckets; live state is untouched") {
     spark.conf.set("spark.graft.stateBuckets", "4")
     try {
