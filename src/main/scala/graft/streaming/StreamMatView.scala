@@ -151,10 +151,13 @@ object StreamMatView {
       require(checkpointFor(spark, stateDir).isDefined,
         s"$opName: stream produced no batches")
       val hfs = fsOf(spark, stateDir)
-      val vs = hfs.listStatus(new Path(stateDir)).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("state_v"))
-        .map(_.stripPrefix("state_v").toLong)
+      val root = new Path(stateDir)
+      val vs =
+        if (!hfs.exists(root)) Seq.empty[Long]
+        else hfs.listStatus(root).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("state_v"))
+          .map(_.stripPrefix("state_v").toLong)
       require(vs.nonEmpty,
         s"$opName: no batches ran and no committed state exists")
       return spark.read.parquet(s"$stateDir/state_v${vs.max}")
