@@ -220,7 +220,8 @@ object ScaleSmoke {
       "q238_snapshot_diff", "q239_benford", "q240_acf",
       "q241_theil_sen", "q242_mann_whitney", "q243_exact_substring",
       "q244_stream_benford", "q245_naive_bayes", "q246_classifier_eval",
-      "q247_stream_matview_delta", "q248_matview_time_travel")
+      "q247_stream_matview_delta", "q248_matview_time_travel",
+      "q249_stream_quantile_matview")
 
   /** Materialize the complete N-copy fixture into `dst` (all four
     * builder steps, each marker-guarded) — shared with [[Macro]].

@@ -644,6 +644,52 @@ private[graft] object StreamQueries extends QuerySlice {
           .select("user_id", "cents"))
       graft.streaming.StreamMatView.readStateDelta(s, stateDir, 2L)
     }),
+
+    // Exact streaming quantiles from a mergeable bounded-domain
+    // histogram: the state is (event_type, cents) counts maintained
+    // under the changed-bucket delta layout (the first MULTI-column
+    // delta key on the board), and p50/p90/p99 derive from the final
+    // histogram by explicit inverse CDF — smallest cents whose
+    // cumulative count reaches ceil(q*n). At 100 TB this is how exact
+    // percentile dashboards ship over append-only facts when the value
+    // domain is bounded (cents): kilobyte-scale mergeable state, no
+    // t-digest approximation, no history re-scan. The oracle spells the
+    // identical formula in identical operand order (repo FP convention).
+    "q249_stream_quantile_matview" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.streaming.StreamSessions
+        .stageOrderedFrames(s"q249:$d") {
+          val e = Tables.events(s, d)
+            .select(col("event_type"),
+              expr("ts div 86400000000000").as("day"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          Seq(e.filter(col("day") < 19731),
+            e.filter(col("day") >= 19731 && col("day") < 19738),
+            e.filter(col("day") >= 19738 && col("day") < 19745),
+            e.filter(col("day") >= 19745))
+        }
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("day", LongType), StructField("cents", LongType)))
+      val stateDir = graft.sources.Staging.once(s"q249state:$d") { _ => () }
+      val hist = graft.streaming.StreamMatView.runFoldDelta(
+        graft.streaming.StreamSessions
+          .readParquetStreamThrottled(s, dir, schema),
+        Seq("event_type", "cents"), "cents", stateDir,
+        prep = _.select("event_type", "cents"))
+        .select(col("event_type"), col("cents"), col("n"))
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val cum = hist
+        .withColumn("cum", sum("n").over(byType.orderBy("cents")))
+        .withColumn("tot", sum("n").over(byType))
+      def qAt(p: Double, name: String) =
+        min(when(col("cum") >=
+          ceil(lit(p) * col("tot")).cast("long"), col("cents"))).as(name)
+      cum.groupBy("event_type")
+        .agg(qAt(0.5, "p50"), qAt(0.9, "p90"), qAt(0.99, "p99"),
+          max(col("tot")).as("n_rows"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,5 +881,31 @@ private[graft] object StreamQueries extends QuerySlice {
         |  min(cents) AS mn, max(cents) AS mx,
         |  CAST(sum(cents * cents) AS BIGINT) AS sumsq
         |FROM p GROUP BY user_id""".stripMargin,
+
+    // q249: the SAME inverse-CDF formula over the raw rows — smallest
+    // cents whose cumulative count reaches ceil(q*n), identical operand
+    // order on both sides
+    "q249_stream_quantile_matview" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT)
+        |    AS cents FROM events),
+        |h AS (
+        |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, cents,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT event_type,
+        |  min(CASE WHEN cum >= CAST(ceil(0.5 * tot) AS BIGINT)
+        |    THEN cents END) AS p50,
+        |  min(CASE WHEN cum >= CAST(ceil(0.9 * tot) AS BIGINT)
+        |    THEN cents END) AS p90,
+        |  min(CASE WHEN cum >= CAST(ceil(0.99 * tot) AS BIGINT)
+        |    THEN cents END) AS p99,
+        |  max(tot) AS n_rows
+        |FROM c GROUP BY event_type""".stripMargin,
   )
 }
