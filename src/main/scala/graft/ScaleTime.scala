@@ -205,6 +205,19 @@ object ScaleTime {
         recordFold("q247_stream_matview_delta", fin, n, chunkConf(s))
       }),
 
+    Target("q249_stream_quantile_matview", "matview_fold",
+      "snapshot rows = bounded value domain (distinct event_type x cents)",
+      8, (s, d, _, tag) => {
+        val frame = eventsTs(s, d).select(col("event_type"), col("ts"),
+          col("value").cast("long").as("cents"))
+        val n = frame.count()
+        val raw = chunkedStream(s, s"t249:$tag", frame, "ts")
+        val fin = StreamMatView.runFoldDelta(raw,
+          Seq("event_type", "cents"), "cents", tmpDir("t249state"),
+          prep = _.select("event_type", "cents"))
+        recordFold("q249_stream_quantile_matview", fin, n, chunkConf(s))
+      }),
+
     // ingest gates: FIXED source-corpus index, incoming stream = mult
     // time-shifted copies of the source incoming slice at constant
     // arrival density (ts rides the id axis: 1 doc / 30 s, 1 image /
@@ -259,7 +272,9 @@ object ScaleTime {
 
   private val excluded = Map(
     "q162_stream_score" -> ("stateless model scoring: no state store at " +
-      "all; SCALE_sf10 records state_peak 0 at both scales"))
+      "all; SCALE_sf10 records state_peak 0 at both scales"),
+    "q248_matview_time_travel" -> ("a read of q247's fold at an earlier " +
+      "version — state shape identical to q247's matview_fold row"))
 
   /** Build `dst/events.parquet`: nCopies copies of src events tiling the
     * TIME axis at constant density. Marker-guarded like ScaleSmoke.
