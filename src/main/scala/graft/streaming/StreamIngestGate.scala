@@ -38,20 +38,18 @@ object StreamIngestGate {
       k, bands)
       .withColumnRenamed("id", "hist_id")
 
-  /** Flag stream: (in_id, hist_id, ts) per band collision, deduplicated
-    * within the watermark horizon. `incoming` needs (tsCol, idCol,
-    * textCol). The (shingleN, k, bands) triple MUST match the index's —
-    * a mismatch joins disjoint bucket spaces and silently flags nothing,
-    * which is why the parameters are validated here too. Docs shorter
-    * than `shingleN` tokens (and null-text docs) produce all-null
-    * buckets; those rows are filtered out before the join. NOTE this is
-    * not redundant belt-and-braces: Spark's array equality treats null
-    * elements as EQUAL, so two all-null buckets would equi-join — the
-    * invariant that the index side contains no null buckets holds today
-    * only because [[bandIndex]] builds from minhashSignatures (which
-    * drops short docs), and the filter keeps the gate correct even if an
-    * index is ever built from the fused per-row expression instead.
+  /** The j-th 16-bit band of a 64-bit perceptual hash packed as two
+    * 32-bit halves (lo holds bands 0-1, hi holds 2-3) — the ONE bucket
+    * keying both [[imageHashIndex]] and [[imageFlagStream]] use: the
+    * pigeonhole recall guarantee holds only while stream and index key
+    * buckets identically, so the formula must not exist twice.
     */
+  private def band16(hi: org.apache.spark.sql.Column,
+                     lo: org.apache.spark.sql.Column, j: Int)
+  : org.apache.spark.sql.Column =
+    shiftright(if (j < 2) lo else hi, 16 * (j % 2))
+      .bitwiseAND(lit(0xFFFFL))
+
   /** Static banded index over historical image hashes for
     * [[imageFlagStream]] — [[Dedup.hammingNearDupKept]]'s layout logic:
     * identical hashes collapse to their min id FIRST (the synthetic
@@ -64,12 +62,12 @@ object StreamIngestGate {
     val reps = histHashes
       .groupBy("hash_hi", "hash_lo")
       .agg(min(col("media_id")).as("hist_id"))
-    (0 until 4).map { j =>
-      val src = if (j < 2) col("hash_lo") else col("hash_hi")
-      reps.select(col("hist_id"), col("hash_hi").as("h_hi"),
-        col("hash_lo").as("h_lo"), lit(j).as("bj"),
-        shiftright(src, 16 * (j % 2)).bitwiseAND(lit(0xFFFFL)).as("bv"))
-    }.reduce(_ unionAll _)
+    reps.select(col("hist_id"), col("hash_hi").as("h_hi"),
+      col("hash_lo").as("h_lo"),
+      posexplode(array((0 until 4).map(j =>
+        band16(col("hash_hi"), col("hash_lo"), j)): _*)))
+      .select(col("hist_id"), col("h_hi"), col("h_lo"),
+        col("pos").as("bj"), col("col").as("bv"))
   }
 
   /** Image-ingest dedup gate: flag arriving images whose perceptual hash
@@ -89,10 +87,8 @@ object StreamIngestGate {
     val banded = incoming
       .select(col("media_id").as("in_id"), col("ts"),
         col("hash_hi"), col("hash_lo"),
-        posexplode(array((0 until 4).map { j =>
-          val src = if (j < 2) col("hash_lo") else col("hash_hi")
-          shiftright(src, 16 * (j % 2)).bitwiseAND(lit(0xFFFFL))
-        }: _*)))
+        posexplode(array((0 until 4).map(j =>
+          band16(col("hash_hi"), col("hash_lo"), j)): _*)))
       .select(col("in_id"), col("ts"), col("hash_hi"), col("hash_lo"),
         col("pos").as("bj"), col("col").as("bv"))
     val dist =
@@ -105,6 +101,20 @@ object StreamIngestGate {
       .dropDuplicatesWithinWatermark("in_id", "hist_id")
   }
 
+  /** Flag stream: (in_id, hist_id, ts) per band collision, deduplicated
+    * within the watermark horizon. `incoming` needs (tsCol, idCol,
+    * textCol). The (shingleN, k, bands) triple MUST match the index's —
+    * a mismatch joins disjoint bucket spaces and silently flags nothing,
+    * which is why the parameters are validated here too. Docs shorter
+    * than `shingleN` tokens (and null-text docs) produce all-null
+    * buckets; those rows are filtered out before the join. NOTE this is
+    * not redundant belt-and-braces: Spark's array equality treats null
+    * elements as EQUAL, so two all-null buckets would equi-join — the
+    * invariant that the index side contains no null buckets holds today
+    * only because [[bandIndex]] builds from minhashSignatures (which
+    * drops short docs), and the filter keeps the gate correct even if an
+    * index is ever built from the fused per-row expression instead.
+    */
   def flagStream(incoming: DataFrame, index: DataFrame, textCol: String,
                  idCol: String, watermark: String, shingleN: Int = 3,
                  k: Int = 32, bands: Int = 8,

@@ -100,6 +100,52 @@ object StreamMatView {
     checkpointFor(spark, stateDir)
       .fold(w)(dir => w.option("checkpointLocation", dir))
 
+  /** True iff this fold's checkpoint lineage has committed at least one
+    * batch — the guard that makes the zero-batch fallback safe: a
+    * directory listing is only THIS trio's state if THIS trio committed
+    * it. A fresh checkpoint over a state dir holding another fold's
+    * leftovers must error, never adopt them as its own rollup.
+    */
+  private def hasCommits(spark: SparkSession, stateDir: String): Boolean =
+    checkpointFor(spark, stateDir).exists { ck =>
+      val p = new Path(s"$ck/commits")
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      hfs.exists(p) && hfs.listStatus(p).nonEmpty
+    }
+
+  /** The delta layout's bucket count is a PROPERTY OF THE STATE DIR,
+    * not of the session: bucket = pmod(hash, B), so folding new batches
+    * with a different B against existing buckets would split every
+    * key's aggregate across two bucket homes — silently wrong state. A
+    * fresh state dir takes B from `spark.graft.stateBuckets` (default
+    * 16) and pins it in `_layout.tsv`; every later run (including
+    * checkpointed restarts under a re-tuned session) reads the pinned
+    * value back and uses THAT, ignoring the conf.
+    */
+  private def layoutBuckets(spark: SparkSession, stateDir: String): Int = {
+    val hfs = fsOf(spark, stateDir)
+    val p = new Path(s"$stateDir/_layout.tsv")
+    if (hfs.exists(p)) {
+      val in = hfs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      val txt = new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(txt.startsWith("buckets\t"), s"malformed _layout.tsv: $txt")
+      txt.stripPrefix("buckets\t").toInt
+    } else {
+      val b = spark.conf.getOption("spark.graft.stateBuckets")
+        .map(_.toInt).getOrElse(16)
+      require(b > 0, "stateBuckets must be positive")
+      val out = hfs.create(p, true)
+      try out.write(s"buckets\t$b\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      b
+    }
+  }
+
   /** Committed manifest versions present in a delta state dir. */
   private def manifestVersions(spark: SparkSession, stateDir: String)
   : Seq[Long] = {
@@ -148,8 +194,9 @@ object StreamMatView {
       // offset lineage, so the highest committed snapshot IS this
       // fold's last state. Without a checkpoint, no batches means the
       // source was empty — a caller error, as before.
-      require(checkpointFor(spark, stateDir).isDefined,
-        s"$opName: stream produced no batches")
+      require(hasCommits(spark, stateDir),
+        s"$opName: stream produced no batches and this checkpoint " +
+          "lineage has no prior commits")
       val hfs = fsOf(spark, stateDir)
       val root = new Path(stateDir)
       val vs =
@@ -259,9 +306,7 @@ object StreamMatView {
                             merge: (DataFrame, DataFrame) => DataFrame,
                             opName: String): DataFrame = {
     val spark = stream.sparkSession
-    val nBuckets = spark.conf.getOption("spark.graft.stateBuckets")
-      .map(_.toInt).getOrElse(16)
-    require(nBuckets > 0, "stateBuckets must be positive")
+    val nBuckets = layoutBuckets(spark, stateDir)
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
     val lastBid = new java.util.concurrent.atomic.AtomicLong(-1L)
     val w = stream.writeStream
@@ -314,8 +359,9 @@ object StreamMatView {
         // zero batches: legitimate only under the durable-checkpoint
         // contract (see foldSnapshotLoop) — the highest committed
         // manifest is this fold's last state
-        require(checkpointFor(spark, stateDir).isDefined,
-          s"$opName: stream produced no batches")
+        require(hasCommits(spark, stateDir),
+          s"$opName: stream produced no batches and this checkpoint " +
+            "lineage has no prior commits")
         val vs = manifestVersions(spark, stateDir)
         require(vs.nonEmpty,
           s"$opName: no batches ran and no committed state exists")

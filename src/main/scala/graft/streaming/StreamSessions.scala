@@ -40,6 +40,20 @@ object StreamSessions {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Recursive shutdown-hook delete: `deleteOnExit` on a non-empty
+    * directory is a silent no-op (children survive, the delete fails),
+    * so staged fixtures would accumulate in the temp filesystem across
+    * bench sessions forever.
+    */
+  private def deleteRecursivelyOnExit(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(dir)))
+
   /** Directory view of a parquet path for the file-stream source.
     *
     * Batch `read.parquet` accepts a single FILE; Spark's
@@ -79,7 +93,7 @@ object StreamSessions {
     staged.computeIfAbsent(s"frame:$key", { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft-stream-stage-")
-      dir.toFile.deleteOnExit()
+      deleteRecursivelyOnExit(dir.toFile)
       val out = dir.resolve("data").toString
       df.coalesce(1).write.mode("overwrite").parquet(out)
       out
@@ -98,7 +112,7 @@ object StreamSessions {
     staged.computeIfAbsent(s"ordered:$key", { _ =>
       import java.nio.file.Files
       val dir = Files.createTempDirectory("graft-stream-stage-")
-      dir.toFile.deleteOnExit()
+      deleteRecursivelyOnExit(dir.toFile)
       val out = dir.resolve("data")
       Files.createDirectories(out)
       build.zipWithIndex.foreach { case (df, i) =>
@@ -111,8 +125,13 @@ object StreamSessions {
             s"no part file written for staged frame $i"))
         val target = out.resolve(f"f$i%04d.parquet")
         Files.move(part.toPath, target)
-        target.toFile.setLastModified(1700000000000L + i * 60000L): Unit
-        target.toFile.deleteOnExit()
+        // ordering rides these mtimes (FileStreamSource admits files
+        // oldest-first); a filesystem refusing the update would fall
+        // back to write-speed-dependent order — fail loudly instead
+        require(target.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"cannot pin mtime on $target: staged arrival order would be " +
+            "nondeterministic")
+        deleteRecursively(scratch.toFile)
       }
       out.toString
     })
@@ -137,9 +156,14 @@ object StreamSessions {
     val cached = graft.CacheScope.track(df.persist())
     val mm = cached.agg(
       min(col(tsCol).cast("long")), max(col(tsCol).cast("long")),
-      count(lit(1)))
+      count(lit(1)), count(col(tsCol)))
       .collect()(0)
     if (mm.isNullAt(0)) return Seq(cached) // empty input: one empty chunk
+    // a null ts would fall through EVERY range filter below and vanish
+    // from the staged replay — a silent parity gap; reject it here
+    require(mm.getLong(2) == mm.getLong(3),
+      s"timeChunks: ${mm.getLong(2) - mm.getLong(3)} null $tsCol rows " +
+        "would be dropped from every chunk")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     // chunk count ADAPTS to input size (conf `spark.graft.streamChunks`
     // overrides, e.g. the scale smoke pins it so both scales replay the
@@ -153,6 +177,9 @@ object StreamSessions {
       .getOrElse(
         math.min(maxChunks.toLong,
           math.max(2L, mm.getLong(2) / 50000L)).toInt)
+    // the conf path must honor the same bound as the parameter: 0 would
+    // divide by zero below, a negative value would stage zero chunks
+    require(nChunks >= 1, s"spark.graft.streamChunks must be >= 1: $nChunks")
     val step = math.max(1L, (hi - lo) / nChunks + 1L)
     (0 until nChunks).map { i =>
       val a = lo + i * step
@@ -164,7 +191,8 @@ object StreamSessions {
   }
 
   /** Event-time sessionization: per (user, session_window(gap)) counts.
-    * Input needs columns (user_id, ts: timestamp-compatible).
+    * Input needs columns (user_id, ts: timestamp-compatible, value:
+    * numeric — summed per session alongside the count).
     * The batch twin is Intervals.coalesceRuns / q11_sessions.
     */
   def sessionCounts(events: DataFrame, gap: String,
@@ -179,7 +207,8 @@ object StreamSessions {
         col("n_events"), col("sum_value"))
 
   /** Tumbling event-time windowed aggregation with a watermark — the
-    * canonical streaming agg: per (user, fixed window) counts/sums;
+    * canonical streaming agg: per (user, fixed window) counts/sums over
+    * input columns (user_id, ts, value);
     * a window finalizes (and its state frees) once the watermark passes
     * its end, and rows later than the watermark are dropped. The batch
     * twin is a groupBy on date_trunc buckets.
@@ -408,6 +437,19 @@ object StreamSessions {
     // total input rows, batch count (recentProgress keeps the last 100
     // progress events; the AvailableNow gates run far fewer batches)
     val progress = q.recentProgress
+    // recentProgress is a ring buffer (spark.sql.streaming
+    // .numRecentProgressUpdates, default 100): a run with more batches
+    // than the cap would silently truncate inputRows and could miss the
+    // true state peak — the scale harness raises the cap; anything else
+    // hitting it gets a loud warning next to its metrics
+    val progressCap = spark.conf
+      .getOption("spark.sql.streaming.numRecentProgressUpdates")
+      .map(_.toInt).getOrElse(100)
+    if (progress.length >= progressCap)
+      System.err.println(
+        s"[stream-metrics] WARNING $namePrefix: $progressCap-batch " +
+          "progress buffer full — metrics may be truncated; raise " +
+          "spark.sql.streaming.numRecentProgressUpdates")
     lastRunMetrics(namePrefix) = StreamRunMetrics(
       statePeakRows =
         if (progress.isEmpty) 0L
