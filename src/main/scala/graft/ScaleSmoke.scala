@@ -221,7 +221,7 @@ object ScaleSmoke {
       "q241_theil_sen", "q242_mann_whitney", "q243_exact_substring",
       "q244_stream_benford", "q245_naive_bayes", "q246_classifier_eval",
       "q247_stream_matview_delta", "q248_matview_time_travel",
-      "q249_stream_quantile_matview")
+      "q249_stream_quantile_matview", "q250_targeted_delete")
 
   /** Materialize the complete N-copy fixture into `dst` (all four
     * builder steps, each marker-guarded) — shared with [[Macro]].

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Targeted hard delete over a hive-partitioned parquet table — the
+  * right-to-be-forgotten primitive every production lake needs (beyond
+  * the reference's surface — first-class per the build brief).
+  *
+  * At 100 TB the naive shape (rewrite the whole table minus the
+  * victims) is a full-table read AND write for a deletion list that
+  * typically touches a sliver of partitions. This does the
+  * partition-bounded version:
+  *
+  *  1. a victim-location scan reads ONLY (partCol, idCol) — column
+  *     pruning at the parquet footer — semi-joined against the
+  *     broadcast deletion list to find the AFFECTED partitions (a
+  *     partition-count-bounded collect, never data-sized);
+  *  2. the survivors of just those partitions are staged to a scratch
+  *     dir (Spark refuses to overwrite a path it is reading — the
+  *     scratch breaks the cycle, and its IO is affected-partition
+  *     bounded, not table bounded);
+  *  3. the staged survivors land back via DYNAMIC partition overwrite
+  *     (`spark.sql.sources.partitionOverwriteMode=dynamic`): only the
+  *     partitions present in the written data are replaced, untouched
+  *     partitions keep their files byte-identical (spec-pinned by
+  *     mtime);
+  *  4. a partition whose EVERY row was a victim produces no output
+  *     under dynamic overwrite and would silently keep its old files —
+  *     those directories are deleted explicitly through the Hadoop
+  *     FileSystem of the table path.
+  *
+  * Idempotent: a second call with the same deletion list finds zero
+  * affected partitions and touches nothing.
+  */
+object Retention {
+
+  /** Delete every row of `tableDir` whose `idCol` appears in `victims`,
+    * rewriting only affected partitions. Returns
+    * (affected partitions, rows deleted).
+    */
+  def targetedDelete(spark: SparkSession, tableDir: String,
+                     partCol: String, victims: DataFrame,
+                     idCol: String): (Long, Long) = {
+    val v = broadcast(victims.select(idCol).distinct())
+    val table = spark.read.parquet(tableDir)
+    // bounded by the table's partition count, never by rows
+    val affected = table.select(partCol, idCol)
+      .join(v, Seq(idCol), "left_semi")
+      .select(partCol).distinct()
+      .collect().map(_.get(0))
+    if (affected.isEmpty) return (0L, 0L)
+    val hit = table.filter(col(partCol).isInCollection(affected))
+    val before = hit.count()
+    val keep = hit.join(v, Seq(idCol), "left_anti")
+    val scratch = s"${tableDir.stripSuffix("/")}_gc_scratch"
+    keep.write.mode("overwrite").parquet(scratch)
+    val staged = spark.read.parquet(scratch)
+    val after = staged.count()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try staged.write.mode("overwrite").partitionBy(partCol)
+      .parquet(tableDir)
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // fully-victimized partitions: no survivors -> dynamic overwrite
+    // never replaced them -> drop their directories explicitly
+    val surviving = staged.select(partCol).distinct()
+      .collect().map(_.get(0)).toSet
+    val hconf = spark.sessionState.newHadoopConf()
+    for (p <- affected if !surviving(p)) {
+      val dir = new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$p")
+      dir.getFileSystem(hconf).delete(dir, true): Unit
+    }
+    val sp = new org.apache.hadoop.fs.Path(scratch)
+    sp.getFileSystem(hconf).delete(sp, true)
+    (affected.length.toLong, before - after)
+  }
+}

@@ -283,6 +283,33 @@ private[graft] object TableQueries extends QuerySlice {
           min("event_id").as("min_ev"), max("event_id").as("max_ev"))
     }),
 
+    // Targeted hard delete (the right-to-be-forgotten primitive):
+    // events land partitioned by user-bucket, then
+    // Retention.targetedDelete removes every user_id % 13 == 0 row by
+    // rewriting ONLY the victim-bearing partitions (dynamic partition
+    // overwrite; untouched partitions keep their files byte-identical —
+    // RetentionSpec pins names+mtimes, plus emptied-partition drop and
+    // idempotency). The read-back must equal the oracle's anti-filter
+    // exactly. The delete runs once inside the staging block, so bench
+    // passes and verify retries read the same post-delete table (and
+    // the operation itself is idempotent anyway).
+    "q250_targeted_delete" -> ((s, d) => {
+      val dir = graft.sources.Staging.once(s"q250:$d") { out =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"),
+            pmod(col("user_id"), lit(7L)).as("bucket"))
+          .write.partitionBy("bucket").parquet(out)
+        val victims = s.read.parquet(out).select("user_id")
+          .filter(pmod(col("user_id"), lit(13L)) === 0).distinct()
+        graft.operators.Retention.targetedDelete(
+          s, out, "bucket", victims, "user_id"): Unit
+      }
+      s.read.parquet(dir)
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("bucket").cast("long").as("bucket"))
+    }),
+
     // Incremental aggregate maintenance (the materialized-view pattern):
     // per-user purchase state folded over two day-parity batches must
     // hash-equal the single-pass recompute — the algebraic-merge
@@ -748,6 +775,13 @@ private[graft] object TableQueries extends QuerySlice {
         |  count(DISTINCT user_id) AS n_users,
         |  min(event_id) AS min_ev, max(event_id) AS max_ev
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q250: the anti-filter the partition-bounded delete must land on
+    "q250_targeted_delete" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  user_id % 7 AS bucket
+        |FROM events WHERE user_id % 13 <> 0""".stripMargin,
 
     // q238: same carved snapshots, FULL JOIN with presence markers (a
     // null fingerprint can never alias absence), delta rows only
