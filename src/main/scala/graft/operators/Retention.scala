@@ -35,6 +35,19 @@ import org.apache.spark.sql.functions.{broadcast, col}
   */
 object Retention {
 
+  /** A partition value's on-disk directory segment — Spark hive-escapes
+    * special characters on write (`:`, `%`, `=`, control chars → `%XX`)
+    * and routes null values to `__HIVE_DEFAULT_PARTITION__`; a raw
+    * string interpolation would miss both and silently leave victim
+    * files in place.
+    */
+  private def partDirName(partCol: String, value: Any): String = {
+    val ec = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val v = if (value == null) ec.DEFAULT_PARTITION_NAME
+      else ec.escapePathName(value.toString)
+    s"${ec.escapePathName(partCol)}=$v"
+  }
+
   /** Delete every row of `tableDir` whose `idCol` appears in `victims`,
     * rewriting only affected partitions. Returns
     * (affected partitions, rows deleted).
@@ -50,13 +63,25 @@ object Retention {
       .select(partCol).distinct()
       .collect().map(_.get(0))
     if (affected.isEmpty) return (0L, 0L)
-    val hit = table.filter(col(partCol).isInCollection(affected))
+    // SQL IN never matches null, so a null partition value (the
+    // __HIVE_DEFAULT_PARTITION__ rows) needs its own disjunct or its
+    // victims would be counted affected yet never rewritten
+    val nonNull = affected.filter(_ != null)
+    val hitPart =
+      if (nonNull.length == affected.length)
+        col(partCol).isInCollection(nonNull)
+      else if (nonNull.isEmpty) col(partCol).isNull
+      else col(partCol).isInCollection(nonNull) || col(partCol).isNull
+    val hit = table.filter(hitPart)
     val before = hit.count()
     val keep = hit.join(v, Seq(idCol), "left_anti")
     val scratch = s"${tableDir.stripSuffix("/")}_gc_scratch"
     keep.write.mode("overwrite").parquet(scratch)
     val staged = spark.read.parquet(scratch)
-    val after = staged.count()
+    // one scratch scan: survivor count + surviving-partition set
+    val perPart = staged.groupBy(partCol).count().collect()
+    val after = perPart.map(_.getLong(1)).sum
+    val surviving = perPart.map(_.get(0)).toSet
     val key = "spark.sql.sources.partitionOverwriteMode"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
@@ -64,13 +89,19 @@ object Retention {
       .parquet(tableDir)
     finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     // fully-victimized partitions: no survivors -> dynamic overwrite
-    // never replaced them -> drop their directories explicitly
-    val surviving = staged.select(partCol).distinct()
-      .collect().map(_.get(0)).toSet
+    // never replaced them -> drop their directories explicitly (their
+    // existence and deletion are REQUIRED: a silent miss here is
+    // victim-row resurrection)
     val hconf = spark.sessionState.newHadoopConf()
     for (p <- affected if !surviving(p)) {
-      val dir = new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$p")
-      dir.getFileSystem(hconf).delete(dir, true): Unit
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$tableDir/${partDirName(partCol, p)}")
+      val hfs = dir.getFileSystem(hconf)
+      require(hfs.exists(dir),
+        s"targetedDelete: fully-victimized partition dir not found " +
+          s"where the write layout says it must be: $dir")
+      require(hfs.delete(dir, true),
+        s"targetedDelete: could not remove victim partition $dir")
     }
     val sp = new org.apache.hadoop.fs.Path(scratch)
     sp.getFileSystem(hconf).delete(sp, true)

@@ -100,17 +100,22 @@ object StreamMatView {
     checkpointFor(spark, stateDir)
       .fold(w)(dir => w.option("checkpointLocation", dir))
 
-  /** True iff this fold's checkpoint lineage has committed at least one
-    * batch — the guard that makes the zero-batch fallback safe: a
-    * directory listing is only THIS trio's state if THIS trio committed
-    * it. A fresh checkpoint over a state dir holding another fold's
-    * leftovers must error, never adopt them as its own rollup.
+  /** The highest batchId THIS fold's checkpoint lineage has committed —
+    * read from the checkpoint's own `commits` log, never from a state
+    * directory listing: a listing may hold HIGHER versions left by an
+    * earlier, longer run sharing the stateDir, and adopting those would
+    * return another lineage's rollup. None when no checkpoint is
+    * configured or nothing committed yet.
     */
-  private def hasCommits(spark: SparkSession, stateDir: String): Boolean =
-    checkpointFor(spark, stateDir).exists { ck =>
+  private def lastCommittedBid(spark: SparkSession, stateDir: String)
+  : Option[Long] =
+    checkpointFor(spark, stateDir).flatMap { ck =>
       val p = new Path(s"$ck/commits")
       val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      hfs.exists(p) && hfs.listStatus(p).nonEmpty
+      if (!hfs.exists(p)) None
+      else hfs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).maxOption
     }
 
   /** The delta layout's bucket count is a PROPERTY OF THE STATE DIR,
@@ -190,24 +195,15 @@ object StreamMatView {
     q.exception.foreach(throw _)
     if (lastBid.get() < 0) {
       // zero batches is legitimate ONLY under the durable-checkpoint
-      // contract (a daily restart with no new files): the trio pins the
-      // offset lineage, so the highest committed snapshot IS this
-      // fold's last state. Without a checkpoint, no batches means the
-      // source was empty — a caller error, as before.
-      require(hasCommits(spark, stateDir),
-        s"$opName: stream produced no batches and this checkpoint " +
-          "lineage has no prior commits")
-      val hfs = fsOf(spark, stateDir)
-      val root = new Path(stateDir)
-      val vs =
-        if (!hfs.exists(root)) Seq.empty[Long]
-        else hfs.listStatus(root).toSeq
-          .map(_.getPath.getName)
-          .filter(_.startsWith("state_v"))
-          .map(_.stripPrefix("state_v").toLong)
-      require(vs.nonEmpty,
-        s"$opName: no batches ran and no committed state exists")
-      return spark.read.parquet(s"$stateDir/state_v${vs.max}")
+      // contract (a daily restart with no new files), and the last
+      // version comes from the checkpoint's OWN commits log — never a
+      // state-dir listing, which may hold higher versions left by an
+      // earlier run sharing the stateDir (another lineage's rollup)
+      val v = lastCommittedBid(spark, stateDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$opName: stream produced no batches and this checkpoint " +
+            "lineage has no prior commits"))
+      return spark.read.parquet(s"$stateDir/state_v$v")
     }
     spark.read.parquet(s"$stateDir/state_v${lastBid.get()}")
   }
@@ -355,18 +351,15 @@ object StreamMatView {
     q.exception.foreach(throw _)
     val last =
       if (lastBid.get() >= 0) lastBid.get()
-      else {
+      else
         // zero batches: legitimate only under the durable-checkpoint
-        // contract (see foldSnapshotLoop) — the highest committed
-        // manifest is this fold's last state
-        require(hasCommits(spark, stateDir),
-          s"$opName: stream produced no batches and this checkpoint " +
-            "lineage has no prior commits")
-        val vs = manifestVersions(spark, stateDir)
-        require(vs.nonEmpty,
-          s"$opName: no batches ran and no committed state exists")
-        vs.max
-      }
+        // contract, and the version comes from the checkpoint's OWN
+        // commits log (see foldSnapshotLoop — a state-dir listing may
+        // carry another lineage's higher versions)
+        lastCommittedBid(spark, stateDir).getOrElse(
+          throw new IllegalArgumentException(
+            s"$opName: stream produced no batches and this checkpoint " +
+              "lineage has no prior commits"))
     if (spark.conf.getOption("spark.graft.stateGcOnComplete")
         .contains("true"))
       gcDelta(spark, stateDir, last)

@@ -158,12 +158,14 @@ object StreamSessions {
       min(col(tsCol).cast("long")), max(col(tsCol).cast("long")),
       count(lit(1)), count(col(tsCol)))
       .collect()(0)
-    if (mm.isNullAt(0)) return Seq(cached) // empty input: one empty chunk
     // a null ts would fall through EVERY range filter below and vanish
-    // from the staged replay — a silent parity gap; reject it here
+    // from the staged replay — a silent parity gap; reject it BEFORE
+    // the empty-input return (an all-null frame has a null min too, and
+    // must fail loudly rather than ride the empty-input path)
     require(mm.getLong(2) == mm.getLong(3),
       s"timeChunks: ${mm.getLong(2) - mm.getLong(3)} null $tsCol rows " +
         "would be dropped from every chunk")
+    if (mm.isNullAt(0)) return Seq(cached) // empty input: one empty chunk
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     // chunk count ADAPTS to input size (conf `spark.graft.streamChunks`
     // overrides, e.g. the scale smoke pins it so both scales replay the

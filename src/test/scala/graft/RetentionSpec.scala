@@ -67,6 +67,33 @@ class RetentionSpec extends SparkSpec {
     assert(files(dir, "a") === aFiles)
   }
 
+  test("hive-escaped and null partition values delete correctly") {
+    // Spark escapes special chars in partition dirs (US:east ->
+    // US%3Aeast) and routes null to __HIVE_DEFAULT_PARTITION__; a raw
+    // path interpolation (or an IN filter, which never matches null)
+    // would silently resurrect victims in exactly these partitions
+    val dir = java.nio.file.Files.createTempDirectory("retention-esc")
+      .resolve("t").toString
+    Seq(
+      (1L, 10L, "US:east"), (2L, 10L, "US:east"),
+      (3L, 20L, null.asInstanceOf[String]),
+      (4L, 30L, null.asInstanceOf[String]),
+      (5L, 40L, "plain"))
+      .toDF("row_id", "uid", "part")
+      .write.partitionBy("part").parquet(dir)
+    val (parts, deleted) = Retention.targetedDelete(
+      spark, dir, "part", Seq(10L, 20L).toDF("uid"), "uid")
+    assert(parts === 2L, "US:east and the null partition")
+    assert(deleted === 3L)
+    val left = spark.read.parquet(dir).select("row_id", "uid", "part")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(left === Set(
+      (4L, 30L, None), (5L, 40L, Some("plain"))))
+    assert(!new java.io.File(s"$dir/part=US%3Aeast").exists(),
+      "fully-victimized escaped partition dir must be removed")
+  }
+
   test("victims spanning several partitions rewrite each of them") {
     val dir = freshTable()
     val (parts, deleted) = Retention.targetedDelete(

@@ -277,6 +277,35 @@ class StreamMatViewDeltaSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.streamCheckpointDir")
   }
 
+  test("a checkpointed fold never adopts another lineage's leftovers") {
+    // foreign run (no checkpoint) leaves state_v0 AND state_v1 in the
+    // dir; a NEW checkpointed lineage folds one batch (overwriting
+    // state_v0) and then restarts with no new files — the fallback must
+    // return THIS lineage's committed version from the checkpoint's
+    // commits log, never the foreign listing-max state_v1
+    val sd = java.nio.file.Files.createTempDirectory("mvlin-st").toString
+    val srcA = java.nio.file.Files.createTempDirectory("mvlin-a")
+    writeFrame(srcA, 0, Seq((1L, 1L)).toDF("k", "v"))
+    writeFrame(srcA, 1, Seq((1L, 2L)).toDF("k", "v"))
+    StreamMatView.runFold(
+      StreamSessions.readParquetStreamThrottled(spark, srcA.toString,
+        schema), Seq("k"), "v", sd, identity) // foreign: v0 and v1
+    val ckpt = java.nio.file.Files.createTempDirectory("mvlin-ck").toString
+    spark.conf.set("spark.graft.streamCheckpointDir", ckpt)
+    try {
+      val srcB = java.nio.file.Files.createTempDirectory("mvlin-b")
+      writeFrame(srcB, 0, Seq((9L, 7L)).toDF("k", "v"))
+      def runB() = StreamMatView.runFold(
+        StreamSessions.readParquetStreamThrottled(spark, srcB.toString,
+          schema), Seq("k"), "v", sd, identity)
+      val own = state(runB()) // bid 0: overwrites state_v0, commits
+      assert(own === Map(9L -> (1L, 7L, 7L, 7L, 49L)))
+      assert(state(runB()) === own,
+        "no-new-files restart must return this lineage's state, not " +
+          "the foreign state_v1")
+    } finally spark.conf.unset("spark.graft.streamCheckpointDir")
+  }
+
   test("two folds under ONE checkpoint conf keep separate offset lineages") {
     // the conf names a BASE dir; each fold's offsets are keyed by its
     // state dir — a shared literal location would make fold B inherit
