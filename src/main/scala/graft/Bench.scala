@@ -42,6 +42,61 @@ object Bench {
     // independent bursts to land on the same query (r4's record had exactly
     // the two-burst overlap on q29/q30/q57).
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Previous-round full record for the cross-round comparator (r12
+    // verdict #5: nine >1.15x sub-second regressions shipped with no
+    // explanation in the record). Read at START: the default path is
+    // BENCH.out.json — the committed previous round's full record —
+    // which THIS run overwrites at the end. Override with
+    // SPARK_GRAFT_BENCH_PREV.
+    case class PrevRec(path: String, q: Map[String, Double],
+                       cpuBest: Map[String, Double], flagged: Set[String])
+    val prevRec: Option[PrevRec] = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
+      val f = new java.io.File(p)
+      if (!f.exists()) None
+      else scala.util.Try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(f)
+        def num(v: JValue): Double = v match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case _ => Double.NaN
+        }
+        def obj(name: String): Map[String, JValue] = j \ name match {
+          case JObject(fs) => fs.toMap
+          case _ => Map.empty
+        }
+        def arr(v: JValue): List[JValue] = v match {
+          case JArray(xs) => xs
+          case _ => Nil
+        }
+        val qs = obj("queries").map { case (k, v) => k -> num(v) }
+        val passesP = obj("passes").map { case (k, v) => k -> arr(v).map(num) }
+        val cpuP = obj("cpu").map { case (k, v) => k -> arr(v).map(num) }
+        val quietP = obj("quiet").map { case (k, v) =>
+          k -> arr(v).map(_ == JBool(true))
+        }
+        // process-CPU seconds of the pass the recorded min came from
+        // (the fastest QUIET pass, or the fastest overall when none is)
+        val cpuBest = qs.keys.flatMap { n =>
+          val ws = passesP.getOrElse(n, Nil)
+          val cs = cpuP.getOrElse(n, Nil)
+          val vq = quietP.getOrElse(n, ws.map(_ => true))
+          val idx = ws.zipWithIndex.zip(vq)
+            .collect { case ((w, i), true) => (w, i) } match {
+            case Nil => ws.zipWithIndex.sortBy(_._1).headOption.map(_._2)
+            case quiet => Some(quiet.minBy(_._1)._2)
+          }
+          idx.flatMap(cs.lift).filter(_ >= 0).map(n -> _)
+        }.toMap
+        val flagged = (arr(j \ "noisy") ++ arr(j \ "host_variance"))
+          .collect { case JString(s) => s }.toSet
+        PrevRec(p, qs, cpuBest, flagged)
+      }.toOption
+    }
     // Dev bisection hook: comma-separated name prefixes to run (default all)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq).getOrElse(Seq(""))
@@ -228,8 +283,61 @@ object Bench {
     }.mkString("{", ",", "}")
     val hostVarArr = hostVar.sorted.map(jstr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def f3g(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Cross-round comparator: per-query ratio vs the previous record,
+    // with a mechanical cause tag on every >1.15x row so a regression
+    // can never again sit unexplained in the artifact:
+    //  - "ambient-flagged": either round's record flagged the query
+    //    (noisy / host_variance) — its min has no quiet footing;
+    //  - "ambient": wall grew but the min-pass process-CPU did not
+    //    track it (the host descheduled us — same work, slower clock);
+    //  - "work-increase": CPU grew with the wall — the query genuinely
+    //    did more work (a code or plan change; board growth shifts JIT
+    //    and cache pressure this way too);
+    //  - "unattributed": no comparable CPU sample in one of the rounds.
+    val vsPrev = prevRec.map { pr =>
+      def cpuOfBestNow(n: String): Option[Double] = {
+        val ws = passes(n); val cs = cpuSecs(n); val vq = valid(n)
+        val idx = ws.zipWithIndex.zip(vq)
+          .collect { case ((w, i), true) => (w, i) } match {
+          case Nil => ws.zipWithIndex.sortBy(_._1).headOption.map(_._2)
+          case quiet => Some(quiet.minBy(_._1)._2)
+        }
+        idx.flatMap(cs.lift).filter(_ >= 0)
+      }
+      val common = results.keySet.intersect(pr.q.keySet)
+        .filter(n => pr.q(n) > 0).toSeq.sorted
+      val ratios = common.map(n => n -> results(n) / pr.q(n))
+      val med = median(ratios.map(_._2).toList)
+      val newQs = (results.keySet -- pr.q.keySet).toSeq.sorted
+      val regs = ratios.filter(_._2 > 1.15).sortBy(-_._2).map {
+        case (n, r) =>
+          val cpuRatio = for {
+            a <- cpuOfBestNow(n); b <- pr.cpuBest.get(n) if b > 0
+          } yield a / b
+          val cause =
+            if (neverQuiet.contains(n) || hostVar.contains(n) ||
+              pr.flagged(n)) "ambient-flagged"
+            else cpuRatio match {
+              // wall moved r-1 but CPU covered less than half of it
+              case Some(cr) if cr - 1.0 <= (r - 1.0) / 2 => "ambient"
+              case Some(_) => "work-increase"
+              case None => "unattributed"
+            }
+          jstr(n) + s""":{"prev":${f3g(pr.q(n))},"now":${f3g(results(n))}""" +
+            s""","ratio":${f3g(r)}""" +
+            cpuRatio.map(cr => s""","cpu_ratio":${f3g(cr)}""").getOrElse("") +
+            s""","cause":${jstr(cause)}}"""
+      }.mkString("{", ",", "}")
+      s""""vs_prev":{"record":${jstr(pr.path)},"compared":${common.size}""" +
+        s""","median_ratio":${f3g(med)}""" +
+        s""","new_queries":${newQs.map(jstr).mkString("[", ",", "]")}""" +
+        s""","regressions_gt_1.15":$regs}"""
+    }
+    val vsPrevFull = vsPrev.map("," + _).getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"cpu":$cs,"quiet":$vs,"noisy":$noisyArr,"host_variance":$hostVarArr,"quiet_steal_pct":$quietSteal,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"cpu":$cs,"quiet":$vs,"noisy":$noisyArr,"host_variance":$hostVarArr,"quiet_steal_pct":$quietSteal,"errors":$errs$vsPrevFull,"sf":"$sfDir"}"""
     // Persist the FULL record (per-pass timings, medians) to a file first:
     // the driver keeps only a bounded TAIL of stdout, and r4/r5 both lost
     // the artifact because the full JSON line (~12 KB at 88 queries)
@@ -246,8 +354,10 @@ object Bench {
     val qsShort = results.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
+    // vs_prev rides the compact line too (placed LAST so the driver's
+    // bounded stdout tail keeps it even when the line's head is cut)
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"noisy":$noisyArr,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"noisy":$noisyArr,"errors":$errs,"sf":"$sfDir"$vsPrevFull}""")
     spark.stop()
   }
 }

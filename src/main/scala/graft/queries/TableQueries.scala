@@ -495,7 +495,9 @@ private[graft] object TableQueries extends QuerySlice {
         |    epoch_us(ts) // 1000 AS ts_ms
         |  FROM events
         |), cleaned AS (
-        |  SELECT CAST(('0x' || substr(sha256(uid), 50, 15)) AS BIGINT)
+        |  SELECT CAST(('0x'
+        |      || translate(substr(sha256(uid), 49, 1), '89abcdef', '01234567')
+        |      || substr(sha256(uid), 50, 15)) AS BIGINT)
         |      AS uid_hash,
         |    latitude, longitude, ts_ms
         |  FROM raw WHERE error < 30

@@ -33,14 +33,30 @@ object Ingest {
   def filterAccuracy(df: DataFrame, maxError: Double): DataFrame =
     df.filter(col("error") < maxError)
 
-  /** Anonymize a string uid to a 60-bit non-negative Long: the low 15 hex
-    * digits of sha256. The reference intends int.from_bytes(sha256(x)) %
-    * 2^63 (read_localize_write.py:38-46 — note it hashes the literal
+  /** Anonymize a string uid to a non-negative Long with the reference's
+    * exact semantics: int.from_bytes(sha256(x)) % 2^63
+    * (read_localize_write.py:38-46 — note the reference hashes the literal
     * string "uid", a latent bug; we implement the intended per-value
-    * semantics) — we take 60 bits instead of 63 so the value fits a
-    * non-negative Long from a 15-hex-digit parse in any engine.
+    * form). mod 2^63 = the low 63 bits = the last 16 hex digits with the
+    * top bit of that group masked; masking is done at the HEX level
+    * (leading digit & 7 via translate: 8..f -> 0..7) so the 16-digit
+    * parse always fits a signed 64-bit integer in any engine — the same
+    * translate+parse spells it in DuckDB, keeping the oracle exact.
     */
-  def uidHash(uid: Column): Column =
+  def uidHash(uid: Column): Column = {
+    val hex = sha2(uid.cast("binary"), 256)
+    conv(concat(
+        translate(substring(hex, 49, 1), "89abcdef", "01234567"),
+        substring(hex, 50, 15)), 16, 10)
+      .cast("long")
+  }
+
+  /** Pre-r13 60-bit variant (low 15 hex digits only), kept for readers of
+    * data anonymized by earlier releases. New writes use [[uidHash]].
+    */
+  @deprecated("uidHash now matches the reference's mod-2^63 semantics " +
+    "exactly; this 60-bit form only reads back pre-r13 data", "r13")
+  def uidHash60(uid: Column): Column =
     conv(substring(sha2(uid.cast("binary"), 256), 50, 15), 16, 10)
       .cast("long")
 

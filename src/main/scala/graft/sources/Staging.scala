@@ -17,7 +17,9 @@ object Staging {
   def once(key: String)(write: String => Unit): String =
     staged.computeIfAbsent(key, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft-stage-")
-      dir.toFile.deleteOnExit()
+      // recursive shutdown-hook delete: deleteOnExit on a non-empty dir
+      // is a silent no-op, so staged tables would leak across sessions
+      graft.streaming.StreamSessions.deleteRecursivelyOnExit(dir.toFile)
       val out = dir.resolve("data").toString
       write(out)
       out

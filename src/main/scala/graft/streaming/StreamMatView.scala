@@ -269,13 +269,21 @@ object StreamMatView {
     * live state; reclaim with [[gcDelta]] once versions ≤ v are no
     * longer needed, or set `spark.graft.stateGcOnComplete=true` to
     * collect down to the final version when the run completes.
+    *
+    * @param keepHistory true = ignore `spark.graft.stateGcOnComplete`
+    *   for THIS fold: the caller intends to time-travel older versions
+    *   after the run (q248's read-of-version-2 would break if a
+    *   session-wide gc conf collected to the final version first —
+    *   ADVICE r12). GC remains available explicitly via [[gcDelta]].
     */
   def runFoldDelta(stream: DataFrame, keys: Seq[String], valueCol: String,
-                   stateDir: String, prep: DataFrame => DataFrame)
+                   stateDir: String, prep: DataFrame => DataFrame,
+                   keepHistory: Boolean = false)
   : DataFrame =
     foldDeltaLoop(stream, keys, stateDir,
       b => IncrementalAgg.aggregate(prep(b), keys, valueCol),
-      (s, i) => IncrementalAgg.merge(s, i, keys), "runFoldDelta")
+      (s, i) => IncrementalAgg.merge(s, i, keys), "runFoldDelta",
+      keepHistory)
 
   /** Changed-bucket delta twin of [[runFoldBitmap]]: the engagement
     * bitmap maintained under the manifest/delta layout. OR-state is the
@@ -285,10 +293,12 @@ object StreamMatView {
     */
   def runFoldBitmapDelta(stream: DataFrame, keys: Seq[String],
                          dayCol: String, stateDir: String,
-                         prep: DataFrame => DataFrame): DataFrame =
+                         prep: DataFrame => DataFrame,
+                         keepHistory: Boolean = false): DataFrame =
     foldDeltaLoop(stream, keys, stateDir,
       b => IncrementalAgg.aggregateBitmap(prep(b), keys, dayCol),
-      (s, i) => IncrementalAgg.mergeBitmap(s, i, keys), "runFoldBitmapDelta")
+      (s, i) => IncrementalAgg.mergeBitmap(s, i, keys), "runFoldBitmapDelta",
+      keepHistory)
 
   /** The delta-layout fold loop shared by [[runFoldDelta]] and
     * [[runFoldBitmapDelta]] — `aggregate` collapses a raw batch to
@@ -300,7 +310,8 @@ object StreamMatView {
                             stateDir: String,
                             aggregate: DataFrame => DataFrame,
                             merge: (DataFrame, DataFrame) => DataFrame,
-                            opName: String): DataFrame = {
+                            opName: String,
+                            keepHistory: Boolean = false): DataFrame = {
     val spark = stream.sparkSession
     val nBuckets = layoutBuckets(spark, stateDir)
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
@@ -360,8 +371,9 @@ object StreamMatView {
           throw new IllegalArgumentException(
             s"$opName: stream produced no batches and this checkpoint " +
               "lineage has no prior commits"))
-    if (spark.conf.getOption("spark.graft.stateGcOnComplete")
-        .contains("true"))
+    if (!keepHistory &&
+        spark.conf.getOption("spark.graft.stateGcOnComplete")
+          .contains("true"))
       gcDelta(spark, stateDir, last)
     readStateDelta(spark, stateDir, last)
   }
@@ -389,6 +401,25 @@ object StreamMatView {
     * current state and must survive). Call it when history below
     * `version` is no longer needed for replay/time travel. Returns
     * (bucket dirs deleted, manifests deleted).
+    *
+    * ==Retention contract under concurrent readers==
+    * GC coordinates with readers by VERSION, like a watermark:
+    *  - a read STARTED after GC returns is safe at `version` and every
+    *    later committed version (their manifests and every file they
+    *    reference survive — spec-pinned);
+    *  - a read of a version BELOW the cut fails loudly
+    *    (`FileNotFoundException` at scan time under Spark's default
+    *    `spark.sql.files.ignoreMissingFiles=false`), never silently
+    *    returns partial state — also spec-pinned;
+    *  - an IN-FLIGHT reader that resolved its manifest at version k
+    *    races the cut: its snapshot stays intact only while every file
+    *    it references is still live at the cut. gcDelta does not track
+    *    readers (there is no lease/lock layer on the state dir), so the
+    *    CALLER owns the retention window: cut only to versions at least
+    *    one full reader-lifetime old (e.g. keep N versions or T hours of
+    *    history, the Delta/Iceberg `VACUUM` discipline). Readers that
+    *    may outlive the window must re-resolve and retry on
+    *    FileNotFound — the failure is always loud, never wrong data.
     */
   def gcDelta(spark: SparkSession, stateDir: String, version: Long)
   : (Int, Int) = {

@@ -48,9 +48,10 @@ object StreamSessions {
   /** Recursive shutdown-hook delete: `deleteOnExit` on a non-empty
     * directory is a silent no-op (children survive, the delete fails),
     * so staged fixtures would accumulate in the temp filesystem across
-    * bench sessions forever.
+    * bench sessions forever. Shared with [[graft.sources.Staging]] —
+    * its batch-staged roundtrip tables leak the same way (ADVICE r12).
     */
-  private def deleteRecursivelyOnExit(dir: java.io.File): Unit =
+  private[graft] def deleteRecursivelyOnExit(dir: java.io.File): Unit =
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRecursively(dir)))
 

@@ -182,6 +182,56 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall; missing: ${planted -- cands}")
   }
 
+  test("minhashNearDups: exact verify keeps only true near-dups; " +
+    "verified tier is a subset of truth at the same threshold") {
+    // two real near-dups (J >= 1/2) + a pair that collides in SOME band
+    // but sits below the threshold: the verified tier must keep the
+    // former with exact jaccard values and drop the latter.
+    val texts = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k z"),   // 1 token changed: J = 9/13 of 1
+      (3L, "p q r s t u v w x y"),
+      (4L, "p q r s t u v w x y"),       // exact dup of 3: J = 1
+      (5L, "a b c d completely different tail one two three four"))
+      .toDF("id", "text")
+    val verified = Dedup.minhashNearDups(texts, "text", "id",
+      shingleN = 3, k = 32, bands = 16, tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(verified.contains((3L, 4L)) && verified((3L, 4L)) === 1.0)
+    assert(verified.contains((1L, 2L)))
+    // doc 5 shares the "a b c d" prefix (2 common trigrams of 10/9) —
+    // far below J = 1/2; whatever banding does, verify must drop it
+    assert(!verified.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    // subset-of-truth: every verified pair appears in the exact join
+    val truth = Dedup.setSimilarityJoin(texts, "id", "text", 1, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.keySet.subsetOf(truth))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("verifyPairsJaccard: integer threshold boundary is exact") {
+    // J exactly = 1/2 must PASS (>=), J just below must fail. Sets:
+    // a = {x1..x4}, b = {x1, x2, x5, x6}: |inter|=2, |union|=6, J=1/3.
+    // c = {x1..x4}, d = {x1, x2, x3, x5}: inter 3, union 5, J = 3/5.
+    // e/f: inter 2, union 4 -> exactly 1/2 with threshold 1/2.
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val texts = Seq(
+      (1L, mk(Seq("w1", "w2", "w3", "w4", "w5", "w6"))),   // grams g1..g4
+      (2L, mk(Seq("w1", "w2", "w3", "w4", "z5", "z6"))))   // shares g1, g2
+      .toDF("id", "text")
+    // doc1 trigrams: (w1 w2 w3)(w2 w3 w4)(w3 w4 w5)(w4 w5 w6); doc2:
+    // (w1 w2 w3)(w2 w3 w4)(w3 w4 z5)(w4 z5 z6) -> inter 2, union 6, J=1/3
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val atThird = Dedup.verifyPairsJaccard(pairs, texts, "text", "id",
+      shingleN = 3, tNum = 1, tDen = 3).collect()
+    assert(atThird.length === 1 &&
+      atThird.head.getDouble(2) === 0.333333) // round(J, 6) contract
+    val aboveThird = Dedup.verifyPairsJaccard(pairs, texts, "text", "id",
+      shingleN = 3, tNum = 34, tDen = 100).collect()
+    assert(aboveThird.isEmpty)
+  }
+
   test("minhash hot-bucket cap drops degenerate buckets") {
     // 30 identical docs all collide into one bucket per band; with
     // maxBucket=8 the cap drops those buckets => no candidate pairs.

@@ -478,4 +478,53 @@ class PlanAuditSpec extends SparkSpec {
       graft.CacheScope.releaseAll()
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("GraftPlanAudit.shuffleCount: exact on a known two-shuffle plan") {
+    import org.apache.spark.sql.execution.GraftPlanAudit
+    // agg on user_id (shuffle 1) -> re-agg on the derived column
+    // (shuffle 2): deterministic, no join-threshold dependence
+    val df = Tables.table(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("users"))
+    df.collect() // finalize the adaptive plan
+    assert(GraftPlanAudit.shuffleCount(df) === 2,
+      s"expected exactly 2 shuffles:\n${planOf(df)}")
+  }
+
+  test("GraftPlanAudit.shuffleCount: cached subplan counted ONCE per " +
+    "relation, not once per reference (the r12 q17/q18 string inflation)") {
+    import org.apache.spark.sql.execution.GraftPlanAudit
+    val base = Tables.table(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      // the union references the cached one-shuffle plan twice, and the
+      // global sum adds its own SinglePartition exchange: the true
+      // executed count is 2 (cache's exchange ONCE + the sum's). The
+      // string grep sees 3+ — one per PRINTED cached subplan — which is
+      // exactly the r12 inflation artifact.
+      val u = base.union(base).agg(sum("n").as("s"))
+      u.collect()
+      assert(GraftPlanAudit.shuffleCount(u) === 2,
+        s"cached agg's exchange must count once + the sum's:\n${planOf(u)}")
+      val stringCount = "(?m)^.*Exchange".r
+        .findAllIn(u.queryExecution.executedPlan.toString).size
+      assert(stringCount > 2,
+        s"the string grep must over-count here (saw $stringCount) — " +
+          "otherwise this pin no longer demonstrates the artifact")
+    } finally { base.unpersist(); () }
+  }
+
+  test("GraftPlanAudit.shuffleCount: q17/q18 executed counts are single " +
+    "digits (the true plan shape behind the r12 85-87 string artifact)") {
+    import org.apache.spark.sql.execution.GraftPlanAudit
+    for (q <- Seq("q17_home_work", "q18_hw_wide")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val n = GraftPlanAudit.shuffleCount(df)
+      assert(n > 0 && n < 10,
+        s"$q executed shuffle count must be single-digit, got $n")
+    }
+    graft.CacheScope.releaseAll()
+  }
 }

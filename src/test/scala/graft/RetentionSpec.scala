@@ -94,6 +94,86 @@ class RetentionSpec extends SparkSpec {
       "fully-victimized escaped partition dir must be removed")
   }
 
+  test("crash between overwrite and victim-dir delete: the token replay " +
+    "removes the resurrected partition") {
+    // simulate the r12-ADVICE crash: survivors landed, the
+    // fully-victimized dir delete never ran, the token is still present
+    val dir = freshTable()
+    val scratch = s"${dir}_gc_scratch"
+    spark.read.parquet(dir).filter(col("part") === "a")
+      .join(Seq(10L).toDF("uid"), Seq("uid"), "left_anti")
+      .select("row_id", "uid", "part") // scratch column order is free
+      .write.mode("overwrite").parquet(scratch)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_graft_delete_token"),
+      s"scratch\t$scratch\npartcol\tpart\nvictimdir\tpart=c\n")
+    // partition c plays the resurrected fully-victimized dir
+    assert(new java.io.File(s"$dir/part=c").exists())
+    assert(Retention.recoverDelete(spark, dir))
+    assert(!new java.io.File(s"$dir/part=c").exists(),
+      "recovery must re-delete the victim dir")
+    assert(!new java.io.File(s"$dir/_graft_delete_token").exists())
+    assert(!new java.io.File(scratch).exists(), "scratch swept")
+    assert(rows(dir) === Set(
+      (2L, 20L, "a"), (4L, 30L, "b"), (5L, 40L, "b")))
+    // and a clean table recovers as a no-op
+    assert(!Retention.recoverDelete(spark, dir))
+  }
+
+  test("crash mid-commit leaving duplicated survivors: recovery rewrites " +
+    "the partition to exactly the staged content") {
+    val dir = freshTable()
+    val scratch = s"${dir}_gc_scratch"
+    spark.read.parquet(dir).filter(col("part") === "a")
+      .join(Seq(10L).toDF("uid"), Seq("uid"), "left_anti")
+      .select("row_id", "uid", "part")
+      .write.mode("overwrite").parquet(scratch)
+    // simulate a mixed commit: partition a holds BOTH its old files and
+    // a landed survivor file — survivor row 2 is now duplicated
+    val aDir = new java.io.File(s"$dir/part=a")
+    val extra = spark.read.parquet(scratch).filter(col("part") === "a")
+      .drop("part")
+    extra.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/.mixed_scratch")
+    val part = new java.io.File(s"$dir/.mixed_scratch").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      aDir.toPath.resolve("part-mixed-dup.parquet"))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$dir/.mixed_scratch"))
+    assert(spark.read.parquet(dir)
+      .filter(col("row_id") === 2L).count() === 2L, "dup staged")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_graft_delete_token"),
+      s"scratch\t$scratch\npartcol\tpart\n")
+    assert(Retention.recoverDelete(spark, dir))
+    // dynamic overwrite REPLACED partition a wholesale: the duplicate
+    // and the victim rows are both gone, untouched partitions intact
+    assert(rows(dir) === Set(
+      (2L, 20L, "a"),
+      (4L, 30L, "b"), (5L, 40L, "b"),
+      (6L, 50L, "c"), (7L, 50L, "c")))
+  }
+
+  test("targetedDelete heals a crashed prior delete before running") {
+    val dir = freshTable()
+    val scratch = s"${dir}_gc_scratch"
+    spark.read.parquet(dir).filter(col("part") === "a")
+      .join(Seq(10L).toDF("uid"), Seq("uid"), "left_anti")
+      .select("row_id", "uid", "part")
+      .write.mode("overwrite").parquet(scratch)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_graft_delete_token"),
+      s"scratch\t$scratch\npartcol\tpart\nvictimdir\tpart=c\n")
+    // a NEW delete (different victim) first replays the token commit,
+    // then runs its own delete on the healed table
+    val (parts, deleted) = Retention.targetedDelete(
+      spark, dir, "part", Seq(30L).toDF("uid"), "uid")
+    assert(parts === 1L && deleted === 1L)
+    assert(rows(dir) === Set((2L, 20L, "a"), (5L, 40L, "b")))
+    assert(!new java.io.File(s"$dir/part=c").exists())
+  }
+
   test("victims spanning several partitions rewrite each of them") {
     val dir = freshTable()
     val (parts, deleted) = Retention.targetedDelete(

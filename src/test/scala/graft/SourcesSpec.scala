@@ -9,13 +9,27 @@ import java.nio.file.Files
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
-  test("uidHash: deterministic 60-bit non-negative long") {
-    val got = Seq("alice", "alice", "bob").toDF("uid")
+  test("uidHash: exact int.from_bytes(sha256(x)) % 2^63 known vectors") {
+    // pinned against Python: int.from_bytes(hashlib.sha256(s).digest(),
+    // 'big') % 2**63 — the reference's intended semantics
+    // (read_localize_write.py:38-46)
+    val got = Seq("alice", "alice", "bob", "uid_000123").toDF("uid")
       .select(Ingest.uidHash(col("uid")).as("h"))
       .collect().map(_.getLong(0))
-    assert(got(0) === got(1))
-    assert(got(0) !== got(2))
+    assert(got(0) === 1418477593466597008L)
+    assert(got(1) === 1418477593466597008L)
+    assert(got(2) === 2164908698055838953L)
+    assert(got(3) === 5328365558054662234L)
     assert(got.forall(_ >= 0L))
+  }
+
+  test("uidHash60: deprecated 60-bit form still reads pre-r13 data") {
+    val got = Seq("alice", "bob").toDF("uid")
+      .select((Ingest.uidHash60(col("uid")): @annotation.nowarn).as("h"))
+      .collect().map(_.getLong(0))
+    // low 15 hex digits of sha256 (no 63-bit mask)
+    assert(got(0) === (1418477593466597008L & ((1L << 60) - 1)))
+    assert(got.forall(h => h >= 0L && h < (1L << 60)))
   }
 
   test("localize: wall-clock shift and date partition column") {

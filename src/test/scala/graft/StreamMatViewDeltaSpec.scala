@@ -326,6 +326,57 @@ class StreamMatViewDeltaSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.streamCheckpointDir")
   }
 
+  test("keepHistory overrides a session-wide stateGcOnComplete " +
+    "(time-travel folds keep every version)") {
+    spark.conf.set("spark.graft.stateGcOnComplete", "true")
+    try {
+      val frames = Seq(Seq((1L, 1L)), Seq((1L, 2L)), Seq((1L, 3L)))
+      // gc-on-complete path: only the final version survives
+      val sdGc = java.nio.file.Files.createTempDirectory("mvkh-gc").toString
+      run(stage("kh1", frames), sdGc)
+      assert(!new java.io.File(s"$sdGc/manifest_v1.tsv").exists(),
+        "without keepHistory the conf must collect below-final versions")
+      // keepHistory path: version 1 remains time-travel-readable
+      val sdKeep = java.nio.file.Files.createTempDirectory("mvkh-k").toString
+      StreamMatView.runFoldDelta(
+        StreamSessions.readParquetStreamThrottled(
+          spark, stage("kh2", frames), schema),
+        Seq("k"), "v", sdKeep, identity, keepHistory = true)
+      assert(new java.io.File(s"$sdKeep/manifest_v1.tsv").exists())
+      assert(state(StreamMatView.readStateDelta(spark, sdKeep, 1L)) ===
+        Map(1L -> (2L, 3L, 1L, 2L, 5L)))
+    } finally spark.conf.unset("spark.graft.stateGcOnComplete")
+  }
+
+  test("read below the GC cut fails loudly, never returns partial state") {
+    // the retention contract's fail-loud half: a version below the cut
+    // has its manifest deleted (resolve-time error), and a frame
+    // RESOLVED before the cut hits FileNotFound at scan time under the
+    // default ignoreMissingFiles=false — wrong data is never possible
+    val frames = Seq(Seq((1L, 1L)), Seq((1L, 2L)), Seq((1L, 3L)))
+    val dir = stage("cut", frames)
+    val sd = java.nio.file.Files.createTempDirectory("mvcut").toString
+    val fin = state(run(dir, sd))
+    val preResolved = StreamMatView.readStateDelta(spark, sd, 0L)
+    StreamMatView.gcDelta(spark, sd, 2L)
+    // resolve-after-cut: the below-cut manifest is gone
+    intercept[Exception] {
+      StreamMatView.readStateDelta(spark, sd, 1L).collect()
+    }
+    // resolved-before-cut: the already-planned read fails at scan time
+    val e = intercept[org.apache.spark.SparkException] {
+      preResolved.collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(_.contains("FileNotFound"))),
+      s"expected FileNotFound in the cause chain: $e")
+    // the cut version itself still reads exactly
+    assert(state(StreamMatView.readStateDelta(spark, sd, 2L)) === fin)
+  }
+
   test("gcDelta reclaims superseded buckets; live state is untouched") {
     spark.conf.set("spark.graft.stateBuckets", "4")
     try {
