@@ -392,6 +392,120 @@ object StreamMatView {
     else spark.read.parquet(paths: _*)
   }
 
+  /** Pin a committed manifest version against [[gcDelta]] under
+    * `owner`'s name: while any pin exists, GC clamps its cut to the
+    * oldest pinned version, so the pinned version and everything after
+    * it stay readable. This closes the in-flight-reader race in the
+    * retention contract WITHOUT a lock service: a long-lived reader
+    * (time-travel audit, slow export) pins its version up front, reads,
+    * and unpins — the same explicit-handle discipline as an Iceberg
+    * snapshot reference, one atomic file per owner, no coordinator.
+    *
+    * The pin file is `_pin_<owner>.tsv` in the state dir, published via
+    * the same tmp-then-atomic-rename path as the manifests, so a
+    * concurrent GC's listing sees it fully written or not at all —
+    * never torn. Re-pinning under the same owner atomically REPLACES
+    * that owner's pin (move your own handle; other owners' pins are
+    * untouched). Pinning a version with no committed manifest (never
+    * written, or already GC'd) fails loudly — a pin can only protect
+    * history that still exists.
+    *
+    * Guarantee boundary: a pin protects against every GC that LISTS
+    * pins after the pin's rename lands (GC re-reads pins at the top of
+    * its run). A pin racing an IN-FLIGHT GC — renamed after that GC
+    * already listed pins — can lose; this method therefore re-checks
+    * the manifest AFTER publishing the pin (validate-after-publish)
+    * and fails loudly if the version was cut in between, withdrawing
+    * the stale pin. The residual window (GC deletes after the
+    * re-check) degrades to the unpinned contract: the read fails
+    * FileNotFound, never returns partial state. Closing it entirely
+    * needs a lock service, which a state DIRECTORY deliberately does
+    * not have.
+    *
+    * Pins are ownership handles, not leases: nothing expires them. A
+    * crashed reader leaves its pin behind and blocks GC below it until
+    * an operator clears it ([[pinnedDeltaVersions]] to audit,
+    * [[unpinDeltaVersion]] to clear) — the fail-safe direction for a
+    * retention mechanism (storage leak, never data loss). Callers that
+    * want bounded exposure use [[withDeltaPin]], which unpins in a
+    * finally block.
+    */
+  def pinDeltaVersion(spark: SparkSession, stateDir: String,
+                      version: Long, owner: String): Unit = {
+    require(owner.nonEmpty && owner.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"pin owner must be [A-Za-z0-9._-]+, got '$owner'")
+    require(manifestVersions(spark, stateDir).contains(version),
+      s"pinDeltaVersion: no committed manifest at version $version " +
+        s"in $stateDir (never written, or already GC'd)")
+    val hfs = fsOf(spark, stateDir)
+    val tmp = new Path(s"$stateDir/_tmp_pin_$owner")
+    val dst = new Path(s"$stateDir/_pin_$owner.tsv")
+    val out = hfs.create(tmp, true)
+    try out.write(s"$version\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (hfs.exists(dst)) hfs.delete(dst, false)
+        require(hfs.rename(tmp, dst), s"pin rename failed: $tmp -> $dst")
+    }
+    // validate-after-publish: an in-flight GC that listed pins before
+    // this rename may have cut the version meanwhile — detect it now,
+    // withdraw the stale pin, and fail loudly so the caller re-resolves
+    if (!manifestVersions(spark, stateDir).contains(version)) {
+      hfs.delete(dst, false)
+      throw new IllegalStateException(
+        s"pinDeltaVersion: version $version was GC'd while pinning " +
+          s"in $stateDir — pin withdrawn, re-resolve to a live version")
+    }
+  }
+
+  /** Remove `owner`'s pin. Returns whether a pin existed. Idempotent —
+    * unpinning twice (or an owner that never pinned) is a no-op.
+    */
+  def unpinDeltaVersion(spark: SparkSession, stateDir: String,
+                        owner: String): Boolean =
+    fsOf(spark, stateDir)
+      .delete(new Path(s"$stateDir/_pin_$owner.tsv"), false)
+
+  /** Current pins: owner -> pinned version. Operator surface for
+    * auditing what blocks GC (and clearing crashed readers' pins).
+    */
+  def pinnedDeltaVersions(spark: SparkSession, stateDir: String)
+  : Map[String, Long] = {
+    val hfs = fsOf(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!hfs.exists(root)) Map.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_pin_") && n.endsWith(".tsv"))
+      .map { n =>
+        val owner = n.stripPrefix("_pin_").stripSuffix(".tsv")
+        val in = hfs.open(new Path(s"$stateDir/$n"))
+        val buf = new java.io.ByteArrayOutputStream()
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        finally in.close()
+        owner -> new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }.toMap
+  }
+
+  /** Loan-pattern read guard: pin `version`, run `f`, unpin in a
+    * finally block — the bounded-exposure way to hold history open
+    * across a long read (the pin outlives a crash only if the JVM dies
+    * inside `f`; see [[pinDeltaVersion]] for the operator story).
+    */
+  def withDeltaPin[T](spark: SparkSession, stateDir: String,
+                      version: Long, owner: String)(f: => T): T = {
+    pinDeltaVersion(spark, stateDir, version, owner)
+    try f finally unpinDeltaVersion(spark, stateDir, owner)
+  }
+
   /** Reclaim delta-layout storage: delete every `__bucket=…` directory
     * (under any `delta_v…`) NOT referenced by any manifest at or after
     * `version`, and every manifest older than `version`. After GC,
@@ -412,14 +526,20 @@ object StreamMatView {
     *    `spark.sql.files.ignoreMissingFiles=false`), never silently
     *    returns partial state — also spec-pinned;
     *  - an IN-FLIGHT reader that resolved its manifest at version k
-    *    races the cut: its snapshot stays intact only while every file
-    *    it references is still live at the cut. gcDelta does not track
-    *    readers (there is no lease/lock layer on the state dir), so the
-    *    CALLER owns the retention window: cut only to versions at least
-    *    one full reader-lifetime old (e.g. keep N versions or T hours of
-    *    history, the Delta/Iceberg `VACUUM` discipline). Readers that
-    *    may outlive the window must re-resolve and retry on
-    *    FileNotFound — the failure is always loud, never wrong data.
+    *    races the cut UNLESS it holds a pin: [[pinDeltaVersion]] clamps
+    *    every GC's effective cut to the oldest pinned version, so a
+    *    pinned read's snapshot survives any concurrent GC. Unpinned
+    *    readers keep the watermark discipline: the CALLER owns the
+    *    retention window — cut only to versions at least one full
+    *    reader-lifetime old (keep N versions or T hours of history, the
+    *    Delta/Iceberg `VACUUM` discipline) — and readers that may
+    *    outlive it must re-resolve and retry on FileNotFound; the
+    *    failure is always loud, never wrong data.
+    *
+    * Returns (bucket dirs deleted, manifests deleted) at the EFFECTIVE
+    * cut — `min(version, oldest pin)` — so a GC blocked by a pin
+    * reports the smaller reclaim honestly instead of pretending the
+    * requested cut happened.
     */
   def gcDelta(spark: SparkSession, stateDir: String, version: Long)
   : (Int, Int) = {
@@ -428,7 +548,13 @@ object StreamMatView {
     val versions = manifestVersions(spark, stateDir)
     require(versions.contains(version),
       s"gcDelta: no manifest at version $version in $stateDir")
-    val live = versions.filter(_ >= version)
+    // pins clamp the cut; listed as late as possible (after the
+    // manifest check) so the freshest pin set wins — a pin renamed
+    // after THIS listing races the cut and is handled by
+    // pinDeltaVersion's validate-after-publish re-check
+    val cut = (version +: pinnedDeltaVersions(spark, stateDir)
+      .values.toSeq).min
+    val live = versions.filter(_ >= cut)
       .flatMap(v => readManifest(spark, stateDir, v).values).toSet
     var buckets = 0
     var manifests = 0
@@ -448,7 +574,7 @@ object StreamMatView {
       } else if (st.isFile && name.startsWith("manifest_v") &&
                  name.endsWith(".tsv")) {
         val v = name.stripPrefix("manifest_v").stripSuffix(".tsv").toLong
-        if (v < version) { hfs.delete(st.getPath, false); manifests += 1 }
+        if (v < cut) { hfs.delete(st.getPath, false); manifests += 1 }
       }
     }
     (buckets, manifests)

@@ -400,4 +400,97 @@ class StreamMatViewDeltaSpec extends SparkSpec {
       assert(state(StreamMatView.readStateDelta(spark, sd, 2L)) === before)
     } finally spark.conf.unset("spark.graft.stateBuckets")
   }
+
+  test("a pin clamps gcDelta's cut; unpin releases the history") {
+    spark.conf.set("spark.graft.stateBuckets", "4")
+    try {
+      val frames = Seq(
+        Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)),
+        Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L)),
+        Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+      val dir = stage("pin", frames)
+      val sd = java.nio.file.Files.createTempDirectory("mvpin").toString
+      val fin = state(run(dir, sd))
+      val v0 = state(StreamMatView.readStateDelta(spark, sd, 0L))
+      StreamMatView.pinDeltaVersion(spark, sd, 0L, "audit")
+      assert(StreamMatView.pinnedDeltaVersions(spark, sd) ===
+        Map("audit" -> 0L))
+      // requested cut 2, effective cut 0: nothing is reclaimable
+      // (liveness is the union of ALL manifests), and the honest
+      // return reports the zero reclaim
+      assert(StreamMatView.gcDelta(spark, sd, 2L) === ((0, 0)))
+      assert(state(StreamMatView.readStateDelta(spark, sd, 0L)) === v0)
+      assert(state(StreamMatView.readStateDelta(spark, sd, 2L)) === fin)
+      // unpin -> the same cut now reclaims versions 0 and 1
+      assert(StreamMatView.unpinDeltaVersion(spark, sd, "audit"))
+      assert(!StreamMatView.unpinDeltaVersion(spark, sd, "audit"),
+        "second unpin is an idempotent no-op")
+      val (buckets, manifests) = StreamMatView.gcDelta(spark, sd, 2L)
+      assert(buckets === 8 && manifests === 2)
+      intercept[Exception] {
+        StreamMatView.readStateDelta(spark, sd, 0L).collect()
+      }
+      assert(state(StreamMatView.readStateDelta(spark, sd, 2L)) === fin)
+    } finally spark.conf.unset("spark.graft.stateBuckets")
+  }
+
+  test("the oldest pin across owners wins; re-pin moves one handle") {
+    val frames = Seq(Seq((1L, 1L)), Seq((1L, 2L)), Seq((1L, 3L)))
+    val dir = stage("pin2", frames)
+    val sd = java.nio.file.Files.createTempDirectory("mvpin2").toString
+    state(run(dir, sd))
+    StreamMatView.pinDeltaVersion(spark, sd, 0L, "slow-export")
+    StreamMatView.pinDeltaVersion(spark, sd, 1L, "audit")
+    // oldest pin (0) bounds the cut even though "audit" allows 1
+    assert(StreamMatView.gcDelta(spark, sd, 2L) === ((0, 0)))
+    assert(new java.io.File(s"$sd/manifest_v0.tsv").exists())
+    // re-pin under the same owner REPLACES that owner's handle
+    StreamMatView.pinDeltaVersion(spark, sd, 2L, "slow-export")
+    assert(StreamMatView.pinnedDeltaVersions(spark, sd) ===
+      Map("slow-export" -> 2L, "audit" -> 1L))
+    val (_, manifests) = StreamMatView.gcDelta(spark, sd, 2L)
+    assert(manifests === 1, "audit's pin at 1 still holds manifest 1")
+    assert(!new java.io.File(s"$sd/manifest_v0.tsv").exists())
+    assert(new java.io.File(s"$sd/manifest_v1.tsv").exists())
+  }
+
+  test("pinning dead history or a bad owner fails loudly") {
+    val frames = Seq(Seq((1L, 1L)), Seq((1L, 2L)))
+    val dir = stage("pin3", frames)
+    val sd = java.nio.file.Files.createTempDirectory("mvpin3").toString
+    state(run(dir, sd))
+    intercept[IllegalArgumentException] {
+      StreamMatView.pinDeltaVersion(spark, sd, 7L, "x") // never existed
+    }
+    StreamMatView.gcDelta(spark, sd, 1L)
+    intercept[IllegalArgumentException] {
+      StreamMatView.pinDeltaVersion(spark, sd, 0L, "x") // already GC'd
+    }
+    intercept[IllegalArgumentException] {
+      StreamMatView.pinDeltaVersion(spark, sd, 1L, "no/slashes")
+    }
+    assert(StreamMatView.pinnedDeltaVersions(spark, sd) === Map.empty,
+      "failed pins leave no file behind")
+  }
+
+  test("withDeltaPin unpins in a finally block, exception or not") {
+    val frames = Seq(Seq((1L, 1L)), Seq((1L, 2L)))
+    val dir = stage("pin4", frames)
+    val sd = java.nio.file.Files.createTempDirectory("mvpin4").toString
+    val fin = state(run(dir, sd))
+    val got = StreamMatView.withDeltaPin(spark, sd, 0L, "loan") {
+      assert(StreamMatView.pinnedDeltaVersions(spark, sd) ===
+        Map("loan" -> 0L))
+      state(StreamMatView.readStateDelta(spark, sd, 1L))
+    }
+    assert(got === fin)
+    assert(StreamMatView.pinnedDeltaVersions(spark, sd) === Map.empty)
+    intercept[RuntimeException] {
+      StreamMatView.withDeltaPin(spark, sd, 0L, "loan") {
+        throw new RuntimeException("reader died")
+      }
+    }
+    assert(StreamMatView.pinnedDeltaVersions(spark, sd) === Map.empty,
+      "pin released even when the loaned read throws")
+  }
 }
