@@ -203,6 +203,11 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the x100 streaming gates' memory-sink collects brush past the
+      // 1g default (q158 died at 1074.2 MiB mid-sweep, r13); only
+      // applies when THIS main creates the session — a fast-path
+      // spark-shell launcher must pass the same conf on its own
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
