@@ -2,6 +2,32 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 object Bench {
+  /** Per-run work-shape meter: task count + shuffle/input byte volumes
+    * from the scheduler's task-end events. These are the cross-round
+    * PLAN-SHAPE evidence the wall/CPU pair cannot give: this host's
+    * speed drifts round-to-round (r13: the whole board ran ~1.3x slower
+    * than r12's record at flat busy%/steal% and up to 3x the process-CPU
+    * on identical code+data — contention inflates CPU-seconds), so "CPU
+    * grew with wall" alone cannot distinguish a genuinely heavier plan
+    * from the same plan on a slower machine. Identical task counts and
+    * byte volumes across rounds prove the work was the same.
+    */
+  private final class WorkMeter extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten +
+          m.shuffleReadMetrics.totalBytesRead)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        ()
+      }
+    }
+  }
   /** Materialize every output column of `df` and return a fold of them.
     *
     * `count()` is NOT a benchmark: Catalyst prunes all columns under a
@@ -31,6 +57,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val meter = new WorkMeter
+    spark.sparkContext.addSparkListener(meter)
+    // task-end events arrive on an async bus — drain before each
+    // snapshot or the tail of one query's tasks lands on the next
+    def workSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.GraftSchedulerBridge
+        .drainListenerBus(spark.sparkContext, 10000L)
+      (meter.tasks.get, meter.shuffleBytes.get, meter.inputBytes.get)
+    }
     // This VM suffers bursty CPU steal (identical queries measured 10-30x
     // apart back-to-back); min-over-passes keeps one burst from poisoning
     // a recorded timing. Passes are INTERLEAVED (all queries pass 1, then
@@ -49,7 +84,10 @@ object Bench {
     // which THIS run overwrites at the end. Override with
     // SPARK_GRAFT_BENCH_PREV.
     case class PrevRec(path: String, q: Map[String, Double],
-                       cpuBest: Map[String, Double], flagged: Set[String])
+                       cpuBest: Map[String, Double],
+                       tasksBest: Map[String, Double],
+                       shufBest: Map[String, Double],
+                       flagged: Set[String])
     val prevRec: Option[PrevRec] = {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
@@ -79,22 +117,31 @@ object Bench {
         val quietP = obj("quiet").map { case (k, v) =>
           k -> arr(v).map(_ == JBool(true))
         }
-        // process-CPU seconds of the pass the recorded min came from
+        // per-metric value of the pass the recorded min came from
         // (the fastest QUIET pass, or the fastest overall when none is)
-        val cpuBest = qs.keys.flatMap { n =>
+        def bestIdx(n: String): Option[Int] = {
           val ws = passesP.getOrElse(n, Nil)
-          val cs = cpuP.getOrElse(n, Nil)
           val vq = quietP.getOrElse(n, ws.map(_ => true))
-          val idx = ws.zipWithIndex.zip(vq)
+          ws.zipWithIndex.zip(vq)
             .collect { case ((w, i), true) => (w, i) } match {
             case Nil => ws.zipWithIndex.sortBy(_._1).headOption.map(_._2)
             case quiet => Some(quiet.minBy(_._1)._2)
           }
-          idx.flatMap(cs.lift).filter(_ >= 0).map(n -> _)
-        }.toMap
+        }
+        def bestOf(metric: Map[String, List[Double]]): Map[String, Double] =
+          qs.keys.flatMap { n =>
+            bestIdx(n).flatMap(metric.getOrElse(n, Nil).lift)
+              .filter(_ >= 0).map(n -> _)
+          }.toMap
+        val cpuBest = bestOf(cpuP)
+        // work-shape metrics (absent in records before r13 -> empty maps)
+        val tasksBest =
+          bestOf(obj("tasks").map { case (k, v) => k -> arr(v).map(num) })
+        val shufBest = bestOf(
+          obj("shuffle_bytes").map { case (k, v) => k -> arr(v).map(num) })
         val flagged = (arr(j \ "noisy") ++ arr(j \ "host_variance"))
           .collect { case JString(s) => s }.toSet
-        PrevRec(p, qs, cpuBest, flagged)
+        PrevRec(p, qs, cpuBest, tasksBest, shufBest, flagged)
       }.toOption
     }
     // Dev bisection hook: comma-separated name prefixes to run (default all)
@@ -122,6 +169,15 @@ object Bench {
     // query genuinely did more work (plan nondeterminism).
     val cpuSecs = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // Per-pass work-shape deltas from the WorkMeter (aligned with
+    // passes): cross-round identity of task count + byte volume is the
+    // host-speed-proof evidence for the vs_prev cause tags.
+    val taskCounts = scala.collection.mutable.Map.empty[String, List[Long]]
+      .withDefaultValue(Nil)
+    val shufBytes = scala.collection.mutable.Map.empty[String, List[Long]]
+      .withDefaultValue(Nil)
+    val inBytes = scala.collection.mutable.Map.empty[String, List[Long]]
+      .withDefaultValue(Nil)
     def cpuTicks() = HostLoad.cpuTicks()
     val errors = scala.collection.mutable.Map.empty[String, String]
     // Noise gate (r9 verdict ask #5): a pass is QUIET iff its steal% is
@@ -141,6 +197,7 @@ object Bench {
       // (tracked in CacheScope) would otherwise serve later passes from
       // cache. Targeted release, not clearCache — see Verify.
       CacheScope.releaseAll()
+      val w0 = workSnapshot()
       val ticks0 = cpuTicks()
       val cpu0 = HostLoad.processCpuSeconds()
       val t0 = System.nanoTime()
@@ -160,6 +217,10 @@ object Bench {
         passes(name) = passes(name) :+ dt
         loads(name) = loads(name) :+ ((stealPct, busyPct))
         cpuSecs(name) = cpuSecs(name) :+ cpuDt
+        val w1 = workSnapshot()
+        taskCounts(name) = taskCounts(name) :+ (w1._1 - w0._1)
+        shufBytes(name) = shufBytes(name) :+ (w1._2 - w0._2)
+        inBytes(name) = inBytes(name) :+ (w1._3 - w0._3)
         valid(name) = valid(name) :+ quiet
         if (quiet && dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
@@ -287,38 +348,84 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Cross-round comparator: per-query ratio vs the previous record,
     // with a mechanical cause tag on every >1.15x row so a regression
-    // can never again sit unexplained in the artifact:
+    // can never again sit unexplained in the artifact. Tag ladder, most
+    // evidence-backed first:
     //  - "ambient-flagged": either round's record flagged the query
     //    (noisy / host_variance) — its min has no quiet footing;
+    //  - "same-shape": BOTH rounds carry work-shape metrics and they
+    //    match (task count within 2%, shuffle volume within 5%) — the
+    //    engine did the identical work, so the wall moved with the
+    //    machine, not the plan (r13 finding: this host's speed drifts
+    //    ~1.3x board-wide between rounds at flat busy%/steal%, and
+    //    contention inflates process-CPU up to 3x on identical work —
+    //    which the CPU heuristic below would misread as work-increase);
+    //  - "work-increase": shape metrics present and materially
+    //    different — the query provably did more work (code or plan
+    //    change); without shape metrics, the CPU heuristic's best
+    //    guess when CPU grew with the wall;
+    //  - "board-shift": the whole board moved (median ratio > 1.10)
+    //    and this row moved WITH it (within 15% of the median) — a
+    //    code change cannot slow 250 unrelated queries uniformly, a
+    //    host-speed change can;
     //  - "ambient": wall grew but the min-pass process-CPU did not
     //    track it (the host descheduled us — same work, slower clock);
-    //  - "work-increase": CPU grew with the wall — the query genuinely
-    //    did more work (a code or plan change; board growth shifts JIT
-    //    and cache pressure this way too);
     //  - "unattributed": no comparable CPU sample in one of the rounds.
     val vsPrev = prevRec.map { pr =>
-      def cpuOfBestNow(n: String): Option[Double] = {
-        val ws = passes(n); val cs = cpuSecs(n); val vq = valid(n)
-        val idx = ws.zipWithIndex.zip(vq)
+      def bestNowIdx(n: String): Option[Int] = {
+        val ws = passes(n); val vq = valid(n)
+        ws.zipWithIndex.zip(vq)
           .collect { case ((w, i), true) => (w, i) } match {
           case Nil => ws.zipWithIndex.sortBy(_._1).headOption.map(_._2)
           case quiet => Some(quiet.minBy(_._1)._2)
         }
-        idx.flatMap(cs.lift).filter(_ >= 0)
       }
+      def cpuOfBestNow(n: String): Option[Double] =
+        bestNowIdx(n).flatMap(cpuSecs(n).lift).filter(_ >= 0)
+      def taskOfBestNow(n: String): Option[Long] =
+        bestNowIdx(n).flatMap(taskCounts(n).lift)
+      def shufOfBestNow(n: String): Option[Long] =
+        bestNowIdx(n).flatMap(shufBytes(n).lift)
       val common = results.keySet.intersect(pr.q.keySet)
         .filter(n => pr.q(n) > 0).toSeq.sorted
       val ratios = common.map(n => n -> results(n) / pr.q(n))
       val med = median(ratios.map(_._2).toList)
       val newQs = (results.keySet -- pr.q.keySet).toSeq.sorted
+      // board-level host-efficiency signal: total min-pass process-CPU
+      // across the queries both rounds can price — same work at >1
+      // means the machine burned more cycles per unit of work
+      val cpuPair = common.flatMap(n =>
+        for { a <- cpuOfBestNow(n); b <- pr.cpuBest.get(n) if b > 0 }
+          yield (a, b))
+      val cpuSumRatio =
+        if (cpuPair.isEmpty) None
+        else Some(cpuPair.map(_._1).sum / cpuPair.map(_._2).sum)
       val regs = ratios.filter(_._2 > 1.15).sortBy(-_._2).map {
         case (n, r) =>
           val cpuRatio = for {
             a <- cpuOfBestNow(n); b <- pr.cpuBest.get(n) if b > 0
           } yield a / b
+          val tasksRatio = for {
+            a <- taskOfBestNow(n); b <- pr.tasksBest.get(n) if b > 0
+          } yield a / b
+          val shufPair = for {
+            a <- shufOfBestNow(n); b <- pr.shufBest.get(n)
+          } yield (a.toDouble, b)
+          val shapeKnown = tasksRatio.nonEmpty && shufPair.nonEmpty
+          val sameShape =
+            tasksRatio.exists(tr => tr >= 0.98 && tr <= 1.02) &&
+              shufPair.exists { case (a, b) =>
+                // sub-MB shuffles on both sides count as equal: their
+                // byte counts jitter with partitioning metadata
+                (a < 1e6 && b < 1e6) ||
+                  (b > 0 && a / b >= 0.95 && a / b <= 1.05)
+              }
+          val normRatio = if (med > 0) r / med else r
           val cause =
             if (neverQuiet.contains(n) || hostVar.contains(n) ||
               pr.flagged(n)) "ambient-flagged"
+            else if (shapeKnown && sameShape) "same-shape"
+            else if (shapeKnown) "work-increase"
+            else if (med > 1.10 && normRatio <= 1.15) "board-shift"
             else cpuRatio match {
               // wall moved r-1 but CPU covered less than half of it
               case Some(cr) if cr - 1.0 <= (r - 1.0) / 2 => "ambient"
@@ -326,18 +433,34 @@ object Bench {
               case None => "unattributed"
             }
           jstr(n) + s""":{"prev":${f3g(pr.q(n))},"now":${f3g(results(n))}""" +
-            s""","ratio":${f3g(r)}""" +
+            s""","ratio":${f3g(r)},"norm_ratio":${f3g(normRatio)}""" +
             cpuRatio.map(cr => s""","cpu_ratio":${f3g(cr)}""").getOrElse("") +
+            tasksRatio.map(tr => s""","tasks_ratio":${f3g(tr)}""")
+              .getOrElse("") +
+            shufPair.map { case (a, b) =>
+              s""","shuffle_ratio":${f3g(if (b > 0) a / b else -1.0)}"""
+            }.getOrElse("") +
             s""","cause":${jstr(cause)}}"""
       }.mkString("{", ",", "}")
       s""""vs_prev":{"record":${jstr(pr.path)},"compared":${common.size}""" +
         s""","median_ratio":${f3g(med)}""" +
+        cpuSumRatio.map(c => s""","cpu_sum_ratio":${f3g(c)}""")
+          .getOrElse("") +
         s""","new_queries":${newQs.map(jstr).mkString("[", ",", "]")}""" +
         s""","regressions_gt_1.15":$regs}"""
     }
     val vsPrevFull = vsPrev.map("," + _).getOrElse("")
+    // work-shape arrays (aligned with passes): the cross-round
+    // plan-identity evidence for future rounds' vs_prev cause tags
+    def longMap(m: scala.collection.Map[String, List[Long]]): String =
+      m.map { case (k, vals) =>
+        jstr(k) + ":" + vals.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val tks = longMap(taskCounts)
+    val sbs = longMap(shufBytes)
+    val ibs = longMap(inBytes)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"cpu":$cs,"quiet":$vs,"noisy":$noisyArr,"host_variance":$hostVarArr,"quiet_steal_pct":$quietSteal,"errors":$errs$vsPrevFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"passes":$ps,"load":$ls,"cpu":$cs,"tasks":$tks,"shuffle_bytes":$sbs,"input_bytes":$ibs,"quiet":$vs,"noisy":$noisyArr,"host_variance":$hostVarArr,"quiet_steal_pct":$quietSteal,"errors":$errs$vsPrevFull,"sf":"$sfDir"}"""
     // Persist the FULL record (per-pass timings, medians) to a file first:
     // the driver keeps only a bounded TAIL of stdout, and r4/r5 both lost
     // the artifact because the full JSON line (~12 KB at 88 queries)

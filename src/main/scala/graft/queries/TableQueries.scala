@@ -147,7 +147,20 @@ private[graft] object TableQueries extends QuerySlice {
     "q105_bucketed_join" -> ((s, d) => {
       val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
       val (ordersT, liT) = (s"graft_q105_orders$tag", s"graft_q105_li$tag")
-      if (!s.catalog.tableExists(ordersT)) {
+      // A catalog entry alone does not prove the data still exists: the
+      // derby metastore persists in the working dir across sessions,
+      // but the staged temp dirs it points at are removed by Staging's
+      // shutdown hook at JVM exit — a table registered by a PREVIOUS
+      // session lists as existing here and scans as empty (r13: q105
+      // returned 0 rows to a fresh Verify after a bench session's hook
+      // cleaned its staging). Trust a table only if it still has rows;
+      // otherwise drop the pair and rebuild into THIS session's staging.
+      def live(t: String): Boolean =
+        s.catalog.tableExists(t) &&
+          scala.util.Try(!s.table(t).isEmpty).getOrElse(false)
+      if (!(live(ordersT) && live(liT))) {
+        s.sql(s"DROP TABLE IF EXISTS $ordersT")
+        s.sql(s"DROP TABLE IF EXISTS $liT")
         val dir = graft.sources.Staging.once(s"q105:$d") { _ => () }
         graft.sources.Bucketing.writeBucketed(
           Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),

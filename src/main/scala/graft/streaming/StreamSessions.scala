@@ -40,7 +40,7 @@ object StreamSessions {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }

@@ -48,4 +48,34 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_dims")
     }
   }
+
+  test("q105 rebuilds its bucketed tables when the catalog entry " +
+    "outlives the staged data") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q105_bucketed_join")
+    val first = q(spark, d)
+    assert(first.count() === 5)
+    // simulate the cross-session failure mode: the derby metastore
+    // persists in the working dir, but Staging's shutdown hook removes
+    // the staged temp dirs at JVM exit — the next session then sees
+    // tableExists=true over a deleted location and scans empty. Here:
+    // empty both table locations in-place, then re-run the query.
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    for (t <- Seq(s"graft_q105_orders$tag", s"graft_q105_li$tag")) {
+      val loc = new java.net.URI(spark.sql(s"DESCRIBE FORMATTED $t")
+        .filter(col("col_name") === "Location")
+        .select("data_type").head().getString(0))
+      val dir = new java.io.File(loc.getPath)
+      assert(dir.exists(), s"expected a live location for $t at $dir")
+      graft.streaming.StreamSessions.deleteRecursively(dir)
+      assert(!dir.exists())
+    }
+    // refresh cached file listings so the scan reflects the deletion
+    // (a fresh session has no such cache; this keeps the simulation
+    // honest inside one JVM)
+    spark.sql("CLEAR CACHE")
+    val again = q(spark, d)
+    assert(again.count() === 5,
+      "q105 must detect the stale catalog entry and rebuild")
+  }
 }
