@@ -369,6 +369,14 @@ object Bench {
     //    host-speed change can;
     //  - "ambient": wall grew but the min-pass process-CPU did not
     //    track it (the host descheduled us — same work, slower clock);
+    //  - "contention": this row's CPU inflation is within 1.5x of the
+    //    BOARD's CPU inflation (cpu_sum_ratio) while the board itself
+    //    inflated (> 1.10) — cycles-per-work rose machine-wide
+    //    (neighbor memory-bandwidth pressure), this row included.
+    //    Contention sensitivity varies per query (r13: shuffle- and
+    //    micro-batch-heavy queries inflated 2-4x against a 1.6x board;
+    //    a streaming query's scheduler overhead scales with WALL, so
+    //    host slowness compounds its CPU), hence the slack;
     //  - "unattributed": no comparable CPU sample in one of the rounds.
     val vsPrev = prevRec.map { pr =>
       def bestNowIdx(n: String): Option[Int] = {
@@ -429,6 +437,8 @@ object Bench {
             else cpuRatio match {
               // wall moved r-1 but CPU covered less than half of it
               case Some(cr) if cr - 1.0 <= (r - 1.0) / 2 => "ambient"
+              case Some(cr) if cpuSumRatio.exists(b =>
+                b > 1.10 && cr <= b * 1.5) => "contention"
               case Some(_) => "work-increase"
               case None => "unattributed"
             }
