@@ -316,6 +316,36 @@ private[graft] object GeoQueries extends QuerySlice {
         .groupBy("gh")
         .agg(count(lit(1)).as("n_pings"),
           count_distinct(col("uid")).as("n_users"))),
+
+    // F2 euclidean metric gate (GeoFunctions.euclideanDegrees, the
+    // reference's alternate planar metric — utils.py:315-329): per-user
+    // consecutive-ping steps. The float-parity discipline holds: the
+    // sqrt/pow distance is used ONLY in a comparison (near = step within
+    // 0.005 deg; the fixture's steps are either < 2e-5 within a dwell
+    // site or > 0.014 between sites, so the cut is ulp-safe), while the
+    // EMITTED magnitudes are the squared steps in integer 1e-14 units —
+    // dx*dx + dy*dy is a fixed-order chain of single correctly-rounded
+    // IEEE ops, bit-identical in any engine.
+    "q251_euclidean_steps" -> ((s, d) => {
+      val w = Window.partitionBy("uid").orderBy(col("timestamp"), col("event_id"))
+      val p = Tables.pings(s, d)
+        .withColumn("plat", lag("latitude", 1).over(w))
+        .withColumn("plon", lag("longitude", 1).over(w))
+        .filter(col("plat").isNotNull)
+      val dx = col("latitude") - col("plat")
+      val dy = col("longitude") - col("plon")
+      p.select(
+          col("uid"),
+          round((dx * dx + dy * dy) * lit(1e14), 0).cast("long").as("d2"),
+          (graft.functions.GeoFunctions.euclideanDegrees(
+            col("plat"), col("plon"),
+            col("latitude"), col("longitude")) <= lit(0.005)).as("near"))
+        .groupBy("uid")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("near"), 1L).otherwise(0L)).as("n_near"),
+          sum("d2").as("sum_d2_e14"),
+          max("d2").as("max_d2_e14"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -785,5 +815,27 @@ private[graft] object GeoQueries extends QuerySlice {
         |    WHEN pts IS NOT NULL THEN pv
         |    WHEN nts IS NOT NULL THEN nv END, 6) AS interp
         |FROM f WHERE side = 1""".stripMargin,
+
+    // q251: identical dx*dx + dy*dy operand order as the Spark side; the
+    // sqrt(pow..) form appears only inside the 0.005-deg comparison
+    "q251_euclidean_steps" -> (s"WITH ${Tables.pingsSql},\n" +
+      """steps AS (
+        |  SELECT uid,
+        |    latitude - lag(latitude) OVER w AS dx,
+        |    longitude - lag(longitude) OVER w AS dy,
+        |    lag(latitude) OVER w AS plat
+        |  FROM pings
+        |  WINDOW w AS (PARTITION BY uid ORDER BY "timestamp", event_id)),
+        |d AS (
+        |  SELECT uid,
+        |    CAST(round((dx * dx + dy * dy) * 1e14, 0) AS BIGINT) AS d2,
+        |    CASE WHEN sqrt(pow(dx, 2) + pow(dy, 2)) <= 0.005
+        |      THEN 1 ELSE 0 END AS near
+        |  FROM steps WHERE plat IS NOT NULL)
+        |SELECT uid, CAST(count(*) AS BIGINT) AS n_steps,
+        |  CAST(sum(near) AS BIGINT) AS n_near,
+        |  CAST(sum(d2) AS BIGINT) AS sum_d2_e14,
+        |  CAST(max(d2) AS BIGINT) AS max_d2_e14
+        |FROM d GROUP BY uid""".stripMargin),
   )
 }
