@@ -163,11 +163,17 @@ object Dedup {
                          shingleN: Int, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "verifyPairsJaccard: threshold must be a rational in (0, 1]")
-    val arrs = TextFunctions.explodedShingles(docs, idCol, textCol, shingleN)
-      .select(col("id").as("doc_id"), col("shingle").as("e"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(collect_list(col("e")).as("arr"), count(lit(1)).as("n"))
+    // per-doc distinct shingle-hash arrays straight off the scan (no
+    // explode/distinct/collect_list shuffles — the q23/q47/q56/q69
+    // hashed-shingle discipline; intersect counts are unchanged at
+    // 64-bit collision odds ~1e-15/pair)
+    val arrs = docs
+      .select(col(idCol).as("doc_id"),
+        graft.plans.WordShingleHashes(
+          coalesce(split(col(textCol), " "), array(lit(""))), shingleN)
+          .as("arr"))
+      .filter(size(col("arr")) > 0)
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n"))
     pairs.select("id_a", "id_b")
       .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("ea"),
         col("n").as("na")), "id_a")
@@ -699,27 +705,35 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "setSimilarityJoin: threshold must be a rational in (0, 1]")
     val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
-    // the element frame feeds FIVE consumers (sizes, dfs, the prefix
-    // build, and both verify-array sides) — persist it once or every
-    // consumer re-runs the shingle explode (the plan audit counts the
-    // Generates). Registered with CacheScope; callers release after
-    // materializing.
-    val el = graft.CacheScope.track(TextFunctions.explodedShingles(
-      docs.repartition(spread, col(idCol)), idCol, textCol, shingleN)
-      .select(col("id").as("doc_id"), col("shingle").as("e"))
-      .distinct()
+    // Per-doc DISTINCT shingle-hash arrays in one compiled scan pass
+    // (WordShingleHashes — the q23/q47/q56/q69 discipline): 8-byte longs
+    // replace shingle strings on every exchange and in the verify
+    // intersect (64-bit collision odds ~1e-15/pair leave the exact
+    // Jaccard values unchanged), the explode->distinct shuffle
+    // disappears (the expression dedups in-row), and set sizes come from
+    // size(arr) instead of a count aggregate + join. The persisted array
+    // frame feeds the element explode AND both verify sides. Registered
+    // with CacheScope; callers release after materializing.
+    val arrs = graft.CacheScope.track(docs.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.plans.WordShingleHashes(
+          coalesce(split(col(textCol), " "), array(lit(""))), shingleN)
+          .as("arr"))
+      .filter(size(col("arr")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val el = arrs.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("e"))
     val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
     // rarest-first prefix per doc: sort (df, e) structs in-array, slice
     // the first n - ceil(t*n) + 1 = n - (n*tNum + tDen - 1) div tDen + 1.
-    // Persisted too: the candidate self-join consumes it on BOTH sides,
-    // and an unpersisted plan re-runs the df join + per-doc sort twice.
+    // (Any consistent global element order keeps the filter lossless; the
+    // hash order replaces the string order.) Persisted: the candidate
+    // self-join consumes it on BOTH sides, and an unpersisted plan
+    // re-runs the df join + per-doc sort twice.
     val pref = graft.CacheScope.track(el.join(dfreq, "e")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("e"))))
-        .as("elems"))
-      .join(sz, "doc_id")
+        .as("elems"), min(col("n")).as("n"))
       .select(col("doc_id"), col("n"),
         posexplode(slice(col("elems"), lit(1),
           (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
@@ -765,8 +779,8 @@ object Dedup {
     // two hash joins + an in-row array_intersect, instead of re-exploding
     // every candidate by its elements through a shuffle join and
     // re-aggregating (measured 2x at sf0.1 — the expansion join moved
-    // |cand| * avg-set-size rows)
-    val arrs = el.groupBy("doc_id").agg(collect_list(col("e")).as("arr"))
+    // |cand| * avg-set-size rows). The arrays come straight off the
+    // cached scan — no collect_list re-aggregation.
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("ea")),
         "id_a")
@@ -954,20 +968,27 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "containmentJoin: threshold must be a rational in (0, 1]")
     val spread = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val el = graft.CacheScope.track(TextFunctions.explodedShingles(
-      docs.repartition(spread, col(idCol)), idCol, textCol, shingleN)
-      .select(col("id").as("doc_id"), col("shingle").as("e"))
-      .distinct()
+    // same hashed-shingle-array scan as setSimilarityJoin: distinct
+    // 64-bit shingle hashes per doc in one compiled pass, longs on every
+    // exchange, arrays reused by the verify sides (q23/q47/q56/q69
+    // discipline; any consistent global element order keeps the prefix
+    // filter lossless)
+    val arrs = graft.CacheScope.track(docs.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.plans.WordShingleHashes(
+          coalesce(split(col(textCol), " "), array(lit(""))), shingleN)
+          .as("arr"))
+      .filter(size(col("arr")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sz = el.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val el = arrs.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("e"))
     val dfreq = el.groupBy("e").agg(count(lit(1)).as("df"))
     // persisted: consumed by the breaker's pricing aggregate AND the
     // candidate join — unpersisted, the df join + per-doc sort runs twice.
     val pref = graft.CacheScope.track(el.join(dfreq, "e")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("e"))))
-        .as("elems"))
-      .join(sz, "doc_id")
+        .as("elems"), min(col("n")).as("n"))
       .select(col("doc_id").as("id_a"), col("n").as("na"),
         explode(slice(col("elems"), lit(1),
           (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
@@ -985,14 +1006,13 @@ object Dedup {
         .head().getLong(0)
       checkCandidateBudget("containmentJoin", est, contCap)
     }
-    val full = el.join(sz, "doc_id")
+    val full = el
       .select(col("doc_id").as("id_b"), col("n").as("nb"), col("e"))
     val cand = pref.join(full, "e")
       .filter(col("id_a") =!= col("id_b") &&
         col("nb") * tDen >= lit(tNum) * col("na"))
       .select("id_a", "id_b", "na", "nb")
       .distinct()
-    val arrs = el.groupBy("doc_id").agg(collect_list(col("e")).as("arr"))
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("arr").as("ea")),
         "id_a")
