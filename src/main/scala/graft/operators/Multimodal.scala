@@ -43,6 +43,19 @@ object Multimodal {
   def byteHistogram(payload: Array[Byte], dim: Int): Array[Float] =
     decodeStub(payload, dim)
 
+  /** ImageIO's convenience `read(InputStream)`/`write(..., OutputStream)`
+    * wrap the stream in a FILE-backed cache by default
+    * (`FileCacheImageInputStream`): one temp-file create+write+delete in
+    * `java.io.tmpdir` PER PAYLOAD — pure fixed cost for in-memory byte
+    * payloads, disk-bound at high task counts, and it serializes on the
+    * filesystem rather than scaling with cores. Memory-cached streams are
+    * the right mode for byte-array payloads; the toggle is a plain static
+    * boolean on the JVM, idempotent and race-free to set repeatedly.
+    * Called once per partition by every ImageIO-touching kernel.
+    */
+  private def imageIoMemCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     var i = 0
@@ -96,6 +109,7 @@ object Multimodal {
     require(dim >= 5, s"dim must hold [w, h, mean_r, mean_g, mean_b]: $dim")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      imageIoMemCache()
       it.flatMap { m =>
         // NonFatal, not just IOException: several ImageIO readers throw
         // RuntimeExceptions (IllegalArgumentException, CMMException,
@@ -151,6 +165,7 @@ object Multimodal {
   def synthImages(df: DataFrame, idCol: String): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long")).as[Long].map { id =>
+      imageIoMemCache()
       // floorMod: a negative id under Scala's signed % would yield a
       // non-positive width and BufferedImage throws; floorMod keeps the
       // same values for the non-negative fixture ids and stays total
@@ -198,6 +213,7 @@ object Multimodal {
     require(dstW > 0 && dstH > 0, s"dst dims must be positive: $dstW x $dstH")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      imageIoMemCache()
       it.flatMap { m =>
         val img = try {
           Option(javax.imageio.ImageIO.read(
@@ -276,6 +292,7 @@ object Multimodal {
   def perceptualHashes(media: Dataset[MediaItem]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      imageIoMemCache()
       it.flatMap(m => aHash(m.payload).map { case (hi, lo) =>
         (m.media_id, hi, lo)
       })
@@ -295,6 +312,7 @@ object Multimodal {
         col(tsCol).cast("timestamp"))
       .as[(Long, Array[Byte], java.sql.Timestamp)]
       .mapPartitions { it =>
+        imageIoMemCache()
         it.flatMap { case (id, payload, ts) =>
           aHash(payload).map { case (hi, lo) => (id, ts, hi, lo) }
         }
