@@ -386,7 +386,7 @@ object StreamSessions {
     * final aggregate — so the lift adds no new scale cost.)
     */
   def runToCompletion(df: DataFrame, namePrefix: String,
-                      statePartitions: Int = 8): DataFrame =
+                      statePartitions: Int = 4): DataFrame =
     runAndLift(df, namePrefix, "complete", statePartitions)
 
   /** Append-mode twin of [[runToCompletion]] for streaming operators that
@@ -396,7 +396,7 @@ object StreamSessions {
     * file set ARE the final answer (first arrival per key).
     */
   def runToCompletionAppend(df: DataFrame, namePrefix: String,
-                            statePartitions: Int = 8): DataFrame =
+                            statePartitions: Int = 4): DataFrame =
     runAndLift(df, namePrefix, "append", statePartitions)
 
   /** `statePartitions` sizes the stateful operators' state-store count:
@@ -408,7 +408,24 @@ object StreamSessions {
     * 9.6 s -> 4.3 s on the q110 join at 8 stores). The conf is set only
     * around `start()` and restored after; pass 0 to leave the session
     * value untouched (production jobs size it to their own key
-    * cardinality).
+    * cardinality). Default 4: the gate state is ~20k rows, and each
+    * halving of the store count removes a batch's worth of per-store
+    * commits (measured 4.2 s -> 3.1 s on the q110 join going 8 -> 4;
+    * flat from 4 -> 2, so 4 keeps multi-partition state exercised at the
+    * knee of the curve).
+    *
+    * No-data micro-batches are disabled for the gate run (restored
+    * after): AvailableNow appends one trailing 0-row batch whose only
+    * job is to fire watermark-eviction work — it costs a full
+    * state-store load+commit round (~1 s measured on q110) and, for
+    * every gate on the board, emits nothing: complete-mode gates re-emit
+    * on the last DATA batch, append emissions are arrival-driven, and
+    * the watermark-buffered automata (q97) drain inside their trailing
+    * pusher DATA batch by design. The ORACLE gates adjudicate this:
+    * every streaming query hash-matches DuckDB at sf0.01 and sf0.1 with
+    * the trailing batch off. Production streams (continuous triggers)
+    * keep their session default — the override lives only around the
+    * gate's start().
     */
   private def runAndLift(df: DataFrame, namePrefix: String,
                          mode: String, statePartitions: Int): DataFrame = {
@@ -424,7 +441,10 @@ object StreamSessions {
       .contains("true")
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedNoData = spark.conf.getOption(noDataKey)
     if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    spark.conf.set(noDataKey, "false")
     val q = try {
       val writer = df.writeStream
         .outputMode(mode)
@@ -434,7 +454,13 @@ object StreamSessions {
          else writer.format("memory").queryName(name)).start()
       try started.processAllAvailable() finally started.stop()
       started
-    } finally if (statePartitions > 0) spark.conf.set(key, saved)
+    } finally {
+      if (statePartitions > 0) spark.conf.set(key, saved)
+      savedNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+    }
     q.exception.foreach(throw _)
     // progress -> metrics: peak of the per-batch state-store row totals,
     // total input rows, batch count (recentProgress keeps the last 100
