@@ -1087,24 +1087,21 @@ object Dedup {
     * smallest-id-wins contract, row-level output like q56).
     *
     * Returns every input row with (canonical_url, n_urls, keep) — `keep`
-    * marks the canonical group's minimum id. One hash-aggregate shuffle
-    * on the 16-byte md5 of the canonical form (the q15 discipline: the
-    * URL string itself never crosses the exchange), then a key-sized
-    * join back; strategy left to AQE.
+    * marks the canonical group's minimum id. ONE exchange on the 16-byte
+    * md5 of the canonical form (the q15 discipline: the URL string itself
+    * is not the shuffle key), with both group facts (count, min id) as
+    * window aggregates over it — the earlier aggregate+join-back form
+    * ran the canonicalizer subtree twice (once under the aggregate, once
+    * on the probe side) and paid a second exchange for the join.
     */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    val canon = df.withColumn("canonical_url",
-      TextFunctions.canonicalizeUrl(col(urlCol)))
-    val groups = canon
-      .select(md5(col("canonical_url").cast("binary")).as("__ck"),
-        col(idCol).as("__id"))
-      .groupBy("__ck")
-      .agg(min(col("__id")).as("__keep_id"), count(lit(1)).as("n_urls"))
-    canon
+    val w = Window.partitionBy("__ck")
+    df.withColumn("canonical_url",
+        TextFunctions.canonicalizeUrl(col(urlCol)))
       .withColumn("__ck", md5(col("canonical_url").cast("binary")))
-      .join(groups, "__ck")
-      .withColumn("keep", col(idCol) === col("__keep_id"))
-      .drop("__ck", "__keep_id")
+      .withColumn("n_urls", count(lit(1)).over(w))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+      .drop("__ck")
   }
 
   /** Exact substring deduplication at token granularity L — the

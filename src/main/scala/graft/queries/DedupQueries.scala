@@ -312,12 +312,17 @@ private[graft] object DedupQueries extends QuerySlice {
           synthUrlFrame(dd.select("doc_id"), siteMod = 5, pathMod = 40,
             idMod = 23), "url", "doc_id")
         .select(col("doc_id"), col("keep").as("url_keep"))
-      val keyed = dd.join(urlKeep, "doc_id")
+      // content keeper as a window over the nk exchange: the aggregate+
+      // left-join-back form ran the (join + normalize + md5) subtree
+      // twice and paid two extra exchanges; min-over-survivors in the
+      // same nk partition is the identical keeper rule (url_dup rows are
+      // caught by the first branch regardless of ck)
+      val wNk = Window.partitionBy("nk")
+      dd.join(urlKeep, "doc_id")
         .withColumn("nk", md5(
           graft.operators.Dedup.normalizeText(col("text")).cast("binary")))
-      val contentKeep = keyed.filter(col("url_keep"))
-        .groupBy("nk").agg(min("doc_id").as("ck"))
-      keyed.join(contentKeep, Seq("nk"), "left")
+        .withColumn("ck",
+          min(when(col("url_keep"), col("doc_id"))).over(wNk))
         .select(col("doc_id"),
           when(!col("url_keep"), lit("url_dup"))
             .when(col("doc_id") =!= col("ck"), lit("content_dup"))
