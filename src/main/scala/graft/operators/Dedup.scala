@@ -902,11 +902,17 @@ object Dedup {
         (col("pos") - col("start") + 1).cast("long").as("chunk_len"),
         md5(col("t").substr(col("start").cast("int"),
           (col("pos") - col("start") + 1).cast("int"))).as("fp"))
-    val sharedFps = chunks.groupBy("fp")
-      .agg(count_distinct(col("id")).as("__nd"))
-    chunks.join(sharedFps, Seq("fp"))
+    // shared = "appears in >= 2 distinct docs" as a window over one
+    // fp exchange (max(id) != min(id) — distinct aggregates are not
+    // window-legal, extrema are): the count_distinct+join-back form
+    // re-ran the whole char-explode + rolling-hash subtree on the
+    // join's probe side
+    val wFp = Window.partitionBy("fp")
+    chunks
+      .withColumn("shared",
+        max(col("id")).over(wFp) =!= min(col("id")).over(wFp))
       .select(col("id").as(idCol), col("chunk_idx"), col("chunk_len"),
-        col("fp"), (col("__nd") > 1).as("shared"))
+        col("fp"), col("shared"))
   }
 
   /** Duplicate-cluster profile — the curation report behind a dedup
@@ -1145,10 +1151,14 @@ object Dedup {
       .select(col("id"), col("p"),
         md5(array_join(slice(col("arr"), col("p") + 1, lit(l)), " ")
           .cast("binary")).as("g"))
-    val firsts = grams.groupBy("g")
-      .agg(min(struct(col("id"), col("p"))).as("f"),
-        count(lit(1)).as("c"))
-    val dups = grams.join(firsts, "g")
+    // first-occurrence and multiplicity as WINDOW aggregates over one
+    // g-keyed exchange: the groupBy+join-back form re-ran the whole
+    // gram explode+md5 pass on the join's probe side (non-cached
+    // subtrees are not shared across a self-join)
+    val wG = Window.partitionBy("g")
+    val dups = grams
+      .withColumn("f", min(struct(col("id"), col("p"))).over(wG))
+      .withColumn("c", count(lit(1)).over(wG))
       .filter(col("c") >= 2 &&
         !(col("id") === col("f.id") && col("p") === col("f.p")))
     val removed = dups
