@@ -58,6 +58,14 @@ object Macro {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing floor (see Bench.scala): keeps CPU-dense tiny
+      // shuffles parallel at gate scale; inert at production sizes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
+      // cached-plan AQE re-partitioning (see Bench.scala)
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -10,6 +10,14 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing floor (see Bench.scala): keeps CPU-dense tiny
+      // shuffles parallel at gate scale; inert at production sizes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
+      // cached-plan AQE re-partitioning (see Bench.scala)
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.001"

@@ -12,6 +12,18 @@ object QBench {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing floor (see Bench.scala): keeps CPU-dense tiny
+      // shuffles parallel at gate scale; inert at production sizes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
+      // Let AQE re-partition cached-plan materializations too (default
+      // false): the repo's operator persists otherwise materialize at the
+      // session's full shuffle width and every InMemoryTableScan consumer
+      // inherits it — measured r13: q17 3.3->2.5 s, q245 2.9->1.9 s with
+      // the flag on, no regressions (results are partitioning-blind).
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def gcMs: Long = {

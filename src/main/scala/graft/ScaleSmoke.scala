@@ -203,6 +203,14 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing floor (see Bench.scala): keeps CPU-dense tiny
+      // shuffles parallel at gate scale; inert at production sizes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
+      // cached-plan AQE re-partitioning (see Bench.scala)
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // the x100 streaming gates' memory-sink collects brush past the
       // 1g default (q158 died at 1074.2 MiB mid-sweep, r13); only
       // applies when THIS main creates the session — a fast-path

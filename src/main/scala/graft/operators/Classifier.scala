@@ -89,10 +89,15 @@ object Classifier {
                        predCol: String): DataFrame = {
     val t = col(truthCol)
     val p = col(predCol)
-    val byTruth = pred.groupBy(t.as("class"))
+    // persisted: the truth-keyed and pred-keyed aggregates are two
+    // consumers — unpersisted, the caller's whole scoring pipeline
+    // (q246: the full NB train+score) runs twice
+    val cached = graft.CacheScope.track(pred
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val byTruth = cached.groupBy(t.as("class"))
       .agg(sum(when(p === t, 1L).otherwise(0L)).as("tp"),
         sum(when(p =!= t, 1L).otherwise(0L)).as("fn"))
-    val byPred = pred.groupBy(p.as("class"))
+    val byPred = cached.groupBy(p.as("class"))
       .agg(sum(when(p =!= t, 1L).otherwise(0L)).as("fp"))
     byTruth.join(byPred, Seq("class"), "full_outer")
       .select(col("class"),
