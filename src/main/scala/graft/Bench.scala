@@ -57,11 +57,11 @@ object Bench {
       // sub-1MB-per-core shuffles into ONE partition (default
       // minPartitionSize 1m), which serializes CPU-dense tiny shuffles —
       // the stop-detect window/median/DBSCAN pipeline ran 1-wide for
-      // ~1.2 s/stage at sf0.1. A 64k floor keeps those parallel; at
+      // ~1.2 s/stage at sf0.1. A 128k floor keeps those parallel; at
       // production sizes bytes/parallelism >> 64k, so the floor is inert
       // (measured r13: q12-q18/q84 family -25..-45%, no regressions).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "64k")
+        "128k")
       // Let AQE re-partition cached-plan materializations too (default
       // false): the repo's operator persists otherwise materialize at the
       // session's full shuffle width and every InMemoryTableScan consumer

@@ -15,7 +15,7 @@ object QBench {
       // AQE coalescing floor (see Bench.scala): keeps CPU-dense tiny
       // shuffles parallel at gate scale; inert at production sizes
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "64k")
+        "128k")
       // Let AQE re-partition cached-plan materializations too (default
       // false): the repo's operator persists otherwise materialize at the
       // session's full shuffle width and every InMemoryTableScan consumer

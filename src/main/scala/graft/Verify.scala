@@ -33,7 +33,7 @@ object Verify {
       // AQE coalescing floor (see Bench.scala): keeps CPU-dense tiny
       // shuffles parallel at gate scale; inert at production sizes
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "64k")
+        "128k")
       // cached-plan AQE re-partitioning (see Bench.scala)
       .config(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",

@@ -291,10 +291,36 @@ private[graft] object DedupQueries extends QuerySlice {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val verified = graft.operators.Dedup.verifyPairsJaccard(
         cand, docs, "text", "doc_id", shingleN = 3, tNum = 1, tDen = 2)
-      graft.operators.Dedup.pairSetEval(cand, truth)
-        .select(lit("candidates").as("tier"), col("*"))
-        .unionAll(graft.operators.Dedup.pairSetEval(verified, truth)
-          .select(lit("verified").as("tier"), col("*")))
+      // both tiers in ONE pair-keyed pass (was two pairSetEval
+      // full-outer joins — truth and cand each shuffled twice):
+      // verified ⊆ cand, so a verified flag on the cand side of a
+      // single full-outer join against truth carries both confusion
+      // tables; per-tier counts are the identical pairSetEval sums.
+      val j = cand.select(col("id_a"), col("id_b"), lit(1).as("__p"))
+        .join(verified.select(col("id_a"), col("id_b"), lit(1).as("__v")),
+          Seq("id_a", "id_b"), "left")
+        .join(truth.select(col("id_a"), col("id_b"), lit(1).as("__t")),
+          Seq("id_a", "id_b"), "full_outer")
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      val one = j.agg(
+        cnt(col("__p").isNotNull && col("__t").isNotNull).as("tp_c"),
+        cnt(col("__p").isNotNull && col("__t").isNull).as("fp_c"),
+        cnt(col("__p").isNull && col("__t").isNotNull).as("fn_c"),
+        cnt(col("__v").isNotNull && col("__t").isNotNull).as("tp_v"),
+        cnt(col("__v").isNotNull && col("__t").isNull).as("fp_v"),
+        cnt(col("__v").isNull && col("__t").isNotNull).as("fn_v"))
+      one.select(explode(array(
+          struct(lit("candidates").as("tier"), col("tp_c").as("tp"),
+            col("fp_c").as("fpos"), col("fn_c").as("fneg")),
+          struct(lit("verified").as("tier"), col("tp_v").as("tp"),
+            col("fp_v").as("fpos"), col("fn_v").as("fneg")))).as("r"))
+        .select(col("r.tier").as("tier"), col("r.tp").as("tp"),
+          col("r.fpos").as("fpos"), col("r.fneg").as("fneg"),
+          when(col("r.tp") + col("r.fpos") > 0,
+            expr("r.tp * 10000 div (r.tp + r.fpos)")).as("precision_bps"),
+          when(col("r.tp") + col("r.fneg") > 0,
+            expr("r.tp * 10000 div (r.tp + r.fneg)")).as("recall_bps"))
     }),
 
     // Tiered dedup cascade — the production order: cheap URL dedup
