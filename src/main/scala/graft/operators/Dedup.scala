@@ -878,27 +878,22 @@ object Dedup {
     require(modulus >= 2, s"modulus must be >= 2, got $modulus")
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(length(col("t")) > 0)
-    val codes = base
-      .select(col("id"), col("t"), length(col("t")).as("len"),
-        explode(sequence(lit(1), length(col("t")))).as("pos"))
-      .select(col("id"), col("len"), col("pos"),
-        ascii(col("t").substr(col("pos"), lit(1))).cast("long").as("c"))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val roll = (0 until window).map { j =>
-      lag(col("c"), j).over(w) * lit(math.pow(31, j).toLong)
-    }.reduce(_ + _)
-    val bounds = codes
-      .withColumn("h", roll)
-      .filter((col("pos") >= window && col("h") % modulus === 0) ||
-        col("pos") === col("len"))
-      .select(col("id"), col("pos")).distinct()
-    val chunks = bounds
+    // boundary positions per document in ONE compiled pass
+    // ([[graft.plans.CdcBoundaries]] — value-identical to the earlier
+    // explode(1..len) + ascii + window-deep lag chain): the relational
+    // form shuffled one row PER CHARACTER through an id exchange and a
+    // per-character window whose only product was this array. Chunk
+    // derivation is now in-row: previous boundary = bs[i-1], no join
+    // back to the text, no exchange until the shared-flag window.
+    val chunks = base
+      .withColumn("bs",
+        graft.plans.CdcBoundaries(col("t"), window, modulus))
+      .select(col("id"), col("t"), col("bs"),
+        posexplode(col("bs")).as(Seq("i", "pos")))
       .withColumn("start",
-        coalesce(lag(col("pos"), 1).over(w), lit(0L)) + 1)
-      .withColumn("chunk_idx",
-        row_number().over(w).cast("long"))
-      .join(base, Seq("id"))
-      .select(col("id"), col("chunk_idx"),
+        when(col("i") === 0, lit(0L))
+          .otherwise(element_at(col("bs"), col("i"))) + 1)
+      .select(col("id"), (col("i") + 1).cast("long").as("chunk_idx"),
         (col("pos") - col("start") + 1).cast("long").as("chunk_len"),
         md5(col("t").substr(col("start").cast("int"),
           (col("pos") - col("start") + 1).cast("int"))).as("fp"))

@@ -109,4 +109,38 @@ class CdcChunkSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 2L,
       got.head._4, false)))
   }
+
+  test("CdcBoundaries: fused pass equals the relational rolling rule, incl. multi-byte") {
+    // positions count CODE POINTS (substring's unit) and each character
+    // contributes its code point (ascii's value) — pin the fused
+    // expression against the exact relational composition it replaced,
+    // on strings with 2- and 4-byte UTF-8 code points
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "caf\u00e9 na\u00efve r\u00e9sum\u00e9 \u00e0 la carte encore une fois",
+      "ab",
+      "\ud83d\ude00 astral \ud83d\ude00 chars \ud83d\ude00 mix with ascii text here",
+      "aaaa aaaa aaaa aaaa aaaa aaaa aaaa")
+    def refBounds(t: String, window: Int, modulus: Int): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      val n = cps.length
+      val bs = (window to n).filter { pos =>
+        val h = (0 until window).map { j =>
+          cps(pos - 1 - j).toLong * math.pow(31, j).toLong
+        }.sum
+        h % modulus == 0
+      }.map(_.toLong)
+      if (bs.nonEmpty && bs.last == n.toLong) bs else bs :+ n.toLong
+    }
+    for ((w, m) <- Seq((4, 32), (2, 8), (5, 16))) {
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select($"id", graft.plans.CdcBoundaries($"t", w, m).as("bs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === refBounds(t, w, m),
+          s"window=$w modulus=$m text#$i")
+      }
+    }
+  }
 }
